@@ -1,0 +1,11 @@
+"""jena_geo_spark — PySpark-native spatial-join + tiling engine.
+
+From-scratch reimplementation of the query/data-processing capabilities of
+``analyticservicedev/jena-geo`` (a GeoSPARQL+ ARQ extension; reference at
+/root/reference), re-architected for Spark: DataFrame/Catalyst plans,
+vectorised pandas/Arrow UDFs over pure-numpy geometry kernels, a quadtree
+cell grid (H3/S2 role) for distributed spatial joins, explicit
+partitioning/skew handling, and parquet-manifest checkpoint/resume.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,149 @@
+"""Deterministic synthetic ``images`` + ``zones`` tables (FIXTURES.md §1-2).
+
+Seeded (seed=42), no external data.  Point geometry mixture: uniform world +
+zipfian hot clusters centred on the reference test-polygon area
+(≈8.28 E, 49.99 N — ``owl/testdata.ttl`` poi/house fixtures) to exercise
+skew/salting.  Written once per scale factor under ``data/sf{sf}/`` and
+reused (pyarrow writer — fast, no Spark needed for generation).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .geom import wkt as W
+from .image import codec
+
+SEED = 42
+
+# cluster centres: first = the jena-geo test area; rest seeded world cities-ish
+CLUSTERS = [
+    (8.2835, 49.9928, 0.05),
+    (77.29, 29.07, 0.5),
+    (-74.0, 40.7, 0.3),
+    (139.7, 35.7, 0.3),
+    (2.35, 48.85, 0.2),
+]
+
+ADJ = ["quiet", "bright", "old", "green", "busy", "small", "grand", "red"]
+NOUN = ["house", "road", "bridge", "tower", "field", "market", "pier", "park"]
+
+
+def n_images_for_sf(sf: float) -> int:
+    return max(200, int(200_000 * sf))
+
+
+def gen_points(n: int, rng: np.random.Generator) -> tuple[np.ndarray, np.ndarray]:
+    """60% clustered (zipf over clusters, gaussian spread), 40% uniform."""
+    n_cluster = int(n * 0.6)
+    weights = 1.0 / np.arange(1, len(CLUSTERS) + 1) ** 1.2
+    weights /= weights.sum()
+    which = rng.choice(len(CLUSTERS), size=n_cluster, p=weights)
+    cx = np.array([c[0] for c in CLUSTERS])[which]
+    cy = np.array([c[1] for c in CLUSTERS])[which]
+    cs = np.array([c[2] for c in CLUSTERS])[which]
+    lon_c = cx + rng.normal(0, cs)
+    lat_c = cy + rng.normal(0, cs)
+    lon_u = rng.uniform(-180, 180, n - n_cluster)
+    lat_u = rng.uniform(-85, 85, n - n_cluster)
+    lon = np.clip(np.concatenate([lon_c, lon_u]), -179.999, 179.999)
+    lat = np.clip(np.concatenate([lat_c, lat_u]), -84.999, 84.999)
+    return lon, lat
+
+
+def make_image(rng: np.random.Generator, i: int) -> tuple[bytes, int, int, str, int]:
+    w = int(rng.choice([5, 8, 16, 32]))
+    h = w
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    fmt = "png" if i % 5 == 0 else "raw"
+    data = codec.encode_png(arr) if fmt == "png" else codec.encode_raw(arr)
+    return data, w, h, fmt, codec.phash64(arr)
+
+
+def build_images(n: int, seed: int = SEED) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    lon, lat = gen_points(n, rng)
+    # small pool of distinct images reused across rows (payload dedup at
+    # generation keeps datagen O(n) cheap; ids/captions/geoms stay unique)
+    pool = [make_image(rng, i) for i in range(min(n, 256))]
+    idx = rng.integers(0, len(pool), n)
+    adj = rng.integers(0, len(ADJ), n)
+    noun = rng.integers(0, len(NOUN), n)
+    image_id = [f"img_{i:012d}" for i in range(n)]
+    captions = [
+        f"caption for img {i}: {ADJ[adj[i]]} {NOUN[noun[i]]} near ({lon[i]:.4f},{lat[i]:.4f})"
+        for i in range(n)
+    ]
+    geom_wkt = [f"POINT ({lon[i]!r} {lat[i]!r})" for i in range(n)]
+    return pa.table(
+        {
+            "image_id": pa.array(image_id, pa.string()),
+            "bytes": pa.array([pool[j][0] for j in idx], pa.binary()),
+            "w": pa.array([pool[j][1] for j in idx], pa.int32()),
+            "h": pa.array([pool[j][2] for j in idx], pa.int32()),
+            "fmt": pa.array([pool[j][3] for j in idx], pa.string()),
+            "caption": pa.array(captions, pa.string()),
+            "phash": pa.array([pool[j][4] for j in idx], pa.int64()),
+            "geom_wkt": pa.array(geom_wkt, pa.string()),
+            "lon": pa.array(lon, pa.float64()),
+            "lat": pa.array(lat, pa.float64()),
+            "srid": pa.array(np.full(n, 4326, dtype=np.int32), pa.int32()),
+        }
+    )
+
+
+def build_zones(n_zones: int = 12, seed: int = SEED) -> pa.Table:
+    """Zone polygons: the reference test geometries (scaled variants) +
+    seeded convex polygons around cluster centres."""
+    rng = np.random.default_rng(seed + 1)
+    zones: list[tuple[str, str]] = []
+    # reference house polygon (owl/testdata.ttl house_1_geom) — verbatim
+    zones.append(
+        (
+            "zone_house_1",
+            "POLYGON((8.286131571192028 49.993592741787,8.28627775158334 "
+            "49.99350049055274,8.286228130716564 49.993466866227074,"
+            "8.286079268116238 49.99355739320413,8.286131571192028 "
+            "49.993592741787))",
+        )
+    )
+    k = 0
+    while len(zones) < n_zones:
+        cx, cy, cs = CLUSTERS[k % len(CLUSTERS)]
+        r = cs * rng.uniform(1.0, 4.0)
+        m = int(rng.integers(5, 10))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, m))
+        ring = np.column_stack(
+            [cx + np.cos(ang) * r * rng.uniform(0.6, 1.0, m), cy + np.sin(ang) * r * rng.uniform(0.6, 1.0, m)]
+        )
+        ring = np.vstack([ring, ring[:1]])
+        zones.append((f"zone_{len(zones):03d}", W.to_wkt(W.Geom("polygon", [ring]))))
+        k += 1
+    return pa.table(
+        {
+            "zone_id": pa.array([z[0] for z in zones], pa.string()),
+            "geom_wkt": pa.array([z[1] for z in zones], pa.string()),
+            "srid": pa.array([4326] * len(zones), pa.int32()),
+        }
+    )
+
+
+def ensure_dataset(sf: float, base_dir: str = "/root/repo/data") -> str:
+    """Generate (once) and return the directory holding images/zones parquet."""
+    d = os.path.join(base_dir, f"sf{sf}")
+    img_p = os.path.join(d, "images.parquet")
+    zone_p = os.path.join(d, "zones.parquet")
+    if not (os.path.exists(img_p) and os.path.exists(zone_p)):
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(build_images(n_images_for_sf(sf)), img_p)
+        pq.write_table(build_zones(), zone_p)
+    return d
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return float(base[2:]) if base.startswith("sf") else 0.01

@@ -1,0 +1,213 @@
+"""Distributed spatial join: cell-cover equi-join + exact refine.
+
+The reference executes spatial joins as nested-loop SPARQL FILTER evaluation,
+one binding pair at a time (ARQ; see SURVEY §2.5 — no join operator of its
+own).  That is O(N·M) and single-threaded.  This operator re-architects it
+for Spark at 10^12-row scale:
+
+1.  polygons → resolution-adaptive **compact covers** (mixed-res quadtree
+    cells, ``grid.cover_polygon``); each cover cell carries a ``full`` flag
+    (cell entirely inside the polygon ⇒ refine skippable);
+2.  points → ONE fine-res cell id (single vectorised pandas UDF), then
+    per-cover-level ancestor cells derived with pure-Catalyst bit arithmetic
+    (shift/mask on the packed int64 — no second UDF, no shuffle);
+3.  equi-join on cell id — ``broadcast()`` when the polygon cover is small
+    (the common case: dimension-table-sized zone sets), else a shuffle hash
+    join with optional explicit **salting** of hot cells + AQE skew-join as
+    backstop;
+4.  exact refine: vectorised ray-casting point-in-polygon
+    (``st_point_in_polygon``) only for candidates from partial cells;
+5.  semantics: ``within``/``intersects`` for point-vs-polygon are identical;
+    ``dwithin`` covers the buffered polygon and refines on true distance.
+
+Cover cells at different resolutions are disjoint by construction (quadtree
+BFS), and a point maps to exactly one ancestor per level ⇒ a (point, zone)
+pair can match at most once ⇒ **no dedup shuffle needed** (the generic
+compact-cover multi-match hazard in SURVEY §7.3 is designed out).
+
+Scale notes:
+* the point side is never shuffled on the broadcast path — the only wide
+  exchange in the whole plan is the final ``repartitionByRange(tile_id)``
+  the caller may add for tile assignment;
+* column pruning: only (id, lon, lat[, payload cols the caller selects])
+  flow through the join — never image ``bytes``;
+* the per-level ancestor derivation keeps candidate generation inside
+  whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .. import grid
+from ..functions.vector import gc_cell, st_point_in_polygon
+from ..geom import wkt as W
+
+FINE_RES = 24  # ~2.6 m cells at the equator; finer than any realistic cover
+
+
+@dataclass
+class ZoneCover:
+    zone_id: str
+    wkb: bytes
+    cells: np.ndarray  # int64 cell ids (mixed res)
+    full: np.ndarray  # bool per cell
+
+
+def build_zone_covers(
+    zones: list[tuple[str, str]], cells_target: int = 64, max_cells: int = 256
+) -> list[ZoneCover]:
+    """Driver-side cover construction for a zone list [(zone_id, wkt)].
+
+    Resolution is chosen per polygon from its bbox (adaptive), capped at
+    FINE_RES so point ancestors exist for every cover level.
+    """
+    out = []
+    for zone_id, wkt_str in zones:
+        g = W.from_wkt(wkt_str)
+        ring = g.exterior()
+        res = min(grid.pick_cover_res(ring, cells_target), FINE_RES)
+        cells = grid.cover_polygon(ring, max_res=res, max_cells=max_cells)
+        # full flag: cell strictly inside the polygon → refine skippable
+        full = np.zeros(len(cells), dtype=bool)
+        for i, c in enumerate(cells):
+            xmin, ymin, xmax, ymax = (float(v[0]) for v in grid.cell_bounds(np.array([c])))
+            full[i] = (
+                grid._rect_polygon_relation(xmin, ymin, xmax, ymax, ring) == 2
+            )
+        out.append(ZoneCover(zone_id, W.to_wkb(g), cells, full))
+    return out
+
+
+def ancestor_col(fine_cell: Column, fine_res: int, target_res: int) -> Column:
+    """Pure-Catalyst ancestor cell id (no UDF): shift the morton bits and
+    re-pack the resolution header."""
+    morton = fine_cell.bitwiseAND(F.lit(0x00FFFFFFFFFFFFFF))
+    anc = F.shiftrightunsigned(morton, 2 * (fine_res - target_res))
+    return anc.bitwiseOR(F.lit(target_res << 56))
+
+
+def with_point_cells(
+    df: DataFrame, lon: str = "lon", lat: str = "lat", fine_res: int = FINE_RES,
+    out_col: str = "cell_fine",
+) -> DataFrame:
+    return df.withColumn(out_col, gc_cell(F.col(lon), F.col(lat), F.lit(fine_res)))
+
+
+def spatial_join_points_zones(
+    spark,
+    points: DataFrame,
+    zone_covers: list[ZoneCover],
+    lon: str = "lon",
+    lat: str = "lat",
+    how: str = "inner",
+    strategy: str = "broadcast",
+    salt_buckets: int = 8,
+    fine_res: int = FINE_RES,
+) -> DataFrame:
+    """Join points to zones by spatial containment.
+
+    Returns ``points.columns + [zone_id]`` (inner), or the point rows that
+    match ≥1 zone (``semi``) / no zone (``anti``).
+
+    strategy:
+      * ``broadcast`` — zone cover exploded to (cell, zone_id, full, wkb)
+        and broadcast; the point side is NOT shuffled.
+      * ``salted`` — for large/hot covers: zone cover rows are replicated
+        ``salt_buckets`` ways, points get a deterministic salt; the join key
+        becomes (cell, salt) which splits hot cells across reducers.
+    """
+    rows, levels = [], set()
+    for zc in zone_covers:
+        res = grid.cell_res(zc.cells)
+        for c, r, fl in zip(zc.cells.tolist(), res.tolist(), zc.full.tolist()):
+            rows.append((zc.zone_id, int(c), int(r), bool(fl), bytearray(zc.wkb)))
+            levels.add(int(r))
+    zone_cells = spark.createDataFrame(
+        rows, "zone_id string, cell long, cell_res int, full boolean, zone_wkb binary"
+    )
+    levels = sorted(levels)
+
+    pts = with_point_cells(points, lon, lat, fine_res)
+    # one candidate row per cover level: point's ancestor cell at that level
+    anc = F.array(*[ancestor_col(F.col("cell_fine"), fine_res, r) for r in levels])
+    pts = pts.withColumn("cell", F.explode(anc))
+
+    if strategy == "salted":
+        salt = F.pmod(F.xxhash64(F.col(lon), F.col(lat)), F.lit(salt_buckets))
+        pts = pts.withColumn("salt", salt.cast("int"))
+        zone_cells = zone_cells.withColumn(
+            "salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+        )
+        join_keys = ["cell", "salt"]
+        zside = zone_cells
+    else:
+        join_keys = ["cell"]
+        zside = F.broadcast(zone_cells)
+
+    cand = pts.join(zside, on=join_keys, how="inner")
+
+    refined = cand.withColumn(
+        "_match",
+        F.when(F.col("full"), F.lit(True)).otherwise(
+            st_point_in_polygon(F.col(lon), F.col(lat), F.col("zone_wkb"))
+        ),
+    ).filter(F.col("_match"))
+
+    out_cols = [c for c in points.columns] + ["zone_id"]
+    matched = refined.select(*out_cols)
+
+    if how == "inner":
+        return matched
+    if how == "semi":
+        return points.join(
+            matched.select(points.columns[0]).distinct(), on=points.columns[0], how="left_semi"
+        )
+    if how == "anti":
+        return points.join(
+            matched.select(points.columns[0]).distinct(), on=points.columns[0], how="left_anti"
+        )
+    raise ValueError(how)
+
+
+def dwithin_join_points_centers(
+    spark,
+    points: DataFrame,
+    centers: list[tuple[str, float, float]],
+    radius: float,
+    lon: str = "lon",
+    lat: str = "lat",
+    fine_res: int = FINE_RES,
+) -> DataFrame:
+    """ST_DWithin join of points against a small set of (id, lon, lat)
+    centers: disc cover → equi-join → exact planar distance refine.
+    Output: point columns + center_id + dist (planar, coordinate units)."""
+    rows, levels = [], set()
+    for cid, cx, cy in centers:
+        res = min(grid.pick_cover_res(
+            np.array([[cx - radius, cy - radius], [cx + radius, cy + radius]]),
+        ), fine_res)
+        cells = grid.cover_point_radius(cx, cy, radius, max_res=res)
+        for c, r in zip(cells.tolist(), grid.cell_res(cells).tolist()):
+            rows.append((cid, int(c), float(cx), float(cy)))
+            levels.add(int(r))
+    cover_df = spark.createDataFrame(rows, "center_id string, cell long, cx double, cy double")
+    levels = sorted(levels)
+
+    pts = with_point_cells(points, lon, lat, fine_res)
+    anc = F.array(*[ancestor_col(F.col("cell_fine"), fine_res, r) for r in levels])
+    pts = pts.withColumn("cell", F.explode(anc))
+    cand = pts.join(F.broadcast(cover_df), on="cell", how="inner")
+    dx = F.col(lon) - F.col("cx")
+    dy = F.col(lat) - F.col("cy")
+    dist = F.sqrt(dx * dx + dy * dy)
+    out_cols = [c for c in points.columns] + ["center_id"]
+    return (
+        cand.withColumn("dist", dist)
+        .filter(F.col("dist") <= F.lit(radius))
+        .select(*out_cols, "dist")
+    )

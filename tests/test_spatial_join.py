@@ -1,0 +1,121 @@
+"""Spatial join / kNN / tiling vs exhaustive local oracles (FIXTURES.md §6)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from jena_geo_spark import datagen, grid
+from jena_geo_spark.geom import from_wkt
+from jena_geo_spark.geom.kernel import points_in_polygon
+from jena_geo_spark.operators.knn import knn_join
+from jena_geo_spark.operators.spatial_join import (
+    build_zone_covers,
+    dwithin_join_points_centers,
+    spatial_join_points_zones,
+)
+from jena_geo_spark.operators.tiling import assign_tiles, repartition_by_tile, tile_histogram
+
+
+@pytest.fixture(scope="module")
+def small_data(spark):
+    imgs = datagen.build_images(3000).to_pandas()
+    zones = datagen.build_zones(8).to_pandas()
+    pts_df = spark.createDataFrame(imgs[["image_id", "caption", "lon", "lat"]])
+    return pts_df, imgs, zones
+
+
+def oracle_join(imgs: pd.DataFrame, zones: pd.DataFrame) -> set[tuple[str, str]]:
+    out = set()
+    for _, z in zones.iterrows():
+        ring = from_wkt(z.geom_wkt).exterior()
+        ins = points_in_polygon(imgs.lon.to_numpy(), imgs.lat.to_numpy(), ring)
+        for iid in imgs.image_id.to_numpy()[ins]:
+            out.add((iid, z.zone_id))
+    return out
+
+
+def test_spatial_join_matches_oracle_broadcast(spark, small_data):
+    pts_df, imgs, zones = small_data
+    covers = build_zone_covers(list(zones[["zone_id", "geom_wkt"]].itertuples(index=False)))
+    got = spatial_join_points_zones(spark, pts_df, covers).select("image_id", "zone_id")
+    got_set = {(r.image_id, r.zone_id) for r in got.collect()}
+    exp = oracle_join(imgs, zones)
+    assert got_set == exp
+    assert len(exp) > 50  # non-trivial fixture
+
+
+def test_spatial_join_salted_same_result(spark, small_data):
+    pts_df, imgs, zones = small_data
+    covers = build_zone_covers(list(zones[["zone_id", "geom_wkt"]].itertuples(index=False)))
+    got = spatial_join_points_zones(spark, pts_df, covers, strategy="salted", salt_buckets=4)
+    got_set = {(r.image_id, r.zone_id) for r in got.select("image_id", "zone_id").collect()}
+    assert got_set == oracle_join(imgs, zones)
+
+
+def test_semi_and_anti(spark, small_data):
+    pts_df, imgs, zones = small_data
+    covers = build_zone_covers(list(zones[["zone_id", "geom_wkt"]].itertuples(index=False)))
+    exp = oracle_join(imgs, zones)
+    matched_ids = {i for i, _ in exp}
+    semi = spatial_join_points_zones(spark, pts_df, covers, how="semi")
+    anti = spatial_join_points_zones(spark, pts_df, covers, how="anti")
+    assert {r.image_id for r in semi.select("image_id").collect()} == matched_ids
+    assert {r.image_id for r in anti.select("image_id").collect()} == (
+        set(imgs.image_id) - matched_ids
+    )
+
+
+def test_caption_survives_shuffles(spark, small_data):
+    """BASELINE invariant: caption byte-identical through every shuffle."""
+    pts_df, imgs, zones = small_data
+    covers = build_zone_covers(list(zones[["zone_id", "geom_wkt"]].itertuples(index=False)))
+    joined = spatial_join_points_zones(spark, pts_df, covers, strategy="salted")
+    tiled = repartition_by_tile(assign_tiles(joined))
+    out = {r.image_id: r.caption for r in tiled.select("image_id", "caption").collect()}
+    src = dict(zip(imgs.image_id, imgs.caption))
+    assert all(src[i] == c for i, c in out.items())
+
+
+def test_dwithin_join(spark, small_data):
+    pts_df, imgs, zones = small_data
+    centers = [("c0", 8.2835, 49.9928), ("c1", 77.29, 29.07)]
+    r = 0.4
+    got = dwithin_join_points_centers(spark, pts_df, centers, r)
+    got_set = {(row.image_id, row.center_id) for row in got.collect()}
+    exp = set()
+    for cid, cx, cy in centers:
+        d = np.sqrt((imgs.lon - cx) ** 2 + (imgs.lat - cy) ** 2)
+        for iid in imgs.image_id[d <= r]:
+            exp.add((iid, cid))
+    assert got_set == exp and len(exp) > 10
+
+
+def test_knn_matches_oracle(spark, small_data):
+    pts_df, imgs, zones = small_data
+    queries = [("q0", 8.2835, 49.9928), ("q1", -74.0, 40.7), ("q2", 0.0, 0.0)]
+    k = 15
+    got = knn_join(spark, pts_df, queries, k=k, id_col="image_id")
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.image_id))
+    for qid, qx, qy in queries:
+        d2 = (imgs.lon - qx) ** 2 + (imgs.lat - qy) ** 2
+        order = sorted(zip(d2, imgs.image_id))[:k]
+        exp = [iid for _, iid in order]
+        gotk = [iid for _, iid in sorted(by_q[qid])]
+        assert gotk == exp, qid
+
+
+def test_tiling_partitions_and_histogram(spark, small_data):
+    pts_df, imgs, zones = small_data
+    tiled = assign_tiles(pts_df, tile_res=4)
+    hist = {r.tile_id: r.n_rows for r in tile_histogram(tiled).collect()}
+    assert sum(hist.values()) == pts_df.count()
+    # every tile id decodes to res 4
+    assert all(grid.cell_res(np.array([t]))[0] == 4 for t in hist)
+    # oracle: tile of each point == encode at res 4
+    exp = grid.encode_points(imgs.lon.to_numpy(), imgs.lat.to_numpy(), 4)
+    got = {r.image_id: r.tile_id for r in tiled.select("image_id", "tile_id").collect()}
+    for iid, cell in zip(imgs.image_id, exp):
+        assert got[iid] == cell
