@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship pipeline (image+caption table → cell-cover
+spatial join against zone polygons → tile assignment) on deterministic
+synthetic data at sf0.001.  ``queries``/``oracle_sql`` expose the operator
+suite from SURVEY.md §2 over the driver's parquet tables; oracle SQL
+expressions are written term-for-term identical to the engine kernels so
+floating-point results match bit-for-bit (see jena_geo_spark/contract.py).
 """
 
 from __future__ import annotations
@@ -15,24 +16,38 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: spatial join + tile assignment on the image+caption table."""
+    from pyspark.sql import functions as F
+
+    from jena_geo_spark import datagen
+    from jena_geo_spark.operators.spatial_join import (
+        build_zone_covers,
+        spatial_join_points_zones,
+    )
+    from jena_geo_spark.operators.tiling import assign_tiles
+
+    d = datagen.ensure_dataset(0.001)
+    imgs = spark.read.parquet(f"{d}/images.parquet").select(
+        "image_id", "caption", "phash", "lon", "lat"
+    )
+    zones = [
+        (r.zone_id, r.geom_wkt)
+        for r in spark.read.parquet(f"{d}/zones.parquet").collect()
+    ]
+    covers = build_zone_covers(zones)
+    joined = spatial_join_points_zones(spark, imgs, covers)
+    return assign_tiles(joined, tile_res=6).select(
+        "image_id", "caption", "phash", "zone_id", "tile_id"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from jena_geo_spark.contract import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from jena_geo_spark.contract import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,615 @@
+"""Driver-contract query suite: engine queries + DuckDB oracle SQL.
+
+Every query runs through the engine's real operators (cell-cover joins,
+kNN, tiling, pandas-UDF geometry functions, dedup/similarity pipelines) on
+DataFrames derived from the driver's parquet tables; each oracle is ANSI
+SQL whose floating-point expressions are written **term-for-term identical**
+to the engine kernels so results match bit-for-bit (see FIXTURES.md §6).
+
+Points for the geo queries are derived deterministically from ``events``:
+    lon = ((event_id * 2654435761) % 360000000)/1e6 - 180
+    lat = ((event_id * 2246822519) % 180000000)/1e6 - 90
+(integer hash arithmetic — exactly reproducible in any SQL engine).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BinaryType
+
+from .functions.vector import (
+    gc_cell,
+    gc_cell_xy,
+    st_area,
+    st_centroid,
+    st_length,
+)
+from .geom import wkt as W
+from .operators.knn import knn_join
+from .operators.spatial_join import (
+    build_zone_covers,
+    dwithin_join_points_centers,
+    spatial_join_points_zones,
+)
+from .pipelines import dedup, similarity, text
+
+# ---------------------------------------------------------------- fixtures --
+
+# simple polygons (one concave) sized so uniform-hash points land inside
+ZONES: dict[str, list[tuple[float, float]]] = {
+    "zone_pent": [
+        (-20.5, -10.3),
+        (25.7, -25.2),
+        (55.4, 10.8),
+        (20.3, 45.6),
+        (-25.1, 30.2),
+    ],
+    "zone_comb": [  # concave "U" over the Americas
+        (-150.2, -40.6),
+        (-60.3, -40.1),
+        (-60.4, 30.2),
+        (-100.7, 30.4),
+        (-100.6, -10.2),
+        (-130.3, -10.4),
+        (-130.1, 30.8),
+        (-150.4, 30.6),
+    ],
+    "zone_diamond": [
+        (70.3, 5.2),
+        (120.7, 15.4),
+        (140.2, 45.8),
+        (95.6, 55.3),
+        (60.1, 35.7),
+    ],
+}
+
+DWITHIN_CENTERS = [("c0", 8.2835, 49.9928), ("c1", -74.01, 40.71), ("c2", 139.69, 35.69)]
+DWITHIN_RADIUS = 15.0
+
+KNN_QUERIES = [("q0", 8.2835, 49.9928), ("q1", -74.01, 40.71), ("q2", 0.0, 0.0), ("q3", 150.3, -30.2)]
+KNN_K = 10
+
+_LON_MULT, _LAT_MULT = 2654435761, 2246822519
+_TRI = {  # extra vertex hash multipliers (x_mult, y_mult)
+    2: (1500450271, 3267000013),
+    3: (2860486313, 1190494759),
+    4: (3628273133, 2971215073),
+}
+
+
+def _zone_wkt(name: str) -> str:
+    ring = ZONES[name] + [ZONES[name][0]]
+    return "POLYGON((" + ",".join(f"{x!r} {y!r}" for x, y in ring) + "))"
+
+
+# ------------------------------------------------------------- point deriv --
+
+
+def _hash_coord(col, mult: int, span_e6: int, offset: float):
+    return ((col * F.lit(mult)) % F.lit(span_e6)).cast("double") / F.lit(1000000.0) - F.lit(offset)
+
+
+def points_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        "event_type",
+        _hash_coord(F.col("event_id"), _LON_MULT, 360000000, 180.0).alias("lon"),
+        _hash_coord(F.col("event_id"), _LAT_MULT, 180000000, 90.0).alias("lat"),
+    )
+
+
+_PTS_CTE = """
+pts AS (
+  SELECT event_id, event_type,
+         ((event_id * 2654435761) % 360000000)::DOUBLE / 1000000.0 - 180.0 AS lon,
+         ((event_id * 2246822519) % 180000000)::DOUBLE / 1000000.0 - 90.0 AS lat
+  FROM events)
+"""
+
+
+def _sql_coord(mult: int, span_e6: int, offset: float) -> str:
+    return f"((event_id * {mult}) % {span_e6})::DOUBLE / 1000000.0 - {offset!r}"
+
+
+def _sql_raycast(name: str, lon: str = "lon", lat: str = "lat") -> str:
+    """Ray-cast SQL, term-for-term identical to kernel.points_in_polygon:
+    crossing iff (y1>lat)!=(y2>lat) AND lon < dx*(lat-y1)/dy + x1, where
+    dx, dy are precomputed python floats (bit-identical to the runtime
+    subtraction the kernel performs)."""
+    ring = ZONES[name]
+    m = len(ring)
+    terms = []
+    for i in range(m):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % m]
+        dx, dy = x2 - x1, y2 - y1
+        terms.append(
+            f"(CASE WHEN (({y1!r}::DOUBLE > {lat}) <> ({y2!r}::DOUBLE > {lat}))"
+            f" AND {lon} < {dx!r}::DOUBLE * ({lat} - {y1!r}::DOUBLE) / {dy!r}::DOUBLE"
+            f" + {x1!r}::DOUBLE THEN 1 ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ") % 2 = 1"
+
+
+# ------------------------------------------------------------ geometry UDFs --
+
+
+@pandas_udf(BinaryType())
+def _make_triangle(x1: pd.Series, y1: pd.Series, x2: pd.Series, y2: pd.Series, x3: pd.Series, y3: pd.Series) -> pd.Series:
+    out = []
+    for a, b, c, d, e, f in zip(x1, y1, x2, y2, x3, y3):
+        ring = np.array([[a, b], [c, d], [e, f], [a, b]], dtype=np.float64)
+        out.append(W.to_wkb(W.Geom("polygon", [ring])))
+    return pd.Series(out)
+
+
+@pandas_udf(BinaryType())
+def _make_line4(x1: pd.Series, y1: pd.Series, x2: pd.Series, y2: pd.Series, x3: pd.Series, y3: pd.Series, x4: pd.Series, y4: pd.Series) -> pd.Series:
+    out = []
+    for a, b, c, d, e, f, g, h in zip(x1, y1, x2, y2, x3, y3, x4, y4):
+        line = np.array([[a, b], [c, d], [e, f], [g, h]], dtype=np.float64)
+        out.append(W.to_wkb(W.Geom("linestring", [line])))
+    return pd.Series(out)
+
+
+def _with_tri_coords(df: DataFrame) -> DataFrame:
+    out = df.withColumn("x1", F.col("lon")).withColumn("y1", F.col("lat"))
+    for i in (2, 3, 4):
+        xm, ym = _TRI[i]
+        out = out.withColumn(f"x{i}", _hash_coord(F.col("event_id"), xm, 360000000, 180.0))
+        out = out.withColumn(f"y{i}", _hash_coord(F.col("event_id"), ym, 180000000, 90.0))
+    return out
+
+
+_TRI_SQL_COLS = ", ".join(
+    ["lon AS x1, lat AS y1"]
+    + [
+        f"{_sql_coord(_TRI[i][0], 360000000, 180.0)} AS x{i}, "
+        f"{_sql_coord(_TRI[i][1], 180000000, 90.0)} AS y{i}"
+        for i in (2, 3, 4)
+    ]
+)
+
+
+# ------------------------------------------------------------- geo queries --
+
+
+def q_geo_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = points_from_events(spark, sf_dir)
+    covers = build_zone_covers([(z, _zone_wkt(z)) for z in ZONES])
+    out = spatial_join_points_zones(spark, pts.select("event_id", "lon", "lat"), covers)
+    return out.select("event_id", "zone_id")
+
+
+def o_geo_pip_join() -> str:
+    selects = [
+        f"SELECT event_id, '{z}' AS zone_id FROM pts WHERE {_sql_raycast(z)}" for z in ZONES
+    ]
+    return f"WITH {_PTS_CTE} " + " UNION ALL ".join(selects)
+
+
+def q_geo_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = points_from_events(spark, sf_dir)
+    return pts.filter(
+        (F.col("lon") >= -30.5) & (F.col("lon") <= 42.7) & (F.col("lat") >= 20.3) & (F.col("lat") <= 65.8)
+    ).select("event_id", "lon", "lat")
+
+
+def o_geo_bbox_filter() -> str:
+    return (
+        f"WITH {_PTS_CTE} SELECT event_id, lon, lat FROM pts "
+        "WHERE lon >= -30.5::DOUBLE AND lon <= 42.7::DOUBLE "
+        "AND lat >= 20.3::DOUBLE AND lat <= 65.8::DOUBLE"
+    )
+
+
+def q_geo_dwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = points_from_events(spark, sf_dir).select("event_id", "lon", "lat")
+    return dwithin_join_points_centers(spark, pts, DWITHIN_CENTERS, DWITHIN_RADIUS).select(
+        "event_id", "center_id", "dist"
+    )
+
+
+def o_geo_dwithin() -> str:
+    vals = ", ".join(f"('{c}', {x!r}::DOUBLE, {y!r}::DOUBLE)" for c, x, y in DWITHIN_CENTERS)
+    return (
+        f"WITH {_PTS_CTE}, ctr(center_id, cx, cy) AS (VALUES {vals}) "
+        "SELECT event_id, center_id, sqrt((lon - cx) * (lon - cx) + (lat - cy) * (lat - cy)) AS dist "
+        "FROM pts, ctr "
+        f"WHERE sqrt((lon - cx) * (lon - cx) + (lat - cy) * (lat - cy)) <= {DWITHIN_RADIUS!r}::DOUBLE"
+    )
+
+
+def q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = points_from_events(spark, sf_dir).select("event_id", "lon", "lat")
+    out = knn_join(spark, pts, KNN_QUERIES, k=KNN_K, id_col="event_id")
+    return out.select("query_id", "event_id", "dist", F.col("rank").cast("long").alias("rank"))
+
+
+def o_geo_knn() -> str:
+    vals = ", ".join(f"('{q}', {x!r}::DOUBLE, {y!r}::DOUBLE)" for q, x, y in KNN_QUERIES)
+    return (
+        f"WITH {_PTS_CTE}, q(query_id, qx, qy) AS (VALUES {vals}), "
+        "d AS (SELECT q.query_id, p.event_id, "
+        "(p.lon - q.qx) * (p.lon - q.qx) + (p.lat - q.qy) * (p.lat - q.qy) AS dist2 "
+        "FROM pts p CROSS JOIN q) "
+        "SELECT query_id, event_id, sqrt(dist2) AS dist, rank FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist2 ASC, event_id ASC) AS rank FROM d) "
+        f"WHERE rank <= {KNN_K}"
+    )
+
+
+def q_geo_tile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = points_from_events(spark, sf_dir)
+    cells = pts.withColumn("cell", gc_cell(F.col("lon"), F.col("lat"), F.lit(6)))
+    xy = cells.withColumn("xy", gc_cell_xy(F.col("cell")))
+    return (
+        xy.groupBy(F.col("xy.ix").alias("tile_ix"), F.col("xy.iy").alias("tile_iy"))
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+def o_geo_tile_hist() -> str:
+    return (
+        f"WITH {_PTS_CTE} SELECT "
+        "LEAST(GREATEST(CAST(FLOOR(((lon - -180.0) / 360.0) * 64.0) AS BIGINT), 0), 63) AS tile_ix, "
+        "LEAST(GREATEST(CAST(FLOOR(((lat - -90.0) / 180.0) * 64.0) AS BIGINT), 0), 63) AS tile_iy, "
+        "count(*) AS n_rows FROM pts GROUP BY 1, 2"
+    )
+
+
+def q_geo_triangle_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _with_tri_coords(points_from_events(spark, sf_dir))
+    tri = pts.withColumn(
+        "g", _make_triangle(*[F.col(c) for c in ("x1", "y1", "x2", "y2", "x3", "y3")])
+    )
+    return tri.select("event_id", st_area(F.col("g")).alias("area"))
+
+
+def o_geo_triangle_area() -> str:
+    return (
+        f"WITH {_PTS_CTE}, t AS (SELECT event_id, {_TRI_SQL_COLS} FROM pts) "
+        "SELECT event_id, abs((x1 * y2 - x2 * y1) + (x2 * y3 - x3 * y2) + (x3 * y1 - x1 * y3)) * 0.5 AS area FROM t"
+    )
+
+
+def q_geo_triangle_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # event_id 0 hashes all three vertices to the same point (degenerate
+    # triangle: centroid kernel falls back to the mean, SQL divides 0/0) —
+    # excluded on both sides; no other id in range can degenerate (the
+    # multiplier differences share only tiny factors with the modulus)
+    pts = _with_tri_coords(points_from_events(spark, sf_dir).filter(F.col("event_id") > 0))
+    tri = pts.withColumn(
+        "g", _make_triangle(*[F.col(c) for c in ("x1", "y1", "x2", "y2", "x3", "y3")])
+    ).withColumn("c", st_centroid(F.col("g")))
+    return tri.select("event_id", F.col("c.x").alias("cx"), F.col("c.y").alias("cy"))
+
+
+def o_geo_triangle_centroid() -> str:
+    # term-for-term the polygon-centroid kernel (geom/kernel.py centroid):
+    # cross_i = x_i*y_{i+1} - x_{i+1}*y_i ; a = (Σ cross)*0.5 ;
+    # cx = Σ (x_i+x_{i+1})*cross_i / (6a)
+    return (
+        f"WITH {_PTS_CTE}, t AS (SELECT event_id, {_TRI_SQL_COLS} FROM pts), "
+        "c AS (SELECT event_id, x1, y1, x2, y2, x3, y3, "
+        "(x1 * y2 - x2 * y1) AS cr1, (x2 * y3 - x3 * y2) AS cr2, (x3 * y1 - x1 * y3) AS cr3 FROM t) "
+        "SELECT event_id, "
+        "((x1 + x2) * cr1 + (x2 + x3) * cr2 + (x3 + x1) * cr3) / (6.0 * ((cr1 + cr2 + cr3) * 0.5)) AS cx, "
+        "((y1 + y2) * cr1 + (y2 + y3) * cr2 + (y3 + y1) * cr3) / (6.0 * ((cr1 + cr2 + cr3) * 0.5)) AS cy "
+        "FROM c WHERE event_id > 0"
+    )
+
+
+def q_geo_line_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _with_tri_coords(points_from_events(spark, sf_dir))
+    line = pts.withColumn(
+        "g",
+        _make_line4(*[F.col(c) for c in ("x1", "y1", "x2", "y2", "x3", "y3", "x4", "y4")]),
+    )
+    return line.select("event_id", st_length(F.col("g")).alias("length"))
+
+
+def o_geo_line_length() -> str:
+    seg = "sqrt(({bx} - {ax}) * ({bx} - {ax}) + ({by} - {ay}) * ({by} - {ay}))"
+    s1 = seg.format(ax="x1", ay="y1", bx="x2", by="y2")
+    s2 = seg.format(ax="x2", ay="y2", bx="x3", by="y3")
+    s3 = seg.format(ax="x3", ay="y3", bx="x4", by="y4")
+    return (
+        f"WITH {_PTS_CTE}, t AS (SELECT event_id, {_TRI_SQL_COLS} FROM pts) "
+        f"SELECT event_id, {s1} + {s2} + {s3} AS length FROM t"
+    )
+
+
+def q_geo_envelope_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_BoundingBox/MinX/MaxX… aggregate semantics (reference aggregate/
+    package, intended behaviour per README — see SURVEY §2.4)."""
+    pts = points_from_events(spark, sf_dir)
+    return pts.groupBy("event_type").agg(
+        F.min("lon").alias("xmin"),
+        F.min("lat").alias("ymin"),
+        F.max("lon").alias("xmax"),
+        F.max("lat").alias("ymax"),
+        F.count("*").alias("n"),
+    )
+
+
+def o_geo_envelope_agg() -> str:
+    return (
+        f"WITH {_PTS_CTE} SELECT event_type, min(lon) AS xmin, min(lat) AS ymin, "
+        "max(lon) AS xmax, max(lat) AS ymax, count(*) AS n FROM pts GROUP BY event_type"
+    )
+
+
+# --------------------------------------------------------------- documents --
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = text.token_stats(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("token_chars").cast("long").alias("token_chars"),
+    )
+
+
+def o_doc_token_stats() -> str:
+    return (
+        "SELECT doc_id, len(toks)::BIGINT AS n_tokens, "
+        "len(list_distinct(toks))::BIGINT AS n_distinct, "
+        "length(text)::BIGINT AS n_chars, "
+        "CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS token_chars "
+        "FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)"
+    )
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.quality_score(docs)
+
+
+def o_doc_quality() -> str:
+    stops = ", ".join(f"'{s}'" for s in text.STOPWORDS)
+    return (
+        "SELECT doc_id, round("
+        "(CASE WHEN len(toks) >= 20 AND len(toks) <= 1000 THEN 0.5::DOUBLE ELSE 0.0::DOUBLE END)"
+        " + (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE) * 0.3::DOUBLE"
+        f" + (len(list_intersect(toks, [{stops}]))::DOUBLE / {float(len(text.STOPWORDS))!r}::DOUBLE) * 0.2::DOUBLE"
+        ", 6) AS quality "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)"
+    )
+
+
+def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.exact_dedup(docs).select(
+        "doc_id", "canonical_id", F.col("group_size").cast("long").alias("group_size")
+    )
+
+
+def o_doc_dedup_exact() -> str:
+    return (
+        "WITH keyed AS (SELECT doc_id, "
+        "array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS k FROM documents), "
+        "canon AS (SELECT k, min(doc_id) AS canonical_id, count(*) AS group_size FROM keyed GROUP BY k) "
+        "SELECT keyed.doc_id, canon.canonical_id, canon.group_size FROM keyed JOIN canon ON keyed.k = canon.k"
+    )
+
+
+def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.jaccard_dedup_pairs(docs, n=3, threshold_num=1, threshold_den=5)
+
+
+def o_doc_jaccard_pairs() -> str:
+    return (
+        "WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1), "
+        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS shingle "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)), "
+        "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter "
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT id_a, id_b, inter, sa.sz + sb.sz - inter AS uni FROM inter "
+        "JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b "
+        "WHERE inter * 5 >= (sa.sz + sb.sz - inter) * 1"
+    )
+
+
+def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.lang_id(docs)
+
+
+def o_doc_langid() -> str:
+    m = {
+        "en": ["the", "and", "of"],
+        "es": ["el", "la", "de"],
+        "de": ["der", "und", "das"],
+    }
+    scores = ", ".join(
+        f"len(list_filter(toks, t -> t IN ({', '.join(repr(w) for w in ws)}))) AS s_{lg}"
+        for lg, ws in m.items()
+    )
+    return (
+        f"WITH s AS (SELECT doc_id, {scores} "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)) "
+        "SELECT doc_id, CASE WHEN greatest(s_en, s_es, s_de) = 0 THEN 'unknown' "
+        "WHEN s_en = greatest(s_en, s_es, s_de) THEN 'en' "
+        "WHEN s_es = greatest(s_en, s_es, s_de) THEN 'es' "
+        "ELSE 'de' END AS pred_lang FROM s"
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.doc_fingerprints(docs)  # rows-only check (no SQL equivalent)
+
+
+def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.2)  # rows-only check
+
+
+def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash_pairs(docs, max_hamming=8)  # rows-only check
+
+
+# -------------------------------------------------------------- embeddings --
+
+
+def q_emb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.cosine_topk(emb, query_ids=list(range(10)), k=10)
+    return out.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+
+
+def o_emb_topk() -> str:
+    return (
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10), "
+        "s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS score "
+        "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id) "
+        "SELECT query_id, vec_id, rank FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank FROM s) WHERE rank <= 10"
+    )
+
+
+def q_emb_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    norm2 = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return emb.select("vec_id", F.sqrt(norm2).alias("norm"))
+
+
+def o_emb_norm() -> str:
+    return (
+        "SELECT vec_id, sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS norm "
+        "FROM embeddings"
+    )
+
+
+# -------------------------------------------------------------- relational --
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def o_tpch_q1() -> str:
+    return (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, "
+        "count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    )
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+def o_events_window() -> str:
+    return (
+        "SELECT user_id, event_id, rn FROM (SELECT user_id, event_id, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn "
+        "FROM events) WHERE rn <= 3"
+    )
+
+
+def q_orders_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+def o_orders_agg() -> str:
+    return (
+        "SELECT c_mktsegment, count(*) AS n_orders, min(o_totalprice) AS min_price, "
+        "max(o_totalprice) AS max_price FROM orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_mktsegment"
+    )
+
+
+# ------------------------------------------------------------------ export --
+
+QUERIES = {
+    "geo_pip_join": q_geo_pip_join,
+    "geo_bbox_filter": q_geo_bbox_filter,
+    "geo_dwithin": q_geo_dwithin,
+    "geo_knn": q_geo_knn,
+    "geo_tile_hist": q_geo_tile_hist,
+    "geo_triangle_area": q_geo_triangle_area,
+    "geo_triangle_centroid": q_geo_triangle_centroid,
+    "geo_line_length": q_geo_line_length,
+    "geo_envelope_agg": q_geo_envelope_agg,
+    "doc_token_stats": q_doc_token_stats,
+    "doc_quality": q_doc_quality,
+    "doc_dedup_exact": q_doc_dedup_exact,
+    "doc_jaccard_pairs": q_doc_jaccard_pairs,
+    "doc_langid": q_doc_langid,
+    "doc_fingerprint": q_doc_fingerprint,
+    "doc_minhash_pairs": q_doc_minhash_pairs,
+    "doc_simhash_pairs": q_doc_simhash_pairs,
+    "emb_topk": q_emb_topk,
+    "emb_norm": q_emb_norm,
+    "tpch_q1": q_tpch_q1,
+    "events_window": q_events_window,
+    "orders_agg": q_orders_agg,
+}
+
+ORACLES = {
+    "geo_pip_join": o_geo_pip_join(),
+    "geo_bbox_filter": o_geo_bbox_filter(),
+    "geo_dwithin": o_geo_dwithin(),
+    "geo_knn": o_geo_knn(),
+    "geo_tile_hist": o_geo_tile_hist(),
+    "geo_triangle_area": o_geo_triangle_area(),
+    "geo_triangle_centroid": o_geo_triangle_centroid(),
+    "geo_line_length": o_geo_line_length(),
+    "geo_envelope_agg": o_geo_envelope_agg(),
+    "doc_token_stats": o_doc_token_stats(),
+    "doc_quality": o_doc_quality(),
+    "doc_dedup_exact": o_doc_dedup_exact(),
+    "doc_jaccard_pairs": o_doc_jaccard_pairs(),
+    "doc_langid": o_doc_langid(),
+    "emb_topk": o_emb_topk(),
+    "emb_norm": o_emb_norm(),
+    "tpch_q1": o_tpch_q1(),
+    "events_window": o_events_window(),
+    "orders_agg": o_orders_agg(),
+    # doc_fingerprint / doc_minhash_pairs / doc_simhash_pairs: rows-only
+}

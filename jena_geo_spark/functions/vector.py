@@ -384,6 +384,15 @@ def gc_parent(cell: pd.Series, target_res: pd.Series) -> pd.Series:
     return pd.Series(grid.ancestor_at(cell.to_numpy(np.int64), int(target_res.iloc[0])))
 
 
+_CELL_XY_T = StructType([StructField("ix", LongType()), StructField("iy", LongType())])
+
+
+@pandas_udf(_CELL_XY_T)
+def gc_cell_xy(cell: pd.Series) -> pd.DataFrame:
+    ix, iy = grid.cell_xy(cell.to_numpy(np.int64))
+    return pd.DataFrame({"ix": ix, "iy": iy})
+
+
 # --------------------------------------------- pure-Catalyst column helpers --
 
 

@@ -1,0 +1,183 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk`` — exact brute-force top-k, distributed: each partition
+  computes its local top-k per query with one float64 numpy matmul
+  (Arrow-batched ``mapInPandas``), then a narrow global merge ranks the
+  union (global top-k ⊆ union of per-partition top-k ⇒ exact).
+* ``lsh_topk`` — scale path: random-hyperplane LSH bucketing (signed
+  projections, deterministic seed); candidates share a bucket in ≥1 table;
+  exact re-rank of candidates.  Recall<1 by construction — the benchmark
+  reports its recall vs brute force.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+from pyspark.sql.window import Window
+
+_TOPK_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType()),
+        StructField("vec_id", LongType()),
+        StructField("score", DoubleType()),
+    ]
+)
+
+
+def _collect_queries(df: DataFrame, query_ids: list[int], id_col: str, vec_col: str):
+    q = df.filter(F.col(id_col).isin(query_ids)).select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in q], dtype=np.int64)
+    qm = np.array([r[1] for r in q], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    return qids, qm
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k cosine neighbours for each query id.
+
+    Output: (query_id, vec_id, score, rank), deterministic
+    (score desc, vec_id asc) tie-break."""
+    spark = df.sparkSession
+    qids, qm = _collect_queries(df, query_ids, id_col, vec_col)
+    bq = spark.sparkContext.broadcast((qids, qm))
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_l, qm_l = bq.value
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            m = m / norms[:, None]
+            scores = qm_l @ m.T  # (nq, nrows)
+            nq, nr = scores.shape
+            kk = min(k + (0 if include_self else 1), nr)
+            part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            rows = {
+                "query_id": np.repeat(qids_l, kk),
+                "vec_id": ids[part].ravel(),
+                "score": np.take_along_axis(scores, part, axis=1).ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    cand = df.select(id_col, vec_col).mapInPandas(local_topk, _TOPK_SCHEMA)
+    if not include_self:
+        cand = cand.filter(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
+def lsh_bucket_ids(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add (table, bucket) rows per vector: sign pattern of random-hyperplane
+    projections (one numpy matmul per Arrow batch)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    spark = df.sparkSession
+    bp = spark.sparkContext.broadcast(planes)
+    cols = df.columns
+
+    out_schema = StructType(
+        [f for f in df.schema.fields]
+        + [StructField("table", LongType()), StructField("bucket", LongType())]
+    )
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = bp.value
+        pow2 = (1 << np.arange(n_planes, dtype=np.int64))[None, :]
+        for pdf in batches:
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            frames = []
+            for t in range(n_tables):
+                signs = (m @ pl[t].T) > 0
+                buckets = (signs.astype(np.int64) * pow2).sum(axis=1)
+                f = pdf[cols].copy()
+                f["table"] = t
+                f["bucket"] = buckets
+                frames.append(f)
+            yield pd.concat(frames, ignore_index=True)
+
+    return df.mapInPandas(bucketize, out_schema)
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: LSH-bucket candidates, exact cosine re-rank.
+    Output schema matches ``cosine_topk``."""
+    dim = len(df.select(vec_col).first()[0])
+    bucketed = lsh_bucket_ids(df, dim, n_planes, n_tables, vec_col=vec_col)
+    qb = bucketed.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), "table", "bucket"
+    )
+    cand = (
+        bucketed.join(qb, ["table", "bucket"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, vec_col)
+        .dropDuplicates(["query_id", id_col])
+    )
+    spark = df.sparkSession
+    qids, qm = _collect_queries(df, query_ids, id_col, vec_col)
+    qmap = {int(q): qm[i] for i, q in enumerate(qids)}
+    bq = spark.sparkContext.broadcast(qmap)
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qm_l = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            m = m / norms[:, None]
+            qarr = np.array([qm_l[int(q)] for q in pdf["query_id"]])
+            scores = (qarr * m).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].astype(np.int64),
+                    "vec_id": pdf[id_col].astype(np.int64),
+                    "score": scores,
+                }
+            )
+
+    scored = cand.mapInPandas(rerank, _TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
