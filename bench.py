@@ -1,0 +1,123 @@
+"""Benchmark driver — prints ONE JSON line with per-query wall seconds.
+
+Usage:  python bench.py            (or spark-submit bench.py)
+Env:    SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
+        SPARK_GRAFT_CPUS    (default 32)
+
+Headline = the flagship spatial-join + tile-assignment pipeline over the
+synthetic image+caption table at the matching scale factor (BASELINE.json
+metric: rows/sec).  Each query is timed around a ``noop``-sink action so
+I/O of result materialisation is excluded; a warmup job spins up the
+Python UDF workers first so fixed startup cost is not attributed to q1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from jena_geo_spark import datagen  # noqa: E402
+from jena_geo_spark.contract import (  # noqa: E402
+    KNN_K,
+    KNN_QUERIES,
+    q_doc_jaccard_pairs,
+    q_doc_minhash_pairs,
+    q_emb_topk,
+    q_geo_pip_join,
+    q_geo_tile_hist,
+)
+from jena_geo_spark.operators.knn import knn_join  # noqa: E402
+from jena_geo_spark.operators.spatial_join import (  # noqa: E402
+    build_zone_covers,
+    spatial_join_points_zones,
+)
+from jena_geo_spark.operators.tiling import assign_tiles, repartition_by_tile  # noqa: E402
+from jena_geo_spark.session import get_spark  # noqa: E402
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run(sf_dir: str, cpus: int) -> dict:
+    sf = datagen.sf_from_dir(sf_dir)
+    spark = get_spark("jena-geo-bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
+    data_dir = datagen.ensure_dataset(sf)
+    imgs = spark.read.parquet(f"{data_dir}/images.parquet").select(
+        "image_id", "caption", "lon", "lat", "cell_fine"
+    )
+    n_images = imgs.count()
+    zones = [
+        (r.zone_id, r.geom_wkt) for r in spark.read.parquet(f"{data_dir}/zones.parquet").collect()
+    ]
+    covers = build_zone_covers(zones)
+
+    # warmup: one full pass through the UDF path spins up every python
+    # worker and warms the OS page cache — steady-state throughput is the
+    # metric, not process start-up
+    _noop(spatial_join_points_zones(spark, imgs, covers[:2]))
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    timed(
+        "flagship_join_tile",
+        lambda: _noop(
+            repartition_by_tile(
+                assign_tiles(spatial_join_points_zones(spark, imgs, covers), tile_res=6)
+            )
+        ),
+    )
+    timed(
+        "flagship_join_tile_salted",
+        lambda: _noop(
+            repartition_by_tile(
+                assign_tiles(
+                    spatial_join_points_zones(spark, imgs, covers, strategy="salted"),
+                    tile_res=6,
+                )
+            )
+        ),
+    )
+    timed(
+        "images_knn",
+        lambda: _noop(
+            knn_join(spark, imgs, KNN_QUERIES, k=KNN_K, id_col="image_id", n_hint=n_images)
+        ),
+    )
+    timed("events_pip_join", lambda: _noop(q_geo_pip_join(spark, sf_dir)))
+    timed("events_tile_hist", lambda: _noop(q_geo_tile_hist(spark, sf_dir)))
+    timed("doc_jaccard_pairs", lambda: _noop(q_doc_jaccard_pairs(spark, sf_dir)))
+    timed("doc_minhash_pairs", lambda: _noop(q_doc_minhash_pairs(spark, sf_dir)))
+    timed("emb_topk", lambda: _noop(q_emb_topk(spark, sf_dir)))
+
+    total = round(sum(timings.values()), 3)
+    join_rps = round(n_images / timings["flagship_join_tile"], 1)
+    result = {
+        "metric": "total_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "n_images": n_images,
+        "flagship_rows_per_sec": join_rps,
+    }
+    spark.stop()
+    return result
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    print(json.dumps(run(sf_dir, cpus)))

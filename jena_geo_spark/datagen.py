@@ -15,10 +15,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from . import grid
 from .geom import wkt as W
 from .image import codec
 
 SEED = 42
+INGEST_FINE_RES = 24  # keep in sync with operators.spatial_join.FINE_RES
 
 # cluster centres: first = the jena-geo test area; rest seeded world cities-ish
 CLUSTERS = [
@@ -34,7 +36,7 @@ NOUN = ["house", "road", "bridge", "tower", "field", "market", "pier", "park"]
 
 
 def n_images_for_sf(sf: float) -> int:
-    return max(200, int(200_000 * sf))
+    return max(200, int(2_000_000 * sf))
 
 
 def gen_points(n: int, rng: np.random.Generator) -> tuple[np.ndarray, np.ndarray]:
@@ -52,11 +54,15 @@ def gen_points(n: int, rng: np.random.Generator) -> tuple[np.ndarray, np.ndarray
     lat_u = rng.uniform(-85, 85, n - n_cluster)
     lon = np.clip(np.concatenate([lon_c, lon_u]), -179.999, 179.999)
     lat = np.clip(np.concatenate([lat_c, lat_u]), -84.999, 84.999)
-    return lon, lat
+    # permute: real tables aren't sorted by cluster — leaving the clustered
+    # block first would concentrate join matches in a few scan partitions
+    # (map-side skew no shuffle boundary can rebalance)
+    perm = rng.permutation(n)
+    return lon[perm], lat[perm]
 
 
 def make_image(rng: np.random.Generator, i: int) -> tuple[bytes, int, int, str, int]:
-    w = int(rng.choice([5, 8, 16, 32]))
+    w = int(rng.choice([5, 8, 16]))
     h = w
     arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     fmt = "png" if i % 5 == 0 else "raw"
@@ -92,6 +98,11 @@ def build_images(n: int, seed: int = SEED) -> pa.Table:
             "lon": pa.array(lon, pa.float64()),
             "lat": pa.array(lat, pa.float64()),
             "srid": pa.array(np.full(n, 4326, dtype=np.int32), pa.int32()),
+            # ingest-time materialised index column (engine-derived, see
+            # FIXTURES.md §1): joins/kNN/tiling become UDF-free Catalyst
+            "cell_fine": pa.array(
+                grid.encode_points(lon, lat, INGEST_FINE_RES), pa.int64()
+            ),
         }
     )
 
@@ -139,7 +150,10 @@ def ensure_dataset(sf: float, base_dir: str = "/root/repo/data") -> str:
     zone_p = os.path.join(d, "zones.parquet")
     if not (os.path.exists(img_p) and os.path.exists(zone_p)):
         os.makedirs(d, exist_ok=True)
-        pq.write_table(build_images(n_images_for_sf(sf)), img_p)
+        # small row groups keep a single file splittable into enough input
+        # partitions to feed every core (Spark assigns row groups by byte
+        # range); production tables would be many files and need none of this
+        pq.write_table(build_images(n_images_for_sf(sf)), img_p, row_group_size=16384)
         pq.write_table(build_zones(), zone_p)
     return d
 

@@ -166,11 +166,13 @@ def k_ring(cid: int, k: int) -> np.ndarray:
     n = 1 << r
     dx = np.arange(-k, k + 1, dtype=np.int64)
     gx, gy = np.meshgrid(dx, dx)
-    # longitude wraps; latitude clamps
+    # longitude wraps; latitude clamps.  Dedupe: at coarse resolutions the
+    # wrap can alias ring offsets onto the same cell (k >= n/2), and a
+    # duplicate ring cell would duplicate join candidates downstream.
     xs = (ix + gx.ravel()) % n
     ys = iy + gy.ravel()
     ok = (ys >= 0) & (ys < n)
-    return pack(r, xs[ok], ys[ok])
+    return np.unique(pack(r, xs[ok], ys[ok]))
 
 
 # ---------------------------------------------------------------- covers ----

@@ -64,6 +64,7 @@ def knn_join(
         w = np.sqrt(4.0 * k / max(density, 1e-12)) / side
         ring_res = int(np.clip(np.floor(np.log2(360.0 / max(w, 1e-9))), 0, 20))
     ring = ring_k
+    encoded = with_point_cells(points, lon, lat, fine_res)  # hoisted: UDF-free loop
     for _ in range(max_expand):
         rows = []
         for qid, qx, qy in queries:
@@ -74,7 +75,7 @@ def knn_join(
             rows, "query_id string, qx double, qy double, cell long"
         )
 
-        pts = with_point_cells(points, lon, lat, fine_res).withColumn(
+        pts = encoded.withColumn(
             "cell", ancestor_col(F.col("cell_fine"), fine_res, ring_res)
         )
         cand = pts.join(F.broadcast(ring_df), on="cell", how="inner")

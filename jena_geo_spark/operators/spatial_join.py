@@ -95,6 +95,12 @@ def with_point_cells(
     df: DataFrame, lon: str = "lon", lat: str = "lat", fine_res: int = FINE_RES,
     out_col: str = "cell_fine",
 ) -> DataFrame:
+    """Attach the fine-res cell id.  No-op when the column already exists —
+    the ingest path materialises it once in the stored table (Iceberg
+    column in production; parquet here), so joins/kNN/tiling are pure
+    Catalyst with no UDF at all."""
+    if out_col in df.columns:
+        return df
     return df.withColumn(out_col, gc_cell(F.col(lon), F.col(lat), F.lit(fine_res)))
 
 

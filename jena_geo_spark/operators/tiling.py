@@ -57,9 +57,16 @@ def repartition_by_tile(
     num_partitions: int | None = None,
     hot_tiles: list[int] | None = None,
     salt_buckets: int = 8,
+    mode: str = "hash",
 ) -> DataFrame:
-    """Range-partition by tile id; hot tiles are salted so one tile can span
-    several partitions instead of one straggler reducer."""
+    """Partition by tile id; hot tiles are salted so one tile can span
+    several partitions instead of one straggler reducer.
+
+    ``mode='hash'`` (default): single-pass shuffle — each tile lands wholly
+    in one partition.  ``mode='range'``: additionally lays tiles out in
+    Z-order-contiguous ranges (better for downstream range scans) at the
+    cost of Spark's range-sampling pass, which re-executes the upstream
+    plan — callers should persist() first if the input is expensive."""
     if hot_tiles:
         salt = F.when(
             F.col(tile_col).isin(hot_tiles),
@@ -69,9 +76,10 @@ def repartition_by_tile(
         parts = [F.col(tile_col), F.col("_tile_salt")]
     else:
         parts = [F.col(tile_col)]
+    fn = df.repartitionByRange if mode == "range" else df.repartition
     if num_partitions:
-        return df.repartitionByRange(num_partitions, *parts)
-    return df.repartitionByRange(*parts)
+        return fn(num_partitions, *parts)
+    return fn(*parts)
 
 
 def tile_histogram(df: DataFrame, tile_col: str = "tile_id") -> DataFrame:

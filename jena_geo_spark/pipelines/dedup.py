@@ -54,7 +54,10 @@ def shingle_df(
 ) -> DataFrame:
     """(id, shingle) rows — distinct word n-grams per doc, pure Catalyst:
     transform over token indices, then explode."""
-    toks = F.split(F.col(text_col), " ")
+    # materialise the token array once — referencing F.split(...) inside the
+    # transform lambda would re-split the text per element access (O(n²))
+    base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+    toks = F.col("_toks")
     idx = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)).otherwise(
         F.array().cast("array<int>")
     )
@@ -64,7 +67,7 @@ def shingle_df(
             " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
         ),
     )
-    return df.select(
+    return base.select(
         F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle")
     )
 
@@ -105,48 +108,44 @@ def jaccard_dedup_pairs(
 
 # ------------------------------------------------------------ minhash-lsh --
 
-_MERSENNE = np.uint64((1 << 61) - 1)
-
-
-def _token_hashes(tokens: list[str]) -> np.ndarray:
-    """Deterministic 64-bit FNV-1a per token (numpy, no python hash())."""
-    out = np.empty(len(tokens), dtype=np.uint64)
-    for i, t in enumerate(tokens):
-        h = np.uint64(0xCBF29CE484222325)
-        for c in t.encode("utf-8"):
-            h = np.uint64((int(h) ^ c) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return out
+# 31-bit Mersenne prime: (a*h + b) products stay < 2^62 — exact universal
+# hashing in uint64 with no overflow
+_P31 = np.uint64((1 << 31) - 1)
 
 
 def _minhash_params(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, int(_MERSENNE), num_hashes, dtype=np.uint64)
-    b = rng.integers(0, int(_MERSENNE), num_hashes, dtype=np.uint64)
+    a = rng.integers(1, int(_P31), num_hashes, dtype=np.uint64)
+    b = rng.integers(0, int(_P31), num_hashes, dtype=np.uint64)
     return a, b
 
 
 def minhash_signatures(
     df: DataFrame, num_hashes: int = 128, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, sig array<long>) — MinHash over word n-gram shingles."""
+    """(id, sig array<long>) — MinHash over word n-gram shingles.
+
+    Shingle hashing runs JVM-side (``xxhash64`` inside whole-stage codegen);
+    the pandas UDF only does the vectorised (a·h+b) mod p min-reduction —
+    no per-character Python anywhere."""
     a_params, b_params = _minhash_params(num_hashes)
 
     @pandas_udf(ArrayType(LongType()))
-    def sig_udf(text: pd.Series) -> pd.Series:
+    def sig_udf(hashes: pd.Series) -> pd.Series:
         out = []
-        for s in text:
-            toks = s.split(" ")
-            shingles = {" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 1))}
-            th = _token_hashes(sorted(shingles))
-            # (a*h + b) mod p, min over shingles, per hash function
-            hv = (
-                (a_params[None, :] * (th[:, None] % _MERSENNE)) + b_params[None, :]
-            ) % _MERSENNE
+        for arr in hashes:
+            th = (np.asarray(arr, dtype=np.int64).astype(np.uint64)) & _P31
+            hv = (a_params[None, :] * th[:, None] + b_params[None, :]) % _P31
             out.append(hv.min(axis=0).astype(np.int64).tolist())
         return pd.Series(out)
 
-    return df.select(F.col(id_col), sig_udf(F.col(text_col)).alias("sig"))
+    sh = shingle_df(df, n, text_col, id_col)
+    grouped = (
+        sh.select(F.col(id_col), F.xxhash64("shingle").alias("h"))
+        .groupBy(id_col)
+        .agg(F.collect_list("h").alias("hs"))
+    )
+    return grouped.select(F.col(id_col), sig_udf(F.col("hs")).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -219,21 +218,27 @@ def minhash_lsh_pairs(
 
 
 @pandas_udf(LongType())
-def simhash64(text: pd.Series) -> pd.Series:
-    """64-bit SimHash over tokens (deterministic FNV token hashes)."""
-    out = np.empty(len(text), dtype=np.int64)
-    for i, s in enumerate(text):
-        th = _token_hashes(s.split(" "))
-        bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-            np.int64
-        )
+def simhash_from_hashes(hashes: pd.Series) -> pd.Series:
+    """64-bit SimHash from pre-hashed tokens (vectorised bit voting)."""
+    out = np.empty(len(hashes), dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)[None, :]
+    pow2 = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(np.uint64)
+    for i, arr in enumerate(hashes):
+        th = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+        bits = ((th[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
         v = (bits * 2 - 1).sum(axis=0)
-        h = np.uint64(0)
-        for j in range(64):
-            if v[j] > 0:
-                h |= np.uint64(1) << np.uint64(j)
-        out[i] = np.int64(h)
+        out[i] = np.int64((pow2[v > 0]).sum().astype(np.uint64))
     return pd.Series(out)
+
+
+def simhash_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, sh) — token hashing JVM-side (xxhash64), bit voting in numpy."""
+    toks = F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    hashed = df.select(F.col(id_col), toks).select(
+        F.col(id_col), F.xxhash64("tok").alias("h")
+    )
+    grouped = hashed.groupBy(id_col).agg(F.collect_list("h").alias("hs"))
+    return grouped.select(F.col(id_col), simhash_from_hashes(F.col("hs")).alias("sh"))
 
 
 def simhash_pairs(
@@ -244,7 +249,7 @@ def simhash_pairs(
     equi-join per block, then exact popcount filter."""
     blocks = max_hamming + 1
     width = 64 // blocks
-    h = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sh"))
+    h = simhash_df(df, text_col, id_col)
     parts = F.explode(
         F.array(
             *[

@@ -1,0 +1,185 @@
+"""Raster map algebra + Spark-side raster column plumbing.
+
+The reference runs JAI ops per literal pair (``raster/algebra/Add.java:
+23-49`` etc., 33 ops).  Here: numpy elementwise kernels over the decoded
+raster struct, applied across a DataFrame with one Arrow-batched pandas UDF
+per *stage* (multi-op fusion = compose in one UDF, SURVEY §4 note).
+
+Local ops: add/subtract/multiply/divide/min/max/mean/abs/exp/log/binarize/
+clamp/threshold + *Const variants.  Focal ops: min/max/median filter (own
+sliding-window numpy, no scipy).  DCT/IDCT: matmul DCT-II (no scipy).
+Raster↔vector bridges: envelope polygon, pixel_as_points.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BinaryType, DoubleType
+
+from . import wkb_raster as WR
+
+# ------------------------------------------------------------- local ops ---
+
+
+def _apply_local2(ra: WR.Raster, rb: WR.Raster, fn) -> WR.Raster:
+    """Elementwise op over the intersection window of two rasters with the
+    same grid (reference requires SameAlignment; we require same shape)."""
+    assert (ra.width, ra.height) == (rb.width, rb.height), "shape mismatch"
+    out = WR.Raster(
+        ra.version, ra.scale_x, ra.scale_y, ra.ip_x, ra.ip_y, ra.skew_x, ra.skew_y,
+        ra.srid, ra.width, ra.height,
+    )
+    for ba, bb in zip(ra.bands, rb.bands):
+        res = fn(ba.data.astype(np.float64), bb.data.astype(np.float64))
+        out.bands.append(WR.Band(11, ba.nodata, res))
+    return out
+
+
+def _apply_local1(ra: WR.Raster, fn) -> WR.Raster:
+    out = WR.Raster(
+        ra.version, ra.scale_x, ra.scale_y, ra.ip_x, ra.ip_y, ra.skew_x, ra.skew_y,
+        ra.srid, ra.width, ra.height,
+    )
+    for ba in ra.bands:
+        out.bands.append(WR.Band(11, ba.nodata, fn(ba.data.astype(np.float64))))
+    return out
+
+
+LOCAL2 = {
+    "add": lambda a, b: a + b,
+    "subtract": lambda a, b: a - b,
+    "multiply": lambda a, b: a * b,
+    "divide": lambda a, b: np.divide(a, b, out=np.zeros_like(a), where=b != 0),
+    "min": np.minimum,
+    "max": np.maximum,
+    "mean": lambda a, b: (a + b) / 2.0,
+}
+
+LOCAL1 = {
+    "abs": np.abs,
+    "exp": np.exp,
+    "log": lambda a: np.log(a, out=np.zeros_like(a), where=a > 0),
+    "not": lambda a: (a == 0).astype(np.float64),
+}
+
+
+def map_algebra2(ra: WR.Raster, rb: WR.Raster, op: str) -> WR.Raster:
+    return _apply_local2(ra, rb, LOCAL2[op])
+
+
+def map_algebra1(ra: WR.Raster, op: str) -> WR.Raster:
+    return _apply_local1(ra, LOCAL1[op])
+
+
+def map_algebra_const(ra: WR.Raster, op: str, k: float) -> WR.Raster:
+    return _apply_local1(ra, lambda a: LOCAL2[op](a, np.float64(k)))
+
+
+def binarize(ra: WR.Raster, threshold: float) -> WR.Raster:
+    return _apply_local1(ra, lambda a: (a >= threshold).astype(np.float64))
+
+
+def clamp(ra: WR.Raster, lo: float, hi: float) -> WR.Raster:
+    return _apply_local1(ra, lambda a: np.clip(a, lo, hi))
+
+
+# ------------------------------------------------------------- focal ops ---
+
+
+def _sliding(a: np.ndarray, size: int) -> np.ndarray:
+    """(h, w, size*size) edge-padded sliding windows (pure numpy strides)."""
+    pad = size // 2
+    ap = np.pad(a, pad, mode="edge")
+    win = np.lib.stride_tricks.sliding_window_view(ap, (size, size))
+    return win.reshape(a.shape[0], a.shape[1], size * size)
+
+
+def focal(ra: WR.Raster, op: str, size: int = 3) -> WR.Raster:
+    red = {"min": np.min, "max": np.max, "median": np.median}[op]
+    return _apply_local1(ra, lambda a: red(_sliding(a, size), axis=2))
+
+
+# --------------------------------------------------------------- DCT/IDCT --
+
+
+def _dct_mat(n: int) -> np.ndarray:
+    k = np.arange(n).reshape(-1, 1)
+    i = np.arange(n).reshape(1, -1)
+    m = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2.0 * n))
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+def dct2(ra: WR.Raster) -> WR.Raster:
+    def f(a):
+        mh, mw = _dct_mat(a.shape[0]), _dct_mat(a.shape[1])
+        return mh @ a @ mw.T
+
+    return _apply_local1(ra, f)
+
+
+def idct2(ra: WR.Raster) -> WR.Raster:
+    def f(a):
+        mh, mw = _dct_mat(a.shape[0]), _dct_mat(a.shape[1])
+        return mh.T @ a @ mw
+
+    return _apply_local1(ra, f)
+
+
+# ----------------------------------------------------- raster<->vector -----
+
+
+def pixel_as_points(ra: WR.Raster, band: int = 0) -> list[tuple[float, float, float]]:
+    """(world_x, world_y, value) per pixel — ST_PixelAsPoints semantics
+    (reference stub ``PixelAsPolygon.java:31-38`` implemented per README
+    intent: pixel centres through the geotransform)."""
+    b = ra.bands[band]
+    rows, cols = np.mgrid[0 : ra.height, 0 : ra.width]
+    xs = ra.ip_x + (cols + 0.5) * ra.scale_x + (rows + 0.5) * ra.skew_x
+    ys = ra.ip_y + (rows + 0.5) * ra.scale_y + (cols + 0.5) * ra.skew_y
+    return list(zip(xs.ravel().tolist(), ys.ravel().tolist(), b.data.ravel().tolist()))
+
+
+def raster_distance(ra: WR.Raster, rb: WR.Raster) -> float:
+    """Envelope-to-envelope distance — the reference reduces rasters to
+    envelope polygons for vector relations (``raster/relation/
+    Intersects.java:34-52``); golden: DistanceTest.java:51-59."""
+    ax0, ay0, ax1, ay1 = ra.envelope()
+    bx0, by0, bx1, by1 = rb.envelope()
+    dx = max(bx0 - ax1, ax0 - bx1, 0.0)
+    dy = max(by0 - ay1, ay0 - by1, 0.0)
+    return float(np.sqrt(dx * dx + dy * dy))
+
+
+# --------------------------------------------------------- Spark plumbing --
+
+
+def spark_map_algebra_const(df: DataFrame, raster_col: str, op: str, k: float) -> DataFrame:
+    """Raster column (binary WKB-raster) → transformed raster column.
+    One Arrow batch per UDF call; multi-op pipelines should compose inside
+    a single UDF stage (op fusion)."""
+
+    @pandas_udf(BinaryType())
+    def _udf(b: pd.Series) -> pd.Series:
+        return b.map(lambda x: WR.encode(map_algebra_const(WR.decode(bytes(x)), op, k)))
+
+    return df.withColumn(raster_col, _udf(F.col(raster_col)))
+
+
+def spark_raster_envelope(df: DataFrame, raster_col: str) -> DataFrame:
+    @pandas_udf("xmin double, ymin double, xmax double, ymax double")
+    def _udf(b: pd.Series) -> pd.DataFrame:
+        rows = [WR.decode(bytes(x)).envelope() for x in b]
+        a = np.array(rows, dtype=np.float64).reshape(-1, 4)
+        return pd.DataFrame({"xmin": a[:, 0], "ymin": a[:, 1], "xmax": a[:, 2], "ymax": a[:, 3]})
+
+    return df.withColumn("env", _udf(F.col(raster_col)))
+
+
+@pandas_udf(DoubleType())
+def st_raster_max(b: pd.Series) -> pd.Series:
+    return b.map(lambda x: float(max(bd.data.max() for bd in WR.decode(bytes(x)).bands)))

@@ -31,9 +31,23 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # RAM-backed shuffle dir: the sandbox's virtual disk adds large,
+        # core-count-independent variance to shuffle writes; a real cluster
+        # has local NVMe per executor (override with SPARK_GRAFT_LOCAL_DIR)
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"),
+        )
+        # sandbox datasets are single parquet files: lower the split size so
+        # the scan parallelises across all local cores (cluster deployments
+        # with many files keep the 128m default via SPARK_GRAFT_MAX_PART)
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PART", "2m"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

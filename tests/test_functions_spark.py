@@ -1,0 +1,170 @@
+"""Spark function-surface tests (st_* pandas UDFs + Catalyst helpers)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jena_geo_spark.functions import vector as V
+
+LINE_A = "LINESTRING(77.29 29.07,77.42 29.26,77.27 29.31,77.29 29.07)"
+LINE_B = "LINESTRING(5 5, 10 10)"
+HOUSE = (
+    "POLYGON((8.286131571192028 49.993592741787,8.28627775158334 49.99350049055274,"
+    "8.286228130716564 49.993466866227074,8.286079268116238 49.99355739320413,"
+    "8.286131571192028 49.993592741787))"
+)
+
+
+@pytest.fixture(scope="module")
+def geoms(spark):
+    df = spark.createDataFrame(
+        [(LINE_A, LINE_B), (LINE_B, LINE_A), (HOUSE, HOUSE)], "wa string, wb string"
+    )
+    return df.select(
+        "wa",
+        "wb",
+        V.st_geomfromtext(F.col("wa")).alias("ga"),
+        V.st_geomfromtext(F.col("wb")).alias("gb"),
+    )
+
+
+def test_st_distance_golden(spark, geoms):
+    rows = geoms.select(V.st_distance(F.col("ga"), F.col("gb")).alias("d")).collect()
+    assert rows[0].d == 69.9400386045075  # DistanceTest.java:31-39
+    assert rows[1].d == 69.9400386045075
+    assert rows[2].d == 0.0
+
+
+def test_exporters_roundtrip(spark, geoms):
+    out = geoms.select(
+        V.st_astext(F.col("ga")).alias("wkt"),
+        V.st_asgeojson(F.col("ga")).alias("gj"),
+        V.st_geometrytype(F.col("ga")).alias("t"),
+        V.st_npoints(F.col("ga")).alias("n"),
+    ).collect()
+    assert out[0].t == "LINESTRING" and out[0].n == 4
+    assert out[2].t == "POLYGON"
+    assert "coordinates" in out[0].gj
+    # text roundtrip re-parses to same geometry
+    df2 = spark.createDataFrame([(out[0].wkt,)], "w string")
+    n2 = df2.select(V.st_npoints(V.st_geomfromtext(F.col("w"))).alias("n")).first().n
+    assert n2 == 4
+
+
+def test_measures_and_accessors(spark):
+    df = spark.createDataFrame(
+        [("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))", "POINT (2.5 3.5)", "LINESTRING(0 0, 3 4)")],
+        "p string, pt string, l string",
+    ).select(
+        V.st_geomfromtext(F.col("p")).alias("gp"),
+        V.st_geomfromtext(F.col("pt")).alias("gpt"),
+        V.st_geomfromtext(F.col("l")).alias("gl"),
+    )
+    r = df.select(
+        V.st_area(F.col("gp")).alias("area"),
+        V.st_perimeter(F.col("gp")).alias("perim"),
+        V.st_length(F.col("gl")).alias("len"),
+        V.st_x(F.col("gpt")).alias("x"),
+        V.st_y(F.col("gpt")).alias("y"),
+        V.st_centroid(F.col("gp")).alias("c"),
+        V.st_bounds(F.col("gp")).alias("b"),
+    ).first()
+    assert r.area == 16.0 and r.perim == 16.0 and r.len == 5.0
+    assert (r.x, r.y) == (2.5, 3.5)
+    assert (r.c.x, r.c.y) == (2.0, 2.0)
+    assert (r.b.xmin, r.b.ymin, r.b.xmax, r.b.ymax) == (0, 0, 4, 4)
+
+
+def test_predicates(spark):
+    df = spark.createDataFrame(
+        [("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))", "POINT (2 2)", "POINT (9 9)")],
+        "p string, inside string, outside string",
+    ).select(
+        V.st_geomfromtext(F.col("p")).alias("gp"),
+        V.st_geomfromtext(F.col("inside")).alias("gi"),
+        V.st_geomfromtext(F.col("outside")).alias("go"),
+    )
+    r = df.select(
+        V.st_contains(F.col("gp"), F.col("gi")).alias("c1"),
+        V.st_contains(F.col("gp"), F.col("go")).alias("c2"),
+        V.st_within(F.col("gi"), F.col("gp")).alias("w1"),
+        V.st_intersects(F.col("gp"), F.col("gi")).alias("i1"),
+        V.st_disjoint(F.col("gp"), F.col("go")).alias("d1"),
+        V.st_dwithin(F.col("gi"), F.col("go"), F.lit(15.0)).alias("dw"),
+    ).first()
+    assert r.c1 and not r.c2 and r.w1 and r.i1 and r.d1 and r.dw
+
+
+def test_transforms(spark):
+    df = spark.createDataFrame([("LINESTRING(0 0, 1 0.001, 2 0, 3 1, 4 0)",)], "l string")
+    g = df.select(V.st_geomfromtext(F.col("l")).alias("g"))
+    r = g.select(
+        V.st_npoints(V.st_simplify(F.col("g"), F.lit(0.01))).alias("nsimp"),
+        V.st_astext(V.st_envelope(F.col("g"))).alias("env"),
+        V.st_npoints(V.st_convexhull(F.col("g"))).alias("nhull"),
+        V.st_astext(V.st_translate(F.col("g"), F.lit(10.0), F.lit(20.0))).alias("tr"),
+        V.st_astext(V.st_flipcoordinates(F.col("g"))).alias("fl"),
+    ).first()
+    assert r.nsimp == 4
+    assert r.env.startswith("POLYGON")
+    assert r.tr.startswith("LINESTRING (10 20")
+    assert r.fl.startswith("LINESTRING (0 0, 0.001 1")
+
+
+def test_linear_referencing(spark):
+    df = spark.createDataFrame([("LINESTRING(0 0, 3 4)",)], "l string")
+    g = df.select(V.st_geomfromtext(F.col("l")).alias("g"))
+    r = g.select(
+        V.st_lineinterpolatepoint(F.col("g"), F.lit(0.5)).alias("p"),
+        V.st_linelocatepoint(F.col("g"), F.lit(3.0), F.lit(4.0)).alias("f"),
+    ).first()
+    assert (r.p.x, r.p.y) == (1.5, 2.0) and r.f == 1.0
+
+
+def test_bbox_predicates_catalyst(spark):
+    df = spark.createDataFrame(
+        [("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))", "POLYGON((5 5, 6 5, 6 6, 5 6, 5 5))")],
+        "a string, b string",
+    ).select(
+        V.st_bounds(V.st_geomfromtext(F.col("a"))).alias("ba"),
+        V.st_bounds(V.st_geomfromtext(F.col("b"))).alias("bb"),
+    )
+    r = df.select(
+        V.bbox_intersects(F.col("ba"), F.col("bb")).alias("i"),
+        V.bbox_contains(F.col("ba"), F.col("bb")).alias("c"),
+        V.bbox_above(F.col("bb"), F.col("ba")).alias("above"),
+        V.bbox_left_of(F.col("ba"), F.col("bb")).alias("left"),
+    ).first()
+    assert not r.i and not r.c and r.above and r.left
+
+
+def test_unit_conversions(spark):
+    df = spark.createDataFrame([(1609.344,)], "m double")
+    r = df.select(
+        V.convert_unit(F.col("m"), "m", "mile").alias("mi"),
+        V.convert_unit(F.col("m"), "m", "km").alias("km"),
+        V.convert_unit(F.col("m"), "m", "foot").alias("ft"),
+    ).first()
+    assert r.mi == 1.0
+    assert r.km == pytest.approx(1.609344)
+    assert r.ft == pytest.approx(5280.0)
+
+
+def test_st_point_and_buffer(spark):
+    df = spark.createDataFrame([(8.2835, 49.9928)], "lon double, lat double")
+    r = df.select(
+        V.st_astext(V.st_point(F.col("lon"), F.col("lat"))).alias("w"),
+        V.st_area(
+            V.st_buffer_point(F.col("lon"), F.col("lat"), F.lit(1.0), F.lit(64))
+        ).alias("a"),
+    ).first()
+    assert r.w == "POINT (8.2835 49.9928)"
+    assert r.a == pytest.approx(np.pi, rel=2e-3)  # 64-gon area → π r²
+
+
+def test_distance_sphere(spark):
+    df = spark.createDataFrame([(0.0, 0.0, 90.0, 0.0)], "a double, b double, c double, d double")
+    r = df.select(
+        V.st_distance_sphere(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("m")
+    ).first()
+    assert r.m == pytest.approx(np.pi / 2 * 6371008.7714, rel=1e-12)
