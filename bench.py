@@ -78,6 +78,21 @@ def run(sf_dir: str, cpus: int) -> dict:
             )
         ),
     )
+    imgs_full = spark.read.parquet(f"{data_dir}/images.parquet").select(
+        "image_id", "caption", "lon", "lat", "cell_fine", "bytes", "w", "h", "fmt", "phash"
+    )
+
+    def _verify_pipeline():
+        from jena_geo_spark.image.spark import with_phash_verified
+
+        v = with_phash_verified(imgs_full).filter(F.col("phash_ok")).drop(
+            "bytes", "w", "h", "fmt"
+        )
+        return repartition_by_tile(
+            assign_tiles(spatial_join_points_zones(spark, v, covers), tile_res=6)
+        )
+
+    timed("flagship_verify_join_tile", lambda: _noop(_verify_pipeline()))
     timed(
         "flagship_join_tile_salted",
         lambda: _noop(

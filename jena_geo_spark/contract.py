@@ -19,7 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BinaryType
+from pyspark.sql.types import BinaryType, DoubleType, StructField, StructType
 
 from .functions.vector import (
     gc_cell,
@@ -345,6 +345,98 @@ def o_geo_envelope_agg() -> str:
     )
 
 
+def q_temporal_allen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify each event interval vs a fixed reference interval with the
+    Allen predicates (reference temporal/*.java family) — pure Catalyst."""
+    from .functions import temporal as T
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a0 = F.col("ts")
+    a1 = F.col("ts") + F.expr("make_interval(0, 0, 0, CAST(event_id % 7 + 1 AS INT), 0, 0, 0)")
+    b0 = F.lit("2024-01-03 00:00:00").cast("timestamp")
+    b1 = F.lit("2024-01-06 00:00:00").cast("timestamp")
+    rel = (
+        F.when(T.t_before(a0, a1, b0, b1), F.lit("before"))
+        .when(T.t_after(a0, a1, b0, b1), F.lit("after"))
+        .when(T.t_during(a0, a1, b0, b1), F.lit("during"))
+        .when(T.t_contains(a0, a1, b0, b1), F.lit("contains"))
+        .when(T.t_overlaps(a0, a1, b0, b1), F.lit("overlaps"))
+        .when(T.t_overlapped_by(a0, a1, b0, b1), F.lit("overlapped_by"))
+        .otherwise(F.lit("other"))
+    )
+    return ev.select("event_id", rel.alias("allen_rel"))
+
+
+def o_temporal_allen() -> str:
+    return (
+        "WITH iv AS (SELECT event_id, ts AS a0, "
+        "ts + (CAST(event_id % 7 + 1 AS INT) * INTERVAL 1 DAY) AS a1, "
+        "TIMESTAMP '2024-01-03 00:00:00' AS b0, TIMESTAMP '2024-01-06 00:00:00' AS b1 "
+        "FROM events) "
+        "SELECT event_id, CASE "
+        "WHEN a1 < b0 THEN 'before' "
+        "WHEN a0 > b1 THEN 'after' "
+        "WHEN a0 > b0 AND a1 < b1 THEN 'during' "
+        "WHEN b0 > a0 AND b1 < a1 THEN 'contains' "
+        "WHEN a0 < b0 AND a1 > b0 AND a1 < b1 THEN 'overlaps' "
+        "WHEN b0 < a0 AND b1 > a0 AND b1 < a1 THEN 'overlapped_by' "
+        "ELSE 'other' END AS allen_rel FROM iv"
+    )
+
+
+def q_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle distance to the jena-geo test-area centre, rounded to
+    whole metres (libm arcsin differs in the last ULP between engines; the
+    sub-metre rounding makes the comparison robust at ~1e-8 flip risk)."""
+    from .functions.vector import st_distance_sphere
+
+    pts = points_from_events(spark, sf_dir)
+    d = st_distance_sphere(F.col("lon"), F.col("lat"), F.lit(8.2835), F.lit(49.9928))
+    return pts.select("event_id", F.round(d, 0).alias("dist_m"))
+
+
+def o_geo_haversine() -> str:
+    # same formula shape as kernel.haversine_m: 2R·asin(sqrt(h)),
+    # h = sin²(Δlat/2) + cos(lat1)cos(lat2)sin²(Δlon/2)
+    return (
+        f"WITH {_PTS_CTE} SELECT event_id, round("
+        "2.0 * 6371008.7714 * asin(sqrt("
+        "sin((radians(49.9928::DOUBLE) - radians(lat)) / 2) * sin((radians(49.9928::DOUBLE) - radians(lat)) / 2)"
+        " + cos(radians(lat)) * cos(radians(49.9928::DOUBLE))"
+        " * sin((radians(8.2835::DOUBLE) - radians(lon)) / 2) * sin((radians(8.2835::DOUBLE) - radians(lon)) / 2)"
+        ")), 0) AS dist_m FROM pts"
+    )
+
+
+def q_geo_azimuth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (libm atan2 last-ULP differences preclude a bit-exact SQL
+    oracle): azimuth from each point to the next derived vertex."""
+    from .functions.transform import st_azimuth
+
+    pts = _with_tri_coords(points_from_events(spark, sf_dir))
+    return pts.select(
+        "event_id",
+        st_azimuth(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")).alias("azimuth"),
+    )
+
+
+def q_geo_transform_merc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: EPSG:4326 → 3857 reprojection of the derived points."""
+    from .functions.transform import merc_forward
+
+    schema = StructType([StructField("mx", DoubleType()), StructField("my", DoubleType())])
+
+    @pandas_udf(schema)
+    def merc(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        x, y = merc_forward(lon.to_numpy(np.float64), lat.to_numpy(np.float64))
+        return pd.DataFrame({"mx": x, "my": y})
+
+    pts = points_from_events(spark, sf_dir)
+    return pts.select("event_id", merc(F.col("lon"), F.col("lat")).alias("m")).select(
+        "event_id", F.col("m.mx").alias("mx"), F.col("m.my").alias("my")
+    )
+
+
 # --------------------------------------------------------------- documents --
 
 
@@ -576,6 +668,10 @@ QUERIES = {
     "geo_triangle_centroid": q_geo_triangle_centroid,
     "geo_line_length": q_geo_line_length,
     "geo_envelope_agg": q_geo_envelope_agg,
+    "temporal_allen": q_temporal_allen,
+    "geo_haversine": q_geo_haversine,
+    "geo_azimuth": q_geo_azimuth,
+    "geo_transform_merc": q_geo_transform_merc,
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
     "doc_dedup_exact": q_doc_dedup_exact,
@@ -601,6 +697,8 @@ ORACLES = {
     "geo_triangle_centroid": o_geo_triangle_centroid(),
     "geo_line_length": o_geo_line_length(),
     "geo_envelope_agg": o_geo_envelope_agg(),
+    "temporal_allen": o_temporal_allen(),
+    "geo_haversine": o_geo_haversine(),
     "doc_token_stats": o_doc_token_stats(),
     "doc_quality": o_doc_quality(),
     "doc_dedup_exact": o_doc_dedup_exact(),

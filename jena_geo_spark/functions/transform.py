@@ -1,0 +1,175 @@
+"""Affine geometry transforms + CRS reprojection (from-scratch math).
+
+Reference: ``geometry/transform/*.java`` — 44 files incl. Scale / Rotate /
+Translate / TransScale / Reflect / ShearTransformation and ``Transform.java``
+(CRS reprojection via Apache SIS).  No pyproj in this environment, so
+reprojection implements the published formulas directly:
+
+* EPSG:4326 (lon/lat degrees) ↔ EPSG:3857 (spherical Web-Mercator metres)
+* EPSG:4326 ↔ UTM (zone from lon; standard Transverse-Mercator series,
+  WGS84 ellipsoid, Krüger 4th-order terms)
+
+Affine ops are vectorised numpy over the coordinate arrays of a WKB column.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BinaryType, DoubleType
+
+from ..geom import wkt as W
+
+_R = 6378137.0  # WGS84 semi-major (Web-Mercator sphere radius)
+
+
+# --------------------------------------------------------------- affine ----
+
+
+def _affine(g: W.Geom, m: np.ndarray) -> W.Geom:
+    """Apply 2x3 affine [[a,b,tx],[d,e,ty]] to every coordinate."""
+
+    def ap(arr: np.ndarray) -> np.ndarray:
+        return arr @ m[:, :2].T + m[:, 2]
+
+    if g.kind == "multipolygon":
+        return W.Geom(g.kind, [[ap(r) for r in rings] for rings in g.parts])
+    return W.Geom(g.kind, [ap(p) for p in g.parts])
+
+
+def _geom_udf(fn):
+    def wrapped(b: pd.Series, *args) -> pd.Series:
+        out = []
+        for i, x in enumerate(b):
+            extra = [a.iloc[i] for a in args]
+            out.append(W.to_wkb(fn(W.from_wkb(x), *extra)))
+        return pd.Series(out)
+
+    return wrapped
+
+
+@pandas_udf(BinaryType())
+def st_scale(b: pd.Series, sx: pd.Series, sy: pd.Series) -> pd.Series:
+    return _geom_udf(
+        lambda g, x, y: _affine(g, np.array([[x, 0, 0], [0, y, 0]], dtype=np.float64))
+    )(b, sx, sy)
+
+
+@pandas_udf(BinaryType())
+def st_rotate(b: pd.Series, theta: pd.Series) -> pd.Series:
+    def rot(g, t):
+        c, s = np.cos(t), np.sin(t)
+        return _affine(g, np.array([[c, -s, 0], [s, c, 0]], dtype=np.float64))
+
+    return _geom_udf(rot)(b, theta)
+
+
+@pandas_udf(BinaryType())
+def st_reflect_x(b: pd.Series) -> pd.Series:
+    return _geom_udf(
+        lambda g: _affine(g, np.array([[1, 0, 0], [0, -1, 0]], dtype=np.float64))
+    )(b)
+
+
+@pandas_udf(BinaryType())
+def st_shear(b: pd.Series, kx: pd.Series, ky: pd.Series) -> pd.Series:
+    return _geom_udf(
+        lambda g, x, y: _affine(g, np.array([[1, x, 0], [y, 1, 0]], dtype=np.float64))
+    )(b, kx, ky)
+
+
+# --------------------------------------------------------- CRS transforms --
+
+
+def merc_forward(lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """EPSG:4326 → EPSG:3857 (spherical Mercator, standard formula)."""
+    x = np.radians(np.asarray(lon, dtype=np.float64)) * _R
+    y = np.log(np.tan(np.pi / 4.0 + np.radians(np.asarray(lat, dtype=np.float64)) / 2.0)) * _R
+    return x, y
+
+
+def merc_inverse(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    lon = np.degrees(np.asarray(x, dtype=np.float64) / _R)
+    lat = np.degrees(2.0 * np.arctan(np.exp(np.asarray(y, dtype=np.float64) / _R)) - np.pi / 2.0)
+    return lon, lat
+
+
+# WGS84 ellipsoid / Transverse-Mercator (Krüger series) constants
+_A = 6378137.0
+_F = 1.0 / 298.257223563
+_E2 = _F * (2 - _F)
+_K0 = 0.9996
+
+
+def utm_zone(lon: float) -> int:
+    return int(np.floor((lon + 180.0) / 6.0)) % 60 + 1
+
+
+def utm_forward(lon: np.ndarray, lat: np.ndarray, zone: int) -> tuple[np.ndarray, np.ndarray]:
+    """EPSG:4326 → UTM (northern-hemisphere convention: southern points get
+    the 10,000,000 m false northing)."""
+    lon = np.radians(np.asarray(lon, dtype=np.float64))
+    lat = np.radians(np.asarray(lat, dtype=np.float64))
+    lon0 = np.radians(float(zone * 6 - 183))
+    ep2 = _E2 / (1 - _E2)
+    n = _A / np.sqrt(1 - _E2 * np.sin(lat) ** 2)
+    t = np.tan(lat) ** 2
+    c = ep2 * np.cos(lat) ** 2
+    a = np.cos(lat) * (lon - lon0)
+    m = _A * (
+        (1 - _E2 / 4 - 3 * _E2**2 / 64 - 5 * _E2**3 / 256) * lat
+        - (3 * _E2 / 8 + 3 * _E2**2 / 32 + 45 * _E2**3 / 1024) * np.sin(2 * lat)
+        + (15 * _E2**2 / 256 + 45 * _E2**3 / 1024) * np.sin(4 * lat)
+        - (35 * _E2**3 / 3072) * np.sin(6 * lat)
+    )
+    easting = _K0 * n * (
+        a + (1 - t + c) * a**3 / 6 + (5 - 18 * t + t**2 + 72 * c - 58 * ep2) * a**5 / 120
+    ) + 500000.0
+    northing = _K0 * (
+        m
+        + n
+        * np.tan(lat)
+        * (
+            a**2 / 2
+            + (5 - t + 9 * c + 4 * c**2) * a**4 / 24
+            + (61 - 58 * t + t**2 + 600 * c - 330 * ep2) * a**6 / 720
+        )
+    )
+    northing = np.where(lat < 0, northing + 10000000.0, northing)
+    return easting, northing
+
+
+_TRANSFORMS = {
+    (4326, 3857): merc_forward,
+    (3857, 4326): merc_inverse,
+}
+
+
+@pandas_udf(BinaryType())
+def st_transform(b: pd.Series, from_srid: pd.Series, to_srid: pd.Series) -> pd.Series:
+    """ST_Transform for geometry WKB columns (4326↔3857)."""
+    key = (int(from_srid.iloc[0]), int(to_srid.iloc[0]))
+    fn = _TRANSFORMS[key]
+
+    def tr(g: W.Geom) -> W.Geom:
+        def ap(arr):
+            x, y = fn(arr[:, 0], arr[:, 1])
+            return np.column_stack([x, y])
+
+        if g.kind == "multipolygon":
+            return W.Geom(g.kind, [[ap(r) for r in rings] for rings in g.parts])
+        return W.Geom(g.kind, [ap(p) for p in g.parts])
+
+    return b.map(lambda x: W.to_wkb(tr(W.from_wkb(x))))
+
+
+@pandas_udf(DoubleType())
+def st_azimuth(x1: pd.Series, y1: pd.Series, x2: pd.Series, y2: pd.Series) -> pd.Series:
+    """Planar azimuth in radians clockwise from north (PostGIS/reference
+    ``point/Azimuth.java`` convention)."""
+    az = np.arctan2(
+        x2.to_numpy(np.float64) - x1.to_numpy(np.float64),
+        y2.to_numpy(np.float64) - y1.to_numpy(np.float64),
+    )
+    return pd.Series(np.where(az < 0, az + 2 * np.pi, az))

@@ -1,0 +1,164 @@
+"""Temporal predicates, codecs, affine/CRS transforms."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jena_geo_spark.functions import codecs as C
+from jena_geo_spark.functions import temporal as T
+from jena_geo_spark.functions import transform as X
+from jena_geo_spark.functions.vector import st_astext, st_geomfromtext
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_allen_relations_complete(spark):
+    """Every Allen relation holds for its canonical interval pair and each
+    pair satisfies exactly one of the 13 relations."""
+    base = ("2024-01-10", "2024-01-20")
+    cases = {
+        "after": ("2024-01-21", "2024-01-25"),
+        "before": ("2024-01-01", "2024-01-05"),
+        "meets": ("2024-01-05", "2024-01-10"),  # A.to == B.from
+        "met_by": ("2024-01-20", "2024-01-25"),  # A.from == B.to
+        "overlaps": ("2024-01-05", "2024-01-15"),
+        "overlapped_by": ("2024-01-15", "2024-01-25"),
+        "during": ("2024-01-12", "2024-01-18"),
+        "contains": ("2024-01-05", "2024-01-25"),
+        "starts": ("2024-01-10", "2024-01-15"),
+        "started_by": ("2024-01-10", "2024-01-25"),
+        "finishes": ("2024-01-15", "2024-01-20"),
+        "finished_by": ("2024-01-05", "2024-01-20"),
+        "equals": ("2024-01-10", "2024-01-20"),
+    }
+    rows = [
+        (name, _ts(a0), _ts(a1), _ts(base[0]), _ts(base[1]))
+        for name, (a0, a1) in cases.items()
+    ]
+    df = spark.createDataFrame(
+        rows, "name string, a0 timestamp, a1 timestamp, b0 timestamp, b1 timestamp"
+    )
+    sel = [
+        T.ALLEN_RELATIONS[rel](F.col("a0"), F.col("a1"), F.col("b0"), F.col("b1")).alias(rel)
+        for rel in T.ALLEN_RELATIONS
+    ]
+    out = {r["name"]: r.asDict() for r in df.select("name", *sel).collect()}
+    for name in cases:
+        row = out[name]
+        assert row[name] is True, f"{name} should hold: {row}"
+        true_rels = [rel for rel in T.ALLEN_RELATIONS if row[rel]]
+        assert true_rels == [name], f"{name}: got {true_rels}"
+
+
+def test_t_intersects(spark):
+    df = spark.createDataFrame(
+        [(_ts("2024-01-01"), _ts("2024-01-10"), _ts("2024-01-10"), _ts("2024-01-20"))],
+        "a0 timestamp, a1 timestamp, b0 timestamp, b1 timestamp",
+    )
+    r = df.select(
+        T.t_intersects(F.col("a0"), F.col("a1"), F.col("b0"), F.col("b1")).alias("i")
+    ).first()
+    assert r.i
+
+
+def test_geohash_roundtrip():
+    lon, lat = 8.2835, 49.9928
+    gh = C.geohash_encode(lon, lat, 12)
+    lo2, la2 = C.geohash_decode(gh)
+    # 12-char geohash cell ≈ 1.6e-7° lon — centre is within half a cell
+    assert abs(lo2 - lon) < 1e-6 and abs(la2 - lat) < 1e-6
+    # canonical test vector (Wikipedia): (57.64911, 10.40744) → u4pruydqqvj
+    assert C.geohash_encode(10.40744, 57.64911, 11) == "u4pruydqqvj"
+    # known prefix sanity (u0... is central Europe)
+    assert gh.startswith("u0")
+
+
+def test_polyline_roundtrip():
+    coords = [(-120.2, 38.5), (-120.95, 40.7), (-126.453, 43.252)]
+    enc = C.polyline_encode(coords)
+    assert enc == "_p~iF~ps|U_ulLnnqC_mqNvxq`@"  # canonical example from the spec
+    dec = C.polyline_decode(enc)
+    assert all(abs(a[0] - b[0]) < 1e-5 and abs(a[1] - b[1]) < 1e-5 for a, b in zip(coords, dec))
+
+
+def test_codecs_spark_udfs(spark):
+    df = spark.createDataFrame([(8.2835, 49.9928, 9)], "lon double, lat double, p int")
+    r = df.select(
+        C.st_geohash(F.col("lon"), F.col("lat"), F.col("p")).alias("gh"),
+    ).first()
+    assert len(r.gh) == 9
+    d = spark.createDataFrame([(r.gh,)], "g string").select(
+        C.st_pointfromgeohash(F.col("g")).alias("p")
+    ).first()
+    assert abs(d.p.lon - 8.2835) < 1e-3 and abs(d.p.lat - 49.9928) < 1e-3
+
+
+def test_affine_transforms(spark):
+    df = spark.createDataFrame([("LINESTRING(1 0, 0 1)",)], "w string").select(
+        st_geomfromtext(F.col("w")).alias("g")
+    )
+    r = df.select(
+        st_astext(X.st_scale(F.col("g"), F.lit(2.0), F.lit(3.0))).alias("s"),
+        st_astext(X.st_rotate(F.col("g"), F.lit(np.pi / 2))).alias("rot"),
+        st_astext(X.st_reflect_x(F.col("g"))).alias("refl"),
+        st_astext(X.st_shear(F.col("g"), F.lit(1.0), F.lit(0.0))).alias("sh"),
+    ).first()
+    assert r.s == "LINESTRING (2 0, 0 3)"
+    assert r.refl == "LINESTRING (1 0, 0 -1)"
+    assert r.sh == "LINESTRING (1 0, 1 1)"
+    # rotate 90° CCW: (1,0)→(0,1), (0,1)→(-1,0)
+    g2 = [float(v) for v in r.rot.replace("LINESTRING (", "").replace(")", "").replace(",", " ").split()]
+    np.testing.assert_allclose(g2, [0, 1, -1, 0], atol=1e-15)
+
+
+def test_mercator_known_values():
+    # equator/prime-meridian and a canonical checkpoint
+    x, y = X.merc_forward(np.array([0.0]), np.array([0.0]))
+    assert x[0] == 0.0 and abs(y[0]) < 1e-9
+    x, y = X.merc_forward(np.array([180.0]), np.array([0.0]))
+    assert x[0] == pytest.approx(20037508.342789244)
+    # roundtrip
+    lon = np.array([8.2835, -120.5, 170.0])
+    lat = np.array([49.9928, -33.2, 71.5])
+    lo2, la2 = X.merc_inverse(*X.merc_forward(lon, lat))
+    np.testing.assert_allclose(lo2, lon, atol=1e-12)
+    np.testing.assert_allclose(la2, lat, atol=1e-12)
+
+
+def test_st_transform_udf(spark):
+    df = spark.createDataFrame([("POINT (0 0)",)], "w string").select(
+        st_geomfromtext(F.col("w")).alias("g")
+    )
+    r = df.select(
+        st_astext(X.st_transform(F.col("g"), F.lit(4326), F.lit(3857))).alias("m")
+    ).first()
+    assert r.m.startswith("POINT (0 ")
+
+
+def test_utm_known_value():
+    # UTM zone 32N reference point: (lon=9, lat=0) is the central meridian →
+    # easting exactly 500000, northing 0
+    e, n = X.utm_forward(np.array([9.0]), np.array([0.0]), 32)
+    assert e[0] == pytest.approx(500000.0, abs=1e-6)
+    assert n[0] == pytest.approx(0.0, abs=1e-6)
+    assert X.utm_zone(9.0) == 32
+    # southern hemisphere false northing
+    e, n = X.utm_forward(np.array([9.0]), np.array([-1.0]), 32)
+    assert n[0] > 9_800_000
+
+
+def test_azimuth(spark):
+    df = spark.createDataFrame(
+        [(0.0, 0.0, 0.0, 1.0), (0.0, 0.0, 1.0, 0.0), (0.0, 0.0, -1.0, 0.0)],
+        "x1 double, y1 double, x2 double, y2 double",
+    )
+    rows = df.select(
+        X.st_azimuth(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")).alias("az")
+    ).collect()
+    assert rows[0].az == 0.0  # due north
+    assert rows[1].az == pytest.approx(np.pi / 2)  # due east
+    assert rows[2].az == pytest.approx(3 * np.pi / 2)  # due west
