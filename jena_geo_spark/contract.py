@@ -437,6 +437,21 @@ def q_geo_transform_merc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geo_clip_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: area of each derived triangle clipped to a fixed box
+    (Sutherland–Hodgman overlay kernel — no SQL-expressible oracle)."""
+    from .functions.vector import st_clip_by_box
+
+    pts = _with_tri_coords(points_from_events(spark, sf_dir))
+    tri = pts.withColumn(
+        "g", _make_triangle(*[F.col(c) for c in ("x1", "y1", "x2", "y2", "x3", "y3")])
+    )
+    clipped = st_clip_by_box(
+        F.col("g"), F.lit(-60.0), F.lit(-30.0), F.lit(60.0), F.lit(30.0)
+    )
+    return tri.select("event_id", st_area(clipped).alias("clip_area"))
+
+
 # --------------------------------------------------------------- documents --
 
 
@@ -672,6 +687,7 @@ QUERIES = {
     "geo_haversine": q_geo_haversine,
     "geo_azimuth": q_geo_azimuth,
     "geo_transform_merc": q_geo_transform_merc,
+    "geo_clip_area": q_geo_clip_area,
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
     "doc_dedup_exact": q_doc_dedup_exact,

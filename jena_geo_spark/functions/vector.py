@@ -353,6 +353,68 @@ def st_flipcoordinates(b: pd.Series) -> pd.Series:
     return _geom_map(flip)(b)
 
 
+# ---------------------------------------------------------------- overlay --
+
+
+@pandas_udf(BinaryType())
+def st_clip_by_box(b: pd.Series, xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -> pd.Series:
+    """ST_ClipByBox2D: polygon ∩ axis-aligned box (Sutherland–Hodgman)."""
+    out = []
+    for x, x0, y0, x1, y1 in zip(b, xmin, ymin, xmax, ymax):
+        g = W.from_wkb(x)
+        box = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=np.float64)
+        ring = K.clip_polygon_convex(g.exterior(), box)
+        if len(ring) >= 3:
+            out.append(W.to_wkb(W.Geom("polygon", [np.vstack([ring, ring[:1]])])))
+        else:
+            out.append(W.to_wkb(W.Geom("polygon", [])))
+    return pd.Series(out)
+
+
+@pandas_udf(BinaryType())
+def st_intersection_convex(a: pd.Series, b: pd.Series) -> pd.Series:
+    """geof:intersection for the convex-clip case (second argument must be
+    convex; general boolean overlay is a round-2 item — see COVERAGE.md)."""
+    out = []
+    for x, y in zip(a, b):
+        ga, gb = W.from_wkb(x), W.from_wkb(y)
+        ring = K.clip_polygon_convex(ga.exterior(), gb.exterior())
+        if len(ring) >= 3:
+            out.append(W.to_wkb(W.Geom("polygon", [np.vstack([ring, ring[:1]])])))
+        else:
+            out.append(W.to_wkb(W.Geom("polygon", [])))
+    return pd.Series(out)
+
+
+@pandas_udf(DoubleType())
+def st_intersection_area(a: pd.Series, b: pd.Series) -> pd.Series:
+    out = np.zeros(len(a))
+    for i, (x, y) in enumerate(zip(a, b)):
+        out[i] = K.intersection_area_convex(W.from_wkb(x).exterior(), W.from_wkb(y).exterior())
+    return pd.Series(out)
+
+
+@pandas_udf(DoubleType())
+def st_union_area(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Area of A ∪ B by inclusion-exclusion (B convex)."""
+    out = np.zeros(len(a))
+    for i, (x, y) in enumerate(zip(a, b)):
+        ra, rb = W.from_wkb(x).exterior(), W.from_wkb(y).exterior()
+        out[i] = K.ring_area(ra) + K.ring_area(rb) - K.intersection_area_convex(ra, rb)
+    return pd.Series(out)
+
+
+@pandas_udf(DoubleType())
+def st_intersection_percentage(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Reference ST_IntersectionPercentage: |A∩B| / |A|."""
+    out = np.zeros(len(a))
+    for i, (x, y) in enumerate(zip(a, b)):
+        ra = W.from_wkb(x).exterior()
+        area = K.ring_area(ra)
+        out[i] = K.intersection_area_convex(ra, W.from_wkb(y).exterior()) / area if area else 0.0
+    return pd.Series(out)
+
+
 # ------------------------------------------------------ linear referencing --
 
 

@@ -277,6 +277,82 @@ def simplify_dp(coords: np.ndarray, tol: float) -> np.ndarray:
     return c[keep]
 
 
+# ------------------------------------------------------------ overlay ops ---
+
+def clip_polygon_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman: clip a simple polygon by a CONVEX polygon.
+
+    Returns the intersection ring (possibly empty (0,2)).  Implements the
+    core of the reference's overlay family (``geof:intersection``,
+    ``ST_ClipByBox2D``) for the convex-clip case; general boolean overlay
+    is composed from this plus bbox decomposition.
+    Rings may be open or closed; output is open (no duplicate last vertex).
+    """
+    subj = np.asarray(subject, dtype=np.float64)
+    clp = np.asarray(clip, dtype=np.float64)
+    if len(subj) >= 2 and (subj[0] == subj[-1]).all():
+        subj = subj[:-1]
+    if len(clp) >= 2 and (clp[0] == clp[-1]).all():
+        clp = clp[:-1]
+    # ensure CCW clip ring so "inside" = left of each directed edge
+    x, y = clp[:, 0], clp[:, 1]
+    if np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y) < 0:
+        clp = clp[::-1]
+    out = [tuple(p) for p in subj]
+    m = len(clp)
+    for i in range(m):
+        if not out:
+            break
+        cx1, cy1 = clp[i]
+        cx2, cy2 = clp[(i + 1) % m]
+        inp = out
+        out = []
+
+        def inside(px, py):
+            return (cx2 - cx1) * (py - cy1) - (cy2 - cy1) * (px - cx1) >= 0
+
+        def isect(ax, ay, bx, by):
+            dcx, dcy = cx1 - cx2, cy1 - cy2
+            dpx, dpy = ax - bx, ay - by
+            n1 = cx1 * cy2 - cy1 * cx2
+            n2 = ax * by - ay * bx
+            den = dcx * dpy - dcy * dpx
+            return (n1 * dpx - n2 * dcx) / den, (n1 * dpy - n2 * dcy) / den
+
+        for j in range(len(inp)):
+            ax, ay = inp[j - 1]
+            bx, by = inp[j]
+            b_in = inside(bx, by)
+            a_in = inside(ax, ay)
+            if b_in:
+                if not a_in:
+                    out.append(isect(ax, ay, bx, by))
+                out.append((bx, by))
+            elif a_in:
+                out.append(isect(ax, ay, bx, by))
+    return np.array(out, dtype=np.float64).reshape(-1, 2)
+
+
+def intersection_area_convex(a: np.ndarray, b_convex: np.ndarray) -> float:
+    ring = clip_polygon_convex(a, b_convex)
+    if len(ring) < 3:
+        return 0.0
+    return ring_area(ring)
+
+
+def is_convex(ring: np.ndarray) -> bool:
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) >= 2 and (r[0] == r[-1]).all():
+        r = r[:-1]
+    if len(r) < 3:
+        return False
+    x, y = r[:, 0], r[:, 1]
+    cross = (np.roll(x, -1) - x) * (np.roll(y, -2) - np.roll(y, -1)) - (
+        np.roll(y, -1) - y
+    ) * (np.roll(x, -2) - np.roll(x, -1))
+    return bool((cross >= 0).all() or (cross <= 0).all())
+
+
 # ----------------------------------------------------- linear referencing ---
 
 def line_interpolate_point(coords: np.ndarray, frac: float) -> tuple[float, float]:

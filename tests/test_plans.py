@@ -1,0 +1,96 @@
+"""Physical-plan quality assertions — the 100-TB posture, checked in CI.
+
+These guard the properties SURVEY §4 promises: filter pushdown to the
+parquet scan, column pruning (image ``bytes`` never read by join-only
+plans), broadcast join selection for the zone side, and no shuffle on the
+point side of the broadcast spatial join.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jena_geo_spark import datagen
+from jena_geo_spark.operators.spatial_join import (
+    build_zone_covers,
+    spatial_join_points_zones,
+)
+
+
+@pytest.fixture(scope="module")
+def imgs(spark):
+    d = datagen.ensure_dataset(0.001)
+    return spark.read.parquet(f"{d}/images.parquet")
+
+
+@pytest.fixture(scope="module")
+def covers(spark):
+    d = datagen.ensure_dataset(0.001)
+    zones = [
+        (r.zone_id, r.geom_wkt) for r in spark.read.parquet(f"{d}/zones.parquet").collect()
+    ]
+    return build_zone_covers(zones)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_to_scan(imgs):
+    df = imgs.filter((F.col("lon") > 0) & (F.col("lat") > 40)).select("image_id")
+    plan = _plan(df)
+    assert "PushedFilters:" in plan
+    assert "GreaterThan(lon,0" in plan.replace(" ", "")
+
+
+def test_column_pruning_join_never_reads_bytes(spark, imgs, covers):
+    out = spatial_join_points_zones(
+        spark, imgs.select("image_id", "caption", "lon", "lat"), covers
+    )
+    plan = _plan(out)
+    # ReadSchema of the scan must not include the image payload
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and all("bytes" not in ln for ln in read_schema)
+
+
+def test_spatial_join_is_broadcast_no_point_shuffle(spark, imgs, covers):
+    out = spatial_join_points_zones(
+        spark, imgs.select("image_id", "lon", "lat"), covers
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    # the only exchange should be the broadcast of the zone cells — the
+    # big point side must not hash/range-shuffle
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_salted_join_shuffles_on_cell_and_salt(spark, imgs, covers):
+    # at toy scale AQE rightly broadcasts the salted side too; disable
+    # auto-broadcast to verify the shape the path takes at real scale
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = spatial_join_points_zones(
+            spark, imgs.select("image_id", "lon", "lat"), covers, strategy="salted",
+            salt_buckets=4,
+        )
+        plan = _plan(out)
+        assert "Exchange hashpartitioning(cell" in plan and "salt" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_whole_stage_codegen_on_catalyst_path(spark, imgs):
+    from jena_geo_spark.operators.tiling import assign_tiles
+
+    d = datagen.ensure_dataset(0.001)
+    df = assign_tiles(spark.read.parquet(f"{d}/images.parquet"))
+    plan = _plan(df.groupBy("tile_id").count())
+    # ancestor derivation is pure bit arithmetic — no python eval anywhere,
+    # and the agg runs as codegen-capable HashAggregate over the scan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan
