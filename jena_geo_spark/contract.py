@@ -437,6 +437,37 @@ def q_geo_transform_merc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geo_dump_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_DumpPoints of each derived triangle → one row per vertex
+    (geometry → generator, the engine's UDTF-style explode)."""
+    from .functions.vector import st_dumppoints
+
+    pts = _with_tri_coords(points_from_events(spark, sf_dir))
+    tri = pts.withColumn(
+        "g", _make_triangle(*[F.col(c) for c in ("x1", "y1", "x2", "y2", "x3", "y3")])
+    )
+    dumped = tri.select(
+        "event_id", F.posexplode(st_dumppoints(F.col("g"))).alias("idx", "pt")
+    )
+    return dumped.select(
+        "event_id",
+        F.col("idx").cast("long").alias("idx"),
+        F.col("pt.x").alias("px"),
+        F.col("pt.y").alias("py"),
+    )
+
+
+def o_geo_dump_points() -> str:
+    # triangle ring is closed: vertices 0..3 with vertex 3 == vertex 0
+    return (
+        f"WITH {_PTS_CTE}, t AS (SELECT event_id, {_TRI_SQL_COLS} FROM pts) "
+        "SELECT event_id, 0::BIGINT AS idx, x1 AS px, y1 AS py FROM t UNION ALL "
+        "SELECT event_id, 1, x2, y2 FROM t UNION ALL "
+        "SELECT event_id, 2, x3, y3 FROM t UNION ALL "
+        "SELECT event_id, 3, x1, y1 FROM t"
+    )
+
+
 def q_geo_clip_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: area of each derived triangle clipped to a fixed box
     (Sutherland–Hodgman overlay kernel — no SQL-expressible oracle)."""
@@ -688,6 +719,7 @@ QUERIES = {
     "geo_azimuth": q_geo_azimuth,
     "geo_transform_merc": q_geo_transform_merc,
     "geo_clip_area": q_geo_clip_area,
+    "geo_dump_points": q_geo_dump_points,
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
     "doc_dedup_exact": q_doc_dedup_exact,
@@ -715,6 +747,7 @@ ORACLES = {
     "geo_envelope_agg": o_geo_envelope_agg(),
     "temporal_allen": o_temporal_allen(),
     "geo_haversine": o_geo_haversine(),
+    "geo_dump_points": o_geo_dump_points(),
     "doc_token_stats": o_doc_token_stats(),
     "doc_quality": o_doc_quality(),
     "doc_dedup_exact": o_doc_dedup_exact(),

@@ -27,6 +27,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     BooleanType,
     DoubleType,
@@ -430,6 +431,22 @@ def st_linelocatepoint(b: pd.Series, px: pd.Series, py: pd.Series) -> pd.Series:
     return pd.Series(
         [K.line_locate_point(W.from_wkb(x).parts[0], xx, yy) for x, xx, yy in zip(b, px, py)]
     )
+
+
+# -------------------------------------------------------------------- dump --
+
+
+@pandas_udf(ArrayType(_POINT_T))
+def st_dumppoints(b: pd.Series) -> pd.Series:
+    """ST_DumpPoints: every coordinate as a point struct — callers
+    ``explode``/``posexplode`` the array (the reference returns
+    space-delimited geometry lists, ``polygon/exporter/DumpRings.java``;
+    Spark-idiomatic form is an array column → generator)."""
+    out = []
+    for x in b:
+        coords = W.from_wkb(x).all_coords()
+        out.append([{"x": float(cx), "y": float(cy)} for cx, cy in coords])
+    return pd.Series(out)
 
 
 # -------------------------------------------------------------- grid funcs --

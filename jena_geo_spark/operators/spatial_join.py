@@ -40,6 +40,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -178,6 +179,108 @@ def spatial_join_points_zones(
             matched.select(points.columns[0]).distinct(), on=points.columns[0], how="left_anti"
         )
     raise ValueError(how)
+
+
+def polygon_join(
+    spark,
+    left: list[tuple[str, str]],
+    right: list[tuple[str, str]] | None = None,
+    predicate: str = "intersects",
+    join_res_cells: int = 64,
+) -> "DataFrame":
+    """Polygon×polygon spatial join (intersects / bbox-overlaps) via
+    cover∩cover equi-join at a common resolution.
+
+    Both sides are (id, wkt) lists whose covers are built driver-side and
+    joined distributed: compact covers are expanded to the coarser of the
+    two sides' max levels (ancestor alignment), equi-joined on cell, then
+    refined exactly (edge intersection / containment).  ``right=None`` ⇒
+    self-join (id_a < id_b).
+
+    For frame-sized polygon tables this generalises by building covers in a
+    pandas UDF instead of the driver loop — the join/refine plan is the
+    same; driver-side construction keeps round 1 simple for dim-table-sized
+    inputs (the reference's workloads).
+    """
+    self_join = right is None
+    rows = []
+    sides = [("a", left), ("b", left if self_join else right)]
+    geoms: dict[tuple[str, str], np.ndarray] = {}
+    # common alignment resolution: the min of per-polygon cover max levels
+    covers: dict[str, list] = {"a": [], "b": []}
+    for side, items in sides:
+        for pid, wkt_str in items:
+            g = W.from_wkt(wkt_str)
+            ring = g.exterior()
+            geoms[(side, pid)] = ring
+            res = min(grid.pick_cover_res(ring, 32), FINE_RES)
+            covers[side].append((pid, grid.cover_polygon(ring, max_res=res, max_cells=join_res_cells)))
+    # alignment resolution: coarsest max-cover-level across every polygon —
+    # every cover can be mapped onto it (ancestors up, descendants down)
+    align = min(
+        int(grid.cell_res(c).max()) if len(c) else 0
+        for side in covers.values()
+        for _, c in side
+    )
+    for side, items in covers.items():
+        for pid, cells in items:
+            res = grid.cell_res(cells)
+            lv_cells: set[int] = set()
+            for c, r in zip(cells.tolist(), res.tolist()):
+                if r >= align:
+                    lv_cells.add(int(grid.ancestor_at(np.array([c]), align)[0]))
+                else:
+                    d, _ = grid.descendants_at(np.array([c]), align)
+                    lv_cells.update(int(x) for x in d)
+            rows.extend((side, pid, c) for c in lv_cells)
+    cell_df = spark.createDataFrame(rows, "side string, pid string, cell long")
+    a = cell_df.filter(F.col("side") == "a").select(F.col("pid").alias("id_a"), "cell")
+    b = cell_df.filter(F.col("side") == "b").select(F.col("pid").alias("id_b"), "cell")
+    pairs = a.join(F.broadcast(b), "cell").select("id_a", "id_b").distinct()
+    if self_join:
+        pairs = pairs.filter(F.col("id_a") < F.col("id_b"))
+
+    # distributed exact refine: rings broadcast, pandas UDF per pair batch
+    bgeoms = spark.sparkContext.broadcast(
+        {side + ":" + pid: ring for (side, pid), ring in geoms.items()}
+    )
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    @pandas_udf(BooleanType())
+    def refine(id_a: pd.Series, id_b: pd.Series) -> pd.Series:
+        from ..geom.kernel import points_in_polygon, segments_intersect
+
+        gm = bgeoms.value
+        out = []
+        for x, y in zip(id_a, id_b):
+            out.append(
+                _rings_intersect(
+                    gm["a:" + x], gm["b:" + y], points_in_polygon, segments_intersect
+                )
+            )
+        return pd.Series(out)
+
+    if predicate == "bbox":
+        return pairs
+    return pairs.filter(refine(F.col("id_a"), F.col("id_b")))
+
+
+def _rings_intersect(ra: np.ndarray, rb: np.ndarray, pip, seg_isect) -> bool:
+    """Exact polygon-intersects: vertex containment either way or any edge
+    pair crossing."""
+    if pip(ra[:, 0], ra[:, 1], rb).any() or pip(rb[:, 0], rb[:, 1], ra).any():
+        return True
+    a = ra if (ra[0] != ra[-1]).any() else ra[:-1]
+    b = rb if (rb[0] != rb[-1]).any() else rb[:-1]
+    # bbox prefilter per edge pair
+    for i in range(len(a)):
+        p1, p2 = a[i], a[(i + 1) % len(a)]
+        for j in range(len(b)):
+            q1, q2 = b[j], b[(j + 1) % len(b)]
+            if seg_isect(p1, p2, q1, q2):
+                return True
+    return False
 
 
 def dwithin_join_points_centers(
