@@ -433,6 +433,85 @@ def st_linelocatepoint(b: pd.Series, px: pd.Series, py: pd.Series) -> pd.Series:
     )
 
 
+# ----------------------------------------------------------------- editors --
+# reference ``linestring/editor/*.java`` / ``geometry/editor`` family:
+# coordinate-array surgery on the primary chain
+
+
+@pandas_udf(BinaryType())
+def st_addpoint(b: pd.Series, px: pd.Series, py: pd.Series, pos: pd.Series) -> pd.Series:
+    """Insert a point at index ``pos`` (-1 = append, ST_AddPoint)."""
+    out = []
+    for x, xx, yy, p in zip(b, px, py, pos):
+        g = W.from_wkb(x)
+        c = g.parts[0]
+        i = len(c) if int(p) < 0 else int(p)
+        g2 = W.Geom(g.kind, [np.insert(c, i, [xx, yy], axis=0)] + list(g.parts[1:]))
+        out.append(W.to_wkb(g2))
+    return pd.Series(out)
+
+
+@pandas_udf(BinaryType())
+def st_removepoint(b: pd.Series, pos: pd.Series) -> pd.Series:
+    out = []
+    for x, p in zip(b, pos):
+        g = W.from_wkb(x)
+        g2 = W.Geom(g.kind, [np.delete(g.parts[0], int(p), axis=0)] + list(g.parts[1:]))
+        out.append(W.to_wkb(g2))
+    return pd.Series(out)
+
+
+@pandas_udf(BinaryType())
+def st_setpoint(b: pd.Series, pos: pd.Series, px: pd.Series, py: pd.Series) -> pd.Series:
+    out = []
+    for x, p, xx, yy in zip(b, pos, px, py):
+        g = W.from_wkb(x)
+        c = g.parts[0].copy()
+        c[int(p)] = (xx, yy)
+        out.append(W.to_wkb(W.Geom(g.kind, [c] + list(g.parts[1:]))))
+    return pd.Series(out)
+
+
+@pandas_udf(BinaryType())
+def st_reverse(b: pd.Series) -> pd.Series:
+    def rev(g: W.Geom) -> W.Geom:
+        if g.kind == "multipolygon":
+            return W.Geom(g.kind, [[r[::-1].copy() for r in rings] for rings in g.parts])
+        return W.Geom(g.kind, [p[::-1].copy() for p in g.parts])
+
+    return b.map(lambda x: W.to_wkb(rev(W.from_wkb(x))))
+
+
+@pandas_udf(BinaryType())
+def st_removerepeatedpoints(b: pd.Series) -> pd.Series:
+    def dedup(g: W.Geom) -> W.Geom:
+        def dr(c: np.ndarray) -> np.ndarray:
+            keep = np.ones(len(c), dtype=bool)
+            keep[1:] = (np.diff(c, axis=0) != 0).any(axis=1)
+            return c[keep]
+
+        if g.kind == "multipolygon":
+            return W.Geom(g.kind, [[dr(r) for r in rings] for rings in g.parts])
+        return W.Geom(g.kind, [dr(p) for p in g.parts])
+
+    return b.map(lambda x: W.to_wkb(dedup(W.from_wkb(x))))
+
+
+@pandas_udf(BinaryType())
+def st_ensureclosed(b: pd.Series) -> pd.Series:
+    def close(g: W.Geom) -> W.Geom:
+        def cl(c: np.ndarray) -> np.ndarray:
+            return c if (c[0] == c[-1]).all() else np.vstack([c, c[:1]])
+
+        if g.kind == "polygon":
+            return W.Geom(g.kind, [cl(r) for r in g.parts])
+        if g.kind == "multipolygon":
+            return W.Geom(g.kind, [[cl(r) for r in rings] for rings in g.parts])
+        return g
+
+    return b.map(lambda x: W.to_wkb(close(W.from_wkb(x))))
+
+
 # -------------------------------------------------------------------- dump --
 
 
