@@ -619,6 +619,13 @@ def o_emb_topk() -> str:
     )
 
 
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: embedding-cosine near-duplicate pairs (LSH candidates +
+    exact float64 verify)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.cosine_near_dup_pairs(emb, threshold=0.5, n_planes=4, n_tables=12)
+
+
 def q_emb_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     norm2 = F.aggregate(
@@ -729,6 +736,7 @@ QUERIES = {
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "doc_simhash_pairs": q_doc_simhash_pairs,
     "emb_topk": q_emb_topk,
+    "emb_near_dup": q_emb_near_dup,
     "emb_norm": q_emb_norm,
     "tpch_q1": q_tpch_q1,
     "events_window": q_events_window,

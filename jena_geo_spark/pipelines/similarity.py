@@ -128,6 +128,68 @@ def lsh_bucket_ids(
     return df.mapInPandas(bucketize, out_schema)
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket candidate
+    generation (pairs sharing a bucket in ≥1 table) + exact float64 cosine
+    verify — emitted pairs are true positives.  Output (id_a, id_b, cosine).
+    """
+    dim = len(df.select(vec_col).first()[0])
+    bucketed = lsh_bucket_ids(df, dim, n_planes, n_tables, vec_col=vec_col)
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"a.{vec_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"b.{vec_col}").alias("vec_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ma = np.array(pdf["vec_a"].tolist(), dtype=np.float64)
+            mb = np.array(pdf["vec_b"].tolist(), dtype=np.float64)
+            na = np.linalg.norm(ma, axis=1)
+            nb = np.linalg.norm(mb, axis=1)
+            na[na == 0] = 1.0
+            nb[nb == 0] = 1.0
+            cos = (ma * mb).sum(axis=1) / (na * nb)
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].astype(np.int64),
+                    "id_b": pdf["id_b"].astype(np.int64),
+                    "cosine": cos,
+                }
+            )
+
+    return cand.mapInPandas(verify, schema).filter(F.col("cosine") >= threshold)
+
+
 def lsh_topk(
     df: DataFrame,
     query_ids: list[int],

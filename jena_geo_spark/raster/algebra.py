@@ -155,6 +155,118 @@ def raster_distance(ra: WR.Raster, rb: WR.Raster) -> float:
     return float(np.sqrt(dx * dx + dy * dy))
 
 
+# ---------------------------------------------------------- value relations --
+
+
+def value_intersects(ra: WR.Raster, rb: WR.Raster, value: float, band: int = 0) -> bool:
+    """Reference ``raster/relation/ValueIntersects.java:25-54``: envelope
+    intersection test first, then crop both rasters to the intersection
+    window and test whether either contains ``value`` there."""
+    ea, eb = ra.envelope(), rb.envelope()
+    ix0, iy0 = max(ea[0], eb[0]), max(ea[1], eb[1])
+    ix1, iy1 = min(ea[2], eb[2]), min(ea[3], eb[3])
+    if ix0 > ix1 or iy0 > iy1:
+        return False
+    for r in (ra, rb):
+        win = crop_to_world(r, ix0, iy0, ix1, iy1, band)
+        if win.size and (win == value).any():
+            return True
+    return False
+
+
+def crop_to_world(r: WR.Raster, x0: float, y0: float, x1: float, y1: float, band: int = 0) -> np.ndarray:
+    """Pixel window of the world rect (clamped)."""
+    if not r.bands:
+        return np.empty((0, 0))
+    cols = []
+    rows = []
+    for x, y in ((x0, y0), (x1, y1)):
+        c = (x - r.ip_x) / r.scale_x if r.scale_x else 0.0
+        w = (y - r.ip_y) / r.scale_y if r.scale_y else 0.0
+        cols.append(c)
+        rows.append(w)
+    c0, c1 = sorted((int(np.floor(min(cols))), int(np.ceil(max(cols)))))
+    r0, r1 = sorted((int(np.floor(min(rows))), int(np.ceil(max(rows)))))
+    c0, c1 = max(c0, 0), min(c1, r.width)
+    r0, r1 = max(r0, 0), min(r1, r.height)
+    return r.bands[band].data[r0:r1, c0:c1]
+
+
+# ------------------------------------------------------------------ retile --
+
+
+def retile(r: WR.Raster, tile_w: int, tile_h: int) -> list[tuple[int, int, WR.Raster]]:
+    """ST_Retile (reference ``raster/transform/Retile.java``): split a
+    raster into tiles of at most (tile_w, tile_h) pixels; each tile keeps a
+    correct geotransform.  Returns (tile_col, tile_row, raster)."""
+    out = []
+    for ty in range(0, r.height, tile_h):
+        for tx in range(0, r.width, tile_w):
+            w = min(tile_w, r.width - tx)
+            h = min(tile_h, r.height - ty)
+            t = WR.Raster(
+                r.version,
+                r.scale_x,
+                r.scale_y,
+                r.ip_x + tx * r.scale_x,
+                r.ip_y + ty * r.scale_y,
+                r.skew_x,
+                r.skew_y,
+                r.srid,
+                w,
+                h,
+            )
+            for b in r.bands:
+                t.bands.append(
+                    WR.Band(b.pixtype, b.nodata, b.data[ty : ty + h, tx : tx + w].copy(), b.nodata_raw)
+                )
+            out.append((tx // tile_w, ty // tile_h, t))
+    return out
+
+
+def spark_retile(df: DataFrame, raster_col: str, tile_w: int, tile_h: int) -> DataFrame:
+    """Distributed ST_Retile: raster column → exploded (tile_col, tile_row,
+    tile) rows; downstream callers repartition by the grid-cell/tile key
+    (operators/tiling.py) for spatial layout."""
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    schema = pa_schema = StructType(
+        [
+            StructField("tile_col", IntegerType()),
+            StructField("tile_row", IntegerType()),
+            StructField("tile", BinaryType()),
+        ]
+    )
+
+    @pandas_udf("array<struct<tile_col:int,tile_row:int,tile:binary>>")
+    def _udf(b: pd.Series) -> pd.Series:
+        out = []
+        for x in b:
+            tiles = retile(WR.decode(bytes(x)), tile_w, tile_h)
+            out.append(
+                [
+                    {"tile_col": tc, "tile_row": tr, "tile": WR.encode(t)}
+                    for tc, tr, t in tiles
+                ]
+            )
+        return pd.Series(out)
+
+    return df.withColumn("_tiles", _udf(F.col(raster_col))).select(
+        *[c for c in df.columns if c != raster_col],
+        F.explode(F.col("_tiles")).alias("t"),
+    ).select(
+        *[c for c in df.columns if c != raster_col],
+        F.col("t.tile_col").alias("tile_col"),
+        F.col("t.tile_row").alias("tile_row"),
+        F.col("t.tile").alias("tile"),
+    )
+
+
 # --------------------------------------------------------- Spark plumbing --
 
 
