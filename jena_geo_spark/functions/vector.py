@@ -512,6 +512,34 @@ def st_ensureclosed(b: pd.Series) -> pd.Series:
     return b.map(lambda x: W.to_wkb(close(W.from_wkb(x))))
 
 
+@pandas_udf(BinaryType())
+def st_addring(b: pd.Series, ring_wkb: pd.Series) -> pd.Series:
+    """ST_AddRing: append an interior ring (hole) to a polygon (the ring
+    argument is the exterior of the supplied geometry)."""
+    out = []
+    for x, rw in zip(b, ring_wkb):
+        g = W.from_wkb(x)
+        hole = W.from_wkb(rw).exterior()
+        out.append(W.to_wkb(W.Geom("polygon", list(g.parts) + [hole])))
+    return pd.Series(out)
+
+
+@pandas_udf(BinaryType())
+def st_removering(b: pd.Series, idx: pd.Series) -> pd.Series:
+    """ST_RemoveRing: drop interior ring ``idx`` (1-based over holes)."""
+    out = []
+    for x, i in zip(b, idx):
+        g = W.from_wkb(x)
+        parts = [p for j, p in enumerate(g.parts) if j != int(i)]
+        out.append(W.to_wkb(W.Geom("polygon", parts)))
+    return pd.Series(out)
+
+
+@pandas_udf(IntegerType())
+def st_numinteriorrings(b: pd.Series) -> pd.Series:
+    return b.map(lambda x: max(len(W.from_wkb(x).parts) - 1, 0))
+
+
 # -------------------------------------------------------------------- dump --
 
 
