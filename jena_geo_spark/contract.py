@@ -67,6 +67,22 @@ ZONES: dict[str, list[tuple[float, float]]] = {
     ],
 }
 
+# multipolygon zone: two disjoint quads on opposite hemispheres — exercises
+# union-PIP and union-cover (the r1 first-member-only bug, VERDICT #2)
+MP_ZONE_POLYS: list[list[tuple[float, float]]] = [
+    [(-170.3, -55.2), (-125.6, -58.4), (-120.2, -25.3), (-160.7, -20.6)],
+    [(100.4, 20.3), (150.8, 15.7), (155.3, 50.2), (105.6, 55.8)],
+]
+
+
+def _mp_zone_wkt() -> str:
+    polys = []
+    for ring in MP_ZONE_POLYS:
+        closed = ring + [ring[0]]
+        polys.append("((" + ",".join(f"{x!r} {y!r}" for x, y in closed) + "))")
+    return "MULTIPOLYGON(" + ",".join(polys) + ")"
+
+
 DWITHIN_CENTERS = [("c0", 8.2835, 49.9928), ("c1", -74.01, 40.71), ("c2", 139.69, 35.69)]
 DWITHIN_RADIUS = 15.0
 
@@ -117,11 +133,14 @@ def _sql_coord(mult: int, span_e6: int, offset: float) -> str:
 
 
 def _sql_raycast(name: str, lon: str = "lon", lat: str = "lat") -> str:
+    return _sql_raycast_ring(ZONES[name], lon, lat)
+
+
+def _sql_raycast_ring(ring: list, lon: str = "lon", lat: str = "lat") -> str:
     """Ray-cast SQL, term-for-term identical to kernel.points_in_polygon:
     crossing iff (y1>lat)!=(y2>lat) AND lon < dx*(lat-y1)/dy + x1, where
     dx, dy are precomputed python floats (bit-identical to the runtime
     subtraction the kernel performs)."""
-    ring = ZONES[name]
     m = len(ring)
     terms = []
     for i in range(m):
@@ -483,6 +502,135 @@ def q_geo_clip_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.select("event_id", st_area(clipped).alias("clip_area"))
 
 
+def q_geo_mp_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial join against a MULTIPOLYGON zone — union-cover + union-PIP
+    refine (the operator path that silently dropped matches in r1)."""
+    pts = points_from_events(spark, sf_dir)
+    covers = build_zone_covers([("zone_mp", _mp_zone_wkt())])
+    out = spatial_join_points_zones(spark, pts.select("event_id", "lon", "lat"), covers)
+    return out.select("event_id", "zone_id")
+
+
+def o_geo_mp_pip_join() -> str:
+    ors = " OR ".join(f"({_sql_raycast_ring(r)})" for r in MP_ZONE_POLYS)
+    return f"WITH {_PTS_CTE} SELECT event_id, 'zone_mp' AS zone_id FROM pts WHERE {ors}"
+
+
+def q_geo_perimeter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.vector import st_perimeter
+
+    pts = _with_tri_coords(points_from_events(spark, sf_dir))
+    tri = pts.withColumn(
+        "g", _make_triangle(*[F.col(c) for c in ("x1", "y1", "x2", "y2", "x3", "y3")])
+    )
+    return tri.select("event_id", st_perimeter(F.col("g")).alias("perimeter"))
+
+
+def o_geo_perimeter() -> str:
+    seg = "sqrt(({bx} - {ax}) * ({bx} - {ax}) + ({by} - {ay}) * ({by} - {ay}))"
+    s1 = seg.format(ax="x1", ay="y1", bx="x2", by="y2")
+    s2 = seg.format(ax="x2", ay="y2", bx="x3", by="y3")
+    s3 = seg.format(ax="x3", ay="y3", bx="x1", by="y1")
+    return (
+        f"WITH {_PTS_CTE}, t AS (SELECT event_id, {_TRI_SQL_COLS} FROM pts) "
+        f"SELECT event_id, {s1} + {s2} + {s3} AS perimeter FROM t"
+    )
+
+
+def q_geo_bounds_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.vector import st_bounds
+
+    pts = _with_tri_coords(points_from_events(spark, sf_dir))
+    tri = pts.withColumn(
+        "g", _make_triangle(*[F.col(c) for c in ("x1", "y1", "x2", "y2", "x3", "y3")])
+    ).withColumn("bb", st_bounds(F.col("g")))
+    return tri.select(
+        "event_id",
+        F.col("bb.xmin").alias("xmin"),
+        F.col("bb.ymin").alias("ymin"),
+        F.col("bb.xmax").alias("xmax"),
+        F.col("bb.ymax").alias("ymax"),
+    )
+
+
+def o_geo_bounds_box() -> str:
+    return (
+        f"WITH {_PTS_CTE}, t AS (SELECT event_id, {_TRI_SQL_COLS} FROM pts) "
+        "SELECT event_id, least(x1, x2, x3) AS xmin, least(y1, y2, y3) AS ymin, "
+        "greatest(x1, x2, x3) AS xmax, greatest(y1, y2, y3) AS ymax FROM t"
+    )
+
+
+def q_geo_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-conversion family (reference unit/*.java): planar line length
+    re-expressed in km / miles / feet — pure Catalyst multiply."""
+    from .functions.vector import convert_unit, st_length
+
+    pts = _with_tri_coords(points_from_events(spark, sf_dir))
+    line = pts.withColumn(
+        "g",
+        _make_line4(*[F.col(c) for c in ("x1", "y1", "x2", "y2", "x3", "y3", "x4", "y4")]),
+    )
+    ln = st_length(F.col("g"))
+    return line.select(
+        "event_id",
+        convert_unit(ln, "m", "km").alias("len_km"),
+        convert_unit(ln, "m", "mile").alias("len_mile"),
+        convert_unit(ln, "m", "foot").alias("len_foot"),
+    )
+
+
+def o_geo_units() -> str:
+    from .functions.vector import UNIT_FACTORS_TO_M
+
+    seg = "sqrt(({bx} - {ax}) * ({bx} - {ax}) + ({by} - {ay}) * ({by} - {ay}))"
+    s1 = seg.format(ax="x1", ay="y1", bx="x2", by="y2")
+    s2 = seg.format(ax="x2", ay="y2", bx="x3", by="y3")
+    s3 = seg.format(ax="x3", ay="y3", bx="x4", by="y4")
+    fk = UNIT_FACTORS_TO_M["m"] / UNIT_FACTORS_TO_M["km"]
+    fm = UNIT_FACTORS_TO_M["m"] / UNIT_FACTORS_TO_M["mile"]
+    ff = UNIT_FACTORS_TO_M["m"] / UNIT_FACTORS_TO_M["foot"]
+    return (
+        f"WITH {_PTS_CTE}, t AS (SELECT event_id, {_TRI_SQL_COLS} FROM pts), "
+        f"l AS (SELECT event_id, {s1} + {s2} + {s3} AS ln FROM t) "
+        f"SELECT event_id, ln * {fk!r}::DOUBLE AS len_km, ln * {fm!r}::DOUBLE AS len_mile, "
+        f"ln * {ff!r}::DOUBLE AS len_foot FROM l"
+    )
+
+
+_AFF_THETA = 0.7
+_AFF_COS = float(np.cos(_AFF_THETA))
+_AFF_SIN = float(np.sin(_AFF_THETA))
+
+
+def q_geo_affine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Affine chain scale → rotate → translate on the derived points
+    (reference geometry/transform Scale/Rotate/Translate)."""
+    from .functions.transform import st_rotate, st_scale
+    from .functions.vector import st_point, st_translate, st_x, st_y
+
+    pts = points_from_events(spark, sf_dir)
+    g = st_point(F.col("lon"), F.col("lat"))
+    g = st_scale(g, F.lit(1.5), F.lit(0.5))
+    g = st_rotate(g, F.lit(_AFF_THETA))
+    g = st_translate(g, F.lit(10.0), F.lit(-5.0))
+    return pts.select("event_id", st_x(g).alias("ax"), st_y(g).alias("ay"))
+
+
+def o_geo_affine() -> str:
+    # term-for-term the engine's _affine elementwise form: every stage is
+    # (x*a + y*b + t) so IEEE op order matches exactly
+    c, s = _AFF_COS, _AFF_SIN
+    return (
+        f"WITH {_PTS_CTE}, sc AS (SELECT event_id, "
+        "lon * 1.5::DOUBLE + lat * 0.0::DOUBLE + 0.0::DOUBLE AS x, "
+        "lon * 0.0::DOUBLE + lat * 0.5::DOUBLE + 0.0::DOUBLE AS y FROM pts), "
+        f"ro AS (SELECT event_id, x * {c!r}::DOUBLE + y * {-s!r}::DOUBLE + 0.0::DOUBLE AS x, "
+        f"x * {s!r}::DOUBLE + y * {c!r}::DOUBLE + 0.0::DOUBLE AS y FROM sc) "
+        "SELECT event_id, x + 10.0::DOUBLE AS ax, y + (-5.0::DOUBLE) AS ay FROM ro"
+    )
+
+
 # --------------------------------------------------------------- documents --
 
 
@@ -726,6 +874,11 @@ QUERIES = {
     "geo_azimuth": q_geo_azimuth,
     "geo_transform_merc": q_geo_transform_merc,
     "geo_clip_area": q_geo_clip_area,
+    "geo_mp_pip_join": q_geo_mp_pip_join,
+    "geo_perimeter": q_geo_perimeter,
+    "geo_bounds_box": q_geo_bounds_box,
+    "geo_units": q_geo_units,
+    "geo_affine": q_geo_affine,
     "geo_dump_points": q_geo_dump_points,
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
@@ -755,6 +908,11 @@ ORACLES = {
     "geo_envelope_agg": o_geo_envelope_agg(),
     "temporal_allen": o_temporal_allen(),
     "geo_haversine": o_geo_haversine(),
+    "geo_mp_pip_join": o_geo_mp_pip_join(),
+    "geo_perimeter": o_geo_perimeter(),
+    "geo_bounds_box": o_geo_bounds_box(),
+    "geo_units": o_geo_units(),
+    "geo_affine": o_geo_affine(),
     "geo_dump_points": o_geo_dump_points(),
     "doc_token_stats": o_doc_token_stats(),
     "doc_quality": o_doc_quality(),

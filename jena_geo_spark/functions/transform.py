@@ -31,7 +31,12 @@ def _affine(g: W.Geom, m: np.ndarray) -> W.Geom:
     """Apply 2x3 affine [[a,b,tx],[d,e,ty]] to every coordinate."""
 
     def ap(arr: np.ndarray) -> np.ndarray:
-        return arr @ m[:, :2].T + m[:, 2]
+        # explicit elementwise form (x*a + y*b + t), not BLAS matmul: keeps
+        # IEEE op order identical to the ANSI-SQL oracle expression (no FMA)
+        x, y = arr[:, 0], arr[:, 1]
+        return np.column_stack(
+            [x * m[0, 0] + y * m[0, 1] + m[0, 2], x * m[1, 0] + y * m[1, 1] + m[1, 2]]
+        )
 
     if g.kind == "multipolygon":
         return W.Geom(g.kind, [[ap(r) for r in rings] for rings in g.parts])

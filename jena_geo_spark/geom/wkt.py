@@ -56,10 +56,50 @@ class Geom:
             yield from self.parts
 
     def exterior(self) -> np.ndarray:
-        """Exterior ring / primary coordinate chain."""
+        """Exterior ring / primary coordinate chain.
+
+        Empty geometries (``parts == []``, as produced by overlay ops on
+        disjoint inputs) yield an empty (0,2) array so downstream measure /
+        overlay kernels degrade to 0 instead of crashing (ADVICE r1)."""
+        if not self.parts:
+            return np.empty((0, 2), dtype=np.float64)
         if self.kind == "multipolygon":
             return self.parts[0][0]
         return self.parts[0]
+
+    def chains(self) -> list:
+        """Coordinate chains for distance/predicate kernels — one array per
+        ring / line / point, with polygon rings explicitly closed.  Unlike
+        ``all_coords`` this never bridges separate parts (a flattened vstack
+        creates phantom segments between holes/parts — ADVICE r1), matching
+        JTS ``DistanceOp`` which iterates component segments."""
+        out = []
+        if self.kind == "multipolygon":
+            ringsets = self.parts
+            for rings in ringsets:
+                for r in rings:
+                    out.append(_closed(r))
+            return out
+        if self.kind == "polygon":
+            return [_closed(r) for r in self.parts]
+        if self.kind == "multipoint":
+            return [self.parts[0][i : i + 1] for i in range(len(self.parts[0]))] if self.parts else []
+        return list(self.parts)
+
+    def polygons(self) -> list:
+        """List of [rings...] — one entry per member polygon ([] for
+        non-areal kinds); normalises polygon vs multipolygon handling."""
+        if self.kind == "polygon":
+            return [self.parts] if self.parts else []
+        if self.kind == "multipolygon":
+            return [rings for rings in self.parts if rings]
+        return []
+
+
+def _closed(ring: np.ndarray) -> np.ndarray:
+    if len(ring) >= 2 and not (ring[0] == ring[-1]).all():
+        return np.vstack([ring, ring[:1]])
+    return ring
 
 
 # --------------------------------------------------------------------- WKT --
@@ -89,7 +129,15 @@ def _split_groups(body: str) -> list[str]:
             groups.append(body[start:i])
             start = i + 1
     groups.append(body[start:])
-    return [g.strip().strip("()") for g in groups]
+    # strip exactly ONE paren layer — stripping all layers collapsed
+    # MULTIPOLYGON's double-nested rings into per-coordinate fragments
+    out = []
+    for g in groups:
+        g = g.strip()
+        if g.startswith("(") and g.endswith(")"):
+            g = g[1:-1].strip()
+        out.append(g)
+    return out
 
 
 def from_wkt(wkt: str) -> Geom:

@@ -70,17 +70,42 @@ def build_zone_covers(
     out = []
     for zone_id, wkt_str in zones:
         g = W.from_wkt(wkt_str)
-        ring = g.exterior()
-        res = min(grid.pick_cover_res(ring, cells_target), FINE_RES)
-        cells = grid.cover_polygon(ring, max_res=res, max_cells=max_cells)
-        # full flag: cell strictly inside the polygon → refine skippable
-        full = np.zeros(len(cells), dtype=bool)
-        for i, c in enumerate(cells):
-            xmin, ymin, xmax, ymax = (float(v[0]) for v in grid.cell_bounds(np.array([c])))
-            full[i] = (
-                grid._rect_polygon_relation(xmin, ymin, xmax, ymax, ring) == 2
-            )
-        out.append(ZoneCover(zone_id, W.to_wkb(g), cells, full))
+        # union cover over member polygons (multipolygon zones supported);
+        # full = cell inside some member's exterior and clear of its holes
+        cell_full: dict[int, bool] = {}
+        for rings in g.polygons() or [[g.exterior()]]:
+            ring = rings[0]
+            res = min(grid.pick_cover_res(ring, cells_target), FINE_RES)
+            cells = grid.cover_polygon(ring, max_res=res, max_cells=max_cells)
+            for c in cells.tolist():
+                xmin, ymin, xmax, ymax = (
+                    float(v[0]) for v in grid.cell_bounds(np.array([c]))
+                )
+                fl = grid._rect_polygon_relation(xmin, ymin, xmax, ymax, ring) == 2
+                for hole in rings[1:]:
+                    if fl and grid._rect_polygon_relation(
+                        xmin, ymin, xmax, ymax, hole
+                    ) != 0:
+                        fl = False
+                cell_full[c] = cell_full.get(c, False) or fl
+        # antichain-ify: member covers are each disjoint, but cells from
+        # DIFFERENT members may nest — keep the coarser cell so a point can
+        # match a (zone, cell) pair at most once (no dedup shuffle needed)
+        all_cells = np.array(sorted(cell_full), dtype=np.int64)
+        res_arr = grid.cell_res(all_cells)
+        present = set(all_cells.tolist())
+        keep_mask = np.ones(len(all_cells), dtype=bool)
+        lower_levels = sorted(set(res_arr.tolist()))
+        for i, (c, r) in enumerate(zip(all_cells.tolist(), res_arr.tolist())):
+            for r2 in lower_levels:
+                if r2 >= r:
+                    break
+                if int(grid.ancestor_at(np.array([c]), r2)[0]) in present:
+                    keep_mask[i] = False
+                    break
+        kept = all_cells[keep_mask]
+        full = np.array([cell_full[int(c)] for c in kept], dtype=bool)
+        out.append(ZoneCover(zone_id, W.to_wkb(g), kept, full))
     return out
 
 
@@ -249,16 +274,10 @@ def polygon_join(
 
     @pandas_udf(BooleanType())
     def refine(id_a: pd.Series, id_b: pd.Series) -> pd.Series:
-        from ..geom.kernel import points_in_polygon, segments_intersect
-
         gm = bgeoms.value
         out = []
         for x, y in zip(id_a, id_b):
-            out.append(
-                _rings_intersect(
-                    gm["a:" + x], gm["b:" + y], points_in_polygon, segments_intersect
-                )
-            )
+            out.append(_rings_intersect(gm["a:" + x], gm["b:" + y]))
         return pd.Series(out)
 
     if predicate == "bbox":
@@ -266,21 +285,22 @@ def polygon_join(
     return pairs.filter(refine(F.col("id_a"), F.col("id_b")))
 
 
-def _rings_intersect(ra: np.ndarray, rb: np.ndarray, pip, seg_isect) -> bool:
+def _rings_intersect(ra: np.ndarray, rb: np.ndarray) -> bool:
     """Exact polygon-intersects: vertex containment either way or any edge
-    pair crossing."""
-    if pip(ra[:, 0], ra[:, 1], rb).any() or pip(rb[:, 0], rb[:, 1], ra).any():
+    pair crossing — vectorised numpy orientation tests behind a bbox
+    prefilter (``kernel.edges_intersect_any``), frame-scale-safe shape."""
+    from ..geom.kernel import edges_intersect_any, points_in_polygon
+
+    if (
+        points_in_polygon(ra[:, 0], ra[:, 1], rb).any()
+        or points_in_polygon(rb[:, 0], rb[:, 1], ra).any()
+    ):
         return True
     a = ra if (ra[0] != ra[-1]).any() else ra[:-1]
     b = rb if (rb[0] != rb[-1]).any() else rb[:-1]
-    # bbox prefilter per edge pair
-    for i in range(len(a)):
-        p1, p2 = a[i], a[(i + 1) % len(a)]
-        for j in range(len(b)):
-            q1, q2 = b[j], b[(j + 1) % len(b)]
-            if seg_isect(p1, p2, q1, q2):
-                return True
-    return False
+    return edges_intersect_any(
+        np.vstack([a, a[:1]]), np.vstack([b, b[:1]])
+    )
 
 
 def dwithin_join_points_centers(

@@ -21,7 +21,7 @@ def _oracle_pairs(zones):
     out = set()
     for i, a in enumerate(ids):
         for b in ids[i + 1 :]:
-            if _rings_intersect(rings[a], rings[b], points_in_polygon, segments_intersect):
+            if _rings_intersect(rings[a], rings[b]):
                 out.add((a, b))
     return out
 
@@ -43,7 +43,7 @@ def test_polygon_join_two_sided(spark, zone_list):
         (a, b)
         for a in rings_l
         for b in rings_r
-        if _rings_intersect(rings_l[a], rings_r[b], points_in_polygon, segments_intersect)
+        if _rings_intersect(rings_l[a], rings_r[b])
     }
     assert got == exp
 
@@ -54,8 +54,8 @@ def test_rings_intersect_cases():
     touch_inside = sq + 2
     contained = np.array([[1, 1], [2, 1], [2, 2], [1, 2]], dtype=float)
     cross = np.array([[-1, 1], [5, 1], [5, 2], [-1, 2]], dtype=float)  # slab through
-    assert not _rings_intersect(sq, far, points_in_polygon, segments_intersect)
-    assert _rings_intersect(sq, touch_inside, points_in_polygon, segments_intersect)
-    assert _rings_intersect(sq, contained, points_in_polygon, segments_intersect)
-    assert _rings_intersect(contained, sq, points_in_polygon, segments_intersect)
-    assert _rings_intersect(sq, cross, points_in_polygon, segments_intersect)
+    assert not _rings_intersect(sq, far)
+    assert _rings_intersect(sq, touch_inside)
+    assert _rings_intersect(sq, contained)
+    assert _rings_intersect(contained, sq)
+    assert _rings_intersect(sq, cross)
