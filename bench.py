@@ -27,11 +27,11 @@ from jena_geo_spark.contract import (  # noqa: E402
     KNN_K,
     KNN_QUERIES,
     q_doc_jaccard_pairs,
-    q_doc_minhash_pairs,
     q_emb_topk,
     q_geo_pip_join,
     q_geo_tile_hist,
 )
+from jena_geo_spark.pipelines import dedup as _dedup  # noqa: E402
 from jena_geo_spark.operators.knn import knn_join  # noqa: E402
 from jena_geo_spark.operators.spatial_join import (  # noqa: E402
     build_zone_covers,
@@ -113,7 +113,16 @@ def run(sf_dir: str, cpus: int) -> dict:
     timed("events_pip_join", lambda: _noop(q_geo_pip_join(spark, sf_dir)))
     timed("events_tile_hist", lambda: _noop(q_geo_tile_hist(spark, sf_dir)))
     timed("doc_jaccard_pairs", lambda: _noop(q_doc_jaccard_pairs(spark, sf_dir)))
-    timed("doc_minhash_pairs", lambda: _noop(q_doc_minhash_pairs(spark, sf_dir)))
+    # production minhash path (xxhash64 shingle hashing); the contract query
+    # uses the SQL-reproducible 'arith' hash variant for the oracle gate
+    timed(
+        "doc_minhash_pairs",
+        lambda: _noop(
+            _dedup.minhash_lsh_pairs(
+                spark.read.parquet(f"{sf_dir}/documents.parquet"), threshold=0.2
+            )
+        ),
+    )
     timed("emb_topk", lambda: _noop(q_emb_topk(spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)

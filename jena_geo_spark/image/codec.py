@@ -130,22 +130,32 @@ def _dct_matrix(n: int) -> np.ndarray:
 _D32 = _dct_matrix(32)
 
 
-def phash64(arr: np.ndarray) -> int:
-    """64-bit DCT perceptual hash of an RGB uint8 array (deterministic)."""
+def gray32(arr: np.ndarray) -> np.ndarray:
+    """Luma + 32×32 subsample of an RGB uint8 array (phash preprocessing)."""
     gray = arr.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
     h, w = gray.shape
-    # mean-pool / repeat to 32x32
     ys = (np.arange(32) * h // 32).clip(0, h - 1)
     xs = (np.arange(32) * w // 32).clip(0, w - 1)
-    g32 = gray[np.ix_(ys, xs)]
-    d = _D32 @ g32 @ _D32.T
-    low = d[:8, :8].ravel()
-    med = np.median(low[1:])  # skip DC term for the threshold
-    bits = (low > med).astype(np.uint64)
-    val = np.uint64(0)
-    for b in bits:
-        val = (val << np.uint64(1)) | b
-    return int(val.astype(np.int64))
+    return gray[np.ix_(ys, xs)]
+
+
+def phash64_batch(g32: np.ndarray) -> np.ndarray:
+    """64-bit DCT perceptual hashes for a STACK of 32×32 luma planes
+    (n,32,32) → (n,) int64 — one broadcast matmul pair for the whole batch
+    instead of per-row DCTs (the r1 flagship-verify hot spot, VERDICT #5)."""
+    g32 = np.asarray(g32, dtype=np.float64).reshape(-1, 32, 32)
+    d = _D32 @ g32 @ _D32.T  # (n,32,32): batched DCT-II both axes
+    low = d[:, :8, :8].reshape(len(g32), 64)
+    med = np.median(low[:, 1:], axis=1)  # skip DC term for the threshold
+    bits = (low > med[:, None]).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
+    return (bits * weights).sum(axis=1, dtype=np.uint64).astype(np.int64)
+
+
+def phash64(arr: np.ndarray) -> int:
+    """64-bit DCT perceptual hash of an RGB uint8 array (deterministic) —
+    single-image view of ``phash64_batch`` (same code path bit-for-bit)."""
+    return int(phash64_batch(gray32(arr)[None, :, :])[0])
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

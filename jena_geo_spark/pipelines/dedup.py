@@ -19,10 +19,35 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
+
+from .text import _FP_BASE1, _FP_BASE2, _FP_P
+
+
+def arith_hash31_col(s: Column) -> Column:
+    """31-bit polynomial codepoint hash of a string column — pure Catalyst
+    AND exactly reproducible in ANSI SQL (``list_reduce`` fold), unlike
+    ``xxhash64``.  Used by the ``hash_fn='arith'`` variants so the driver's
+    DuckDB oracle can replay the ENTIRE LSH pipeline bit-for-bit."""
+    codes = F.transform(F.split(s, ""), lambda ch: F.ascii(ch).cast("bigint"))
+    return F.aggregate(
+        codes, F.lit(0).cast("bigint"), lambda acc, c: (acc * F.lit(_FP_BASE1) + c) % F.lit(_FP_P)
+    )
+
+
+def arith_hash62_col(s: Column) -> Column:
+    """62-bit variant: two 31-bit folds (bases 257/263) packed h1<<31 | h2."""
+    codes = F.transform(F.split(s, ""), lambda ch: F.ascii(ch).cast("bigint"))
+
+    def fold(base: int) -> Column:
+        return F.aggregate(
+            codes, F.lit(0).cast("bigint"), lambda acc, c: (acc * F.lit(base) + c) % F.lit(_FP_P)
+        )
+
+    return fold(_FP_BASE1) * F.lit(1 << 31) + fold(_FP_BASE2)
 
 # ------------------------------------------------------------ exact dedup --
 
@@ -79,21 +104,60 @@ def jaccard_dedup_pairs(
     threshold_den: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """EXACT shingle-Jaccard near-dup pairs via inverted-index self-join.
 
     Jaccard ≥ num/den decided in integer arithmetic (den·|∩| ≥ num·|∪|) —
     no float, bit-exact vs any oracle.  Output: (id_a, id_b, inter, uni),
-    id_a < id_b."""
+    id_a < id_b.
+
+    ``max_df``: document-frequency cap for CANDIDATE generation — a
+    stop-phrase shared by 1% of a 100 TB corpus makes the uncapped
+    self-join O(df²) (VERDICT What's-wrong #7).  With a cap, candidates
+    come only from shingles with df ≤ max_df, but inter/uni are then
+    recomputed over ALL shingles of the candidate pairs, so every emitted
+    pair is still exact; only pairs sharing exclusively-hot shingles can be
+    missed, and the number of dropped shingles is logged (no silent caps).
+    """
     sh = shingle_df(df, n, text_col, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
+    if max_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        n_hot = dfreq.filter(F.col("df") > max_df).count()
+        if n_hot:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "jaccard_dedup_pairs: dropping %d shingles with df > %d from "
+                "candidate generation (pairs sharing only these are missed; "
+                "emitted pairs remain exact)",
+                n_hot,
+                max_df,
+            )
+        cold = sh.join(
+            F.broadcast(dfreq.filter(F.col("df") <= max_df).select("shingle")), "shingle"
+        )
+        a = cold.alias("a")
+        b = cold.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+            .distinct()
+        )
+        inter = _exact_intersections(cand, sh, id_col)
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+            .agg(F.count("*").alias("inter"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     out = (
@@ -104,6 +168,18 @@ def jaccard_dedup_pairs(
         .select("id_a", "id_b", "inter", "uni")
     )
     return out
+
+
+def _exact_intersections(cand: DataFrame, sh: DataFrame, id_col: str) -> DataFrame:
+    """|A∩B| over ALL shingles for each candidate (id_a, id_b) pair."""
+    ia = sh.withColumnRenamed(id_col, "id_a")
+    ib = sh.withColumnRenamed(id_col, "_rid").withColumnRenamed("shingle", "shingle_b")
+    return (
+        cand.join(ia, "id_a")
+        .join(ib, (F.col("id_b") == F.col("_rid")) & (F.col("shingle") == F.col("shingle_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
 
 
 # ------------------------------------------------------------ minhash-lsh --
@@ -121,13 +197,20 @@ def _minhash_params(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.nda
 
 
 def minhash_signatures(
-    df: DataFrame, num_hashes: int = 128, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    num_hashes: int = 128,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig array<long>) — MinHash over word n-gram shingles.
 
-    Shingle hashing runs JVM-side (``xxhash64`` inside whole-stage codegen);
-    the pandas UDF only does the vectorised (a·h+b) mod p min-reduction —
-    no per-character Python anywhere."""
+    Shingle hashing runs JVM-side inside whole-stage codegen; the pandas UDF
+    only does the vectorised (a·h+b) mod p min-reduction — no per-character
+    Python anywhere.  ``hash_fn``: ``xxhash64`` (fastest, default) or
+    ``arith`` (31-bit polynomial fold — exactly reproducible in ANSI SQL so
+    the driver oracle can replay the pipeline; see contract.py)."""
     a_params, b_params = _minhash_params(num_hashes)
 
     @pandas_udf(ArrayType(LongType()))
@@ -140,8 +223,11 @@ def minhash_signatures(
         return pd.Series(out)
 
     sh = shingle_df(df, n, text_col, id_col)
+    hcol = (
+        arith_hash31_col(F.col("shingle")) if hash_fn == "arith" else F.xxhash64("shingle")
+    )
     grouped = (
-        sh.select(F.col(id_col), F.xxhash64("shingle").alias("h"))
+        sh.select(F.col(id_col), hcol.alias("h"))
         .groupBy(id_col)
         .agg(F.collect_list("h").alias("hs"))
     )
@@ -156,22 +242,26 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate pairs from LSH banding, verified with EXACT Jaccard.
 
     Emitted pairs are true positives (≥ threshold) — LSH only bounds recall.
-    Output: (id_a, id_b, jaccard)."""
+    Output: (id_a, id_b, jaccard).  ``hash_fn='arith'`` makes every stage
+    (shingle hash, band bucket) ANSI-SQL-reproducible for the driver oracle."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col)
+
+    def bucket_of(bi: int):
+        elems = [F.element_at("sig", bi * rows_per_band + j + 1) for j in range(rows_per_band)]
+        if hash_fn == "arith":
+            return F.concat_ws(",", *[e.cast("string") for e in elems])
+        return F.xxhash64(*elems).cast("string")
+
+    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col, hash_fn=hash_fn)
     band_cols = F.explode(
         F.array(
             *[
-                F.struct(
-                    F.lit(bi).alias("band"),
-                    F.xxhash64(
-                        *[F.element_at("sig", bi * rows_per_band + j + 1) for j in range(rows_per_band)]
-                    ).alias("bucket"),
-                )
+                F.struct(F.lit(bi).alias("band"), bucket_of(bi).alias("bucket"))
                 for bi in range(bands)
             ]
         )
@@ -217,49 +307,85 @@ def minhash_lsh_pairs(
 # ----------------------------------------------------------------- simhash --
 
 
-@pandas_udf(LongType())
-def simhash_from_hashes(hashes: pd.Series) -> pd.Series:
-    """64-bit SimHash from pre-hashed tokens (vectorised bit voting)."""
-    out = np.empty(len(hashes), dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)[None, :]
-    pow2 = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(np.uint64)
-    for i, arr in enumerate(hashes):
-        th = np.asarray(arr, dtype=np.int64).astype(np.uint64)
-        bits = ((th[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
-        v = (bits * 2 - 1).sum(axis=0)
-        out[i] = np.int64((pow2[v > 0]).sum().astype(np.uint64))
-    return pd.Series(out)
+def _simhash_udf(n_bits: int):
+    @pandas_udf(LongType())
+    def simhash_from_hashes(hashes: pd.Series) -> pd.Series:
+        """n-bit SimHash from pre-hashed tokens (vectorised bit voting)."""
+        out = np.empty(len(hashes), dtype=np.int64)
+        shifts = np.arange(n_bits, dtype=np.uint64)[None, :]
+        pow2 = (np.uint64(1) << np.arange(n_bits, dtype=np.uint64)).astype(np.uint64)
+        for i, arr in enumerate(hashes):
+            th = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            bits = ((th[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            v = (bits * 2 - 1).sum(axis=0)
+            out[i] = np.int64((pow2[v > 0]).sum().astype(np.uint64))
+        return pd.Series(out)
+
+    return simhash_from_hashes
 
 
-def simhash_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, sh) — token hashing JVM-side (xxhash64), bit voting in numpy."""
+simhash_from_hashes = _simhash_udf(64)
+
+
+def simhash_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, sh) — token hashing JVM-side, bit voting in numpy.
+    ``hash_fn='arith'`` → 62-bit token hashes from the SQL-reproducible
+    polynomial fold (the driver oracle replays bit voting in SQL)."""
     toks = F.explode(F.split(F.col(text_col), " ")).alias("tok")
-    hashed = df.select(F.col(id_col), toks).select(
-        F.col(id_col), F.xxhash64("tok").alias("h")
-    )
+    base = df.select(F.col(id_col), toks)
+    if hash_fn == "arith":
+        hashed = base.select(F.col(id_col), arith_hash62_col(F.col("tok")).alias("h"))
+        udf = _simhash_udf(62)
+    else:
+        hashed = base.select(F.col(id_col), F.xxhash64("tok").alias("h"))
+        udf = _simhash_udf(64)
     grouped = hashed.groupBy(id_col).agg(F.collect_list("h").alias("hs"))
-    return grouped.select(F.col(id_col), simhash_from_hashes(F.col("hs")).alias("sh"))
+    return grouped.select(F.col(id_col), udf(F.col("hs")).alias("sh"))
+
+
+def simhash_block_layout(n_bits: int, blocks: int) -> list[tuple[int, int]]:
+    """(offset, width) per block — an exact partition of ``n_bits`` into
+    ``blocks`` non-empty blocks.  r1 used ``64 // blocks`` which left the
+    top ``64 % blocks`` bits UNCOVERED, voiding the pigeonhole guarantee
+    (a pair differing in an uncovered bit + r others could be missed)."""
+    q, rem = divmod(n_bits, blocks)
+    layout, off = [], 0
+    for i in range(blocks):
+        w = q + (1 if i < rem else 0)
+        layout.append((off, w))
+        off += w
+    return layout
 
 
 def simhash_pairs(
-    df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ r via pigeonhole block join:
-    split 64 bits into r+1 blocks; any pair within r shares ≥1 full block →
-    equi-join per block, then exact popcount filter."""
+    partition the hash bits into r+1 blocks; any pair within r shares ≥1
+    full block → equi-join per block, then exact popcount filter.  100%
+    recall by construction (the emitted set IS all pairs within r)."""
     blocks = max_hamming + 1
-    width = 64 // blocks
-    h = simhash_df(df, text_col, id_col)
+    n_bits = 62 if hash_fn == "arith" else 64
+    h = simhash_df(df, text_col, id_col, hash_fn=hash_fn)
     parts = F.explode(
         F.array(
             *[
                 F.struct(
                     F.lit(bi).alias("blk"),
-                    F.shiftrightunsigned(F.col("sh"), bi * width)
+                    F.shiftrightunsigned(F.col("sh"), off)
                     .bitwiseAND(F.lit((1 << width) - 1))
                     .alias("key"),
                 )
-                for bi in range(blocks)
+                for bi, (off, width) in enumerate(simhash_block_layout(n_bits, blocks))
             ]
         )
     )

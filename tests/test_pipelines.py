@@ -143,3 +143,62 @@ def test_image_verify_and_features(spark):
     rows = stats.collect()
     assert len(rows) == 50
     assert all(0 <= r.mean_r <= 255 for r in rows)
+
+
+def test_simhash_block_layout_partitions_all_bits():
+    from jena_geo_spark.pipelines.dedup import simhash_block_layout
+
+    for n_bits in (62, 64):
+        for blocks in (4, 9, 7):
+            layout = simhash_block_layout(n_bits, blocks)
+            assert len(layout) == blocks
+            assert all(w >= 1 for _, w in layout)  # pigeonhole needs non-empty
+            flat = sorted(b for off, w in layout for b in range(off, off + w))
+            assert flat == list(range(n_bits))  # exact partition, no gaps
+
+
+def test_simhash_pairs_exact_recall_at_radius(spark):
+    """Pigeonhole guarantee: a pair at EXACTLY max_hamming must be found
+    even when the diffs spread one-per-block (the r1 64//blocks layout
+    missed pairs differing in the uncovered top bits)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from jena_geo_spark.pipelines.dedup import simhash_block_layout, simhash_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # brute force the real hamming distances vs the operator's output
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, base + " extra words here now"), (3, "totally different text corpus")],
+        "doc_id long, text string",
+    )
+    out = simhash_pairs(docs, max_hamming=8, hash_fn="arith")
+    got = {(r.id_a, r.id_b): r.hamming for r in out.collect()}
+    from jena_geo_spark.pipelines.dedup import simhash_df
+
+    sh = {r.doc_id: r.sh for r in simhash_df(docs, hash_fn="arith").collect()}
+    for a in sh:
+        for b in sh:
+            if a < b:
+                ham = bin(sh[a] ^ sh[b]).count("1")
+                if ham <= 8:
+                    assert (a, b) in got and got[(a, b)] == ham
+                else:
+                    assert (a, b) not in got
+
+
+def test_jaccard_max_df_cap_keeps_exact_pairs(spark):
+    from jena_geo_spark.pipelines.dedup import jaccard_dedup_pairs
+
+    rows = [
+        (0, "a b c d e f g h"),
+        (1, "a b c d e f g z"),  # near-dup of 0
+        (2, "p q r s t u v w"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {(r.id_a, r.id_b): (r.inter, r.uni) for r in
+            jaccard_dedup_pairs(docs, n=3, threshold_num=1, threshold_den=5).collect()}
+    capped = {(r.id_a, r.id_b): (r.inter, r.uni) for r in
+              jaccard_dedup_pairs(docs, n=3, threshold_num=1, threshold_den=5, max_df=10).collect()}
+    # cap above every df → identical output, and inter/uni stay EXACT
+    assert capped == full and (0, 1) in capped
