@@ -631,6 +631,52 @@ def o_geo_affine() -> str:
     )
 
 
+_HP_C = 10.0  # half-plane y <= c
+# rectangle so large that only its y=c edge can interact with triangles
+# derived inside lon∈[-180,180], lat∈[-90,90] → GH intersection ≡ half-plane
+# clip, but exercised through the GENERAL overlay kernel
+_HP_RECT_WKT = (
+    f"POLYGON((-400.0 -400.0, 400.0 -400.0, 400.0 {_HP_C!r}, -400.0 {_HP_C!r}, -400.0 -400.0))"
+)
+
+
+def q_geo_overlay_halfplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greiner–Hormann intersection area of each derived triangle with a
+    half-plane (as a huge rectangle).  Oracle: Green's theorem ∮x dy — the
+    chords on the clip line contribute 0, so the area is a closed-form sum
+    over per-edge clipped contributions (SQL-expressible); rounded to 5 dp
+    because shoelace-vs-trapezoid summation differs in the last ulps."""
+    from .functions.vector import st_geomfromtext, st_intersection
+
+    pts = _with_tri_coords(points_from_events(spark, sf_dir))
+    tri = pts.withColumn(
+        "g", _make_triangle(*[F.col(c) for c in ("x1", "y1", "x2", "y2", "x3", "y3")])
+    ).withColumn("rect", st_geomfromtext(F.lit(_HP_RECT_WKT)))
+    clipped = st_intersection(F.col("g"), F.col("rect"))
+    return tri.select("event_id", F.round(st_area(clipped), 5).alias("clip_area"))
+
+
+def o_geo_overlay_halfplane() -> str:
+    c = f"{_HP_C!r}::DOUBLE"
+
+    def edge(xa, ya, xb, yb):
+        xc = f"({xa} + ({c} - {ya}) * ({xb} - {xa}) / ({yb} - {ya}))"
+        return (
+            f"(CASE WHEN {ya} <= {c} AND {yb} <= {c} THEN ({xa} + {xb}) * ({yb} - {ya}) * 0.5::DOUBLE "
+            f"WHEN {ya} <= {c} AND {yb} > {c} THEN ({xa} + {xc}) * ({c} - {ya}) * 0.5::DOUBLE "
+            f"WHEN {ya} > {c} AND {yb} <= {c} THEN ({xc} + {xb}) * ({yb} - {c}) * 0.5::DOUBLE "
+            f"ELSE 0.0::DOUBLE END)"
+        )
+
+    terms = " + ".join(
+        [edge("x1", "y1", "x2", "y2"), edge("x2", "y2", "x3", "y3"), edge("x3", "y3", "x1", "y1")]
+    )
+    return (
+        f"WITH {_PTS_CTE}, t AS (SELECT event_id, {_TRI_SQL_COLS} FROM pts) "
+        f"SELECT event_id, round(abs({terms}), 5) AS clip_area FROM t"
+    )
+
+
 # --------------------------------------------------------------- documents --
 
 
@@ -1007,6 +1053,7 @@ QUERIES = {
     "geo_transform_merc": q_geo_transform_merc,
     "geo_clip_area": q_geo_clip_area,
     "geo_mp_pip_join": q_geo_mp_pip_join,
+    "geo_overlay_halfplane": q_geo_overlay_halfplane,
     "geo_perimeter": q_geo_perimeter,
     "geo_bounds_box": q_geo_bounds_box,
     "geo_units": q_geo_units,
@@ -1041,6 +1088,7 @@ ORACLES = {
     "temporal_allen": o_temporal_allen(),
     "geo_haversine": o_geo_haversine(),
     "geo_mp_pip_join": o_geo_mp_pip_join(),
+    "geo_overlay_halfplane": o_geo_overlay_halfplane(),
     "geo_perimeter": o_geo_perimeter(),
     "geo_bounds_box": o_geo_bounds_box(),
     "geo_units": o_geo_units(),

@@ -255,8 +255,8 @@ def overlay_rings(subj: np.ndarray, clip: np.ndarray, op: str) -> list:
     for ``difference`` where clip ⊂ subj include the reversed clip ring as
     a hole (callers assemble polygon-with-hole).
     """
-    subj = _open(np.asarray(subj, dtype=np.float64))
-    clip = _open(np.asarray(clip, dtype=np.float64))
+    subj = _ccw(_open(np.asarray(subj, dtype=np.float64)))
+    clip = _ccw(_open(np.asarray(clip, dtype=np.float64)))
     if len(subj) < 3:
         return [clip.copy()] if op in ("union", "symdifference") and len(clip) >= 3 else []
     if len(clip) < 3:
@@ -304,15 +304,114 @@ def overlay_rings(subj: np.ndarray, clip: np.ndarray, op: str) -> list:
     return [subj.copy()]
 
 
+def overlay_geoms(ga, gb, op: str):
+    """Geometry-level overlay for simple (single-ring) polygons → Geom
+    polygon / multipolygon, holes included (reference geof:intersection /
+    union / difference / symDifference, ``GeometryWrapper.java:715-808``).
+
+    Inputs with interior rings or multiple members are reduced to their
+    primary exterior ring (documented limitation — the area-level helpers
+    below handle hole-free multipolygons by member-pair composition)."""
+    from . import wkt as W
+
+    rings = overlay_rings(ga.exterior(), gb.exterior(), op)
+    polys = assemble_polygons(rings)
+    if not polys:
+        return W.Geom("polygon", [])
+    if len(polys) == 1:
+        shell, holes = polys[0]
+        return W.Geom("polygon", [shell] + list(holes))
+    return W.Geom("multipolygon", [[shell] + list(holes) for shell, holes in polys])
+
+
+def _ccw(ring: np.ndarray) -> np.ndarray:
+    """Normalise to counter-clockwise winding — GH then traces outer rings
+    CCW and holes CW, so the net signed area is the true region area."""
+    if len(ring) >= 3 and _signed_area(ring) < 0:
+        return ring[::-1].copy()
+    return ring
+
+
+def interior_point(ring: np.ndarray) -> tuple:
+    """A point strictly inside a simple ring (scanline midpoint — the
+    classic PointOnSurface construction): pick a horizontal line strictly
+    between two distinct vertex ordinates, midpoint of its first crossing
+    pair.  No vertex lies ON the chosen line, so crossings pair up cleanly.
+    """
+    ring = _open(np.asarray(ring, dtype=np.float64))
+    ys = np.unique(ring[:, 1])
+    if len(ys) < 2:
+        return float(ring[:, 0].mean()), float(ys[0])
+    k = len(ys) // 2
+    ym = (ys[k - 1] + ys[k]) / 2.0
+    x1, y1 = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    crossing = (y1 > ym) != (y2 > ym)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xs = x1[crossing] + (ym - y1[crossing]) * (x2[crossing] - x1[crossing]) / (
+            y2[crossing] - y1[crossing]
+        )
+    xs = np.sort(xs)
+    return float((xs[0] + xs[1]) / 2.0), float(ym)
+
+
+def ring_depths(rings: list) -> list:
+    """Containment depth per ring (0 = outer shell, odd = hole, ...).
+
+    Overlay output rings never cross, so ring-in-ring containment is
+    decided by ONE boundary point — an edge midpoint, NOT an interior
+    point (a shell's interior point could fall inside its own hole and
+    misclassify the shell).  Midpoints of traced edges avoid the shared
+    intersection vertices; ray-cast parity over the candidate container is
+    exact for points strictly off its boundary."""
+    depths = []
+    for i, r in enumerate(rings):
+        mid = (r[0] + r[1]) / 2.0 if len(r) >= 2 else r[0]
+        d = 0
+        for j, other in enumerate(rings):
+            if i != j and _point_in(float(mid[0]), float(mid[1]), other):
+                d += 1
+        depths.append(d)
+    return depths
+
+
 def overlay_area(subj: np.ndarray, clip: np.ndarray, op: str) -> float:
-    """|op(subj, clip)| — sums |signed area| of output rings, treating a
-    ring wound opposite to its container as a hole (difference-with-hole)."""
+    """|op(subj, clip)| — Σ ±|signed area| with sign from containment depth
+    (GH traces rings with op-dependent winding, so raw signed sums are not
+    reliable for difference; depth parity is)."""
     rings = overlay_rings(subj, clip, op)
     if not rings:
         return 0.0
-    if op == "difference" and len(rings) == 2:
-        # containment case: [outer, hole]
-        a0, a1 = abs(_signed_area(rings[0])), abs(_signed_area(rings[1]))
-        if _point_in(float(rings[1][0, 0]), float(rings[1][0, 1]), rings[0]):
-            return a0 - a1
-    return float(sum(abs(_signed_area(r)) for r in rings))
+    if len(rings) == 1:
+        return abs(_signed_area(rings[0]))
+    tot = 0.0
+    for r, d in zip(rings, ring_depths(rings)):
+        tot += abs(_signed_area(r)) * (1.0 if d % 2 == 0 else -1.0)
+    return tot
+
+
+def assemble_polygons(rings: list) -> list:
+    """[(shell, [holes…]), …] — depth-even rings become shells, depth-odd
+    rings attach to their immediate (depth-1) container."""
+    if not rings:
+        return []
+    depths = ring_depths(rings)
+    shells = [
+        (i, r) for i, (r, d) in enumerate(zip(rings, depths)) if d % 2 == 0
+    ]
+    out = []
+    hole_idx = [i for i, d in enumerate(depths) if d % 2 == 1]
+    assigned: dict[int, list] = {i: [] for i, _ in shells}
+    for hi in hole_idx:
+        px, py = interior_point(rings[hi])
+        best, best_area = None, np.inf
+        for si, sr in shells:
+            if _point_in(px, py, sr):
+                a = abs(_signed_area(sr))
+                if a < best_area:
+                    best, best_area = si, a
+        if best is not None:
+            assigned[best].append(rings[hi])
+    for si, sr in shells:
+        out.append((sr, assigned[si]))
+    return out
