@@ -119,6 +119,10 @@ def _insert_sorted(a: _V, b: _V, iv: _V) -> None:
 
 _EPS_ALPHA = 1e-12
 
+# relative epsilon of the clip perturbation used by the LAST overlay_rings
+# call (0.0 = exact run) — relate() reads it to size its area tolerance
+last_perturbation = 0.0
+
 
 def _intersect_edges(p1, p2, q1, q2):
     """Parametric intersection of segments p1p2 and q1q2.
@@ -233,6 +237,30 @@ def _gh_core(subj: np.ndarray, clip: np.ndarray, flip_subj: bool, flip_clip: boo
     return [r for r in out if len(r) >= 3]
 
 
+def _probe_inside(ring: np.ndarray, other: np.ndarray) -> bool:
+    """Is ``ring`` inside ``other``, given their boundaries do not cross?
+    Probes ring vertices and edge midpoints, skipping any that lie exactly
+    on ``other``'s boundary; identical boundaries count as inside."""
+    oc = np.vstack([other, other[:1]])
+
+    def on_boundary(px, py):
+        for i in range(len(oc) - 1):
+            ax, ay = oc[i]
+            bx, by = oc[i + 1]
+            if (bx - ax) * (py - ay) - (by - ay) * (px - ax) == 0.0 and (
+                min(ax, bx) <= px <= max(ax, bx) and min(ay, by) <= py <= max(ay, by)
+            ):
+                return True
+        return False
+
+    candidates = [tuple(p) for p in ring]
+    candidates += [tuple((ring[i] + ring[(i + 1) % len(ring)]) / 2.0) for i in range(len(ring))]
+    for px, py in candidates:
+        if not on_boundary(px, py):
+            return _point_in(float(px), float(py), other)
+    return True  # every probe on the boundary → coincident rings
+
+
 def _perturbed(ring: np.ndarray, rel: float) -> np.ndarray:
     span = max(
         float(ring[:, 0].max() - ring[:, 0].min()),
@@ -272,6 +300,8 @@ def overlay_rings(subj: np.ndarray, clip: np.ndarray, op: str) -> list:
         try:
             c = clip if rel == 0.0 else _perturbed(clip, rel)
             rings = _gh_core(subj, c, flip_subj, flip_clip)
+            global last_perturbation
+            last_perturbation = rel
             break
         except _Degenerate:
             continue
@@ -281,9 +311,11 @@ def overlay_rings(subj: np.ndarray, clip: np.ndarray, op: str) -> list:
     if rings is not None:
         return rings
 
-    # no crossings: disjoint or containment
-    s_in_c = _point_in(float(subj[0, 0]), float(subj[0, 1]), clip)
-    c_in_s = _point_in(float(clip[0, 0]), float(clip[0, 1]), subj)
+    # no crossings: disjoint or containment — probed with a point of one
+    # ring that is NOT on the other's boundary (a vertex may sit exactly on
+    # it when boundaries touch, making ray-cast parity meaningless)
+    s_in_c = _probe_inside(subj, clip)
+    c_in_s = _probe_inside(clip, subj)
     if op == "intersection":
         if s_in_c:
             return [subj.copy()]
