@@ -631,6 +631,166 @@ def o_geo_affine() -> str:
     )
 
 
+# fixed probe linestring for the distance-family oracles
+L0 = [(-50.3, -20.7), (10.4, 30.2), (80.6, -40.1)]
+_L0_WKT = "LINESTRING(" + ",".join(f"{x!r} {y!r}" for x, y in L0) + ")"
+
+
+def _sql_ptseg(px, py, ax, ay, bx, by) -> str:
+    """Squared point-to-segment distance, term-for-term identical to
+    kernel.point_segment_dist_sq (incl. the zero-length branch)."""
+    dx, dy = f"({bx} - {ax})", f"({by} - {ay})"
+    ll = f"({dx} * {dx} + {dy} * {dy})"
+    t = f"least(greatest((({px} - {ax}) * {dx} + ({py} - {ay}) * {dy}) / {ll}, 0.0::DOUBLE), 1.0::DOUBLE)"
+    cx = f"({ax} + {t} * {dx})"
+    cy = f"({ay} + {t} * {dy})"
+    return (
+        f"(CASE WHEN {ll} = 0.0::DOUBLE THEN ({px} - {ax}) * ({px} - {ax}) + ({py} - {ay}) * ({py} - {ay}) "
+        f"ELSE ({px} - {cx}) * ({px} - {cx}) + ({py} - {cy}) * ({py} - {cy}) END)"
+    )
+
+
+def q_geo_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Hausdorff distance of each derived 4-point line to a fixed
+    probe line (reference HausdorffDistance.java semantics)."""
+    from .functions.vector import st_geomfromtext, st_hausdorffdistance
+
+    pts = _with_tri_coords(points_from_events(spark, sf_dir))
+    line = pts.withColumn(
+        "g",
+        _make_line4(*[F.col(c) for c in ("x1", "y1", "x2", "y2", "x3", "y3", "x4", "y4")]),
+    ).withColumn("probe", st_geomfromtext(F.lit(_L0_WKT)))
+    return line.select(
+        "event_id", st_hausdorffdistance(F.col("g"), F.col("probe")).alias("hausdorff")
+    )
+
+
+def o_geo_hausdorff() -> str:
+    verts = [("x1", "y1"), ("x2", "y2"), ("x3", "y3"), ("x4", "y4")]
+    l0 = [(f"{x!r}::DOUBLE", f"{y!r}::DOUBLE") for x, y in L0]
+    terms = []
+    # A vertices → probe segments
+    for px, py in verts:
+        segs = [
+            _sql_ptseg(px, py, l0[i][0], l0[i][1], l0[i + 1][0], l0[i + 1][1])
+            for i in range(len(l0) - 1)
+        ]
+        terms.append("least(" + ", ".join(segs) + ")")
+    # probe vertices → A segments
+    for qx, qy in l0:
+        segs = [
+            _sql_ptseg(qx, qy, verts[i][0], verts[i][1], verts[i + 1][0], verts[i + 1][1])
+            for i in range(len(verts) - 1)
+        ]
+        terms.append("least(" + ", ".join(segs) + ")")
+    return (
+        f"WITH {_PTS_CTE}, t AS (SELECT event_id, {_TRI_SQL_COLS} FROM pts) "
+        f"SELECT event_id, sqrt(greatest({', '.join(terms)})) AS hausdorff FROM t"
+    )
+
+
+def q_geo_maxdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.vector import st_geomfromtext, st_maxdistance
+
+    pts = _with_tri_coords(points_from_events(spark, sf_dir))
+    line = pts.withColumn(
+        "g",
+        _make_line4(*[F.col(c) for c in ("x1", "y1", "x2", "y2", "x3", "y3", "x4", "y4")]),
+    ).withColumn("probe", st_geomfromtext(F.lit(_L0_WKT)))
+    return line.select(
+        "event_id", st_maxdistance(F.col("g"), F.col("probe")).alias("maxdist")
+    )
+
+
+def o_geo_maxdistance() -> str:
+    verts = [("x1", "y1"), ("x2", "y2"), ("x3", "y3"), ("x4", "y4")]
+    pairs = []
+    for px, py in verts:
+        for x, y in L0:
+            qx, qy = f"{x!r}::DOUBLE", f"{y!r}::DOUBLE"
+            pairs.append(
+                f"({px} - {qx}) * ({px} - {qx}) + ({py} - {qy}) * ({py} - {qy})"
+            )
+    return (
+        f"WITH {_PTS_CTE}, t AS (SELECT event_id, {_TRI_SQL_COLS} FROM pts) "
+        f"SELECT event_id, sqrt(greatest({', '.join(pairs)})) AS maxdist FROM t"
+    )
+
+
+def q_geo_closest_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closest point ON the fixed probe line to each derived point
+    (reference ClosestPoint.java / ShortestLine.java endpoint)."""
+    from .functions.vector import st_closestpoint, st_geomfromtext, st_point
+
+    pts = points_from_events(spark, sf_dir)
+    probe = st_geomfromtext(F.lit(_L0_WKT))
+    cp = st_closestpoint(probe, st_point(F.col("lon"), F.col("lat")))
+    return pts.withColumn("_cp", cp).select(
+        "event_id", F.col("_cp.x").alias("cx"), F.col("_cp.y").alias("cy")
+    )
+
+
+def o_geo_closest_point() -> str:
+    # replicate nearest_points' sequential strict-< argmin over candidates:
+    # probe vertices first (point-point), then projections onto probe
+    # segments — identical candidate order, identical arithmetic
+    l0 = [(f"{x!r}::DOUBLE", f"{y!r}::DOUBLE") for x, y in L0]
+    cands = []
+    for qx, qy in l0:
+        cands.append(
+            (f"(({qx}) - lon) * (({qx}) - lon) + (({qy}) - lat) * (({qy}) - lat)", qx, qy)
+        )
+    for i in range(len(l0) - 1):
+        ax, ay = l0[i]
+        bx, by = l0[i + 1]
+        dx, dy = f"(({bx}) - ({ax}))", f"(({by}) - ({ay}))"
+        ll = f"({dx} * {dx} + {dy} * {dy})"
+        t = f"least(greatest(((lon - ({ax})) * {dx} + (lat - ({ay})) * {dy}) / {ll}, 0.0::DOUBLE), 1.0::DOUBLE)"
+        cx = f"(({ax}) + {t} * {dx})"
+        cy = f"(({ay}) + {t} * {dy})"
+        cands.append((f"((lon - {cx}) * (lon - {cx}) + (lat - {cy}) * (lat - {cy}))", cx, cy))
+    # chained CTEs performing the sequential argmin with strict <
+    sql = f"WITH {_PTS_CTE}, s0 AS (SELECT event_id, lon, lat, {cands[0][0]} AS bd, {cands[0][1]} AS bx, {cands[0][2]} AS by FROM pts)"
+    for k, (d, x, y) in enumerate(cands[1:], start=1):
+        sql += (
+            f", s{k} AS (SELECT event_id, lon, lat, "
+            f"CASE WHEN {d} < bd THEN {d} ELSE bd END AS bd, "
+            f"CASE WHEN {d} < bd THEN {x} ELSE bx END AS bx, "
+            f"CASE WHEN {d} < bd THEN {y} ELSE by END AS by FROM s{k - 1})"
+        )
+    sql += f" SELECT event_id, bx AS cx, by AS cy FROM s{len(cands) - 1}"
+    return sql
+
+
+def q_geo_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance from each derived triangle's centroid to a fixed point
+    (reference CentroidDistance.java)."""
+    from .functions.vector import st_centroid_distance, st_point
+
+    pts = _with_tri_coords(points_from_events(spark, sf_dir).filter(F.col("event_id") > 0))
+    tri = pts.withColumn(
+        "g", _make_triangle(*[F.col(c) for c in ("x1", "y1", "x2", "y2", "x3", "y3")])
+    )
+    fixed = st_point(F.lit(12.5), F.lit(-7.25))
+    return tri.select(
+        "event_id", st_centroid_distance(F.col("g"), fixed).alias("cdist")
+    )
+
+
+def o_geo_centroid_dist() -> str:
+    return (
+        f"WITH {_PTS_CTE}, t AS (SELECT event_id, {_TRI_SQL_COLS} FROM pts), "
+        "c AS (SELECT event_id, x1, y1, x2, y2, x3, y3, "
+        "(x1 * y2 - x2 * y1) AS cr1, (x2 * y3 - x3 * y2) AS cr2, (x3 * y1 - x1 * y3) AS cr3 FROM t), "
+        "cen AS (SELECT event_id, "
+        "((x1 + x2) * cr1 + (x2 + x3) * cr2 + (x3 + x1) * cr3) / (6.0 * ((cr1 + cr2 + cr3) * 0.5)) AS cx, "
+        "((y1 + y2) * cr1 + (y2 + y3) * cr2 + (y3 + y1) * cr3) / (6.0 * ((cr1 + cr2 + cr3) * 0.5)) AS cy "
+        "FROM c WHERE event_id > 0) "
+        "SELECT event_id, sqrt((cx - 12.5::DOUBLE) * (cx - 12.5::DOUBLE) + "
+        "(cy - (-7.25::DOUBLE)) * (cy - (-7.25::DOUBLE))) AS cdist FROM cen"
+    )
+
+
 _HP_C = 10.0  # half-plane y <= c
 # rectangle so large that only its y=c edge can interact with triangles
 # derived inside lon∈[-180,180], lat∈[-90,90] → GH intersection ≡ half-plane
@@ -1054,6 +1214,10 @@ QUERIES = {
     "geo_clip_area": q_geo_clip_area,
     "geo_mp_pip_join": q_geo_mp_pip_join,
     "geo_overlay_halfplane": q_geo_overlay_halfplane,
+    "geo_hausdorff": q_geo_hausdorff,
+    "geo_maxdistance": q_geo_maxdistance,
+    "geo_closest_point": q_geo_closest_point,
+    "geo_centroid_dist": q_geo_centroid_dist,
     "geo_perimeter": q_geo_perimeter,
     "geo_bounds_box": q_geo_bounds_box,
     "geo_units": q_geo_units,
@@ -1089,6 +1253,10 @@ ORACLES = {
     "geo_haversine": o_geo_haversine(),
     "geo_mp_pip_join": o_geo_mp_pip_join(),
     "geo_overlay_halfplane": o_geo_overlay_halfplane(),
+    "geo_hausdorff": o_geo_hausdorff(),
+    "geo_maxdistance": o_geo_maxdistance(),
+    "geo_closest_point": o_geo_closest_point(),
+    "geo_centroid_dist": o_geo_centroid_dist(),
     "geo_perimeter": o_geo_perimeter(),
     "geo_bounds_box": o_geo_bounds_box(),
     "geo_units": o_geo_units(),

@@ -211,6 +211,113 @@ def st_distance_sphere(lon1: pd.Series, lat1: pd.Series, lon2: pd.Series, lat2: 
     return pd.Series(K.haversine_m(lon1, lat1, lon2, lat2))
 
 
+# --- distance long tail (geom/distances.py kernels) ---
+# reference geometry/relation/{HausdorffDistance,FrechetDistance,
+# MaxDistance,ClosestPoint,ShortestLine,LongestLine,CentroidDistance}.java
+
+
+def _dist2_udf(fn):
+    def wrapped(a: pd.Series, b: pd.Series) -> pd.Series:
+        from ..geom import distances as D
+
+        impl = getattr(D, fn)
+        return pd.Series(
+            [impl(W.from_wkb(x), W.from_wkb(y)) for x, y in zip(a, b)]
+        )
+
+    wrapped.__name__ = f"st_{fn}"
+    return pandas_udf(wrapped, DoubleType())
+
+
+st_hausdorffdistance = _dist2_udf("hausdorff")
+st_maxdistance = _dist2_udf("max_distance")
+
+
+@pandas_udf(DoubleType())
+def st_frechetdistance(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Continuous (Alt–Godau) Fréchet distance over the primary chains.
+    NOTE: the reference's vendored implementation (heigit/ors/util/
+    FrechetDistance.java) has a broken decision procedure (endpoint
+    distances never enforced, binarySearch returns the last probe) — its
+    FrechetDistanceTest golden 10.0 for (g3, g4) is an artifact; the true
+    Fréchet distance of those curves is 191.0497… (≥ the endpoint
+    distance), which this implementation returns."""
+    from ..geom import distances as D
+
+    return pd.Series(
+        [
+            D.frechet_continuous(W.from_wkb(x).parts[0], W.from_wkb(y).parts[0])
+            for x, y in zip(a, b)
+        ]
+    )
+
+
+@pandas_udf(DoubleType())
+def st_frechetdistance_discrete(a: pd.Series, b: pd.Series) -> pd.Series:
+    from ..geom import distances as D
+
+    return pd.Series(
+        [
+            D.frechet_discrete(W.from_wkb(x).parts[0], W.from_wkb(y).parts[0])
+            for x, y in zip(a, b)
+        ]
+    )
+
+
+@pandas_udf(_POINT_T)
+def st_closestpoint(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+    """Closest point ON A to B (JTS DistanceOp.nearestPoints()[0];
+    reference ClosestPointTest: point vs linestring → the point itself)."""
+    from ..geom import distances as D
+
+    pts = [D.nearest_points(W.from_wkb(x), W.from_wkb(y))[0] for x, y in zip(a, b)]
+    arr = np.array(pts, dtype=np.float64).reshape(-1, 2)
+    return pd.DataFrame({"x": arr[:, 0], "y": arr[:, 1]})
+
+
+@pandas_udf(BinaryType())
+def st_shortestline(a: pd.Series, b: pd.Series) -> pd.Series:
+    from ..geom import distances as D
+
+    out = []
+    for x, y in zip(a, b):
+        pa, pb = D.nearest_points(W.from_wkb(x), W.from_wkb(y))
+        out.append(W.to_wkb(W.Geom("linestring", [np.array([pa, pb], dtype=np.float64)])))
+    return pd.Series(out)
+
+
+@pandas_udf(BinaryType())
+def st_longestline(a: pd.Series, b: pd.Series) -> pd.Series:
+    from ..geom import distances as D
+
+    out = []
+    for x, y in zip(a, b):
+        pa, pb = D.furthest_pair(W.from_wkb(x), W.from_wkb(y))
+        out.append(W.to_wkb(W.Geom("linestring", [np.array([pa, pb], dtype=np.float64)])))
+    return pd.Series(out)
+
+
+@pandas_udf(DoubleType())
+def st_centroid_distance(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Distance between centroids (reference CentroidDistance.java)."""
+    out = np.empty(len(a))
+    for i, (x, y) in enumerate(zip(a, b)):
+        ga, gb = W.from_wkb(x), W.from_wkb(y)
+
+        def cen(g):
+            kind = "polygon" if g.kind in ("polygon", "multipolygon") else (
+                "linestring" if "linestring" in g.kind else "point"
+            )
+            return K.centroid(g.exterior(), kind)
+
+        ca, cb = cen(ga), cen(gb)
+        # explicit products, not **2: CPython float ** calls libm pow, which
+        # can be 1 ulp off x*x — breaks the bit-exact oracle comparison
+        ddx, ddy = ca[0] - cb[0], ca[1] - cb[1]
+        out[i] = float(np.sqrt(ddx * ddx + ddy * ddy))
+    return pd.Series(out)
+
+
 # --------------------------------------------------------------- predicates --
 
 

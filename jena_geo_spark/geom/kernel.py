@@ -29,7 +29,7 @@ def points_in_polygon(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.nd
     """
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
-    ring = np.asarray(ring, dtype=np.float64)
+    ring = np.asarray(ring, dtype=np.float64)[:, :2]  # Z/M ordinates ignored
     if len(ring) >= 2 and (ring[0] == ring[-1]).all():
         ring = ring[:-1]
     inside = np.zeros(px.shape, dtype=bool)
@@ -239,8 +239,10 @@ def geom_distance(a: np.ndarray, b: np.ndarray) -> float:
     Matches the reference golden ``DistanceTest.java:31-39``
     (69.9400386045075 for the two fixture linestrings).
     """
-    a = np.asarray(a, dtype=np.float64).reshape(-1, 2)
-    b = np.asarray(b, dtype=np.float64).reshape(-1, 2)
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    a = a.reshape(-1, 2) if a.ndim == 1 else a[:, :2]  # planar; Z/M dropped
+    b = b.reshape(-1, 2) if b.ndim == 1 else b[:, :2]
     if len(a) > 1 and len(b) > 1 and edges_intersect_any(a, b):
         return 0.0
     best = np.inf
@@ -319,7 +321,9 @@ def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
 
 def convex_hull(coords: np.ndarray) -> np.ndarray:
     """Andrew's monotone chain; returns closed CCW ring (k,2)."""
-    pts = np.unique(np.asarray(coords, dtype=np.float64).reshape(-1, 2), axis=0)
+    c = np.asarray(coords, dtype=np.float64)
+    c = c.reshape(-1, 2) if c.ndim == 1 else c[:, :2]
+    pts = np.unique(c, axis=0)
     if len(pts) <= 2:
         return pts
     order = np.lexsort((pts[:, 1], pts[:, 0]))
@@ -380,8 +384,8 @@ def clip_polygon_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
     is composed from this plus bbox decomposition.
     Rings may be open or closed; output is open (no duplicate last vertex).
     """
-    subj = np.asarray(subject, dtype=np.float64)
-    clp = np.asarray(clip, dtype=np.float64)
+    subj = np.asarray(subject, dtype=np.float64)[:, :2]
+    clp = np.asarray(clip, dtype=np.float64)[:, :2]
     if len(subj) >= 2 and (subj[0] == subj[-1]).all():
         subj = subj[:-1]
     if len(clp) >= 2 and (clp[0] == clp[-1]).all():

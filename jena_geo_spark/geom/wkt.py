@@ -38,8 +38,17 @@ _WKB_KIND = {v: k for k, v in _WKB_CODE.items()}
 
 @dataclass
 class Geom:
+    """kind + parts (+ optional dims for Z/M ordinates).
+
+    ``dims`` ∈ {"XY", "XYZ", "XYM", "XYZM"}; coordinate arrays then have
+    len(dims) columns.  All planar kernels read columns 0-1 only, so wider
+    arrays flow through measures/predicates untouched (reference XYZ/XYM
+    support: ``GeometryWrapper.java:1002-1046``, ``point/attribute/
+    {Z,M,ZMax,...}.java``)."""
+
     kind: str
     parts: list  # see module docstring
+    dims: str = "XY"
 
     # ---- convenience ----
     def all_coords(self) -> np.ndarray:
@@ -107,13 +116,13 @@ def _closed(ring: np.ndarray) -> np.ndarray:
 _NUM = r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?"
 
 
-def _parse_coord_seq(body: str) -> np.ndarray:
+def _parse_coord_seq(body: str, width: int = 2) -> np.ndarray:
     pts = []
     for tok in body.split(","):
         nums = re.findall(_NUM, tok)
-        if len(nums) < 2:
+        if len(nums) < width:
             raise ValueError(f"bad WKT coordinate: {tok!r}")
-        pts.append((float(nums[0]), float(nums[1])))  # XY; Z/M ordinates dropped
+        pts.append(tuple(float(n) for n in nums[:width]))
     return np.array(pts, dtype=np.float64)
 
 
@@ -142,30 +151,41 @@ def _split_groups(body: str) -> list[str]:
 
 def from_wkt(wkt: str) -> Geom:
     s = wkt.strip()
-    m = re.match(r"^\s*([A-Za-z]+)\s*(?:Z|M|ZM)?\s*\((.*)\)\s*$", s, re.S)
+    m = re.match(r"^\s*([A-Za-z]+)\s*(Z|M|ZM)?\s*\((.*)\)\s*$", s, re.S | re.I)
     if not m:
         if re.match(r"^\s*([A-Za-z]+)\s+EMPTY\s*$", s):
             kind = s.split()[0].lower()
             return Geom(kind, [])
         raise ValueError(f"unparseable WKT: {wkt[:80]!r}")
     kind = m.group(1).lower()
-    body = m.group(2)
+    zm = (m.group(2) or "").upper()
+    body = m.group(3)
+    if not zm:
+        # infer from the first coordinate's arity (bare 'POINT(1 2 3)')
+        first = re.split(r"[,()]", body.strip().lstrip("("))[0]
+        arity = len(re.findall(_NUM, first))
+        zm = {3: "Z", 4: "ZM"}.get(arity, "")
+    dims = {"": "XY", "Z": "XYZ", "M": "XYM", "ZM": "XYZM"}[zm]
+    w = len(dims)
+
+    def seq(b):
+        return _parse_coord_seq(b, w)
+
     if kind == "point":
-        return Geom("point", [_parse_coord_seq(body)])
+        return Geom("point", [seq(body)], dims)
     if kind == "linestring":
-        return Geom("linestring", [_parse_coord_seq(body)])
+        return Geom("linestring", [seq(body)], dims)
     if kind == "polygon":
-        rings = [_parse_coord_seq(g) for g in _split_groups(body)]
-        return Geom("polygon", rings)
+        return Geom("polygon", [seq(g) for g in _split_groups(body)], dims)
     if kind == "multipoint":
-        return Geom("multipoint", [_parse_coord_seq(body.replace("(", "").replace(")", ""))])
+        return Geom("multipoint", [seq(body.replace("(", "").replace(")", ""))], dims)
     if kind == "multilinestring":
-        return Geom("multilinestring", [_parse_coord_seq(g) for g in _split_groups(body)])
+        return Geom("multilinestring", [seq(g) for g in _split_groups(body)], dims)
     if kind == "multipolygon":
         polys = []
         for g in _split_groups(body):
-            polys.append([_parse_coord_seq(r) for r in _split_groups(g)])
-        return Geom("multipolygon", polys)
+            polys.append([seq(r) for r in _split_groups(g)])
+        return Geom("multipolygon", polys, dims)
     raise ValueError(f"unsupported WKT type: {kind}")
 
 
@@ -174,47 +194,50 @@ def _fmt(v: float) -> str:
 
 
 def _seq_to_wkt(a: np.ndarray) -> str:
-    return ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in a)
+    return ", ".join(" ".join(_fmt(v) for v in row) for row in a)
 
 
 def to_wkt(g: Geom) -> str:
     k = g.kind
+    tag = k.upper() + ({"XY": "", "XYZ": " Z", "XYM": " M", "XYZM": " ZM"}[g.dims])
     if not g.parts:
-        return f"{k.upper()} EMPTY"
-    if k == "point":
-        return f"POINT ({_seq_to_wkt(g.parts[0])})"
-    if k == "linestring":
-        return f"LINESTRING ({_seq_to_wkt(g.parts[0])})"
+        return f"{tag} EMPTY"
+    if k in ("point", "linestring", "multipoint"):
+        return f"{tag} ({_seq_to_wkt(g.parts[0])})"
     if k == "polygon":
         rings = ", ".join(f"({_seq_to_wkt(r)})" for r in g.parts)
-        return f"POLYGON ({rings})"
-    if k == "multipoint":
-        return f"MULTIPOINT ({_seq_to_wkt(g.parts[0])})"
+        return f"{tag} ({rings})"
     if k == "multilinestring":
         lines = ", ".join(f"({_seq_to_wkt(p)})" for p in g.parts)
-        return f"MULTILINESTRING ({lines})"
+        return f"{tag} ({lines})"
     if k == "multipolygon":
         polys = ", ".join(
             "(" + ", ".join(f"({_seq_to_wkt(r)})" for r in rings) + ")" for rings in g.parts
         )
-        return f"MULTIPOLYGON ({polys})"
+        return f"{tag} ({polys})"
     raise ValueError(k)
 
 
 # --------------------------------------------------------------------- WKB --
 
+_DIMS_OFFSET = {"XY": 0, "XYZ": 1000, "XYM": 2000, "XYZM": 3000}
+_OFFSET_DIMS = {v: k for k, v in _DIMS_OFFSET.items()}
+
+
 def to_wkb(g: Geom) -> bytes:
-    """Little-endian OGC WKB."""
-    code = _WKB_CODE[g.kind]
+    """Little-endian OGC WKB (ISO Z/M type codes: +1000/+2000/+3000)."""
+    code = _WKB_CODE[g.kind] + _DIMS_OFFSET[g.dims]
+    w = len(g.dims)
     out = [b"\x01", struct.pack("<I", code)]
     if g.kind == "point":
-        out.append(struct.pack("<dd", *g.parts[0][0]))
+        out.append(struct.pack(f"<{w}d", *g.parts[0][0]))
     elif g.kind in ("linestring", "multipoint"):
         a = g.parts[0]
         out.append(struct.pack("<I", len(a)))
         if g.kind == "multipoint":
-            for x, y in a:
-                out.append(b"\x01" + struct.pack("<Idd", 1, x, y))
+            pt_code = struct.pack("<I", 1 + _DIMS_OFFSET[g.dims])
+            for row in a:
+                out.append(b"\x01" + pt_code + struct.pack(f"<{w}d", *row))
         else:
             out.append(np.ascontiguousarray(a, dtype="<f8").tobytes())
     elif g.kind == "polygon":
@@ -225,11 +248,11 @@ def to_wkb(g: Geom) -> bytes:
     elif g.kind == "multilinestring":
         out.append(struct.pack("<I", len(g.parts)))
         for p in g.parts:
-            out.append(to_wkb(Geom("linestring", [p])))
+            out.append(to_wkb(Geom("linestring", [p], g.dims)))
     elif g.kind == "multipolygon":
         out.append(struct.pack("<I", len(g.parts)))
         for rings in g.parts:
-            out.append(to_wkb(Geom("polygon", rings)))
+            out.append(to_wkb(Geom("polygon", rings, g.dims)))
     return b"".join(out)
 
 
@@ -238,19 +261,36 @@ def from_wkb(buf: bytes) -> Geom:
     return g
 
 
+def _decode_type(code: int) -> tuple[str, str]:
+    """(kind, dims) from an ISO or EWKB type code."""
+    if code & 0x80000000 or code & 0x40000000:  # EWKB flags
+        dims = {
+            (True, False): "XYZ",
+            (False, True): "XYM",
+            (True, True): "XYZM",
+        }[(bool(code & 0x80000000), bool(code & 0x40000000))]
+        base = code & 0xFF
+    else:
+        offset = (code // 1000) * 1000
+        dims = _OFFSET_DIMS.get(offset, "XY")
+        base = code % 1000
+    return _WKB_KIND[base], dims
+
+
 def _read_wkb(mv: memoryview, off: int) -> tuple[Geom, int]:
     endian = "<" if mv[off] == 1 else ">"
-    code = struct.unpack_from(endian + "I", mv, off + 1)[0] & 0xFF
-    kind = _WKB_KIND[code]
+    code = struct.unpack_from(endian + "I", mv, off + 1)[0]
+    kind, dims = _decode_type(code)
+    w = len(dims)
     off += 5
     if kind == "point":
-        x, y = struct.unpack_from(endian + "dd", mv, off)
-        return Geom("point", [np.array([[x, y]])]), off + 16
+        vals = struct.unpack_from(endian + f"{w}d", mv, off)
+        return Geom("point", [np.array([vals])], dims), off + 8 * w
     if kind == "linestring":
         n = struct.unpack_from(endian + "I", mv, off)[0]
         off += 4
-        a = np.frombuffer(mv, dtype=endian + "f8", count=2 * n, offset=off).reshape(n, 2).copy()
-        return Geom("linestring", [a]), off + 16 * n
+        a = np.frombuffer(mv, dtype=endian + "f8", count=w * n, offset=off).reshape(n, w).copy()
+        return Geom("linestring", [a], dims), off + 8 * w * n
     if kind == "polygon":
         nr = struct.unpack_from(endian + "I", mv, off)[0]
         off += 4
@@ -259,26 +299,30 @@ def _read_wkb(mv: memoryview, off: int) -> tuple[Geom, int]:
             n = struct.unpack_from(endian + "I", mv, off)[0]
             off += 4
             rings.append(
-                np.frombuffer(mv, dtype=endian + "f8", count=2 * n, offset=off).reshape(n, 2).copy()
+                np.frombuffer(mv, dtype=endian + "f8", count=w * n, offset=off).reshape(n, w).copy()
             )
-            off += 16 * n
-        return Geom("polygon", rings), off
+            off += 8 * w * n
+        return Geom("polygon", rings, dims), off
     if kind == "multipoint":
         n = struct.unpack_from(endian + "I", mv, off)[0]
         off += 4
         pts = []
+        sub_dims = dims
         for _ in range(n):
             g, off = _read_wkb(mv, off)
+            sub_dims = g.dims
             pts.append(g.parts[0][0])
-        return Geom("multipoint", [np.array(pts)]), off
+        return Geom("multipoint", [np.array(pts)], sub_dims), off
     if kind in ("multilinestring", "multipolygon"):
         n = struct.unpack_from(endian + "I", mv, off)[0]
         off += 4
         parts = []
+        sub_dims = dims
         for _ in range(n):
             g, off = _read_wkb(mv, off)
+            sub_dims = g.dims
             parts.append(g.parts if kind == "multipolygon" else g.parts[0])
-        return Geom(kind, parts), off
+        return Geom(kind, parts, sub_dims), off
     raise ValueError(kind)
 
 
