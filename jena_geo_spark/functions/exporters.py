@@ -1,0 +1,467 @@
+"""Format exporters + XML constructors (the r1 gap: KML/GML/GPX/SVG/TWKB/
+X3D/LatLon/OSM/GeoRSS — reference ``geometry/exporter/`` 23 files).
+
+Pure-python encoders over the Geom model; goldens mirrored from the
+reference tests where they exist (``AsSVGTest``, ``AsLatLonTextTest``,
+``AsOSMLinkTest``) including their lat↔x / lon↔y convention (the reference
+emits ``coord.x`` as latitude — replicated verbatim, see ``AsGPX.java``,
+``AsOSMLink.java``).  TWKB follows the public TWKB spec (type+precision
+byte, metadata byte, zigzag-varint delta coordinates) with a full decoder
+for round-trip testing.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BinaryType, StringType
+
+from ..geom import wkt as W
+
+
+def _fmt(v: float) -> str:
+    return repr(float(v)) if v != int(v) else str(int(v))
+
+
+def _pairs(a: np.ndarray, sep_xy: str = ",", sep: str = " ") -> str:
+    return sep.join(f"{_fmt(x)}{sep_xy}{_fmt(y)}" for x, y in a[:, :2])
+
+
+# -------------------------------------------------------------------- KML --
+
+
+def to_kml(g: W.Geom) -> str:
+    k = g.kind
+    if k == "point":
+        return f"<Point><coordinates>{_pairs(g.parts[0])}</coordinates></Point>"
+    if k == "linestring":
+        return f"<LineString><coordinates>{_pairs(g.parts[0])}</coordinates></LineString>"
+    if k == "polygon":
+        out = ["<Polygon>"]
+        for i, r in enumerate(g.parts):
+            tag = "outerBoundaryIs" if i == 0 else "innerBoundaryIs"
+            out.append(
+                f"<{tag}><LinearRing><coordinates>{_pairs(r)}</coordinates></LinearRing></{tag}>"
+            )
+        out.append("</Polygon>")
+        return "".join(out)
+    if k == "multipoint":
+        inner = "".join(to_kml(W.Geom("point", [g.parts[0][i : i + 1]])) for i in range(len(g.parts[0])))
+        return f"<MultiGeometry>{inner}</MultiGeometry>"
+    if k == "multilinestring":
+        inner = "".join(to_kml(W.Geom("linestring", [p])) for p in g.parts)
+        return f"<MultiGeometry>{inner}</MultiGeometry>"
+    if k == "multipolygon":
+        inner = "".join(to_kml(W.Geom("polygon", rings)) for rings in g.parts)
+        return f"<MultiGeometry>{inner}</MultiGeometry>"
+    raise ValueError(k)
+
+
+def from_kml(s: str) -> W.Geom:
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(s)
+
+    def strip(tag):
+        return tag.split("}")[-1]
+
+    def coords(el):
+        pts = []
+        for tok in el.text.split():
+            nums = [float(v) for v in tok.split(",")]
+            pts.append((nums[0], nums[1]))
+        return np.array(pts, dtype=np.float64)
+
+    def parse(el):
+        t = strip(el.tag)
+        if t == "Point":
+            return W.Geom("point", [coords(el.find(".//{*}coordinates"))])
+        if t == "LineString":
+            return W.Geom("linestring", [coords(el.find(".//{*}coordinates"))])
+        if t == "Polygon":
+            rings = [coords(c) for c in el.findall(".//{*}coordinates")]
+            return W.Geom("polygon", rings)
+        if t == "MultiGeometry":
+            subs = [parse(c) for c in el]
+            if all(x.kind == "polygon" for x in subs):
+                return W.Geom("multipolygon", [x.parts for x in subs])
+            if all(x.kind == "linestring" for x in subs):
+                return W.Geom("multilinestring", [x.parts[0] for x in subs])
+            return W.Geom("multipoint", [np.vstack([x.parts[0] for x in subs])])
+        raise ValueError(t)
+
+    return parse(root)
+
+
+# -------------------------------------------------------------------- GML --
+
+
+def to_gml(g: W.Geom) -> str:
+    k = g.kind
+    if k == "point":
+        return f"<gml:Point><gml:coordinates>{_pairs(g.parts[0])}</gml:coordinates></gml:Point>"
+    if k == "linestring":
+        return (
+            f"<gml:LineString><gml:coordinates>{_pairs(g.parts[0])}"
+            "</gml:coordinates></gml:LineString>"
+        )
+    if k == "polygon":
+        out = ["<gml:Polygon>"]
+        for i, r in enumerate(g.parts):
+            tag = "gml:outerBoundaryIs" if i == 0 else "gml:innerBoundaryIs"
+            out.append(
+                f"<{tag}><gml:LinearRing><gml:coordinates>{_pairs(r)}"
+                f"</gml:coordinates></gml:LinearRing></{tag}>"
+            )
+        out.append("</gml:Polygon>")
+        return "".join(out)
+    if k == "multipolygon":
+        inner = "".join(
+            f"<gml:polygonMember>{to_gml(W.Geom('polygon', rings))}</gml:polygonMember>"
+            for rings in g.parts
+        )
+        return f"<gml:MultiPolygon>{inner}</gml:MultiPolygon>"
+    if k == "multilinestring":
+        inner = "".join(
+            f"<gml:lineStringMember>{to_gml(W.Geom('linestring', [p]))}</gml:lineStringMember>"
+            for p in g.parts
+        )
+        return f"<gml:MultiLineString>{inner}</gml:MultiLineString>"
+    if k == "multipoint":
+        inner = "".join(
+            f"<gml:pointMember>{to_gml(W.Geom('point', [g.parts[0][i:i + 1]]))}</gml:pointMember>"
+            for i in range(len(g.parts[0]))
+        )
+        return f"<gml:MultiPoint>{inner}</gml:MultiPoint>"
+    raise ValueError(k)
+
+
+def from_gml(s: str) -> W.Geom:
+    # strip namespace prefixes, then parse like KML (same coordinate syntax)
+    s2 = re.sub(r"<(/?)gml:", r"<\1", s)
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(s2)
+
+    def coords(el):
+        pts = []
+        for tok in el.text.split():
+            nums = [float(v) for v in tok.split(",")]
+            pts.append((nums[0], nums[1]))
+        return np.array(pts, dtype=np.float64)
+
+    def parse(el):
+        t = el.tag
+        if t == "Point":
+            return W.Geom("point", [coords(el.find(".//coordinates"))])
+        if t == "LineString":
+            return W.Geom("linestring", [coords(el.find(".//coordinates"))])
+        if t == "Polygon":
+            return W.Geom("polygon", [coords(c) for c in el.findall(".//coordinates")])
+        if t == "MultiPolygon":
+            return W.Geom(
+                "multipolygon",
+                [parse(m.find("Polygon")).parts for m in el.findall("polygonMember")],
+            )
+        if t == "MultiLineString":
+            return W.Geom(
+                "multilinestring",
+                [parse(m.find("LineString")).parts[0] for m in el.findall("lineStringMember")],
+            )
+        if t == "MultiPoint":
+            return W.Geom(
+                "multipoint",
+                [np.vstack([parse(m.find("Point")).parts[0] for m in el.findall("pointMember")])],
+            )
+        raise ValueError(t)
+
+    return parse(root)
+
+
+# -------------------------------------------------------------------- GPX --
+
+_GPX_HEAD = (
+    "<?xml version='1.0' encoding='UTF-8' standalone='no' ?>"
+    "<gpx version='1.0'><name>Example gpx</name>"
+    "  <trk>    <name>Example gpx</name>    <trkseg>"
+)
+_GPX_TAIL = " </trkseg></trk></gpx>"
+
+
+def to_gpx(g: W.Geom) -> str:
+    """Reference AsGPX.java template verbatim — including its lat=x, lon=y
+    coordinate-order quirk and Z as <ele>."""
+    zc = g.dims.index("Z") if "Z" in g.dims else None
+    pts = []
+    for row in g.all_coords():
+        p = f"<trkpt lat='{_fmt(row[0])}' lon='{_fmt(row[1])}'>"
+        if zc is not None:
+            p += f"<ele>{_fmt(row[zc])}</ele>"
+        pts.append(p + "</trkpt>")
+    return _GPX_HEAD + "".join(pts) + _GPX_TAIL
+
+
+# -------------------------------------------------------------------- SVG --
+
+
+def to_svg(g: W.Geom) -> str:
+    """JTS SVGWriter shape mirrored from the reference AsSVGTest golden:
+    ``<svg><polygon points=' 0,0 0,1 1,1 1,0 0,0' />\\n</svg>``."""
+
+    def pairs(a):
+        return "".join(f" {_fmt(x)},{_fmt(y)}" for x, y in a[:, :2])
+
+    def one(g):
+        if g.kind == "point":
+            x, y = g.parts[0][0, :2]
+            return f"<circle cx='{_fmt(x)}' cy='{_fmt(y)}' r='1' />\n"
+        if g.kind == "linestring":
+            return f"<polyline points='{pairs(g.parts[0])}' fill='none' />\n"
+        if g.kind == "polygon":
+            return f"<polygon points='{pairs(g.parts[0])}' />\n"
+        if g.kind == "multipoint":
+            return "".join(
+                one(W.Geom("point", [g.parts[0][i : i + 1]])) for i in range(len(g.parts[0]))
+            )
+        if g.kind == "multilinestring":
+            return "".join(one(W.Geom("linestring", [p])) for p in g.parts)
+        if g.kind == "multipolygon":
+            return "".join(one(W.Geom("polygon", rings)) for rings in g.parts)
+        raise ValueError(g.kind)
+
+    return "<svg>" + one(g) + "</svg>"
+
+
+# -------------------------------------------------------------------- X3D --
+
+
+def to_x3d(g: W.Geom) -> str:
+    pts = " ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in g.all_coords()[:, :2])
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<X3D><Scene><Shape><IndexedFaceSet coordIndex="0">'
+        f'</IndexedFaceSet><Coordinate point="{pts}"/></Shape></Scene></X3D>'
+    )
+
+
+# ------------------------------------------------------------ LatLon / OSM --
+
+
+def to_latlon_text(g: W.Geom) -> str:
+    """Reference AsLatLonText.java output replicated exactly (raw float
+    repr, deg = the raw ordinate, min = fmod(v·60, 60), sec =
+    fmod(v·3600, 60); x treated as latitude)."""
+    x, y = (float(v) for v in g.parts[0][0, :2])
+
+    def fmt(v, pos, neg):
+        h = pos if v >= 0 else neg
+        mins = math.fmod(abs(v), 1.0) * 60
+        secs = math.fmod(abs(v) * 60, 1.0) * 60
+        return f"{_fmt(v)}°{_fmt(mins)}'" + f'{_fmt(secs)}"{h}'
+
+    return f"{fmt(x, 'N', 'S')} {fmt(y, 'E', 'W')}"
+
+
+def to_osm_link(g: W.Geom) -> str:
+    """Reference AsOSMLink.java (x as lat, y as lon; bbox of the geometry)."""
+    c = g.all_coords()[:, :2]
+    minx, miny = c[:, 0].min(), c[:, 1].min()
+    maxx, maxy = c[:, 0].max(), c[:, 1].max()
+    cx, cy = (minx + maxx) / 2, (miny + maxy) / 2
+    return (
+        f"http://www.openstreetmap.org/?minlon={_fmt(miny)}&minlat={_fmt(minx)}"
+        f"&maxlon={_fmt(maxy)}&maxlat={_fmt(maxx)}&mlat={_fmt(cx)}&mlon={_fmt(cy)}"
+    )
+
+
+def to_georss(g: W.Geom) -> str:
+    if g.kind == "point":
+        x, y = g.parts[0][0, :2]
+        return f"<georss:point>{_fmt(x)} {_fmt(y)}</georss:point>"
+    if g.kind == "linestring":
+        body = " ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in g.parts[0][:, :2])
+        return f"<georss:line>{body}</georss:line>"
+    body = " ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in g.exterior()[:, :2])
+    return f"<georss:polygon>{body}</georss:polygon>"
+
+
+# ------------------------------------------------------------------- TWKB --
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63)
+
+
+def _unzigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint(buf: bytes, off: int) -> tuple[int, int]:
+    shift = v = 0
+    while True:
+        b = buf[off]
+        v |= (b & 0x7F) << shift
+        off += 1
+        if not b & 0x80:
+            return v, off
+        shift += 7
+
+
+def to_twkb(g: W.Geom, precision: int = 7) -> bytes:
+    """TWKB (public spec): type+precision header byte, metadata byte,
+    zigzag-varint delta coordinates (deltas run across rings/parts)."""
+    tcode = {
+        "point": 1,
+        "linestring": 2,
+        "polygon": 3,
+        "multipoint": 4,
+        "multilinestring": 5,
+        "multipolygon": 6,
+    }[g.kind]
+    scale = 10**precision
+    head = bytes([tcode | (_zigzag(precision) & 0x0F) << 4])
+    meta = bytes([0x10 if not g.parts else 0x00])
+    out = bytearray(head + meta)
+    prev = [0, 0]
+
+    def emit(a: np.ndarray):
+        for x, y in a[:, :2]:
+            ix, iy = round(float(x) * scale), round(float(y) * scale)
+            out.extend(_varint(_zigzag(ix - prev[0])))
+            out.extend(_varint(_zigzag(iy - prev[1])))
+            prev[0], prev[1] = ix, iy
+
+    if not g.parts:
+        return bytes(out)
+    if g.kind == "point":
+        emit(g.parts[0])
+    elif g.kind in ("linestring", "multipoint"):
+        out.extend(_varint(len(g.parts[0])))
+        emit(g.parts[0])
+    elif g.kind == "polygon":
+        out.extend(_varint(len(g.parts)))
+        for r in g.parts:
+            out.extend(_varint(len(r)))
+            emit(r)
+    elif g.kind == "multilinestring":
+        out.extend(_varint(len(g.parts)))
+        for p in g.parts:
+            out.extend(_varint(len(p)))
+            emit(p)
+    else:  # multipolygon
+        out.extend(_varint(len(g.parts)))
+        for rings in g.parts:
+            out.extend(_varint(len(rings)))
+            for r in rings:
+                out.extend(_varint(len(r)))
+                emit(r)
+    return bytes(out)
+
+
+def from_twkb(buf: bytes) -> W.Geom:
+    tcode = buf[0] & 0x0F
+    precision = _unzigzag(buf[0] >> 4)
+    scale = 10.0**precision
+    meta = buf[1]
+    kind = {1: "point", 2: "linestring", 3: "polygon", 4: "multipoint", 5: "multilinestring", 6: "multipolygon"}[tcode]
+    if meta & 0x10:
+        return W.Geom(kind, [])
+    off = 2
+    prev = [0, 0]
+
+    def read_pts(n, off):
+        pts = []
+        for _ in range(n):
+            vx, off = _read_varint(buf, off)
+            vy, off = _read_varint(buf, off)
+            prev[0] += _unzigzag(vx)
+            prev[1] += _unzigzag(vy)
+            pts.append((prev[0] / scale, prev[1] / scale))
+        return np.array(pts, dtype=np.float64), off
+
+    if kind == "point":
+        a, off = read_pts(1, off)
+        return W.Geom("point", [a])
+    if kind in ("linestring", "multipoint"):
+        n, off = _read_varint(buf, off)
+        a, off = read_pts(n, off)
+        return W.Geom(kind, [a])
+    if kind in ("polygon", "multilinestring"):
+        nr, off = _read_varint(buf, off)
+        parts = []
+        for _ in range(nr):
+            n, off = _read_varint(buf, off)
+            a, off = read_pts(n, off)
+            parts.append(a)
+        return W.Geom(kind, parts)
+    npoly, off = _read_varint(buf, off)
+    polys = []
+    for _ in range(npoly):
+        nr, off = _read_varint(buf, off)
+        rings = []
+        for _ in range(nr):
+            n, off = _read_varint(buf, off)
+            a, off = read_pts(n, off)
+            rings.append(a)
+        polys.append(rings)
+    return W.Geom("multipolygon", polys)
+
+
+# ------------------------------------------------------------- Spark UDFs --
+
+
+def _str_exporter(fn):
+    def wrapped(b: pd.Series) -> pd.Series:
+        return b.map(lambda x: fn(W.from_wkb(x)) if x is not None else None)
+
+    wrapped.__name__ = fn.__name__
+    return pandas_udf(wrapped, StringType())
+
+
+st_askml = _str_exporter(to_kml)
+st_asgml = _str_exporter(to_gml)
+st_asgpx = _str_exporter(to_gpx)
+st_assvg = _str_exporter(to_svg)
+st_asx3d = _str_exporter(to_x3d)
+st_aslatlontext = _str_exporter(to_latlon_text)
+st_asosmlink = _str_exporter(to_osm_link)
+st_asgeorss = _str_exporter(to_georss)
+
+
+@pandas_udf(BinaryType())
+def st_astwkb(b: pd.Series, precision: pd.Series) -> pd.Series:
+    return pd.Series(
+        [to_twkb(W.from_wkb(x), int(p)) for x, p in zip(b, precision)]
+    )
+
+
+@pandas_udf(BinaryType())
+def st_geomfromtwkb(b: pd.Series) -> pd.Series:
+    return b.map(lambda x: W.to_wkb(from_twkb(bytes(x))))
+
+
+@pandas_udf(BinaryType())
+def st_geomfromkml(s: pd.Series) -> pd.Series:
+    return s.map(lambda x: W.to_wkb(from_kml(x)))
+
+
+@pandas_udf(BinaryType())
+def st_geomfromgml(s: pd.Series) -> pd.Series:
+    return s.map(lambda x: W.to_wkb(from_gml(x)))

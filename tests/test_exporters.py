@@ -1,0 +1,122 @@
+"""Format exporters/constructors: reference goldens (AsSVGTest,
+AsLatLonTextTest, AsOSMLinkTest) + round trips for KML/GML/TWKB."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jena_geo_spark.functions import exporters as E
+from jena_geo_spark.geom import wkt as W
+
+
+def g(s):
+    return W.from_wkt(s)
+
+
+def test_svg_reference_golden():
+    # AsSVGTest.java expResult
+    assert (
+        E.to_svg(g("POLYGON((0 0,0 1,1 1,1 0,0 0))"))
+        == "<svg><polygon points=' 0,0 0,1 1,1 1,0 0,0' />\n</svg>"
+    )
+
+
+def test_latlon_text_reference_golden():
+    # AsLatLonTextTest.java expResult (raw float repr, fmod arithmetic)
+    assert E.to_latlon_text(g("POINT(49.9928617 8.2472526)")) == (
+        "49.9928617°59.57170199999993'34.302119999983915\"N "
+        "8.2472526°14.83515599999997'50.109359999999015\"E"
+    )
+
+
+def test_osm_link_reference_golden():
+    assert E.to_osm_link(g("POINT(49.9928617 8.2472526)")) == (
+        "http://www.openstreetmap.org/?minlon=8.2472526&minlat=49.9928617"
+        "&maxlon=8.2472526&maxlat=49.9928617&mlat=49.9928617&mlon=8.2472526"
+    )
+
+
+@pytest.mark.parametrize(
+    "s",
+    [
+        "POINT (1.5 2.5)",
+        "LINESTRING (0 0, 1 1, 2 0)",
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))",
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))",
+        "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+        "MULTIPOINT (0 1, 1 0)",
+    ],
+)
+def test_kml_gml_roundtrip(s):
+    geom = g(s)
+    assert W.to_wkt(E.from_kml(E.to_kml(geom))) == s
+    assert W.to_wkt(E.from_gml(E.to_gml(geom))) == s
+
+
+@pytest.mark.parametrize(
+    "s",
+    [
+        "POINT (49.9928617 8.2472526)",
+        "LINESTRING (0 0, 1.25 1.5, -2.5 0.75)",
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))",
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))",
+        "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+    ],
+)
+def test_twkb_roundtrip(s):
+    geom = g(s)
+    back = E.from_twkb(E.to_twkb(geom, precision=7))
+    assert back.kind == geom.kind
+    np.testing.assert_allclose(back.all_coords(), geom.all_coords()[:, :2], atol=1e-7)
+
+
+def test_twkb_precision_and_empty():
+    geom = g("POINT (1.23456789 -9.87654321)")
+    b2 = E.to_twkb(geom, precision=2)
+    back = E.from_twkb(b2)
+    assert back.parts[0][0, 0] == 1.23 and back.parts[0][0, 1] == -9.88
+    assert len(b2) < len(E.to_twkb(geom, precision=9))
+    e = E.from_twkb(E.to_twkb(W.Geom("polygon", [])))
+    assert e.kind == "polygon" and e.parts == []
+
+
+def test_gpx_contains_trackpoints_and_elevation():
+    out = E.to_gpx(g("LINESTRING Z (1 2 10, 3 4 20)"))
+    assert "<trkpt lat='1' lon='2'><ele>10</ele></trkpt>" in out
+    assert out.startswith("<?xml") and out.endswith("</gpx>")
+
+
+def test_exporter_udfs(spark):
+    from jena_geo_spark.functions.exporters import (
+        st_asgml,
+        st_askml,
+        st_assvg,
+        st_astwkb,
+        st_geomfromgml,
+        st_geomfromkml,
+        st_geomfromtwkb,
+    )
+    from jena_geo_spark.functions.vector import st_geomfromtext
+
+    df = spark.createDataFrame(
+        [("POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))",)], "a string"
+    ).select(st_geomfromtext(F.col("a")).alias("ga"))
+    r = df.select(
+        st_askml("ga").alias("kml"),
+        st_asgml("ga").alias("gml"),
+        st_assvg("ga").alias("svg"),
+        st_astwkb("ga", F.lit(7)).alias("twkb"),
+    ).first()
+    assert "<Polygon>" in r["kml"] and "<gml:Polygon>" in r["gml"]
+    assert r["svg"].startswith("<svg><polygon")
+    back = df.sparkSession.createDataFrame(
+        [(r["kml"], r["gml"], bytearray(r["twkb"]))], "kml string, gml string, twkb binary"
+    ).select(
+        st_geomfromkml(F.col("kml")).alias("g1"),
+        st_geomfromgml(F.col("gml")).alias("g2"),
+        st_geomfromtwkb(F.col("twkb")).alias("g3"),
+    ).first()
+    want = "POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))"
+    assert W.to_wkt(W.from_wkb(bytes(back["g1"]))) == want
+    assert W.to_wkt(W.from_wkb(bytes(back["g2"]))) == want
+    assert W.to_wkt(W.from_wkb(bytes(back["g3"]))) == want
