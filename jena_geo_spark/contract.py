@@ -631,6 +631,80 @@ def o_geo_affine() -> str:
     )
 
 
+def q_geo_mbc_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-bounding-circle radius of each derived triangle (Welzl
+    kernel; reference MinimumBoundingCircleRadius).  Oracle: closed-form
+    triangle MBC (diametric circle of the longest side when obtuse/right,
+    else the circumradius abc/4K) — rounded to 6 dp (different but
+    mathematically equal formulas; fp differs in last ulps)."""
+    from .functions.shapes import st_minimumboundingcircle
+
+    pts = _with_tri_coords(points_from_events(spark, sf_dir))
+    tri = pts.withColumn(
+        "g", _make_triangle(*[F.col(c) for c in ("x1", "y1", "x2", "y2", "x3", "y3")])
+    ).withColumn("c", st_minimumboundingcircle(F.col("g")))
+    return tri.select("event_id", F.round(F.col("c.r"), 6).alias("mbc_r"))
+
+
+def o_geo_mbc_radius() -> str:
+    s = "(({bx} - {ax}) * ({bx} - {ax}) + ({by} - {ay}) * ({by} - {ay}))"
+    s12 = s.format(ax="x1", ay="y1", bx="x2", by="y2")
+    s13 = s.format(ax="x1", ay="y1", bx="x3", by="y3")
+    s23 = s.format(ax="x2", ay="y2", bx="x3", by="y3")
+    return (
+        f"WITH {_PTS_CTE}, t AS (SELECT event_id, {_TRI_SQL_COLS} FROM pts), "
+        f"sides AS (SELECT event_id, {s12} AS s12, {s13} AS s13, {s23} AS s23, "
+        "(x1 * y2 - x2 * y1) + (x2 * y3 - x3 * y2) + (x3 * y1 - x1 * y3) AS cr FROM t) "
+        "SELECT event_id, round(CASE "
+        "WHEN 2.0 * greatest(s12, s13, s23) >= s12 + s13 + s23 "
+        "THEN sqrt(greatest(s12, s13, s23)) * 0.5 "
+        "ELSE sqrt(s12 * s13 * s23) / (2.0 * abs(cr)) END, 6) AS mbc_r FROM sides"
+    )
+
+
+def q_geo_densify_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Densify (1 midpoint per edge) of the derived 4-point line, dumped
+    to one row per vertex — exact interpolation arithmetic."""
+    from .functions.shapes import st_densify
+    from .functions.vector import st_dumppoints
+
+    pts = _with_tri_coords(points_from_events(spark, sf_dir))
+    line = pts.withColumn(
+        "g",
+        _make_line4(*[F.col(c) for c in ("x1", "y1", "x2", "y2", "x3", "y3", "x4", "y4")]),
+    )
+    dense = st_densify(F.col("g"), F.lit(1))
+    dumped = line.select(
+        "event_id", F.posexplode(st_dumppoints(dense)).alias("idx", "pt")
+    )
+    return dumped.select(
+        "event_id",
+        F.col("idx").cast("long").alias("idx"),
+        F.col("pt.x").alias("px"),
+        F.col("pt.y").alias("py"),
+    )
+
+
+def o_geo_densify_points() -> str:
+    def mid(a, b):
+        return f"{a} + ({b} - {a}) * 0.5::DOUBLE"
+
+    rows = [
+        ("0", "x1", "y1"),
+        ("1", mid("x1", "x2"), mid("y1", "y2")),
+        ("2", "x2", "y2"),
+        ("3", mid("x2", "x3"), mid("y2", "y3")),
+        ("4", "x3", "y3"),
+        ("5", mid("x3", "x4"), mid("y3", "y4")),
+        ("6", "x4", "y4"),
+    ]
+    selects = " UNION ALL ".join(
+        f"SELECT event_id, {i}::BIGINT AS idx, {px} AS px, {py} AS py FROM t"
+        for i, px, py in rows
+    )
+    return f"WITH {_PTS_CTE}, t AS (SELECT event_id, {_TRI_SQL_COLS} FROM pts) {selects}"
+
+
 # fixed probe linestring for the distance-family oracles
 L0 = [(-50.3, -20.7), (10.4, 30.2), (80.6, -40.1)]
 _L0_WKT = "LINESTRING(" + ",".join(f"{x!r} {y!r}" for x, y in L0) + ")"
@@ -1218,6 +1292,8 @@ QUERIES = {
     "geo_maxdistance": q_geo_maxdistance,
     "geo_closest_point": q_geo_closest_point,
     "geo_centroid_dist": q_geo_centroid_dist,
+    "geo_mbc_radius": q_geo_mbc_radius,
+    "geo_densify_points": q_geo_densify_points,
     "geo_perimeter": q_geo_perimeter,
     "geo_bounds_box": q_geo_bounds_box,
     "geo_units": q_geo_units,
@@ -1257,6 +1333,8 @@ ORACLES = {
     "geo_maxdistance": o_geo_maxdistance(),
     "geo_closest_point": o_geo_closest_point(),
     "geo_centroid_dist": o_geo_centroid_dist(),
+    "geo_mbc_radius": o_geo_mbc_radius(),
+    "geo_densify_points": o_geo_densify_points(),
     "geo_perimeter": o_geo_perimeter(),
     "geo_bounds_box": o_geo_bounds_box(),
     "geo_units": o_geo_units(),

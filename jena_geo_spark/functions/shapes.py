@@ -1,0 +1,258 @@
+"""Spark UDFs for the attribute/transform long tail.
+
+Reference: ``geometry/attribute/`` (MinimumBoundingCircle family,
+MinimumRectangle, GeometricMedian, IsValid(Reason), PointOnSurface,
+ConcaveHull) and ``geometry/transform/`` (Snap, Split, LineMerge,
+LineSubstring, Segmentize, SimplifyVW, Normalize, MakeValid,
+DelaunayTriangles, VoronoiDiagram).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..geom import linework as L
+from ..geom import shapes as S
+from ..geom import wkt as W
+
+_CIRCLE_T = StructType(
+    [StructField("cx", DoubleType()), StructField("cy", DoubleType()), StructField("r", DoubleType())]
+)
+_POINT_T = StructType([StructField("x", DoubleType()), StructField("y", DoubleType())])
+
+
+@pandas_udf(_CIRCLE_T)
+def st_minimumboundingcircle(b: pd.Series) -> pd.DataFrame:
+    rows = [S.min_bounding_circle(W.from_wkb(x).all_coords()) for x in b]
+    a = np.array(rows, dtype=np.float64).reshape(-1, 3)
+    return pd.DataFrame({"cx": a[:, 0], "cy": a[:, 1], "r": a[:, 2]})
+
+
+@pandas_udf(BinaryType())
+def st_minimumrectangle(b: pd.Series) -> pd.Series:
+    def mr(x):
+        ring, _, _ = S.minimum_rectangle(W.from_wkb(x).all_coords())
+        return W.to_wkb(W.Geom("polygon", [ring]))
+
+    return b.map(mr)
+
+
+@pandas_udf(DoubleType())
+def st_minimumdiameter(b: pd.Series) -> pd.Series:
+    """Width of the minimum rotated rectangle (JTS MinimumDiameter length)."""
+
+    def md(x):
+        _, w, h = S.minimum_rectangle(W.from_wkb(x).all_coords())
+        return float(min(w, h))
+
+    return b.map(md)
+
+
+@pandas_udf(_POINT_T)
+def st_geometricmedian(b: pd.Series) -> pd.DataFrame:
+    rows = [S.geometric_median(W.from_wkb(x).all_coords()) for x in b]
+    a = np.array(rows, dtype=np.float64).reshape(-1, 2)
+    return pd.DataFrame({"x": a[:, 0], "y": a[:, 1]})
+
+
+@pandas_udf(BooleanType())
+def st_isvalid(b: pd.Series) -> pd.Series:
+    return b.map(lambda x: S.is_valid(W.from_wkb(x)))
+
+
+@pandas_udf(StringType())
+def st_isvalidreason(b: pd.Series) -> pd.Series:
+    return b.map(lambda x: S.is_valid_reason(W.from_wkb(x)))
+
+
+@pandas_udf(_POINT_T)
+def st_pointonsurface(b: pd.Series) -> pd.DataFrame:
+    from ..geom.overlay import interior_point
+
+    rows = []
+    for x in b:
+        g = W.from_wkb(x)
+        if g.kind in ("polygon", "multipolygon") and g.parts:
+            rows.append(interior_point(g.exterior()))
+        elif g.parts:
+            c = g.all_coords()
+            rows.append((float(c[0, 0]), float(c[0, 1])))
+        else:
+            rows.append((np.nan, np.nan))
+    a = np.array(rows, dtype=np.float64).reshape(-1, 2)
+    return pd.DataFrame({"x": a[:, 0], "y": a[:, 1]})
+
+
+@pandas_udf(BinaryType())
+def st_concavehull(b: pd.Series, threshold: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            W.to_wkb(W.Geom("polygon", [S.concave_hull(W.from_wkb(x).all_coords(), float(t))]))
+            for x, t in zip(b, threshold)
+        ]
+    )
+
+
+@pandas_udf(BinaryType())
+def st_delaunaytriangles(b: pd.Series) -> pd.Series:
+    def tri(x):
+        tris, pts = S.delaunay(W.from_wkb(x).all_coords())
+        polys = []
+        for t in tris:
+            ring = np.array([pts[t[0]], pts[t[1]], pts[t[2]], pts[t[0]]])
+            polys.append([ring])
+        return W.to_wkb(W.Geom("multipolygon", polys))
+
+    return b.map(tri)
+
+
+@pandas_udf(BinaryType())
+def st_voronoipolygons(b: pd.Series) -> pd.Series:
+    """Finite Voronoi cell fans (circumcenter polygons per site; unbounded
+    cells return their circumcenter chain — clip against an envelope
+    downstream, reference VoronoiDiagram.java semantics approximated)."""
+
+    def vor(x):
+        cells = S.voronoi_cells(W.from_wkb(x).all_coords())
+        polys = []
+        for _site, verts in cells:
+            if len(verts) >= 3:
+                ring = np.array(list(verts) + [verts[0]], dtype=np.float64)
+                polys.append([ring])
+        return W.to_wkb(W.Geom("multipolygon", polys))
+
+    return b.map(vor)
+
+
+# ------------------------------------------------------------- linework ----
+
+
+@pandas_udf(BinaryType())
+def st_snap(b: pd.Series, target: pd.Series, tol: pd.Series) -> pd.Series:
+    out = []
+    for x, y, t in zip(b, target, tol):
+        g = W.from_wkb(x)
+        tchains = W.from_wkb(y).chains()
+        if g.kind == "multipolygon":
+            parts = [[L.snap(r, tchains, float(t)) for r in rings] for rings in g.parts]
+        else:
+            parts = [L.snap(p, tchains, float(t)) for p in g.parts]
+        out.append(W.to_wkb(W.Geom(g.kind, parts)))
+    return pd.Series(out)
+
+
+@pandas_udf(BinaryType())
+def st_split(b: pd.Series, blade: pd.Series) -> pd.Series:
+    out = []
+    for x, y in zip(b, blade):
+        g, gb = W.from_wkb(x), W.from_wkb(y)
+        pieces = L.split_line_by_line(g.parts[0], gb.parts[0])
+        out.append(W.to_wkb(W.Geom("multilinestring", pieces)))
+    return pd.Series(out)
+
+
+@pandas_udf(BinaryType())
+def st_linemerge(b: pd.Series) -> pd.Series:
+    def lm(x):
+        g = W.from_wkb(x)
+        merged = L.line_merge(list(g.parts) if g.kind == "multilinestring" else [g.parts[0]])
+        if len(merged) == 1:
+            return W.to_wkb(W.Geom("linestring", merged))
+        return W.to_wkb(W.Geom("multilinestring", merged))
+
+    return b.map(lm)
+
+
+@pandas_udf(BinaryType())
+def st_linesubstring(b: pd.Series, f0: pd.Series, f1: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            W.to_wkb(W.Geom("linestring", [L.line_substring(W.from_wkb(x).parts[0], float(a), float(z))]))
+            for x, a, z in zip(b, f0, f1)
+        ]
+    )
+
+
+@pandas_udf(BinaryType())
+def st_segmentize(b: pd.Series, max_len: pd.Series) -> pd.Series:
+    def seg(x, ml):
+        g = W.from_wkb(x)
+        if g.kind == "multipolygon":
+            parts = [[L.segmentize(r, float(ml)) for r in rings] for rings in g.parts]
+        else:
+            parts = [L.segmentize(p, float(ml)) for p in g.parts]
+        return W.to_wkb(W.Geom(g.kind, parts, g.dims))
+
+    return pd.Series([seg(x, ml) for x, ml in zip(b, max_len)])
+
+
+@pandas_udf(BinaryType())
+def st_densify(b: pd.Series, n_per_edge: pd.Series) -> pd.Series:
+    def dn(x, n):
+        g = W.from_wkb(x)
+        if g.kind == "multipolygon":
+            parts = [[L.densify(r, int(n)) for r in rings] for rings in g.parts]
+        else:
+            parts = [L.densify(p, int(n)) for p in g.parts]
+        return W.to_wkb(W.Geom(g.kind, parts, g.dims))
+
+    return pd.Series([dn(x, n) for x, n in zip(b, n_per_edge)])
+
+
+@pandas_udf(BinaryType())
+def st_simplifyvw(b: pd.Series, area_tol: pd.Series) -> pd.Series:
+    def sv(x, t):
+        g = W.from_wkb(x)
+        if g.kind == "linestring":
+            return W.to_wkb(W.Geom("linestring", [L.simplify_vw(g.parts[0], float(t))]))
+        if g.kind == "polygon":
+            return W.to_wkb(W.Geom("polygon", [L.simplify_vw(r, float(t)) for r in g.parts]))
+        return x
+
+    return pd.Series([sv(x, t) for x, t in zip(b, area_tol)])
+
+
+@pandas_udf(BinaryType())
+def st_normalize(b: pd.Series) -> pd.Series:
+    return b.map(lambda x: W.to_wkb(L.normalize(W.from_wkb(x))))
+
+
+@pandas_udf(BinaryType())
+def st_makevalid(b: pd.Series) -> pd.Series:
+    """Best-effort ST_MakeValid: close rings, drop repeated consecutive
+    points; if a ring still self-intersects, fall back to its convex hull
+    (documented simplification — full node-and-rebuild is out of scope)."""
+    from ..geom.kernel import convex_hull
+
+    def mv(x):
+        g = W.from_wkb(x)
+        if g.kind not in ("polygon", "multipolygon"):
+            return x
+
+        def fix_ring(r):
+            keep = np.ones(len(r), dtype=bool)
+            keep[1:] = (np.diff(r[:, :2], axis=0) != 0).any(axis=1)
+            r = r[keep]
+            if len(r) >= 2 and not (r[0] == r[-1]).all():
+                r = np.vstack([r, r[:1]])
+            if len(r) >= 4 and S._ring_self_intersects(r[:, :2]):
+                return convex_hull(r)
+            return r
+
+        if g.kind == "polygon":
+            return W.to_wkb(W.Geom("polygon", [fix_ring(r) for r in g.parts]))
+        return W.to_wkb(
+            W.Geom("multipolygon", [[fix_ring(r) for r in rings] for rings in g.parts])
+        )
+
+    return b.map(mv)

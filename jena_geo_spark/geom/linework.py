@@ -1,0 +1,229 @@
+"""Linework transforms: snap, split, line-merge, line-substring, densify/
+segmentize, Visvalingam–Whyatt simplify, normalize.
+
+Reference: ``geometry/transform/{Snap,Split,LineMerge,LineSubstring,
+Segmentize,SimplifyVW,Normalize,...}.java`` (44 files) — JTS semantics
+re-derived on coordinate arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .kernel import point_segment_dist_sq
+
+
+def snap(coords: np.ndarray, target_chains: list, tol: float) -> np.ndarray:
+    """ST_Snap: move each vertex to the nearest target VERTEX within tol,
+    else project onto the nearest target segment within tol."""
+    out = np.asarray(coords, dtype=np.float64)[:, :2].copy()
+    tverts = np.vstack([c[:, :2] for c in target_chains]) if target_chains else np.empty((0, 2))
+    for i, (px, py) in enumerate(out):
+        if len(tverts):
+            d2 = (tverts[:, 0] - px) ** 2 + (tverts[:, 1] - py) ** 2
+            j = int(np.argmin(d2))
+            if d2[j] <= tol * tol:
+                out[i] = tverts[j]
+                continue
+        best, bestp = tol * tol, None
+        for c in target_chains:
+            for k in range(len(c) - 1):
+                ax, ay, bx, by = c[k, 0], c[k, 1], c[k + 1, 0], c[k + 1, 1]
+                dx, dy = bx - ax, by - ay
+                ll = dx * dx + dy * dy
+                t = 0.0 if ll == 0 else min(max(((px - ax) * dx + (py - ay) * dy) / ll, 0.0), 1.0)
+                cx, cy = ax + t * dx, ay + t * dy
+                d2 = (px - cx) ** 2 + (py - cy) ** 2
+                if d2 < best:
+                    best, bestp = d2, (cx, cy)
+        if bestp is not None:
+            out[i] = bestp
+    return out
+
+
+def split_line_by_line(line: np.ndarray, blade: np.ndarray) -> list:
+    """ST_Split for a linestring split by another linestring: cut at every
+    crossing → list of sub-chains."""
+    line = np.asarray(line, dtype=np.float64)[:, :2]
+    blade = np.asarray(blade, dtype=np.float64)[:, :2]
+    pieces, cur = [], [line[0]]
+    for i in range(len(line) - 1):
+        a, b = line[i], line[i + 1]
+        ts = []
+        for j in range(len(blade) - 1):
+            c, d = blade[j], blade[j + 1]
+            r = b - a
+            s = d - c
+            den = r[0] * s[1] - r[1] * s[0]
+            if den == 0:
+                continue
+            t = ((c[0] - a[0]) * s[1] - (c[1] - a[1]) * s[0]) / den
+            u = ((c[0] - a[0]) * r[1] - (c[1] - a[1]) * r[0]) / den
+            if 0 < t < 1 and 0 <= u <= 1:
+                ts.append(t)
+        for t in sorted(ts):
+            p = a + t * (b - a)
+            cur.append(p)
+            pieces.append(np.array(cur))
+            cur = [p]
+        cur.append(b)
+    if len(cur) >= 2:
+        pieces.append(np.array(cur))
+    return pieces
+
+
+def line_merge(chains: list) -> list:
+    """ST_LineMerge: stitch chains sharing endpoints into maximal chains
+    (degree-2 joins only, JTS LineMerger semantics)."""
+    from collections import defaultdict
+
+    chains = [np.asarray(c, dtype=np.float64)[:, :2] for c in chains if len(c) >= 2]
+    endpoints = defaultdict(list)
+    for idx, c in enumerate(chains):
+        endpoints[tuple(c[0])].append(idx)
+        endpoints[tuple(c[-1])].append(idx)
+    used = [False] * len(chains)
+    out = []
+    for idx in range(len(chains)):
+        if used[idx]:
+            continue
+        used[idx] = True
+        cur = list(map(tuple, chains[idx]))
+        # extend forward then backward through degree-2 nodes
+        for direction in (1, -1):
+            while True:
+                end = cur[-1] if direction == 1 else cur[0]
+                cands = [
+                    j for j in endpoints[end]
+                    if not used[j] and len(endpoints[end]) == 2
+                ]
+                if not cands:
+                    break
+                j = cands[0]
+                used[j] = True
+                nxt = list(map(tuple, chains[j]))
+                if direction == 1:
+                    cur = cur + (nxt[1:] if nxt[0] == end else nxt[::-1][1:])
+                else:
+                    cur = (nxt[:-1] if nxt[-1] == end else nxt[::-1][:-1]) + cur
+        out.append(np.array(cur))
+    return out
+
+
+def line_substring(coords: np.ndarray, f0: float, f1: float) -> np.ndarray:
+    """ST_LineSubstring: the part of the line between length fractions
+    [f0, f1]."""
+    c = np.asarray(coords, dtype=np.float64)[:, :2]
+    d = np.diff(c, axis=0)
+    seglen = np.sqrt(d[:, 0] ** 2 + d[:, 1] ** 2)
+    tot = seglen.sum()
+    if tot == 0:
+        return c[:1]
+    cum = np.concatenate([[0.0], np.cumsum(seglen)])
+    lo, hi = sorted((max(f0, 0.0), min(f1, 1.0)))
+    s0, s1 = lo * tot, hi * tot
+
+    def point_at(s):
+        i = int(np.searchsorted(cum, s, side="right") - 1)
+        i = min(i, len(seglen) - 1)
+        t = (s - cum[i]) / seglen[i] if seglen[i] > 0 else 0.0
+        return c[i] + t * d[i], i
+
+    p0, i0 = point_at(s0)
+    p1, i1 = point_at(s1)
+    mids = [c[k] for k in range(i0 + 1, i1 + 1) if cum[k] > s0 and cum[k] < s1]
+    pts = [p0] + mids + [p1]
+    return np.array(pts)
+
+
+def segmentize(coords: np.ndarray, max_len: float) -> np.ndarray:
+    """ST_Segmentize: insert vertices so no segment exceeds max_len
+    (evenly split, PostGIS semantics)."""
+    c = np.asarray(coords, dtype=np.float64)
+    out = [c[0]]
+    for i in range(len(c) - 1):
+        a, b = c[i], c[i + 1]
+        L = float(np.hypot(*(b[:2] - a[:2])))
+        n = max(int(np.ceil(L / max_len)), 1)
+        for k in range(1, n + 1):
+            out.append(a + (b - a) * (k / n))
+    return np.array(out)
+
+
+def densify(coords: np.ndarray, n_per_edge: int) -> np.ndarray:
+    """Fixed-count densify: n_per_edge extra points per segment (the
+    SQL-oracle-friendly variant: split fractions are k/(n+1))."""
+    c = np.asarray(coords, dtype=np.float64)
+    out = [c[0]]
+    for i in range(len(c) - 1):
+        a, b = c[i], c[i + 1]
+        for k in range(1, n_per_edge + 1):
+            f = k / (n_per_edge + 1)
+            out.append(a + (b - a) * f)
+        out.append(b)
+    return np.array(out)
+
+
+def simplify_vw(coords: np.ndarray, area_tol: float) -> np.ndarray:
+    """Visvalingam–Whyatt: drop the vertex with the smallest effective
+    triangle area until all areas exceed the tolerance."""
+    c = [tuple(p) for p in np.asarray(coords, dtype=np.float64)[:, :2]]
+
+    def tri_area(a, b, d):
+        return abs((b[0] - a[0]) * (d[1] - a[1]) - (b[1] - a[1]) * (d[0] - a[0])) * 0.5
+
+    while len(c) > 2:
+        areas = [tri_area(c[i - 1], c[i], c[i + 1]) for i in range(1, len(c) - 1)]
+        k = int(np.argmin(areas))
+        if areas[k] >= area_tol:
+            break
+        del c[k + 1]
+    return np.array(c)
+
+
+def normalize(g):
+    """ST_Normalize: canonical form — exterior rings CCW starting at the
+    lexicographically smallest vertex, holes CW; multi-part members sorted
+    by their first canonical vertex."""
+    from . import wkt as W
+
+    def norm_ring(r, ccw: bool):
+        r = np.asarray(r, dtype=np.float64)
+        closed = len(r) >= 2 and (r[0] == r[-1]).all()
+        body = r[:-1] if closed else r
+        x, y = body[:, 0], body[:, 1]
+        area2 = np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+        if (area2 < 0) == ccw:
+            body = body[::-1]
+        start = int(np.lexsort((body[:, 1], body[:, 0]))[0])
+        body = np.roll(body, -start, axis=0)
+        return np.vstack([body, body[:1]])
+
+    if g.kind == "polygon":
+        rings = [norm_ring(g.parts[0], True)] + [norm_ring(h, False) for h in g.parts[1:]]
+        return W.Geom("polygon", rings, g.dims if g.dims == "XY" else "XY")
+    if g.kind == "multipolygon":
+        polys = [
+            [norm_ring(rings[0], True)] + [norm_ring(h, False) for h in rings[1:]]
+            for rings in g.parts
+        ]
+        polys.sort(key=lambda rr: tuple(rr[0][0]))
+        return W.Geom("multipolygon", polys)
+    if g.kind == "linestring":
+        c = g.parts[0]
+        if tuple(c[-1, :2]) < tuple(c[0, :2]):
+            c = c[::-1]
+        return W.Geom("linestring", [c.copy()], g.dims)
+    if g.kind == "multilinestring":
+        parts = []
+        for c in g.parts:
+            if tuple(c[-1, :2]) < tuple(c[0, :2]):
+                c = c[::-1]
+            parts.append(c.copy())
+        parts.sort(key=lambda c: tuple(c[0, :2]))
+        return W.Geom("multilinestring", parts, g.dims)
+    if g.kind == "multipoint":
+        a = g.parts[0]
+        order = np.lexsort((a[:, 1], a[:, 0]))
+        return W.Geom("multipoint", [a[order].copy()], g.dims)
+    return g
