@@ -631,6 +631,54 @@ def o_geo_affine() -> str:
     )
 
 
+_RAST_W, _RAST_H, _RAST_MOD = 8, 8, 251
+_RAST_MULT_A, _RAST_MULT_B = 2654435761, 40503
+
+
+def q_raster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_SummaryStats over a deterministic 8×8 raster per event (pixel
+    values from integer hash arithmetic), exercising the WKB-raster codec
+    encode→decode round trip inside the plan.  stddev is excluded (numpy
+    two-pass vs SQL forms are not bit-comparable); count/sum/mean/min/max
+    are exact integers (mean = integer-sum / 64, exact in fp)."""
+    from .raster import transform as RT
+    from .raster import wkb_raster as WR
+
+    @pandas_udf(BinaryType())
+    def make_raster(event_id: pd.Series) -> pd.Series:
+        out = []
+        idx = np.arange(_RAST_W * _RAST_H, dtype=np.int64)
+        for eid in event_id:
+            v = (int(eid) * _RAST_MULT_A + idx * _RAST_MULT_B) % _RAST_MOD
+            band = WR.Band(7, None, v.reshape(_RAST_H, _RAST_W).astype(np.int32), 0)
+            r = WR.Raster(0, 1.0, -1.0, 0.0, 0.0, 0.0, 0.0, 4326, _RAST_W, _RAST_H, [band])
+            out.append(WR.encode(r))
+        return pd.Series(out)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+    stats = ev.withColumn("s", RT.st_summarystats(make_raster(F.col("event_id"))))
+    return stats.select(
+        "event_id",
+        F.col("s.count").alias("n_px"),
+        F.col("s.sum").alias("px_sum"),
+        F.col("s.mean").alias("px_mean"),
+        F.col("s.min").alias("px_min"),
+        F.col("s.max").alias("px_max"),
+    )
+
+
+def o_raster_stats() -> str:
+    n = _RAST_W * _RAST_H
+    return (
+        "WITH v AS (SELECT event_id, "
+        f"list_transform(range(0, {n}), i -> (event_id * {_RAST_MULT_A} + i * {_RAST_MULT_B}) % {_RAST_MOD}) AS px "
+        "FROM events) "
+        f"SELECT event_id, {n}::BIGINT AS n_px, list_sum(px)::DOUBLE AS px_sum, "
+        f"list_sum(px)::DOUBLE / {float(n)!r}::DOUBLE AS px_mean, "
+        "list_min(px)::DOUBLE AS px_min, list_max(px)::DOUBLE AS px_max FROM v"
+    )
+
+
 def q_geo_mbc_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum-bounding-circle radius of each derived triangle (Welzl
     kernel; reference MinimumBoundingCircleRadius).  Oracle: closed-form
@@ -1294,6 +1342,7 @@ QUERIES = {
     "geo_centroid_dist": q_geo_centroid_dist,
     "geo_mbc_radius": q_geo_mbc_radius,
     "geo_densify_points": q_geo_densify_points,
+    "raster_stats": q_raster_stats,
     "geo_perimeter": q_geo_perimeter,
     "geo_bounds_box": q_geo_bounds_box,
     "geo_units": q_geo_units,
@@ -1335,6 +1384,7 @@ ORACLES = {
     "geo_centroid_dist": o_geo_centroid_dist(),
     "geo_mbc_radius": o_geo_mbc_radius(),
     "geo_densify_points": o_geo_densify_points(),
+    "raster_stats": o_raster_stats(),
     "geo_perimeter": o_geo_perimeter(),
     "geo_bounds_box": o_geo_bounds_box(),
     "geo_units": o_geo_units(),
