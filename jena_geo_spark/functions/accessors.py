@@ -1,0 +1,1202 @@
+"""Attribute / accessor long tail of the reference function surface.
+
+Covers the reference families ``geometry/attribute`` (46 registrations),
+``point/attribute`` (17), ``polygon/attribute`` (13), ``linestring/
+attribute`` (12) — every registration name is wired into
+``functions/registry.py`` and smoke-executed by ``tests/test_registry.py``.
+
+Semantics sources (reference, behaviour only):
+* ``point/attribute/Angle.java`` — law-of-cosines angle at the middle point
+  (radians), centroids for non-points;
+* ``geometry/attribute/CompactnessRatio.java`` — 2·sqrt(pi·A)/perimeter
+  (circumference of the equal-area circle over the polygon perimeter);
+* ``polygon/attribute/CircularityIndex.java`` — 4·pi·A/P² (polygon only,
+  0.0 otherwise);
+* ``polygon/attribute/Orientation.java`` — CCW → -1 else 1;
+* ``geometry/attribute/IsPlanar.java`` — true iff no Z ordinate present;
+* ``linestring/attribute/IsValidTrajectory.java`` — linestring with strictly
+  increasing, non-NaN M ordinates;
+* ``geometry/attribute/NumDistinctGeometries.java`` / ``NumDistinctPoints``
+  — set-distinct member / coordinate counts;
+* ``geometry/attribute/BoundingDiagonal.java`` — LINESTRING from the
+  envelope's lower corner to its upper corner;
+* ``envelope/constructor/OctogonalEnvelope.java`` → JTS OctagonalEnvelope;
+* ``point/attribute/PointInsideCircle.java`` — JTS GeometricShapeFactory
+  32-gon circle containment;
+* ``linestring/attribute/LengthToPoint.java`` — length along the line to the
+  closest point (JUMP LengthToPoint);
+* several reference classes are registered but throw
+  ``UnsupportedOperationException`` (``ClosestPointOfApproach.java``,
+  ``linestring/InterpolatePoint.java``); we implement the PostGIS-documented
+  semantics instead of the stub.
+
+Everything is a vectorised pandas UDF over the numpy ``Geom`` kernels —
+Arrow batch transfer, no JVM round trips; these are long-tail scalar
+functions, not the join/tiling hot path (which stays pure Catalyst).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..geom import kernel as K
+from ..geom import shapes as S
+from ..geom import wkt as W
+from ..geom.wkt import Geom
+
+# ------------------------------------------------------------ udf factories --
+
+
+def _u(ret):
+    """Unary geometry→scalar UDF: fn(Geom) -> python value (None-safe)."""
+
+    def deco(fn):
+        def wrapped(b: pd.Series) -> pd.Series:
+            return pd.Series(
+                [fn(W.from_wkb(x)) if x is not None else None for x in b], dtype=object
+            )
+
+        wrapped.__name__ = fn.__name__
+        return pandas_udf(wrapped, ret)
+
+    return deco
+
+
+def _ug(fn):
+    """Unary geometry→geometry UDF: fn(Geom) -> Geom."""
+
+    def wrapped(b: pd.Series) -> pd.Series:
+        out = []
+        for x in b:
+            if x is None:
+                out.append(None)
+                continue
+            g = fn(W.from_wkb(x))
+            out.append(W.to_wkb(g) if g is not None else None)
+        return pd.Series(out, dtype=object)
+
+    wrapped.__name__ = fn.__name__
+    return pandas_udf(wrapped, BinaryType())
+
+
+def _ug2(fn):
+    """(geom, scalar)→geometry UDF."""
+
+    def wrapped(b: pd.Series, v: pd.Series) -> pd.Series:
+        out = []
+        for i, x in enumerate(b):
+            if x is None:
+                out.append(None)
+                continue
+            g = fn(W.from_wkb(x), v.iloc[i])
+            out.append(W.to_wkb(g) if g is not None else None)
+        return pd.Series(out, dtype=object)
+
+    wrapped.__name__ = fn.__name__
+    return pandas_udf(wrapped, BinaryType())
+
+
+# ---------------------------------------------------------------- structure --
+
+_DIM = {
+    "point": 0,
+    "multipoint": 0,
+    "linestring": 1,
+    "multilinestring": 1,
+    "polygon": 2,
+    "multipolygon": 2,
+}
+
+
+def _dimension(g: Geom) -> int:
+    if g.kind == "geometrycollection":
+        return max((_dimension(m) for m in g.parts), default=0)
+    return _DIM[g.kind]
+
+
+@_u(IntegerType())
+def st_dimension(g):
+    return _dimension(g)
+
+
+@_u(IntegerType())
+def st_numgeometries(g):
+    return len(g.members())
+
+
+@_u(IntegerType())
+def st_numpatches(g):
+    # polyhedral surfaces are not distinct kinds in our model; patches =
+    # member polygons (reference NumPatches.java delegates to getNumGeometries)
+    return len(g.members())
+
+
+def _geometry_n(g: Geom, n: int):
+    ms = g.members()
+    return ms[int(n) - 1] if 1 <= int(n) <= len(ms) else None
+
+
+st_geometryn = _ug2(_geometry_n)
+st_patchn = _ug2(_geometry_n)
+
+
+def _point_n(g: Geom, n: int):
+    if g.kind != "linestring" or not g.parts:
+        return None
+    a = g.parts[0]
+    i = int(n)
+    if i < 0:  # negative index counts from the end (PostGIS ≥ 3.x)
+        i = len(a) + i + 1
+    if not 1 <= i <= len(a):
+        return None
+    return Geom("point", [a[i - 1 : i]], g.dims)
+
+
+st_pointn = _ug2(_point_n)
+
+
+def _startpoint(g):
+    return _point_n(g, 1)
+
+
+def _endpoint(g):
+    return _point_n(g, len(g.parts[0])) if g.kind == "linestring" and g.parts else None
+
+
+st_startpoint = _ug(_startpoint)
+st_endpoint = _ug(_endpoint)
+
+
+def _interior_ring_n(g: Geom, n: int):
+    if g.kind != "polygon" or int(n) < 1 or int(n) >= len(g.parts):
+        return None
+    return Geom("linestring", [g.parts[int(n)]], g.dims)
+
+
+st_interiorringn = _ug2(_interior_ring_n)
+
+
+@_u(IntegerType())
+def st_nrings(g):
+    """Total ring count over all member polygons (NRings.java)."""
+    return sum(len(rings) for rings in g.polygons())
+
+
+@_u(IntegerType())
+def st_numdistinctgeometries(g):
+    seen = {W.to_wkb(m) for m in g.members()}
+    return len(seen)
+
+
+@_u(IntegerType())
+def st_numdistinctpoints(g):
+    c = g.all_coords()
+    return len(np.unique(c[:, :2], axis=0)) if len(c) else 0
+
+
+@_u(BooleanType())
+def st_hasrepeatedpoints(g):
+    for ch in g.chains():
+        if len(ch) >= 2 and (np.diff(ch[:, :2], axis=0) == 0).all(axis=1).any():
+            return True
+    return False
+
+
+@_u(IntegerType())
+def st_memsize(g):
+    return len(W.to_wkb(g))
+
+
+@_u(StringType())
+def st_summary(g):
+    """Type + per-part vertex counts, e.g. 'Polygon[2 rings, 9 points]'."""
+    name = g.kind.capitalize()
+    n = int(len(g.all_coords()))
+    if g.kind == "polygon":
+        return f"{name}[{len(g.parts)} rings, {n} points]"
+    if g.kind in ("multipolygon", "multilinestring", "multipoint", "geometrycollection"):
+        return f"{name}[{len(g.members())} geometries, {n} points]"
+    return f"{name}[{n} points]"
+
+
+# ------------------------------------------------------------- kind / flags --
+
+
+@_u(BooleanType())
+def st_iscollection(g):
+    return g.kind in ("multipoint", "multilinestring", "multipolygon", "geometrycollection")
+
+
+@_u(BooleanType())
+def st_is3d(g):
+    return "Z" in g.dims
+
+
+@_u(BooleanType())
+def st_ismeasured(g):
+    return "M" in g.dims
+
+
+@_u(IntegerType())
+def st_ndims(g):
+    return len(g.dims)
+
+
+@_u(BooleanType())
+def st_isplanar(g):
+    # IsPlanar.java: true iff no (non-NaN) Z ordinate anywhere
+    return "Z" not in g.dims
+
+
+@_u(BooleanType())
+def st_issolid(g):
+    # 2D geometry model: nothing is a solid (reference IsSolid: checks
+    # polyhedral closed-ness; our WKB model has no polyhedral surfaces)
+    return False
+
+
+@_u(BooleanType())
+def st_hashorizontalcrs(g):
+    # all SRIDs in our registry are horizontal 2D CRSs (srid.py table)
+    return True
+
+
+@_u(BooleanType())
+def st_isempty(g):
+    return not g.parts
+
+
+@_u(BooleanType())
+def st_isclosed(g):
+    if g.kind == "linestring":
+        a = g.parts[0]
+        return bool(len(a) >= 2 and (a[0, :2] == a[-1, :2]).all())
+    if g.kind == "multilinestring":
+        return all(len(p) >= 2 and (p[0, :2] == p[-1, :2]).all() for p in g.parts)
+    if g.kind in ("point", "multipoint"):
+        return True  # degenerate: closed by convention (JTS)
+    return bool(g.parts)
+
+
+def _is_simple(g: Geom) -> bool:
+    """No self-intersection in any chain; no duplicate points in multipoint."""
+    if g.kind == "multipoint":
+        c = g.all_coords()
+        return len(np.unique(c[:, :2], axis=0)) == len(c)
+    for ch in g.chains():
+        if S._ring_self_intersects(np.asarray(ch[:, :2])):
+            return False
+    return True
+
+
+@_u(BooleanType())
+def st_issimple(g):
+    return _is_simple(g)
+
+
+@_u(BooleanType())
+def st_isnodingvalid(g):
+    """Linework is noded: segments only touch at endpoints (IsNodingValid →
+    JTS FastNodingValidator over the line components)."""
+    chains = [np.asarray(c[:, :2]) for c in g.chains() if len(c) >= 2]
+    segs = []
+    for ch in chains:
+        for i in range(len(ch) - 1):
+            segs.append((ch[i], ch[i + 1]))
+    for i in range(len(segs)):
+        for j in range(i + 1, len(segs)):
+            p1, p2 = segs[i]
+            q1, q2 = segs[j]
+            if not K.segments_intersect(p1, p2, q1, q2):
+                continue
+            # intersection allowed only at shared endpoints
+            shared = any(
+                (a == b).all() for a in (p1, p2) for b in (q1, q2)
+            )
+            if not shared:
+                return False
+            # proper crossing through an endpoint of only one segment
+            for pt in (q1, q2):
+                if _strictly_interior(p1, p2, pt):
+                    return False
+            for pt in (p1, p2):
+                if _strictly_interior(q1, q2, pt):
+                    return False
+    return True
+
+
+def _strictly_interior(a, b, p) -> bool:
+    """p lies on segment ab strictly between the endpoints."""
+    if (p == a).all() or (p == b).all():
+        return False
+    cross = (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])
+    if abs(cross) > 1e-12:
+        return False
+    dot = (p[0] - a[0]) * (b[0] - a[0]) + (p[1] - a[1]) * (b[1] - a[1])
+    return 0 < dot < (b[0] - a[0]) ** 2 + (b[1] - a[1]) ** 2
+
+
+@_u(BooleanType())
+def st_isring(g):
+    if g.kind != "linestring" or not g.parts:
+        return False
+    a = g.parts[0]
+    closed = len(a) >= 4 and (a[0, :2] == a[-1, :2]).all()
+    return bool(closed and _is_simple(g))
+
+
+# -------------------------------------------------------- envelope-derived --
+
+
+def _bounds(g: Geom):
+    c = g.all_coords()
+    if not len(c):
+        return None
+    return float(c[:, 0].min()), float(c[:, 1].min()), float(c[:, 0].max()), float(c[:, 1].max())
+
+
+@_u(DoubleType())
+def st_xmin(g):
+    b = _bounds(g)
+    return b[0] if b else None
+
+
+@_u(DoubleType())
+def st_ymin(g):
+    b = _bounds(g)
+    return b[1] if b else None
+
+
+@_u(DoubleType())
+def st_xmax(g):
+    b = _bounds(g)
+    return b[2] if b else None
+
+
+@_u(DoubleType())
+def st_ymax(g):
+    b = _bounds(g)
+    return b[3] if b else None
+
+
+def _bounding_diagonal(g: Geom):
+    b = _bounds(g)
+    if b is None:
+        return Geom("linestring", [])
+    return Geom("linestring", [np.array([[b[0], b[1]], [b[2], b[3]]])])
+
+
+st_boundingdiagonal = _ug(_bounding_diagonal)
+
+
+def _octagonal_envelope(g: Geom):
+    """JTS OctagonalEnvelope: tight bounds in x, y, x+y, x−y."""
+    c = g.all_coords()[:, :2]
+    if not len(c):
+        return Geom("polygon", [])
+    x, y = c[:, 0], c[:, 1]
+    s, d = x + y, x - y
+    xmin, xmax, ymin, ymax = x.min(), x.max(), y.min(), y.max()
+    if xmin == xmax and ymin == ymax:
+        return Geom("point", [np.array([[xmin, ymin]])])
+    smin, smax, dmin, dmax = s.min(), s.max(), d.min(), d.max()
+    # exact construction: clip the bbox by the 4 diagonal half-planes
+    ring = np.array(
+        [[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax]], dtype=np.float64
+    )
+    for a_, b_, lim, sign in (
+        (1.0, 1.0, smin, 1),
+        (1.0, 1.0, smax, -1),
+        (1.0, -1.0, dmin, 1),
+        (1.0, -1.0, dmax, -1),
+    ):
+        ring = _clip_halfplane(ring, a_, b_, lim, sign)
+        if len(ring) == 0:
+            break
+    if len(ring) < 3:
+        return Geom("point", [c[:1]]) if len(c) else Geom("polygon", [])
+    ring = np.vstack([ring, ring[:1]])
+    return Geom("polygon", [ring])
+
+
+def _clip_halfplane(ring: np.ndarray, a: float, b: float, lim: float, sign: int) -> np.ndarray:
+    """Keep points with sign*(a·x + b·y − lim) ≥ 0 (Sutherland–Hodgman step)."""
+    if len(ring) == 0:
+        return ring
+    out = []
+    n = len(ring)
+    f = lambda p: sign * (a * p[0] + b * p[1] - lim)
+    for i in range(n):
+        p, q = ring[i], ring[(i + 1) % n]
+        fp, fq = f(p), f(q)
+        if fp >= -1e-12:
+            out.append(p)
+        if (fp > 1e-12 and fq < -1e-12) or (fp < -1e-12 and fq > 1e-12):
+            t = fp / (fp - fq)
+            out.append(p + t * (q - p))
+    return np.array(out) if out else np.empty((0, 2))
+
+
+st_octogonalenvelope = _ug(_octagonal_envelope)
+
+
+# ---------------------------------------------------------------- boundary --
+
+
+def _boundary(g: Geom):
+    """OGC boundary: polygon → its rings as (multi)linestring; linestring →
+    its endpoints as multipoint (empty when closed); point → empty."""
+    if g.kind in ("point", "multipoint"):
+        return Geom("geometrycollection", [])
+    if g.kind == "geometrycollection":
+        return Geom("geometrycollection", [_boundary(m) for m in g.parts], g.dims)
+    if g.kind == "linestring":
+        if not g.parts:
+            return Geom("multipoint", [])
+        a = g.parts[0]
+        if len(a) >= 2 and (a[0, :2] == a[-1, :2]).all():
+            return Geom("multipoint", [])
+        return Geom("multipoint", [np.vstack([a[0], a[-1]])], g.dims)
+    if g.kind == "multilinestring":
+        # mod-2 rule: points that are endpoints of an odd number of members
+        from collections import Counter
+
+        cnt = Counter()
+        for p in g.parts:
+            if len(p) >= 2 and not (p[0, :2] == p[-1, :2]).all():
+                cnt[tuple(p[0, :2])] += 1
+                cnt[tuple(p[-1, :2])] += 1
+        pts = [k for k, v in cnt.items() if v % 2 == 1]
+        return Geom("multipoint", [np.array(pts)] if pts else [])
+    rings = []
+    for polyrings in g.polygons():
+        rings.extend(np.asarray(r) for r in polyrings)
+    if not rings:
+        return Geom("multilinestring", [])
+    if len(rings) == 1:
+        return Geom("linestring", [rings[0]], g.dims)
+    return Geom("multilinestring", rings, g.dims)
+
+
+st_boundary = _ug(_boundary)
+
+
+def _dump_rings(g: Geom):
+    """Each ring of each member polygon as a standalone polygon
+    (PostGIS ST_DumpRings; reference DumpRings.java is registered but
+    unimplemented — ``throw new UnsupportedOperationException``)."""
+    out = []
+    for polyrings in g.polygons():
+        for r in polyrings:
+            out.append(Geom("polygon", [np.asarray(r)], g.dims))
+    return Geom("geometrycollection", out, g.dims)
+
+
+st_dumprings = _ug(_dump_rings)
+
+
+# -------------------------------------------------------------- validity+ --
+
+_VALID_DETAIL_T = StructType(
+    [
+        StructField("valid", BooleanType()),
+        StructField("reason", StringType()),
+        StructField("location", BinaryType()),
+    ]
+)
+
+
+def st_isvaliddetail_impl(x):
+    g = W.from_wkb(x)
+    reason = S.is_valid_reason(g)
+    valid = reason == "Valid Geometry"
+    loc = None
+    if not valid and g.parts:
+        e = g.exterior()
+        if len(e):
+            loc = W.to_wkb(Geom("point", [np.asarray(e[:1, :2])]))
+    return valid, reason, loc
+
+
+@pandas_udf(_VALID_DETAIL_T)
+def st_isvaliddetail(b: pd.Series) -> pd.DataFrame:
+    rows = [st_isvaliddetail_impl(x) if x is not None else (None, None, None) for x in b]
+    return pd.DataFrame(rows, columns=["valid", "reason", "location"])
+
+
+# ------------------------------------------------------------ MBC / shapes --
+
+
+@_u(DoubleType())
+def st_minimumboundingradius(g):
+    c = g.all_coords()[:, :2]
+    if not len(c):
+        return None
+    (_, _), r = S.min_bounding_circle(c)
+    return float(r)
+
+
+def _mbc_center(g: Geom):
+    c = g.all_coords()[:, :2]
+    if not len(c):
+        return None
+    (cx, cy), _ = S.min_bounding_circle(c)
+    return Geom("point", [np.array([[cx, cy]])])
+
+
+st_minimumboundingcirclecenter = _ug(_mbc_center)
+
+
+def _min_clearance(g: Geom) -> tuple:
+    """(clearance, segment) — smallest distance between a vertex and a
+    non-adjacent vertex/segment (JTS MinimumClearance semantics)."""
+    chains = [np.asarray(c[:, :2]) for c in g.chains()]
+    pts = g.all_coords()[:, :2]
+    best = math.inf
+    seg = None
+    n = len(pts)
+    # vertex-vertex
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = math.hypot(pts[i, 0] - pts[j, 0], pts[i, 1] - pts[j, 1])
+            if 0 < d < best:
+                best, seg = d, (pts[i], pts[j])
+    # vertex-segment (excluding segments incident to the vertex)
+    for ch in chains:
+        for k in range(len(ch) - 1):
+            a, b = ch[k], ch[k + 1]
+            for p in pts:
+                if (p == a).all() or (p == b).all():
+                    continue
+                d2 = K.point_segment_dist_sq(p[0], p[1], a[0], a[1], b[0], b[1])
+                d = math.sqrt(d2)
+                if 0 < d < best:
+                    t_num = (p[0] - a[0]) * (b[0] - a[0]) + (p[1] - a[1]) * (b[1] - a[1])
+                    t = max(0.0, min(1.0, t_num / max((b[0] - a[0]) ** 2 + (b[1] - a[1]) ** 2, 1e-300)))
+                    proj = np.array([a[0] + t * (b[0] - a[0]), a[1] + t * (b[1] - a[1])])
+                    best, seg = d, (p, proj)
+    return (best if seg else None), seg
+
+
+@_u(DoubleType())
+def st_minimumclearance(g):
+    d, _ = _min_clearance(g)
+    return float(d) if d is not None else None
+
+
+def _min_clearance_line(g: Geom):
+    _, seg = _min_clearance(g)
+    if seg is None:
+        return Geom("linestring", [])
+    return Geom("linestring", [np.vstack(seg)])
+
+
+st_minimumclearanceline = _ug(_min_clearance_line)
+
+
+def _min_diameter_line(g: Geom):
+    """Shortest segment spanning the geometry's width (JTS MinimumDiameter:
+    the supporting-point to opposite-edge segment at the minimum width)."""
+    c = g.all_coords()[:, :2]
+    if len(c) < 2:
+        return Geom("linestring", [])
+    hull = K.convex_hull(c)
+    best, bseg = math.inf, None
+    n = len(hull)
+    for i in range(n):
+        a, b = hull[i], hull[(i + 1) % n]
+        ab = b - a
+        L = math.hypot(*ab)
+        if L == 0:
+            continue
+        # farthest hull point from edge (a,b)
+        d = np.abs((hull[:, 0] - a[0]) * ab[1] - (hull[:, 1] - a[1]) * ab[0]) / L
+        j = int(d.argmax())
+        if d[j] < best:
+            p = hull[j]
+            t = ((p[0] - a[0]) * ab[0] + (p[1] - a[1]) * ab[1]) / (L * L)
+            proj = a + max(0.0, min(1.0, t)) * ab
+            best, bseg = d[j], (proj, p)
+    if bseg is None:
+        return Geom("linestring", [])
+    return Geom("linestring", [np.vstack(bseg)])
+
+
+st_minimumdiameterline = _ug(_min_diameter_line)
+
+
+# ---------------------------------------------------------- length variants --
+
+
+def _length3d(g: Geom) -> float:
+    total = 0.0
+    zi = g.dims.find("Z")
+    for ch in g.chains():
+        a = np.asarray(ch)
+        if len(a) < 2:
+            continue
+        if zi >= 0 and a.shape[1] > zi:
+            d = np.diff(a[:, [0, 1, zi]], axis=0)
+        else:
+            d = np.diff(a[:, :2], axis=0)
+        total += float(np.sqrt((d * d).sum(axis=1)).sum())
+    return total
+
+
+@_u(DoubleType())
+def st_length3d(g):
+    if g.kind in ("polygon", "multipolygon"):
+        return 0.0  # JTS Length of areal = perimeter; 3D length only lineal
+    return _length3d(g)
+
+
+@_u(DoubleType())
+def st_perimeter3d(g):
+    if g.kind not in ("polygon", "multipolygon"):
+        return 0.0
+    return _length3d(g)
+
+
+# --------------------------------------------------------------- measures --
+
+
+@_u(DoubleType())
+def st_compactnessratio(g):
+    """2·sqrt(pi·A)/P — CompactnessRatio.java (polygon only → NULL else)."""
+    if g.kind != "polygon" or not g.parts:
+        return None
+    area = abs(K.ring_area(g.parts[0][:, :2])) - sum(
+        abs(K.ring_area(r[:, :2])) for r in g.parts[1:]
+    )
+    perim = sum(K.line_length(np.asarray(c[:, :2])) for c in g.chains())
+    if perim <= 0:
+        return None
+    radius = math.sqrt(max(area, 0.0) / math.pi)
+    return (2 * math.pi * radius) / perim
+
+
+@_u(DoubleType())
+def st_circularity(g):
+    """4πA/P² — CircularityIndex.java (polygon only → 0.0 otherwise)."""
+    if g.kind != "polygon" or not g.parts:
+        return 0.0
+    area = abs(K.ring_area(g.parts[0][:, :2])) - sum(
+        abs(K.ring_area(r[:, :2])) for r in g.parts[1:]
+    )
+    perim = sum(K.line_length(np.asarray(c[:, :2])) for c in g.chains())
+    if perim <= 0:
+        return 0.0
+    return (4 * math.pi * area) / (perim * perim)
+
+
+@_u(IntegerType())
+def st_orientation(g):
+    """Orientation.java: CCW exterior → -1, else 1 (polygon only → NULL)."""
+    if g.kind != "polygon" or not g.parts:
+        return None
+    return -1 if K.ring_area_signed(g.parts[0][:, :2]) > 0 else 1
+
+
+@_u(BooleanType())
+def st_ispolygonccw(g):
+    """Exterior CCW and holes CW, for every member polygon (PostGIS)."""
+    polys = g.polygons()
+    if not polys:
+        return g.kind in ("polygon", "multipolygon")  # empty: vacuous true
+    for rings in polys:
+        if K.ring_area_signed(np.asarray(rings[0])[:, :2]) < 0:
+            return False
+        for hole in rings[1:]:
+            if K.ring_area_signed(np.asarray(hole)[:, :2]) > 0:
+                return False
+    return True
+
+
+@_u(BooleanType())
+def st_ispolygoncw(g):
+    polys = g.polygons()
+    if not polys:
+        return g.kind in ("polygon", "multipolygon")
+    for rings in polys:
+        if K.ring_area_signed(np.asarray(rings[0])[:, :2]) > 0:
+            return False
+        for hole in rings[1:]:
+            if K.ring_area_signed(np.asarray(hole)[:, :2]) < 0:
+                return False
+    return True
+
+
+# ------------------------------------------------------- triangle predicates --
+
+
+def _ring_verts(g: Geom):
+    """Distinct vertices of the exterior ring (closing vertex dropped)."""
+    if g.kind != "polygon" or not g.parts:
+        return None
+    r = np.asarray(g.parts[0])[:, :2]
+    if len(r) >= 2 and (r[0] == r[-1]).all():
+        r = r[:-1]
+    return r
+
+
+def _tri_sides(r):
+    d = [
+        math.hypot(*(r[(i + 1) % 3] - r[i]))
+        for i in range(3)
+    ]
+    return sorted(d)
+
+
+@_u(BooleanType())
+def st_istriangle(g):
+    r = _ring_verts(g)
+    return r is not None and len(r) == 3 and len(g.parts) == 1
+
+
+def _is_triangle(g):
+    r = _ring_verts(g)
+    return r if (r is not None and len(r) == 3 and len(g.parts) == 1) else None
+
+
+@_u(BooleanType())
+def st_isequilateraltriangle(g):
+    r = _is_triangle(g)
+    if r is None:
+        return False
+    a, b, c = _tri_sides(r)
+    return bool(math.isclose(a, c, rel_tol=1e-9))
+
+
+@_u(BooleanType())
+def st_isisoscelestriangle(g):
+    r = _is_triangle(g)
+    if r is None:
+        return False
+    a, b, c = _tri_sides(r)
+    return bool(math.isclose(a, b, rel_tol=1e-9) or math.isclose(b, c, rel_tol=1e-9))
+
+
+@_u(BooleanType())
+def st_isrighttriangle(g):
+    r = _is_triangle(g)
+    if r is None:
+        return False
+    a, b, c = _tri_sides(r)
+    return bool(math.isclose(a * a + b * b, c * c, rel_tol=1e-9))
+
+
+@_u(BooleanType())
+def st_isacute(g):
+    """All interior angles < 90° (triangle; reference IsAcute.java)."""
+    r = _is_triangle(g)
+    if r is None:
+        return False
+    a, b, c = _tri_sides(r)
+    return bool(a * a + b * b > c * c * (1 + 1e-12))
+
+
+@_u(BooleanType())
+def st_isconvex(g):
+    r = _ring_verts(g)
+    if r is None or len(r) < 3:
+        return False
+    closed = np.vstack([r, r[:1]])
+    return bool(K.is_convex(closed) and len(g.parts) == 1)
+
+
+@_u(BooleanType())
+def st_isrectangle(g):
+    """JTS isRectangle: 5-point single ring that equals its envelope."""
+    if g.kind != "polygon" or len(g.parts) != 1:
+        return False
+    r = np.asarray(g.parts[0])[:, :2]
+    if len(r) != 5 or not (r[0] == r[-1]).all():
+        return False
+    xmin, ymin = r.min(axis=0)
+    xmax, ymax = r.max(axis=0)
+    for p in r[:-1]:
+        if p[0] not in (xmin, xmax) or p[1] not in (ymin, ymax):
+            return False
+    # each side must change exactly one ordinate
+    for i in range(4):
+        dx, dy = r[i + 1] - r[i]
+        if (dx != 0) == (dy != 0):
+            return False
+    return True
+
+
+@_u(BooleanType())
+def st_issquare(g):
+    if g.kind != "polygon" or len(g.parts) != 1:
+        return False
+    r = np.asarray(g.parts[0])[:, :2]
+    if len(r) != 5 or not (r[0] == r[-1]).all():
+        return False
+    sides = [math.hypot(*(r[i + 1] - r[i])) for i in range(4)]
+    diag1 = math.hypot(*(r[2] - r[0]))
+    diag2 = math.hypot(*(r[3] - r[1]))
+    return bool(
+        all(math.isclose(s, sides[0], rel_tol=1e-9) for s in sides)
+        and math.isclose(diag1, diag2, rel_tol=1e-9)
+        and sides[0] > 0
+    )
+
+
+# ------------------------------------------------------------ point family --
+
+
+def _centroid_of(g: Geom):
+    if g.kind == "point":
+        return g.parts[0][0, :2]
+    cx, cy = K.centroid(g.all_coords()[:, :2], g.kind)
+    return np.array([cx, cy])
+
+
+@pandas_udf(DoubleType())
+def st_angle(a: pd.Series, b: pd.Series, c: pd.Series) -> pd.Series:
+    """Angle at B between BA and BC, radians (Angle.java law of cosines)."""
+    out = []
+    for x, y, z in zip(a, b, c):
+        if x is None or y is None or z is None:
+            out.append(None)
+            continue
+        ca = _centroid_of(W.from_wkb(x))
+        cb = _centroid_of(W.from_wkb(y))
+        cc = _centroid_of(W.from_wkb(z))
+        ab = math.hypot(*(cb - ca))
+        bc = math.hypot(*(cb - cc))
+        ac = math.hypot(*(cc - ca))
+        if ab == 0 or bc == 0:
+            out.append(None)
+            continue
+        v = (bc * bc + ab * ab - ac * ac) / (2 * bc * ab)
+        out.append(math.acos(max(-1.0, min(1.0, v))))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(BooleanType())
+def st_pointinsidecircle(b: pd.Series, cx: pd.Series, cy: pd.Series, r: pd.Series) -> pd.Series:
+    """PointInsideCircle.java: containment in the 32-gon circle approximation
+    built by JTS GeometricShapeFactory (not the exact disc)."""
+    out = []
+    for x, x0, y0, rad in zip(b, cx, cy, r):
+        if x is None:
+            out.append(None)
+            continue
+        g = W.from_wkb(x)
+        if g.kind != "point":
+            out.append(None)
+            continue
+        px, py = g.parts[0][0, :2]
+        ang = np.arange(33) * (2 * math.pi / 32)
+        ring = np.column_stack([x0 + rad * np.cos(ang), y0 + rad * np.sin(ang)])
+        inside = K.points_in_polygon(np.array([px]), np.array([py]), ring)[0]
+        out.append(bool(inside))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(BooleanType())
+def st_ispointinring(p: pd.Series, ring: pd.Series) -> pd.Series:
+    out = []
+    for x, y in zip(p, ring):
+        if x is None or y is None:
+            out.append(None)
+            continue
+        gp, gr = W.from_wkb(x), W.from_wkb(y)
+        px, py = gp.parts[0][0, :2]
+        coords = gr.exterior()[:, :2]
+        if len(coords) < 3:
+            out.append(False)
+            continue
+        ringc = coords if (coords[0] == coords[-1]).all() else np.vstack([coords, coords[:1]])
+        out.append(bool(K.points_in_polygon(np.array([px]), np.array([py]), ringc)[0]))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(BooleanType())
+def st_ispointonline(p: pd.Series, line: pd.Series) -> pd.Series:
+    out = []
+    for x, y in zip(p, line):
+        if x is None or y is None:
+            out.append(None)
+            continue
+        gp, gl = W.from_wkb(x), W.from_wkb(y)
+        px, py = gp.parts[0][0, :2]
+        hit = False
+        for ch in gl.chains():
+            a = np.asarray(ch[:, :2])
+            for i in range(len(a) - 1):
+                if K.point_segment_dist_sq(px, py, a[i, 0], a[i, 1], a[i + 1, 0], a[i + 1, 1]) < 1e-18:
+                    hit = True
+                    break
+            if hit:
+                break
+        out.append(hit)
+    return pd.Series(out, dtype=object)
+
+
+# ------------------------------------------------------ linestring family --
+
+
+@pandas_udf(DoubleType())
+def st_lengthtopoint(line: pd.Series, point: pd.Series) -> pd.Series:
+    """Length along the line to the closest point on it (LengthToPoint.java
+    → JUMP algorithm: locate fraction × total length)."""
+    out = []
+    for x, y in zip(line, point):
+        if x is None or y is None:
+            out.append(None)
+            continue
+        gl, gp = W.from_wkb(x), W.from_wkb(y)
+        if gl.kind != "linestring" or gp.kind != "point" or not gl.parts:
+            out.append(None)
+            continue
+        a = np.asarray(gl.parts[0][:, :2])
+        px, py = gp.parts[0][0, :2]
+        frac = K.line_locate_point(a, float(px), float(py))
+        out.append(frac * K.line_length(a))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(DoubleType())
+def st_interpolatepoint(line: pd.Series, point: pd.Series) -> pd.Series:
+    """Interpolated M at the closest point of the line (PostGIS
+    ST_InterpolatePoint; reference linestring/InterpolatePoint.java is a
+    registered stub — ``UnsupportedOperationException``)."""
+    out = []
+    for x, y in zip(line, point):
+        if x is None or y is None:
+            out.append(None)
+            continue
+        gl, gp = W.from_wkb(x), W.from_wkb(y)
+        mi = gl.dims.find("M")
+        if gl.kind != "linestring" or not gl.parts or mi < 0:
+            out.append(None)
+            continue
+        a = np.asarray(gl.parts[0])
+        xy = a[:, :2]
+        ms = a[:, mi]
+        px, py = gp.parts[0][0, :2]
+        frac = K.line_locate_point(xy, float(px), float(py))
+        # walk to the segment holding this fraction
+        seglen = np.sqrt((np.diff(xy, axis=0) ** 2).sum(axis=1))
+        total = seglen.sum()
+        if total == 0:
+            out.append(float(ms[0]))
+            continue
+        target = frac * total
+        acc = 0.0
+        val = float(ms[-1])
+        for i, sl in enumerate(seglen):
+            if acc + sl >= target - 1e-12:
+                t = 0.0 if sl == 0 else (target - acc) / sl
+                val = float(ms[i] + t * (ms[i + 1] - ms[i]))
+                break
+            acc += sl
+        out.append(val)
+    return pd.Series(out, dtype=object)
+
+
+@_u(BooleanType())
+def st_isvalidtrajectory(g):
+    """LINESTRING M with strictly increasing M (IsValidTrajectory.java)."""
+    if g.kind != "linestring" or "M" not in g.dims or not g.parts:
+        return False
+    mi = g.dims.find("M")
+    ms = np.asarray(g.parts[0])[:, mi]
+    if np.isnan(ms).any():
+        return False
+    return bool((np.diff(ms) > 0).all())
+
+
+def _self_intersections(g: Geom):
+    """Proper self-intersection points of the linework."""
+    pts = []
+    chains = [np.asarray(c[:, :2]) for c in g.chains() if len(c) >= 2]
+    segs = []
+    for ch in chains:
+        for i in range(len(ch) - 1):
+            segs.append((ch[i], ch[i + 1]))
+    for i in range(len(segs)):
+        for j in range(i + 1, len(segs)):
+            p1, p2 = segs[i]
+            q1, q2 = segs[j]
+            shared = any((a == b).all() for a in (p1, p2) for b in (q1, q2))
+            if shared:
+                continue
+            d1 = p2 - p1
+            d2 = q2 - q1
+            den = d1[0] * d2[1] - d1[1] * d2[0]
+            if abs(den) < 1e-300:
+                continue
+            t = ((q1[0] - p1[0]) * d2[1] - (q1[1] - p1[1]) * d2[0]) / den
+            u = ((q1[0] - p1[0]) * d1[1] - (q1[1] - p1[1]) * d1[0]) / den
+            if 0 <= t <= 1 and 0 <= u <= 1:
+                pts.append(p1 + t * d1)
+    if not pts:
+        return Geom("multipoint", [])
+    uniq = np.unique(np.round(np.array(pts), 12), axis=0)
+    return Geom("multipoint", [uniq])
+
+
+st_selfintersections = _ug(_self_intersections)
+
+
+def _line_self_intersection_point(g: Geom):
+    mp = _self_intersections(g)
+    if not mp.parts or not len(mp.parts[0]):
+        return Geom("point", [])
+    return Geom("point", [mp.parts[0][:1]])
+
+
+st_lineselfintersectionpoint = _ug(_line_self_intersection_point)
+
+
+@pandas_udf(BinaryType())
+def st_lineinterpolatepoints(b: pd.Series, frac: pd.Series) -> pd.Series:
+    """Points at every multiple of ``frac`` along the line (PostGIS
+    ST_LineInterpolatePoints with repeat=true)."""
+    out = []
+    for x, f in zip(b, frac):
+        if x is None:
+            out.append(None)
+            continue
+        g = W.from_wkb(x)
+        if g.kind != "linestring" or not g.parts:
+            out.append(None)
+            continue
+        a = np.asarray(g.parts[0][:, :2])
+        f = float(f)
+        if not 0 < f <= 1:
+            out.append(None)
+            continue
+        n = int(1 / f + 1e-9)
+        pts = [K.line_interpolate_point(a, f * k) for k in range(1, n + 1)]
+        out.append(W.to_wkb(Geom("multipoint", [np.array(pts)])))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(BinaryType())
+def st_sharedpaths(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Collection of segments of A that lie exactly on segments of B
+    (collinear overlapping spans, PostGIS ST_SharedPaths simplified to the
+    same-direction/any-direction union as one multilinestring)."""
+    out = []
+    for x, y in zip(a, b):
+        if x is None or y is None:
+            out.append(None)
+            continue
+        ga, gb = W.from_wkb(x), W.from_wkb(y)
+        shared = []
+        for ca in ga.chains():
+            aa = np.asarray(ca[:, :2])
+            for i in range(len(aa) - 1):
+                p1, p2 = aa[i], aa[i + 1]
+                for cb in gb.chains():
+                    bb = np.asarray(cb[:, :2])
+                    for j in range(len(bb) - 1):
+                        seg = _collinear_overlap(p1, p2, bb[j], bb[j + 1])
+                        if seg is not None:
+                            shared.append(seg)
+        if not shared:
+            out.append(W.to_wkb(Geom("multilinestring", [])))
+        else:
+            out.append(W.to_wkb(Geom("multilinestring", [np.vstack([s0[None], s1[None]]) for s0, s1 in shared])))
+    return pd.Series(out, dtype=object)
+
+
+def _collinear_overlap(p1, p2, q1, q2):
+    d = p2 - p1
+    L2 = d @ d
+    if L2 == 0:
+        return None
+    for q in (q1, q2):
+        cross = d[0] * (q[1] - p1[1]) - d[1] * (q[0] - p1[0])
+        if abs(cross) > 1e-9 * math.sqrt(L2):
+            return None
+    t1 = ((q1 - p1) @ d) / L2
+    t2 = ((q2 - p1) @ d) / L2
+    lo, hi = max(0.0, min(t1, t2)), min(1.0, max(t1, t2))
+    if hi - lo < 1e-12:
+        return None
+    return p1 + lo * d, p1 + hi * d
+
+
+# --------------------------------------------------- trajectory / measures --
+
+
+@pandas_udf(DoubleType())
+def st_closestpointofapproach(a: pd.Series, b: pd.Series) -> pd.Series:
+    """M value (time) of minimum separation between two trajectories
+    (LINESTRING M, M strictly increasing).  Reference registers
+    ClosestPointOfApproach.java but throws; we implement the PostGIS
+    ST_ClosestPointOfApproach semantics: piecewise-linear positions sampled
+    over the shared M interval, exact per-segment quadratic minimisation."""
+    out = []
+    for x, y in zip(a, b):
+        if x is None or y is None:
+            out.append(None)
+            continue
+        ga, gb = W.from_wkb(x), W.from_wkb(y)
+        mi_a, mi_b = ga.dims.find("M"), gb.dims.find("M")
+        if (
+            ga.kind != "linestring"
+            or gb.kind != "linestring"
+            or mi_a < 0
+            or mi_b < 0
+            or not ga.parts
+            or not gb.parts
+        ):
+            out.append(None)
+            continue
+        ta = np.asarray(ga.parts[0])
+        tb = np.asarray(gb.parts[0])
+        m0 = max(ta[0, mi_a], tb[0, mi_b])
+        m1 = min(ta[-1, mi_a], tb[-1, mi_b])
+        if m1 < m0:
+            out.append(None)
+            continue
+        knots = np.unique(
+            np.concatenate(
+                [
+                    ta[:, mi_a][(ta[:, mi_a] >= m0) & (ta[:, mi_a] <= m1)],
+                    tb[:, mi_b][(tb[:, mi_b] >= m0) & (tb[:, mi_b] <= m1)],
+                    [m0, m1],
+                ]
+            )
+        )
+
+        def pos(traj, mi, m):
+            ms = traj[:, mi]
+            i = int(np.clip(np.searchsorted(ms, m, side="right") - 1, 0, len(ms) - 2))
+            t = 0.0 if ms[i + 1] == ms[i] else (m - ms[i]) / (ms[i + 1] - ms[i])
+            return traj[i, :2] + t * (traj[i + 1, :2] - traj[i, :2])
+
+        best_m, best_d = None, math.inf
+        for k in range(len(knots) - 1):
+            lo, hi = knots[k], knots[k + 1]
+            pa0, pa1 = pos(ta, mi_a, lo), pos(ta, mi_a, hi)
+            pb0, pb1 = pos(tb, mi_b, lo), pos(tb, mi_b, hi)
+            dv0 = pa0 - pb0
+            dv1 = (pa1 - pb1) - dv0  # relative velocity × (hi−lo)
+            A = dv1 @ dv1
+            t_star = 0.0 if A == 0 else max(0.0, min(1.0, -(dv0 @ dv1) / A))
+            for t in {0.0, t_star, 1.0}:
+                d = np.hypot(*(dv0 + t * dv1))
+                if d < best_d:
+                    best_d, best_m = d, lo + t * (hi - lo)
+        out.append(float(best_m) if best_m is not None else None)
+    return pd.Series(out, dtype=object)

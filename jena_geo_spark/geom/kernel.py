@@ -164,12 +164,19 @@ def edges_intersect_any(a: np.ndarray, b: np.ndarray) -> bool:
 
 def ring_area(ring: np.ndarray) -> float:
     """Shoelace area (positive, planar, coordinate units)."""
+    return abs(ring_area_signed(ring))
+
+
+def ring_area_signed(ring: np.ndarray) -> float:
+    """Signed shoelace area: positive = counterclockwise ring."""
     ring = np.asarray(ring, dtype=np.float64)
     if len(ring) >= 2 and (ring[0] == ring[-1]).all():
         ring = ring[:-1]
+    if len(ring) < 3:
+        return 0.0
     x, y = ring[:, 0], ring[:, 1]
     x2, y2 = np.roll(x, -1), np.roll(y, -1)
-    return float(abs(np.sum(x * y2 - x2 * y)) * 0.5)
+    return float(np.sum(x * y2 - x2 * y) * 0.5)
 
 
 def line_length(coords: np.ndarray) -> float:

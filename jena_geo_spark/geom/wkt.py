@@ -32,6 +32,7 @@ _WKB_CODE = {
     "multipoint": 4,
     "multilinestring": 5,
     "multipolygon": 6,
+    "geometrycollection": 7,
 }
 _WKB_KIND = {v: k for k, v in _WKB_CODE.items()}
 
@@ -61,6 +62,9 @@ class Geom:
         if self.kind == "multipolygon":
             for rings in self.parts:
                 yield from rings
+        elif self.kind == "geometrycollection":
+            for member in self.parts:  # parts = list[Geom]
+                yield from member._flat_parts()
         else:
             yield from self.parts
 
@@ -74,6 +78,8 @@ class Geom:
             return np.empty((0, 2), dtype=np.float64)
         if self.kind == "multipolygon":
             return self.parts[0][0]
+        if self.kind == "geometrycollection":
+            return self.parts[0].exterior()
         return self.parts[0]
 
     def chains(self) -> list:
@@ -83,6 +89,10 @@ class Geom:
         creates phantom segments between holes/parts — ADVICE r1), matching
         JTS ``DistanceOp`` which iterates component segments."""
         out = []
+        if self.kind == "geometrycollection":
+            for member in self.parts:
+                out.extend(member.chains())
+            return out
         if self.kind == "multipolygon":
             ringsets = self.parts
             for rings in ringsets:
@@ -102,7 +112,33 @@ class Geom:
             return [self.parts] if self.parts else []
         if self.kind == "multipolygon":
             return [rings for rings in self.parts if rings]
+        if self.kind == "geometrycollection":
+            out = []
+            for member in self.parts:
+                out.extend(member.polygons())
+            return out
         return []
+
+    def members(self) -> list:
+        """Member geometries — one Geom per constituent (self for atomics).
+
+        Reference semantics: JTS ``Geometry.getGeometryN`` /
+        ``getNumGeometries`` (used by ``NumGeometries.java``,
+        ``GeometryN.java``, ``NumDistinctGeometries.java``)."""
+        if self.kind == "geometrycollection":
+            return list(self.parts)
+        if self.kind == "multipoint":
+            if not self.parts:
+                return []
+            return [
+                Geom("point", [self.parts[0][i : i + 1]], self.dims)
+                for i in range(len(self.parts[0]))
+            ]
+        if self.kind == "multilinestring":
+            return [Geom("linestring", [p], self.dims) for p in self.parts]
+        if self.kind == "multipolygon":
+            return [Geom("polygon", rings, self.dims) for rings in self.parts]
+        return [self] if self.parts else []
 
 
 def _closed(ring: np.ndarray) -> np.ndarray:
@@ -149,6 +185,22 @@ def _split_groups(body: str) -> list[str]:
     return out
 
 
+def _split_top_level(body: str) -> list[str]:
+    """Split at depth-0 commas WITHOUT stripping parens (collection members
+    are complete WKT strings like ``POINT (1 2)``)."""
+    groups, depth, start = [], 0, 0
+    for i, ch in enumerate(body):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            groups.append(body[start:i])
+            start = i + 1
+    groups.append(body[start:])
+    return [g.strip() for g in groups]
+
+
 def from_wkt(wkt: str) -> Geom:
     s = wkt.strip()
     m = re.match(r"^\s*([A-Za-z]+)\s*(Z|M|ZM)?\s*\((.*)\)\s*$", s, re.S | re.I)
@@ -158,6 +210,10 @@ def from_wkt(wkt: str) -> Geom:
             return Geom(kind, [])
         raise ValueError(f"unparseable WKT: {wkt[:80]!r}")
     kind = m.group(1).lower()
+    if kind == "geometrycollection":
+        members = [from_wkt(g) for g in _split_top_level(m.group(3))]
+        dims = members[0].dims if members else "XY"
+        return Geom("geometrycollection", members, dims)
     zm = (m.group(2) or "").upper()
     body = m.group(3)
     if not zm:
@@ -215,6 +271,8 @@ def to_wkt(g: Geom) -> str:
             "(" + ", ".join(f"({_seq_to_wkt(r)})" for r in rings) + ")" for rings in g.parts
         )
         return f"{tag} ({polys})"
+    if k == "geometrycollection":
+        return f"{tag} ({', '.join(to_wkt(member) for member in g.parts)})"
     raise ValueError(k)
 
 
@@ -253,6 +311,10 @@ def to_wkb(g: Geom) -> bytes:
         out.append(struct.pack("<I", len(g.parts)))
         for rings in g.parts:
             out.append(to_wkb(Geom("polygon", rings, g.dims)))
+    elif g.kind == "geometrycollection":
+        out.append(struct.pack("<I", len(g.parts)))
+        for member in g.parts:
+            out.append(to_wkb(member))
     return b"".join(out)
 
 
@@ -323,6 +385,16 @@ def _read_wkb(mv: memoryview, off: int) -> tuple[Geom, int]:
             sub_dims = g.dims
             parts.append(g.parts if kind == "multipolygon" else g.parts[0])
         return Geom(kind, parts, sub_dims), off
+    if kind == "geometrycollection":
+        n = struct.unpack_from(endian + "I", mv, off)[0]
+        off += 4
+        members = []
+        sub_dims = dims
+        for _ in range(n):
+            g, off = _read_wkb(mv, off)
+            sub_dims = g.dims
+            members.append(g)
+        return Geom("geometrycollection", members, sub_dims if n else dims), off
     raise ValueError(kind)
 
 
@@ -346,12 +418,22 @@ def to_geojson(g: Geom) -> str:
         return json.dumps(
             {"type": "MultiPolygon", "coordinates": [[seq(r) for r in rings] for rings in g.parts]}
         )
+    if g.kind == "geometrycollection":
+        return json.dumps(
+            {
+                "type": "GeometryCollection",
+                "geometries": [json.loads(to_geojson(member)) for member in g.parts],
+            }
+        )
     raise ValueError(g.kind)
 
 
 def from_geojson(s: str) -> Geom:
     obj = json.loads(s)
     t = obj["type"].lower()
+    if t == "geometrycollection":
+        members = [from_geojson(json.dumps(sub)) for sub in obj["geometries"]]
+        return Geom("geometrycollection", members, members[0].dims if members else "XY")
     c = obj["coordinates"]
     if t == "point":
         return Geom("point", [np.array([c], dtype=np.float64)])
