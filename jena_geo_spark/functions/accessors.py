@@ -545,7 +545,7 @@ def st_minimumboundingradius(g):
     c = g.all_coords()[:, :2]
     if not len(c):
         return None
-    (_, _), r = S.min_bounding_circle(c)
+    _, _, r = S.min_bounding_circle(c)
     return float(r)
 
 
@@ -553,7 +553,7 @@ def _mbc_center(g: Geom):
     c = g.all_coords()[:, :2]
     if not len(c):
         return None
-    (cx, cy), _ = S.min_bounding_circle(c)
+    cx, cy, _r = S.min_bounding_circle(c)
     return Geom("point", [np.array([[cx, cy]])])
 
 

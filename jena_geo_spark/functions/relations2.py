@@ -244,6 +244,37 @@ def st_furthestcoordinate(ga, gb):
     return W.to_wkb(Geom("point", [va[i : i + 1]]))
 
 
+@_pair_udf(IntegerType())
+def st_linecrossingdirection(ga, gb):
+    """PostGIS ST_LineCrossingDirection codes (0 / ±1 single cross /
+    ±2 multicross ending opposite / ±3 multicross ending same side).
+    Reference LineCrossingDirection.java is a registered stub."""
+    if ga.kind != "linestring" or gb.kind != "linestring" or not ga.parts or not gb.parts:
+        return None
+    a = np.asarray(ga.parts[0])[:, :2]
+    b = np.asarray(gb.parts[0])[:, :2]
+    signs = []
+    for i in range(len(a) - 1):
+        p1, p2 = a[i], a[i + 1]
+        d1 = p2 - p1
+        for j in range(len(b) - 1):
+            q1, q2 = b[j], b[j + 1]
+            d2 = q2 - q1
+            den = d1[0] * d2[1] - d1[1] * d2[0]
+            if abs(den) < 1e-300:
+                continue
+            t = ((q1[0] - p1[0]) * d2[1] - (q1[1] - p1[1]) * d2[0]) / den
+            u = ((q1[0] - p1[0]) * d1[1] - (q1[1] - p1[1]) * d1[0]) / den
+            if 0 <= t <= 1 and 0 <= u <= 1:
+                signs.append(1 if den > 0 else -1)
+    if not signs:
+        return 0
+    if len(signs) == 1:
+        return signs[0]
+    last = signs[-1]
+    return 3 * last if signs[0] == last else 2 * last
+
+
 # --------------------------------------------------------- area similarity --
 
 

@@ -1,0 +1,1292 @@
+"""Transform / editor / constructor long tail.
+
+Reference families ``geometry/transform`` (42), ``linestring/transform``
+(6), ``polygon/transform`` (3), ``point/transform`` (1), ``geometry/
+editor`` (8), ``linestring/editor`` (5), ``polygon/editor`` (3), and the
+constructor families (29) — see ``registry.py`` for the 1:1 name wiring.
+
+Semantics sources (reference, behaviour only):
+* ``Node.java`` → JTS MCIndexNoder (full noding of the linework);
+* ``Polygonize.java`` → JTS Polygonizer;
+* ``geometry/relation/UnaryUnion.java`` / ``Union.java`` → n-way areal
+  union; geof:buffer → JTS BufferOp.  All four run on our arrangement
+  kernel (``geom/arrangement.py``);
+* ``OffsetCurve.java`` → JTS OffsetCurveBuilder (round joins, left side
+  positive);
+* ``PrecisionReducer.java`` — snap to 10^digits grid;
+* ``ShiftLongitude.java`` — +360 on x<0; ``SwapOrdinates.java`` — ordinate
+  pair swap by spec string; ``TransScale.java`` — translate then scale;
+* ``Reflect.java`` — JTS AffineTransformation reflection about a point or
+  the line through the first/last coordinate of the mirror geometry;
+* ``RotateX/Y/Z.java`` — the reference applies a **2D** rotation for all
+  three (simplification); we implement true rotations about the X/Y/Z axis
+  (Z ordinate participates when present, Z-rotation ≡ 2D rotation);
+* ``AddZ.java`` / ``MultiplyZ.java`` — set / scale the Z ordinate;
+* ``Add/Remove/SetGeometry.java`` — member-list edits returning a
+  GEOMETRYCOLLECTION;
+* ``SetStartPoint/SetEndPoint.java`` — replace a linestring endpoint;
+* ``SetRing.java`` replaces interior ring i (the reference implementation
+  drops it and ignores its third argument — we implement the intended
+  replace, documented divergence);
+* ``Multi.java`` — wrap in the multi-type; ``ForceCollection.java``;
+  ``CollectionExtract.java`` (type 1/2/3 → multipoint/-linestring/-polygon);
+  ``CollectionHomogenize.java`` — simplest uniform representation;
+* ``MakeCircle/MakeEllipse.java`` → JTS GeometricShapeFactory (100-point
+  rings, width/height = full extents); ``MakeEnvelope.java``;
+  ``MakeLine.java`` (LineMerger over the arguments), ``MakePolygon.java``,
+  ``LineFromMultiPoint.java``;
+* ``GeneratePoints.java`` → JTS RandomPointsBuilder; ours is seeded
+  deterministically (same distribution, reproducible plans);
+* ``ForceLHR/ForceSFS/ForceCurve/CurveToLine/LineToCurve/Tesselate/
+  StraightSkeleton/ClusterKMeans/ClusterWithin/ClusterIntersecting/
+  LocateBetween.java`` are registered stubs in the reference
+  (``UnsupportedOperationException``); we implement the documented PostGIS/
+  JTS semantics (curve types don't exist in our WKB model, so the curve
+  casts are type-checked identities).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BinaryType
+
+from ..geom import arrangement as AR
+from ..geom import kernel as K
+from ..geom import linework as L
+from ..geom import wkt as W
+from ..geom.wkt import Geom
+from .accessors import _ug, _ug2
+
+# --------------------------------------------------------- coordinate maps --
+
+
+def _map_coords(g: Geom, fn) -> Geom:
+    """Apply fn((n,d) array)->(n,d') array to every coordinate block."""
+
+    def mp(parts):
+        return [fn(np.asarray(p, dtype=np.float64)) for p in parts]
+
+    if g.kind == "multipolygon":
+        return Geom(g.kind, [mp(rings) for rings in g.parts], g.dims)
+    if g.kind == "geometrycollection":
+        return Geom(g.kind, [_map_coords(m, fn) for m in g.parts], g.dims)
+    return Geom(g.kind, mp(g.parts), g.dims)
+
+
+def _with_dims(g: Geom, dims: str) -> Geom:
+    g2 = _map_coords(g, lambda a: a)
+    g2.dims = dims
+    if g2.kind == "geometrycollection":
+        g2.parts = [_with_dims(m, dims) for m in g2.parts]
+    return g2
+
+
+# ------------------------------------------------------- arrangement-backed --
+
+
+def _buffer(g: Geom, dist: float) -> Geom:
+    return AR.buffer_geom(g, float(dist), quad_segs=8)
+
+
+st_buffer = _ug2(_buffer)
+
+
+def _node(g: Geom) -> Geom:
+    segs = AR.node_chains([np.asarray(c)[:, :2] for c in g.chains()])
+    if not segs:
+        return Geom("multilinestring", [])
+    return Geom("multilinestring", [s for s in segs])
+
+
+st_node = _ug(_node)
+
+
+def _polygonize(g: Geom) -> Geom:
+    polys = AR.polygonize_chains([np.asarray(c)[:, :2] for c in g.chains()])
+    return Geom("geometrycollection", polys)
+
+
+st_polygonize = _ug(_polygonize)
+
+
+def _unaryunion(g: Geom) -> Geom:
+    members = g.members()
+    areal = [m for m in members if m.polygons()]
+    if areal:
+        return AR.union_all(areal)
+    # lineal: merged noded linework; puntal: distinct points
+    if any(m.kind in ("linestring", "multilinestring") for m in members):
+        return _node(g)
+    c = g.all_coords()[:, :2]
+    return Geom("multipoint", [np.unique(c, axis=0)] if len(c) else [])
+
+
+st_unaryunion = _ug(_unaryunion)
+
+
+def _offset_curve(g: Geom, dist: float) -> Geom:
+    """Left-offset (positive distance) of a linestring with round joins at
+    convex vertices (OffsetCurveBuilder behaviour, quadrantSegments=8)."""
+    if g.kind != "linestring" or not g.parts:
+        return None
+    a = np.asarray(g.parts[0])[:, :2]
+    d = float(dist)
+    if d == 0 or len(a) < 2:
+        return g
+    side = 1.0 if d > 0 else -1.0
+    r = abs(d)
+    out = []
+    n = len(a)
+    normals = []
+    for i in range(n - 1):
+        seg = a[i + 1] - a[i]
+        ln = math.hypot(*seg)
+        if ln == 0:
+            normals.append(None)
+            continue
+        normals.append(side * np.array([-seg[1], seg[0]]) / ln)
+    prev_nrm = None
+    for i in range(n - 1):
+        nrm = normals[i]
+        if nrm is None:
+            continue
+        p0, p1 = a[i] + nrm * r, a[i + 1] + nrm * r
+        if prev_nrm is not None:
+            cross = prev_nrm[0] * nrm[1] - prev_nrm[1] * nrm[0]
+            if cross * side < -1e-12:
+                # corner turns away from the offset side → round join arc
+                a0 = math.atan2(prev_nrm[1], prev_nrm[0])
+                a1 = math.atan2(nrm[1], nrm[0])
+                if side > 0 and a1 > a0:
+                    a1 -= 2 * math.pi
+                if side < 0 and a1 < a0:
+                    a1 += 2 * math.pi
+                steps = max(1, int(abs(a1 - a0) / (math.pi / 16)))
+                for k in range(1, steps):
+                    ang = a0 + (a1 - a0) * k / steps
+                    out.append(a[i] + r * np.array([math.cos(ang), math.sin(ang)]))
+                out.append(p0)
+            elif cross * side > 1e-12:
+                # corner turns toward the offset side → trim at the
+                # intersection of the two offset lines (JTS inner join)
+                prev_dir = a[i] - a[i - 1] if i >= 1 else None
+                q0 = out[-1] if out else p0
+                # intersect line through q_prev along prev segment dir with
+                # line through p0 along current segment dir
+                d_prev = a[i] - a[i - 1]
+                d_cur = a[i + 1] - a[i]
+                den = d_prev[0] * d_cur[1] - d_prev[1] * d_cur[0]
+                if abs(den) > 1e-300 and out:
+                    base = out[-1]
+                    t = (
+                        (p0[0] - base[0]) * d_cur[1] - (p0[1] - base[1]) * d_cur[0]
+                    ) / den
+                    ipt = base + t * d_prev
+                    out[-1] = ipt
+                else:
+                    out.append(p0)
+            else:
+                out.append(p0)
+        else:
+            out.append(p0)
+        out.append(p1)
+        prev_nrm = nrm
+    if not out:
+        return Geom("linestring", [])
+    arr = np.array(out)
+    keep = np.ones(len(arr), dtype=bool)
+    keep[1:] = (np.abs(np.diff(arr, axis=0)) > 1e-12).any(axis=1)
+    return Geom("linestring", [arr[keep]])
+
+
+st_offsetcurve = _ug2(_offset_curve)
+
+
+# ------------------------------------------------------------ simple maps --
+
+
+def _precision_reducer(g: Geom, digits: float) -> Geom:
+    q = 10.0 ** float(digits)
+    return _map_coords(g, lambda a: np.round(a * q) / q)
+
+
+st_precisionreducer = _ug2(_precision_reducer)
+
+
+def _shift_longitude(g: Geom) -> Geom:
+    def fn(a):
+        b = a.copy()
+        b[:, 0] = np.where(b[:, 0] < 0, b[:, 0] + 360.0, b[:, 0])
+        return b
+
+    return _map_coords(g, fn)
+
+
+st_shiftlongitude = _ug(_shift_longitude)
+
+
+def _swap_ordinates(g: Geom, spec: str) -> Geom:
+    spec = str(spec).lower()
+    idx = {"x": 0, "y": 1}
+    if "Z" in g.dims:
+        idx["z"] = g.dims.find("Z")
+    if "M" in g.dims:
+        idx["m"] = g.dims.find("M")
+    if len(spec) != 2 or spec[0] not in idx or spec[1] not in idx:
+        return None
+    i, j = idx[spec[0]], idx[spec[1]]
+
+    def fn(a):
+        b = a.copy()
+        b[:, [i, j]] = b[:, [j, i]]
+        return b
+
+    return _map_coords(g, fn)
+
+
+st_swapordinates = _ug2(_swap_ordinates)
+
+
+def _rot_about(g: Geom, theta: float, axis: str) -> Geom:
+    c, s = math.cos(float(theta)), math.sin(float(theta))
+    zi = g.dims.find("Z")
+
+    def fn(a):
+        b = a.copy()
+        z = b[:, zi] if zi >= 0 else np.zeros(len(b))
+        x, y = b[:, 0].copy(), b[:, 1].copy()
+        if axis == "z":
+            b[:, 0] = x * c - y * s
+            b[:, 1] = x * s + y * c
+        elif axis == "x":
+            ny = y * c - z * s
+            nz = y * s + z * c
+            b[:, 1] = ny
+            if zi >= 0:
+                b[:, zi] = nz
+        else:  # y
+            nx = x * c + z * s
+            nz = -x * s + z * c
+            b[:, 0] = nx
+            if zi >= 0:
+                b[:, zi] = nz
+        return b
+
+    return _map_coords(g, fn)
+
+
+def _rotatex(g, t):
+    return _rot_about(g, t, "x")
+
+
+def _rotatey(g, t):
+    return _rot_about(g, t, "y")
+
+
+def _rotatez(g, t):
+    return _rot_about(g, t, "z")
+
+
+st_rotatex = _ug2(_rotatex)
+st_rotatey = _ug2(_rotatey)
+st_rotatez = _ug2(_rotatez)
+
+
+@pandas_udf(BinaryType())
+def st_transscale(b: pd.Series, dx: pd.Series, dy: pd.Series, sx: pd.Series, sy: pd.Series) -> pd.Series:
+    out = []
+    for i, x in enumerate(b):
+        if x is None:
+            out.append(None)
+            continue
+        g = W.from_wkb(x)
+        ddx, ddy = float(dx.iloc[i]), float(dy.iloc[i])
+        ssx, ssy = float(sx.iloc[i]), float(sy.iloc[i])
+
+        def fn(a):
+            c = a.copy()
+            c[:, 0] = (c[:, 0] + ddx) * ssx
+            c[:, 1] = (c[:, 1] + ddy) * ssy
+            return c
+
+        out.append(W.to_wkb(_map_coords(g, fn)))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(BinaryType())
+def st_reflect(b: pd.Series, mirror: pd.Series) -> pd.Series:
+    """Reflect about a point (central inversion) or the line through the
+    mirror geometry's first and last coordinates (Reflect.java)."""
+    out = []
+    for x, m in zip(b, mirror):
+        if x is None or m is None:
+            out.append(None)
+            continue
+        g = W.from_wkb(x)
+        gm = W.from_wkb(m)
+        mc = gm.all_coords()[:, :2]
+        if gm.kind == "point":
+            x0, y0 = mc[0]
+
+            def fn(a, x0=x0, y0=y0):
+                c = a.copy()
+                c[:, 0] = 2 * x0 - c[:, 0]
+                c[:, 1] = 2 * y0 - c[:, 1]
+                return c
+
+        elif gm.kind == "linestring" and len(mc) >= 2:
+            x0, y0 = mc[0]
+            x1, y1 = mc[-1]
+            dx, dy = x1 - x0, y1 - y0
+            L2 = dx * dx + dy * dy
+            if L2 == 0:
+                out.append(None)
+                continue
+
+            def fn(a, x0=x0, y0=y0, dx=dx, dy=dy, L2=L2):
+                c = a.copy()
+                t = ((c[:, 0] - x0) * dx + (c[:, 1] - y0) * dy) / L2
+                px, py = x0 + t * dx, y0 + t * dy
+                c[:, 0] = 2 * px - c[:, 0]
+                c[:, 1] = 2 * py - c[:, 1]
+                return c
+
+        else:
+            out.append(None)
+            continue
+        out.append(W.to_wkb(_map_coords(g, fn)))
+    return pd.Series(out, dtype=object)
+
+
+# ----------------------------------------------------------------- Z edits --
+
+
+def _addz(g: Geom, z: float) -> Geom:
+    zf = float(z)
+
+    def fn(a):
+        if "Z" in g.dims:
+            b = a.copy()
+            b[:, g.dims.find("Z")] = zf
+            return b
+        return np.column_stack([a[:, :2], np.full(len(a), zf)])
+
+    g2 = _map_coords(g, fn)
+    g2.dims = "XYZ" if "M" not in g.dims else "XYZM"
+    if "M" in g.dims and "Z" not in g.dims:
+        # M column moved right: rebuild as x,y,z,m
+        def fn2(a):
+            return np.column_stack([a[:, :2], np.full(len(a), zf), a[:, 2]])
+
+        g2 = _map_coords(g, fn2)
+        g2.dims = "XYZM"
+    return g2
+
+
+st_addz = _ug2(_addz)
+
+
+def _multiplyz(g: Geom, f: float) -> Geom:
+    zi = g.dims.find("Z")
+    if zi < 0:
+        return _addz(g, 0.0)
+    ff = float(f)
+
+    def fn(a):
+        b = a.copy()
+        b[:, zi] = b[:, zi] * ff
+        return b
+
+    return _map_coords(g, fn)
+
+
+st_multiplyz = _ug2(_multiplyz)
+
+
+# ----------------------------------------------------------- member edits --
+
+
+@pandas_udf(BinaryType())
+def st_addgeometry(a: pd.Series, b: pd.Series) -> pd.Series:
+    out = []
+    for x, y in zip(a, b):
+        if x is None or y is None:
+            out.append(None)
+            continue
+        ga, gb = W.from_wkb(x), W.from_wkb(y)
+        out.append(W.to_wkb(Geom("geometrycollection", ga.members() + [gb], ga.dims)))
+    return pd.Series(out, dtype=object)
+
+
+def _removegeometry(g: Geom, i: float) -> Geom:
+    ms = [m for j, m in enumerate(g.members()) if j != int(i)]
+    return Geom("geometrycollection", ms, g.dims)
+
+
+st_removegeometry = _ug2(_removegeometry)
+
+
+@pandas_udf(BinaryType())
+def st_setgeometry(a: pd.Series, b: pd.Series, pos: pd.Series) -> pd.Series:
+    out = []
+    for i, x in enumerate(a):
+        if x is None or b.iloc[i] is None:
+            out.append(None)
+            continue
+        ga, gb = W.from_wkb(x), W.from_wkb(b.iloc[i])
+        p = int(pos.iloc[i])
+        ms = ga.members()
+        ms = [gb if j == p else m for j, m in enumerate(ms)]
+        out.append(W.to_wkb(Geom("geometrycollection", ms, ga.dims)))
+    return pd.Series(out, dtype=object)
+
+
+def _set_endpoint(g: Geom, pt: Geom, which: str) -> Geom:
+    if g.kind != "linestring" or pt.kind != "point" or not g.parts:
+        return None
+    a = np.asarray(g.parts[0]).copy()
+    p = np.asarray(pt.parts[0][0])[: a.shape[1]]
+    row = np.zeros(a.shape[1])
+    row[: len(p)] = p
+    if which == "start":
+        a[0, : len(p)] = p
+    else:
+        a[-1, : len(p)] = p
+    return Geom("linestring", [a], g.dims)
+
+
+@pandas_udf(BinaryType())
+def st_setstartpoint(a: pd.Series, b: pd.Series) -> pd.Series:
+    out = []
+    for x, y in zip(a, b):
+        if x is None or y is None:
+            out.append(None)
+            continue
+        g = _set_endpoint(W.from_wkb(x), W.from_wkb(y), "start")
+        out.append(W.to_wkb(g) if g is not None else None)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(BinaryType())
+def st_setendpoint(a: pd.Series, b: pd.Series) -> pd.Series:
+    out = []
+    for x, y in zip(a, b):
+        if x is None or y is None:
+            out.append(None)
+            continue
+        g = _set_endpoint(W.from_wkb(x), W.from_wkb(y), "end")
+        out.append(W.to_wkb(g) if g is not None else None)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(BinaryType())
+def st_setring(a: pd.Series, idx: pd.Series, ring: pd.Series) -> pd.Series:
+    """Replace interior ring ``idx`` (0-based over interior rings) — the
+    reference's SetRing.java drops the ring and ignores the replacement
+    (bug); we implement the intended replace."""
+    out = []
+    for i, x in enumerate(a):
+        if x is None or ring.iloc[i] is None:
+            out.append(None)
+            continue
+        g = W.from_wkb(x)
+        gr = W.from_wkb(ring.iloc[i])
+        k = int(idx.iloc[i])
+        if g.kind != "polygon" or not (0 <= k < len(g.parts) - 1) or not gr.parts:
+            out.append(None)
+            continue
+        newring = gr.exterior()
+        parts = list(g.parts)
+        parts[k + 1] = np.asarray(newring)
+        out.append(W.to_wkb(Geom("polygon", parts, g.dims)))
+    return pd.Series(out, dtype=object)
+
+
+# --------------------------------------------------------------- reshaping --
+
+
+def _multi(g: Geom) -> Geom:
+    if g.kind.startswith("multi") or g.kind == "geometrycollection":
+        return g
+    if g.kind == "point":
+        return Geom("multipoint", [g.parts[0]], g.dims)
+    if g.kind == "linestring":
+        return Geom("multilinestring", list(g.parts), g.dims)
+    return Geom("multipolygon", [list(g.parts)], g.dims)
+
+
+st_multi = _ug(_multi)
+
+
+def _force_collection(g: Geom) -> Geom:
+    return Geom("geometrycollection", g.members(), g.dims)
+
+
+st_forcecollection = _ug(_force_collection)
+
+
+def _collection_extract(g: Geom, typ: float) -> Geom:
+    t = int(typ)
+    ms = g.members()
+    if t == 1:
+        pts = [m.all_coords()[:, :2] for m in ms if m.kind in ("point", "multipoint")]
+        allp = np.vstack(pts) if pts else np.empty((0, 2))
+        return Geom("multipoint", [allp] if len(allp) else [])
+    if t == 2:
+        lines = []
+        for m in ms:
+            if m.kind == "linestring":
+                lines.extend(m.parts)
+            elif m.kind == "multilinestring":
+                lines.extend(m.parts)
+        return Geom("multilinestring", lines)
+    polys = []
+    for m in ms:
+        polys.extend(m.polygons())
+    return Geom("multipolygon", polys)
+
+
+st_collectionextract = _ug2(_collection_extract)
+
+
+def _collection_homogenize(g: Geom) -> Geom:
+    ms = g.members()
+    if not ms:
+        return Geom("geometrycollection", [])
+    kinds = {m.kind.replace("multi", "") for m in ms}
+    if len(kinds) > 1:
+        return Geom("geometrycollection", ms, g.dims)
+    base = kinds.pop()
+    if len(ms) == 1 and not ms[0].kind.startswith("multi"):
+        return ms[0]
+    return _collection_extract(g, {"point": 1, "linestring": 2, "polygon": 3}[base])
+
+
+st_collectionhomogenize = _ug(_collection_homogenize)
+
+
+def _force_lhr(g: Geom) -> Geom:
+    """Exterior rings CCW, holes CW (left-hand rule: interior on the left).
+    Reference ForceLHR.java is a registered stub."""
+
+    def fix(rings):
+        out = []
+        for i, r in enumerate(rings):
+            a = np.asarray(r)
+            ccw = K.ring_area_signed(a[:, :2]) > 0
+            want_ccw = i == 0
+            out.append(a if ccw == want_ccw else a[::-1])
+        return out
+
+    if g.kind == "polygon":
+        return Geom("polygon", fix(g.parts), g.dims)
+    if g.kind == "multipolygon":
+        return Geom("multipolygon", [fix(r) for r in g.parts], g.dims)
+    return g
+
+
+st_forcelhr = _ug(_force_lhr)
+
+
+def _force_polygon_ccw(g: Geom) -> Geom:
+    return _force_lhr(g)
+
+
+def _force_polygon_cw(g: Geom) -> Geom:
+    def fix(rings):
+        out = []
+        for i, r in enumerate(rings):
+            a = np.asarray(r)
+            ccw = K.ring_area_signed(a[:, :2]) > 0
+            want_ccw = i != 0
+            out.append(a if ccw == want_ccw else a[::-1])
+        return out
+
+    if g.kind == "polygon":
+        return Geom("polygon", fix(g.parts), g.dims)
+    if g.kind == "multipolygon":
+        return Geom("multipolygon", [fix(r) for r in g.parts], g.dims)
+    return g
+
+
+st_forcepolygonccw = _ug(_force_polygon_ccw)
+st_forcepolygoncw = _ug(_force_polygon_cw)
+
+
+def _reverse_ring(g: Geom) -> Geom:
+    """ReverseRing: reverse the exterior ring orientation."""
+    if g.kind != "polygon" or not g.parts:
+        return g
+    parts = [np.asarray(g.parts[0])[::-1]] + list(g.parts[1:])
+    return Geom("polygon", parts, g.dims)
+
+
+st_reversering = _ug(_reverse_ring)
+
+
+def _identity_cast(g: Geom) -> Geom:
+    # curve types don't exist in our (or OGC-SFS) WKB model — the casts are
+    # identities on the linear types the reference would produce
+    return g
+
+
+st_forcesfs = _ug(_identity_cast)
+st_forcecurve = _ug(_identity_cast)
+st_curvetoline = _ug(_identity_cast)
+st_linetocurve = _ug(_identity_cast)
+
+
+# ------------------------------------------------------------ constructors --
+
+
+def _generate_points(g: Geom, n: float) -> Geom:
+    """Uniform points in the polygon (convex hull for non-areal), rejection
+    sampled from the bbox.  RandomPointsBuilder equivalent; seeded by the
+    geometry bytes so plans are deterministic and resumable."""
+    n = int(n)
+    if n <= 0:
+        return Geom("multipoint", [])
+    if g.polygons():
+        target = g
+    else:
+        hull = K.convex_hull(g.all_coords()[:, :2])
+        if len(hull) < 3:
+            return Geom("multipoint", [])
+        target = Geom("polygon", [np.vstack([hull, hull[:1]])])
+    c = target.all_coords()[:, :2]
+    xmin, ymin = c.min(axis=0)
+    xmax, ymax = c.max(axis=0)
+    seed = int.from_bytes(W.to_wkb(g)[:8].ljust(8, b"\0"), "little") & 0x7FFFFFFF
+    rng = np.random.default_rng(seed + n)
+    pts = []
+    for _ in range(200):
+        m = max(n * 4, 64)
+        xs = rng.uniform(xmin, xmax, m)
+        ys = rng.uniform(ymin, ymax, m)
+        for rings in target.polygons():
+            r0 = np.asarray(rings[0])[:, :2]
+            shell = r0 if (r0[0] == r0[-1]).all() else np.vstack([r0, r0[:1]])
+            inside = K.points_in_polygon(xs, ys, shell)
+            for h in rings[1:]:
+                hh = np.asarray(h)[:, :2]
+                hc = hh if (hh[0] == hh[-1]).all() else np.vstack([hh, hh[:1]])
+                inside &= ~K.points_in_polygon(xs, ys, hc)
+            for x, y in zip(xs[inside], ys[inside]):
+                pts.append((x, y))
+                if len(pts) >= n:
+                    return Geom("multipoint", [np.array(pts)])
+        if len(pts) >= n:
+            break
+    return Geom("multipoint", [np.array(pts)] if pts else [])
+
+
+st_generatepoints = _ug2(_generate_points)
+
+
+def _ellipse_ring(cx: float, cy: float, w: float, h: float, n: int = 100) -> np.ndarray:
+    ang = np.arange(n + 1) * (2 * math.pi / n)
+    return np.column_stack([cx + (w / 2) * np.cos(ang), cy + (h / 2) * np.sin(ang)])
+
+
+@pandas_udf(BinaryType())
+def st_makeellipse(b: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
+    out = []
+    for i, x in enumerate(b):
+        if x is None:
+            out.append(None)
+            continue
+        g = W.from_wkb(x)
+        if g.kind == "point":
+            cx, cy = g.parts[0][0, :2]
+        else:
+            cx, cy = K.centroid(g.all_coords()[:, :2], g.kind)
+        ring = _ellipse_ring(float(cx), float(cy), float(w.iloc[i]), float(h.iloc[i]))
+        out.append(W.to_wkb(Geom("polygon", [ring])))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(BinaryType())
+def st_makecircle(b: pd.Series, d: pd.Series) -> pd.Series:
+    out = []
+    for i, x in enumerate(b):
+        if x is None:
+            out.append(None)
+            continue
+        g = W.from_wkb(x)
+        if g.kind == "point":
+            cx, cy = g.parts[0][0, :2]
+        else:
+            cx, cy = K.centroid(g.all_coords()[:, :2], g.kind)
+        dd = float(d.iloc[i])
+        out.append(W.to_wkb(Geom("polygon", [_ellipse_ring(float(cx), float(cy), dd, dd)])))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(BinaryType())
+def st_makeenvelope(x0: pd.Series, y0: pd.Series, x1: pd.Series, y1: pd.Series) -> pd.Series:
+    out = []
+    for a, b_, c, d in zip(x0, y0, x1, y1):
+        a, b_, c, d = float(a), float(b_), float(c), float(d)
+        ring = np.array([[a, b_], [c, b_], [c, d], [a, d], [a, b_]])
+        out.append(W.to_wkb(Geom("polygon", [ring])))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(BinaryType())
+def st_makeline(a: pd.Series, b: pd.Series) -> pd.Series:
+    """LineMerger over the two inputs (MakeLine.java is variadic; the
+    2-argument form covers the registered arity — chain calls for more)."""
+    out = []
+    for x, y in zip(a, b):
+        if x is None or y is None:
+            out.append(None)
+            continue
+        ga, gb = W.from_wkb(x), W.from_wkb(y)
+        chains = []
+        for g in (ga, gb):
+            if g.kind == "point":
+                chains.append(g.parts[0][:, :2])
+            else:
+                chains.extend(np.asarray(c)[:, :2] for c in g.chains())
+        # points chain together; lines merge end-to-end
+        pts = [c for c in chains if len(c) == 1]
+        lines = [c for c in chains if len(c) >= 2]
+        if pts and not lines:
+            out.append(W.to_wkb(Geom("linestring", [np.vstack(pts)])))
+            continue
+        merged = L.line_merge(lines + ([np.vstack(pts)] if pts else []))
+        out.append(W.to_wkb(Geom("linestring", [merged[0]]) if len(merged) == 1 else Geom("multilinestring", merged)))
+    return pd.Series(out, dtype=object)
+
+
+def _line_from_multipoint(g: Geom) -> Geom:
+    if g.kind != "multipoint" or not g.parts:
+        return None
+    return Geom("linestring", [np.asarray(g.parts[0])], g.dims)
+
+
+st_linefrommultipoint = _ug(_line_from_multipoint)
+
+
+def _make_polygon(g: Geom) -> Geom:
+    if g.kind != "linestring" or not g.parts:
+        return None
+    a = np.asarray(g.parts[0])
+    if len(a) < 3:
+        return None
+    if not (a[0, :2] == a[-1, :2]).all():
+        a = np.vstack([a, a[:1]])
+    return Geom("polygon", [a], g.dims)
+
+
+st_makepolygon = _ug(_make_polygon)
+
+
+# -------------------------------------------------- tesselate / skeletons --
+
+
+def _ear_clip(ring: np.ndarray) -> list:
+    """Ear-clipping triangulation of a simple ring (CCW), O(n²)."""
+    r = ring[:-1] if (ring[0] == ring[-1]).all() else ring
+    if K.ring_area_signed(r) < 0:
+        r = r[::-1]
+    idx = list(range(len(r)))
+    tris = []
+    guard = 0
+    while len(idx) > 3 and guard < 10000:
+        guard += 1
+        n = len(idx)
+        clipped = False
+        for k in range(n):
+            i0, i1, i2 = idx[(k - 1) % n], idx[k], idx[(k + 1) % n]
+            a, b, c = r[i0], r[i1], r[i2]
+            cross = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+            if cross <= 1e-300:
+                continue  # reflex or degenerate
+            tri = np.array([a, b, c, a])
+            ok = True
+            for j in idx:
+                if j in (i0, i1, i2):
+                    continue
+                if K.points_in_polygon(np.array([r[j, 0]]), np.array([r[j, 1]]), tri)[0]:
+                    ok = False
+                    break
+            if ok:
+                tris.append(np.array([a, b, c, a]))
+                idx.pop(k)
+                clipped = True
+                break
+        if not clipped:
+            break
+    if len(idx) == 3:
+        a, b, c = r[idx[0]], r[idx[1]], r[idx[2]]
+        tris.append(np.array([a, b, c, a]))
+    return tris
+
+
+def _tesselate(g: Geom) -> Geom:
+    """Constrained triangulation of the polygon interiors (ear clipping;
+    holes bridged through the arrangement: faces of the noded rings inside
+    the polygon are triangulated independently).  Reference Tesselate.java
+    is a registered stub."""
+    from ..geom import shapes as S
+
+    tris = []
+    for rings in g.polygons():
+        if len(rings) == 1:
+            tris.extend(_ear_clip(np.asarray(rings[0])[:, :2]))
+        else:
+            # holes: constrain through the arrangement — node the rings
+            # together with the Delaunay edges of the ring vertices, then
+            # every bounded face inside the polygon is hole-free and convex
+            # enough to ear-clip
+            chains = []
+            verts = []
+            for r in rings:
+                a = np.asarray(r)[:, :2]
+                if not (a[0] == a[-1]).all():
+                    a = np.vstack([a, a[:1]])
+                chains.append(a)
+                verts.append(a[:-1])
+            allv = np.unique(np.vstack(verts), axis=0)
+            dtris, pts = S.delaunay(allv)
+            for t in dtris:
+                for e in ((t[0], t[1]), (t[0], t[2]), (t[1], t[2])):
+                    chains.append(np.vstack([pts[e[0]], pts[e[1]]]))
+            poly = Geom("polygon", rings)
+            for face in AR.polygonize_chains(chains):
+                shell = np.asarray(face.parts[0])
+                ip = AR._interior_point(shell)
+                if ip and AR._geom_covers_point(poly, ip[0], ip[1]):
+                    tris.extend(_ear_clip(shell[:, :2]))
+    return Geom("geometrycollection", [Geom("polygon", [t]) for t in tris])
+
+
+st_tesselate = _ug(_tesselate)
+
+
+def _straight_skeleton(g: Geom) -> Geom:
+    """Approximate interior skeleton: Delaunay over the densified boundary,
+    connecting circumcenters of adjacent interior triangles (a medial-axis
+    approximation — the classic Voronoi-based estimator).  Reference
+    StraightSkeleton.java is a registered stub."""
+    from ..geom import shapes as S
+
+    polys = g.polygons()
+    if not polys:
+        return Geom("multilinestring", [])
+    rings = polys[0]
+    shell = np.asarray(rings[0])[:, :2]
+    closed = shell if (shell[0] == shell[-1]).all() else np.vstack([shell, shell[:1]])
+    # densify boundary for a tighter approximation
+    seglen = np.sqrt((np.diff(closed, axis=0) ** 2).sum(axis=1))
+    step = max(seglen.max() / 4.0, 1e-9)
+    dense = [closed[0]]
+    for i in range(len(closed) - 1):
+        a, b = closed[i], closed[i + 1]
+        n = max(1, int(math.ceil(math.hypot(*(b - a)) / step)))
+        for k in range(1, n + 1):
+            dense.append(a + (b - a) * k / n)
+    dense_pts = np.unique(np.array(dense).round(12), axis=0)
+    tris, pts = S.delaunay(dense_pts)
+    from ..geom.shapes import circle_from_3
+
+    cc = {}
+    for t in tris:
+        a, b, c = pts[t[0]], pts[t[1]], pts[t[2]]
+        cx, cy, _r2 = circle_from_3(a, b, c)
+        if K.points_in_polygon(np.array([cx]), np.array([cy]), closed)[0]:
+            cc[t] = (cx, cy)
+    # adjacency on shared edges
+    from collections import defaultdict
+
+    edge_map = defaultdict(list)
+    for t in cc:
+        for e in ((t[0], t[1]), (t[0], t[2]), (t[1], t[2])):
+            edge_map[e].append(t)
+    lines = []
+    for e, ts in edge_map.items():
+        if len(ts) == 2 and ts[0] in cc and ts[1] in cc:
+            p, q = cc[ts[0]], cc[ts[1]]
+            if p != q:
+                lines.append(np.array([p, q]))
+    return Geom("multilinestring", lines)
+
+
+st_straightskeleton = _ug(_straight_skeleton)
+
+
+def _voronoi_lines(g: Geom) -> Geom:
+    """Edges of the Voronoi diagram of the geometry's vertices
+    (VoronoiLines.java is a registered stub; PostGIS ST_VoronoiLines)."""
+    from ..geom import shapes as S
+
+    c = np.unique(g.all_coords()[:, :2], axis=0)
+    if len(c) < 3:
+        return Geom("multilinestring", [])
+    tris, pts = S.delaunay(c)
+    from ..geom.shapes import circle_from_3
+    from collections import defaultdict
+
+    centers = {
+        t: circle_from_3(pts[t[0]], pts[t[1]], pts[t[2]])[:2] for t in tris
+    }
+    edge_map = defaultdict(list)
+    for t in tris:
+        for e in ((t[0], t[1]), (t[0], t[2]), (t[1], t[2])):
+            edge_map[e].append(t)
+    lines = []
+    for e, ts in edge_map.items():
+        if len(ts) == 2:
+            p, q = centers[ts[0]], centers[ts[1]]
+            if p != q:
+                lines.append(np.array([p, q]))
+    return Geom("multilinestring", lines)
+
+
+st_voronoilines = _ug(_voronoi_lines)
+
+
+# ------------------------------------------------------------- clustering --
+
+
+def _cluster_kmeans(g: Geom, k: float) -> Geom:
+    """Deterministic k-means over member centroids (farthest-point init +
+    Lloyd): GEOMETRYCOLLECTION of per-cluster MULTIPOINTs.  Reference
+    ClusterKMeans.java is a registered stub."""
+    ms = g.members()
+    if not ms:
+        return Geom("geometrycollection", [])
+    cents = np.array(
+        [
+            m.parts[0][0, :2]
+            if m.kind == "point"
+            else K.centroid(m.all_coords()[:, :2], m.kind)
+            for m in ms
+        ]
+    )
+    k = max(1, min(int(k), len(cents)))
+    # farthest-point initialisation (deterministic)
+    seeds = [0]
+    for _ in range(1, k):
+        d2 = ((cents[:, None, :] - cents[None, seeds, :]) ** 2).sum(axis=2).min(axis=1)
+        seeds.append(int(d2.argmax()))
+    centers = cents[seeds].copy()
+    for _ in range(32):
+        assign = ((cents[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        new = np.array(
+            [
+                cents[assign == j].mean(axis=0) if (assign == j).any() else centers[j]
+                for j in range(k)
+            ]
+        )
+        if np.allclose(new, centers):
+            break
+        centers = new
+    groups = []
+    for j in range(k):
+        pts = cents[assign == j]
+        if len(pts):
+            groups.append(Geom("multipoint", [pts]))
+    return Geom("geometrycollection", groups)
+
+
+st_clusterkmeans = _ug2(_cluster_kmeans)
+
+
+def _union_find_clusters(ms: list, linked) -> Geom:
+    parent = list(range(len(ms)))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(len(ms)):
+        for j in range(i + 1, len(ms)):
+            if linked(ms[i], ms[j]):
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[ri] = rj
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for i, m in enumerate(ms):
+        groups[find(i)].append(m)
+    return Geom(
+        "geometrycollection",
+        [Geom("geometrycollection", v) for v in groups.values()],
+    )
+
+
+def _cluster_within(g: Geom, dist: float) -> Geom:
+    """Single-linkage clusters of members within ``dist`` (stub in the
+    reference; PostGIS ST_ClusterWithin)."""
+    from ..geom import kernel as K2
+
+    d = float(dist)
+    return _union_find_clusters(
+        g.members(), lambda a, b: K2.geom_distance_g(a, b) <= d
+    )
+
+
+st_clusterwithin = _ug2(_cluster_within)
+
+
+def _cluster_intersecting(g: Geom) -> Geom:
+    from ..geom import relate as R
+
+    return _union_find_clusters(g.members(), lambda a, b: R.intersects(a, b))
+
+
+st_clusterintersecting = _ug(_cluster_intersecting)
+
+
+@pandas_udf(BinaryType())
+def st_accum(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Accum.java: variadic collect into a GEOMETRYCOLLECTION (2-argument
+    registered form; chain for more)."""
+    out = []
+    for x, y in zip(a, b):
+        if x is None or y is None:
+            out.append(None)
+            continue
+        out.append(
+            W.to_wkb(Geom("geometrycollection", [W.from_wkb(x), W.from_wkb(y)]))
+        )
+    return pd.Series(out, dtype=object)
+
+
+# --------------------------------------------------- M-ordinate operations --
+
+
+@pandas_udf(BinaryType())
+def st_locatealong(b: pd.Series, frac: pd.Series, offset: pd.Series) -> pd.Series:
+    """LocateAlong.java: per-segment point at ``frac`` along, offset left by
+    ``offset`` → MULTIPOINT (deduplicated), polygons use the exterior ring."""
+    out = []
+    for i, x in enumerate(b):
+        if x is None:
+            out.append(None)
+            continue
+        g = W.from_wkb(x)
+        f, off = float(frac.iloc[i]), float(offset.iloc[i])
+        pts = set()
+        chains = []
+        if g.polygons():
+            for rings in g.polygons():
+                chains.append(np.asarray(rings[0])[:, :2])
+        else:
+            chains = [np.asarray(c)[:, :2] for c in g.chains() if len(c) >= 2]
+        for ch in chains:
+            for k in range(len(ch) - 1):
+                a, bb = ch[k], ch[k + 1]
+                d = bb - a
+                Ln = math.hypot(*d)
+                if Ln == 0:
+                    continue
+                p = a + f * d
+                nrm = np.array([-d[1], d[0]]) / Ln
+                p = p + nrm * off
+                pts.add((round(float(p[0]), 12), round(float(p[1]), 12)))
+        if not pts:
+            out.append(W.to_wkb(Geom("multipoint", [])))
+        else:
+            out.append(W.to_wkb(Geom("multipoint", [np.array(sorted(pts))])))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(BinaryType())
+def st_locatebetween(b: pd.Series, m0: pd.Series, m1: pd.Series, offset: pd.Series) -> pd.Series:
+    """Segments of the (XYM) line whose M lies in [m0, m1], endpoints
+    interpolated, offset applied perpendicular-left.  Reference
+    LocateBetween.java is a registered stub; semantics per PostGIS
+    ST_LocateBetween."""
+    out = []
+    for i, x in enumerate(b):
+        if x is None:
+            out.append(None)
+            continue
+        g = W.from_wkb(x)
+        mi = g.dims.find("M")
+        lo, hi = float(m0.iloc[i]), float(m1.iloc[i])
+        off = float(offset.iloc[i])
+        if mi < 0 or g.kind not in ("linestring", "multilinestring"):
+            out.append(None)
+            continue
+        lines = []
+        for ch in g.chains():
+            a = np.asarray(ch)
+            cur = []
+            for k in range(len(a) - 1):
+                p, q = a[k], a[k + 1]
+                pm, qm = p[mi], q[mi]
+                if qm == pm:
+                    if lo <= pm <= hi:
+                        seg = [p[:2], q[:2]]
+                    else:
+                        seg = None
+                else:
+                    t0 = (lo - pm) / (qm - pm)
+                    t1 = (hi - pm) / (qm - pm)
+                    ta, tb = sorted((t0, t1))
+                    ta, tb = max(0.0, ta), min(1.0, tb)
+                    if ta >= tb:
+                        seg = None
+                    else:
+                        seg = [p[:2] + ta * (q[:2] - p[:2]), p[:2] + tb * (q[:2] - p[:2])]
+                if seg is None:
+                    if len(cur) >= 2:
+                        lines.append(np.array(cur))
+                    cur = []
+                else:
+                    if cur and np.allclose(cur[-1], seg[0]):
+                        cur.append(seg[1])
+                    else:
+                        if len(cur) >= 2:
+                            lines.append(np.array(cur))
+                        cur = list(seg)
+            if len(cur) >= 2:
+                lines.append(np.array(cur))
+        if off != 0:
+            moved = []
+            for ln in lines:
+                d = np.diff(ln, axis=0)
+                Ls = np.hypot(d[:, 0], d[:, 1])
+                Ls[Ls == 0] = 1.0
+                nrm = np.column_stack([-d[:, 1], d[:, 0]]) / Ls[:, None]
+                vn = np.vstack([nrm[:1], (nrm[:-1] + nrm[1:]) / 2, nrm[-1:]])
+                vlen = np.hypot(vn[:, 0], vn[:, 1])
+                vlen[vlen == 0] = 1.0
+                moved.append(ln + vn / vlen[:, None] * off)
+            lines = moved
+        if len(lines) == 1:
+            out.append(W.to_wkb(Geom("linestring", lines)))
+        else:
+            out.append(W.to_wkb(Geom("multilinestring", lines)))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(BinaryType())
+def st_filterbym(b: pd.Series, lo: pd.Series, hi: pd.Series, keep: pd.Series) -> pd.Series:
+    """FilterByM.java: keep coordinates with M in (lo, hi) when ``keep``,
+    else the complement; geometry kind preserved."""
+    out = []
+    for i, x in enumerate(b):
+        if x is None:
+            out.append(None)
+            continue
+        g = W.from_wkb(x)
+        mi = g.dims.find("M")
+        l, h = float(lo.iloc[i]), float(hi.iloc[i])
+        want = bool(keep.iloc[i])
+
+        def fn(a):
+            if mi < 0:
+                mask = np.zeros(len(a), dtype=bool)
+            else:
+                mask = (a[:, mi] > l) & (a[:, mi] < h)
+            return a[mask if want else ~mask]
+
+        out.append(W.to_wkb(_map_coords(g, fn)))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(BinaryType())
+def st_removepoints(a: pd.Series, filt: pd.Series) -> pd.Series:
+    """RemovePoints.java (intended semantics): drop coordinates contained in
+    the filter geometry; rings re-closed."""
+    from ..geom import relate as R
+
+    out = []
+    for x, y in zip(a, filt):
+        if x is None or y is None:
+            out.append(None)
+            continue
+        g, gf = W.from_wkb(x), W.from_wkb(y)
+
+        def fn(arr):
+            keep = []
+            for row in arr:
+                pt = Geom("point", [np.asarray([row[:2]])])
+                if not R.contains(gf, pt):
+                    keep.append(row)
+            res = np.array(keep) if keep else np.empty((0, arr.shape[1]))
+            if g.kind in ("polygon", "multipolygon") and len(res) >= 2:
+                if not (res[0] == res[-1]).all():
+                    res = np.vstack([res, res[:1]])
+            return res
+
+        out.append(W.to_wkb(_map_coords(g, fn)))
+    return pd.Series(out, dtype=object)
+
+
+def _simplify_preserve_topology(g: Geom, tol: float) -> Geom:
+    """DP simplification that never collapses a ring below 4 points and
+    rejects self-intersecting results (halving the tolerance, JTS
+    TopologyPreservingSimplifier's contract)."""
+    from ..geom import shapes as S
+
+    t = float(tol)
+    for _ in range(8):
+        def fn(a, t=t):
+            xy = K.simplify_dp(np.asarray(a)[:, :2], t)
+            if g.kind in ("polygon", "multipolygon") and len(xy) < 4:
+                return np.asarray(a)[:, :2]
+            return xy
+
+        g2 = _map_coords(g, fn)
+        bad = False
+        for ch in g2.chains():
+            if S._ring_self_intersects(np.asarray(ch)[:, :2]):
+                bad = True
+                break
+        if not bad:
+            g2.dims = "XY"
+            return g2
+        t /= 2.0
+    return g
+
+
+st_simplifypreservetopology = _ug2(_simplify_preserve_topology)
+
+
+def _points(g: Geom) -> Geom:
+    """All vertices as a MULTIPOINT (geometry/transform/Points.java)."""
+    c = g.all_coords()
+    return Geom("multipoint", [c[:, :2]] if len(c) else [])
+
+
+st_points = _ug(_points)
+
+
+def _force4d(g: Geom, z: float, m: float) -> Geom:
+    """XYZM with defaults for the missing ordinates (Force4D.java)."""
+    zi, mi = g.dims.find("Z"), g.dims.find("M")
+    zf, mf = float(z), float(m)
+
+    def fn(a):
+        n = len(a)
+        zs = a[:, zi] if zi >= 0 else np.full(n, zf)
+        ms = a[:, mi] if mi >= 0 else np.full(n, mf)
+        return np.column_stack([a[:, 0], a[:, 1], zs, ms])
+
+    g2 = _map_coords(g, fn)
+    g2.dims = "XYZM"
+    return g2
+
+
+@pandas_udf(BinaryType())
+def st_force4d(b: pd.Series, z: pd.Series, m: pd.Series) -> pd.Series:
+    out = []
+    for i, x in enumerate(b):
+        if x is None:
+            out.append(None)
+            continue
+        out.append(W.to_wkb(_force4d(W.from_wkb(x), z.iloc[i], m.iloc[i])))
+    return pd.Series(out, dtype=object)

@@ -288,9 +288,13 @@ def to_wkb(g: Geom) -> bytes:
     w = len(g.dims)
     out = [b"\x01", struct.pack("<I", code)]
     if g.kind == "point":
-        out.append(struct.pack(f"<{w}d", *g.parts[0][0]))
+        if not g.parts or len(g.parts[0]) == 0:
+            # POINT EMPTY: all-NaN coordinates (OGC convention)
+            out.append(struct.pack(f"<{w}d", *([float("nan")] * w)))
+        else:
+            out.append(struct.pack(f"<{w}d", *g.parts[0][0]))
     elif g.kind in ("linestring", "multipoint"):
-        a = g.parts[0]
+        a = g.parts[0] if g.parts else np.empty((0, w))
         out.append(struct.pack("<I", len(a)))
         if g.kind == "multipoint":
             pt_code = struct.pack("<I", 1 + _DIMS_OFFSET[g.dims])
@@ -347,6 +351,8 @@ def _read_wkb(mv: memoryview, off: int) -> tuple[Geom, int]:
     off += 5
     if kind == "point":
         vals = struct.unpack_from(endian + f"{w}d", mv, off)
+        if all(v != v for v in vals):  # all-NaN = POINT EMPTY
+            return Geom("point", [], dims), off + 8 * w
         return Geom("point", [np.array([vals])], dims), off + 8 * w
     if kind == "linestring":
         n = struct.unpack_from(endian + "I", mv, off)[0]

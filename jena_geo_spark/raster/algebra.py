@@ -49,14 +49,26 @@ def _apply_local1(ra: WR.Raster, fn) -> WR.Raster:
     return out
 
 
+def _bitwise(op):
+    # JAI and/or/xor operate on integer pixel values (algebra/And.java etc.)
+    def fn(a, b):
+        return op(a.astype(np.int64), b.astype(np.int64)).astype(np.float64)
+
+    return fn
+
+
 LOCAL2 = {
     "add": lambda a, b: a + b,
     "subtract": lambda a, b: a - b,
+    "subtractfromconst": lambda a, b: b - a,  # const − pixel (k rides as b)
     "multiply": lambda a, b: a * b,
     "divide": lambda a, b: np.divide(a, b, out=np.zeros_like(a), where=b != 0),
     "min": np.minimum,
     "max": np.maximum,
     "mean": lambda a, b: (a + b) / 2.0,
+    "and": _bitwise(np.bitwise_and),
+    "or": _bitwise(np.bitwise_or),
+    "xor": _bitwise(np.bitwise_xor),
 }
 
 LOCAL1 = {
@@ -85,6 +97,38 @@ def binarize(ra: WR.Raster, threshold: float) -> WR.Raster:
 
 def clamp(ra: WR.Raster, lo: float, hi: float) -> WR.Raster:
     return _apply_local1(ra, lambda a: np.clip(a, lo, hi))
+
+
+def threshold(ra: WR.Raster, lo: float, hi: float, mapval: float) -> WR.Raster:
+    """JAI 'threshold': pixels in [lo, hi] map to ``mapval``
+    (algebra/Threshold.java)."""
+    return _apply_local1(
+        ra, lambda a: np.where((a >= lo) & (a <= hi), np.float64(mapval), a)
+    )
+
+
+def constant(ra: WR.Raster, k: float) -> WR.Raster:
+    """Constant raster of the same grid (algebra/Constant.java → JAI
+    'constant')."""
+    return _apply_local1(ra, lambda a: np.full_like(a, np.float64(k)))
+
+
+def crop_pixels(ra: WR.Raster, x: int, y: int, w: int, h: int) -> WR.Raster:
+    """Pixel-space crop (algebra/Crop.java → JAI 'crop'); the geotransform
+    origin shifts with the window."""
+    x, y, w, h = int(x), int(y), int(w), int(h)
+    x = max(0, x)
+    y = max(0, y)
+    w = max(0, min(w, ra.width - x))
+    h = max(0, min(h, ra.height - y))
+    nx, ny = ra.raster_to_world(x, y)
+    out = WR.Raster(
+        ra.version, ra.scale_x, ra.scale_y, nx, ny, ra.skew_x, ra.skew_y,
+        ra.srid, w, h,
+    )
+    for bd in ra.bands:
+        out.bands.append(WR.Band(11, bd.nodata, bd.data[y : y + h, x : x + w].astype(np.float64)))
+    return out
 
 
 # ------------------------------------------------------------- focal ops ---

@@ -1,0 +1,58 @@
+"""Surface-parity gate: every reference registration name
+(PostGISConfig.java:372-815, 423 unique) must be wired in
+functions/registry.py AND execute against the sample frame.
+
+Executed in batches (one Spark job per ~40 functions) so the whole
+423-name sweep stays fast."""
+
+import pytest
+
+from jena_geo_spark.functions import registry as REG
+from jena_geo_spark.functions._ref_registry_names import REF_NAMES
+
+# the geof:sf* core predicates + st_rast_algebra_abs are intentional BONUS
+# surface beyond PostGISConfig (jena-geosparql registers the sf* family in
+# its own core config)
+ALLOWED_EXTRAS = {
+    "st_coveredby",
+    "st_covers",
+    "st_crosses",
+    "st_disjoint",
+    "st_intersection",
+    "st_intersects",
+    "st_overlaps",
+    "st_touches",
+    "st_within",
+    "st_rast_algebra_abs",
+}
+
+
+def test_full_name_parity():
+    assert REG.missing_names() == [], f"unwired reference names: {REG.missing_names()}"
+    assert set(REG.extra_names()) <= ALLOWED_EXTRAS
+
+
+def _batches(n=40):
+    names = sorted(REG.REGISTRY)
+    return [names[i : i + n] for i in range(0, len(names), n)]
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    return REG.sample_frame(spark).cache()
+
+
+@pytest.mark.parametrize("batch", _batches(), ids=lambda b: b[0])
+def test_registry_entries_execute(frame, batch):
+    cols = []
+    for name in batch:
+        cols.append(REG.invoke(name, frame).alias(name))
+    row = frame.select(*cols).collect()[0]
+    # every entry must produce a value; NULL allowed only for documented
+    # codec stubs (jpg/tiff) — everything else must be non-null on the
+    # sample inputs
+    nullable = {"st_asjpg", "st_astiff"}
+    for name in batch:
+        if name in nullable:
+            continue
+        assert row[name] is not None, f"{name} returned NULL on sample input"
