@@ -428,19 +428,35 @@ def o_geo_haversine() -> str:
 
 
 def q_geo_azimuth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (libm atan2 last-ULP differences preclude a bit-exact SQL
-    oracle): azimuth from each point to the next derived vertex."""
+    """Great-circle azimuth from each point to the next derived vertex,
+    rounded to 1e-9 rad (libm last-ULP absorption — haversine pattern)."""
     from .functions.transform import st_azimuth
 
     pts = _with_tri_coords(points_from_events(spark, sf_dir))
-    return pts.select(
-        "event_id",
-        st_azimuth(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")).alias("azimuth"),
+    az = st_azimuth(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"))
+    return pts.select("event_id", F.round(az, 9).alias("azimuth"))
+
+
+def o_geo_azimuth() -> str:
+    # spherical azimuth: atan2(sin dλ · cos φ2, cos φ1 · sin φ2 −
+    # sin φ1 · cos φ2 · cos dλ), normalized to [0, 2π)
+    dlon = f"radians({_sql_coord(_TRI[2][0], 360000000, 180.0)}) - radians(lon)"
+    lat2 = f"radians({_sql_coord(_TRI[2][1], 180000000, 90.0)})"
+    az = (
+        f"atan2(sin({dlon}) * cos({lat2}), "
+        f"cos(radians(lat)) * sin({lat2}) - sin(radians(lat)) * cos({lat2}) * cos({dlon}))"
+    )
+    return (
+        f"WITH {_PTS_CTE} SELECT event_id, "
+        f"round((({az}) + 2 * pi()) - floor((({az}) + 2 * pi()) / (2 * pi())) * (2 * pi()), 9)"
+        " AS azimuth FROM pts"
     )
 
 
 def q_geo_transform_merc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: EPSG:4326 → 3857 reprojection of the derived points."""
+    """EPSG:4326 → 3857 reprojection of the derived points, rounded to
+    0.1 m (values are O(1e7) m, so double ULP is O(4e-9) m — sub-decimetre
+    rounding keeps the boundary-flip risk below 1e-4 across the table)."""
     from .functions.transform import merc_forward
 
     schema = StructType([StructField("mx", DoubleType()), StructField("my", DoubleType())])
@@ -450,9 +466,24 @@ def q_geo_transform_merc(spark: SparkSession, sf_dir: str) -> DataFrame:
         x, y = merc_forward(lon.to_numpy(np.float64), lat.to_numpy(np.float64))
         return pd.DataFrame({"mx": x, "my": y})
 
-    pts = points_from_events(spark, sf_dir)
+    # Web-Mercator is defined on |lat| ≤ 85.05113 (log singular at the
+    # poles) — same filter on the oracle side
+    pts = points_from_events(spark, sf_dir).filter(F.abs(F.col("lat")) <= 85.0)
     return pts.select("event_id", merc(F.col("lon"), F.col("lat")).alias("m")).select(
-        "event_id", F.col("m.mx").alias("mx"), F.col("m.my").alias("my")
+        "event_id",
+        F.round(F.col("m.mx"), 1).alias("mx"),
+        F.round(F.col("m.my"), 1).alias("my"),
+    )
+
+
+def o_geo_transform_merc() -> str:
+    # spherical web mercator: x = R·λ, y = R·ln(tan(π/4 + φ/2))
+    r = "6378137.0"
+    return (
+        f"WITH {_PTS_CTE} SELECT event_id, "
+        f"round({r} * radians(lon), 1) AS mx, "
+        f"round({r} * ln(tan(pi() / 4 + radians(lat) / 2)), 1) AS my FROM pts"
+        " WHERE abs(lat) <= 85.0"
     )
 
 
@@ -487,19 +518,54 @@ def o_geo_dump_points() -> str:
     )
 
 
+_CLIP = (-60.0, -30.0, 60.0, 30.0)
+
+
 def q_geo_clip_area(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: area of each derived triangle clipped to a fixed box
-    (Sutherland–Hodgman overlay kernel — no SQL-expressible oracle)."""
+    """Area of each derived triangle clipped to a fixed box, restricted to
+    the SQL-decidable rows: triangles whose bbox is fully inside the clip
+    box (clip = identity → shoelace area) or fully outside (clip = ∅ →
+    0).  The ENGINE side still runs the full Sutherland–Hodgman clip path
+    on every row; partial overlaps (not SQL-expressible) are covered by
+    the pytest clip goldens and the oracle-gated ``geo_overlay_halfplane``."""
     from .functions.vector import st_clip_by_box
 
+    x0, y0, x1, y1 = _CLIP
     pts = _with_tri_coords(points_from_events(spark, sf_dir))
-    tri = pts.withColumn(
+    xs = [F.col(c) for c in ("x1", "x2", "x3")]
+    ys = [F.col(c) for c in ("y1", "y2", "y3")]
+    inside = (
+        F.least(*xs) >= x0
+    ) & (F.greatest(*xs) <= x1) & (F.least(*ys) >= y0) & (F.greatest(*ys) <= y1)
+    outside = (
+        (F.greatest(*xs) < x0)
+        | (F.least(*xs) > x1)
+        | (F.greatest(*ys) < y0)
+        | (F.least(*ys) > y1)
+    )
+    tri = pts.filter(inside | outside).withColumn(
         "g", _make_triangle(*[F.col(c) for c in ("x1", "y1", "x2", "y2", "x3", "y3")])
     )
-    clipped = st_clip_by_box(
-        F.col("g"), F.lit(-60.0), F.lit(-30.0), F.lit(60.0), F.lit(30.0)
+    clipped = st_clip_by_box(F.col("g"), F.lit(x0), F.lit(y0), F.lit(x1), F.lit(y1))
+    return tri.select("event_id", F.round(st_area(clipped), 9).alias("clip_area"))
+
+
+def o_geo_clip_area() -> str:
+    x0, y0, x1, y1 = _CLIP
+    shoelace = "abs((x1 * y2 - x2 * y1) + (x2 * y3 - x3 * y2) + (x3 * y1 - x1 * y3)) * 0.5"
+    inside = (
+        f"least(x1, x2, x3) >= {x0!r} AND greatest(x1, x2, x3) <= {x1!r} "
+        f"AND least(y1, y2, y3) >= {y0!r} AND greatest(y1, y2, y3) <= {y1!r}"
     )
-    return tri.select("event_id", st_area(clipped).alias("clip_area"))
+    outside = (
+        f"greatest(x1, x2, x3) < {x0!r} OR least(x1, x2, x3) > {x1!r} "
+        f"OR greatest(y1, y2, y3) < {y0!r} OR least(y1, y2, y3) > {y1!r}"
+    )
+    return (
+        f"WITH {_PTS_CTE}, t AS (SELECT event_id, {_TRI_SQL_COLS} FROM pts) "
+        f"SELECT event_id, round(CASE WHEN {inside} THEN {shoelace} ELSE 0.0 END, 9)"
+        f" AS clip_area FROM t WHERE ({inside}) OR ({outside})"
+    )
 
 
 def q_geo_mp_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1317,6 +1383,118 @@ def o_orders_agg() -> str:
     )
 
 
+def q_geo_boundary_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length of the boundary of each derived triangle — exercises the
+    OGC boundary operator (polygon → ring linestring) end-to-end; the
+    oracle is the SQL perimeter (boundary of a simple polygon IS its
+    exterior ring)."""
+    from .functions.accessors import st_boundary
+    from .functions.vector import st_length
+
+    pts = _with_tri_coords(points_from_events(spark, sf_dir).filter(F.col("event_id") > 0))
+    tri = pts.withColumn(
+        "g", _make_triangle(*[F.col(c) for c in ("x1", "y1", "x2", "y2", "x3", "y3")])
+    )
+    return tri.select(
+        "event_id", F.round(st_length(st_boundary(F.col("g"))), 9).alias("blen")
+    )
+
+
+def o_geo_boundary_len() -> str:
+    def d(xa, ya, xb, yb):
+        return f"sqrt(({xb} - {xa}) * ({xb} - {xa}) + ({yb} - {ya}) * ({yb} - {ya}))"
+
+    per = " + ".join(
+        [d("x1", "y1", "x2", "y2"), d("x2", "y2", "x3", "y3"), d("x3", "y3", "x1", "y1")]
+    )
+    return (
+        f"WITH {_PTS_CTE}, t AS (SELECT event_id, {_TRI_SQL_COLS} FROM pts "
+        f"WHERE event_id > 0) SELECT event_id, round({per}, 9) AS blen FROM t"
+    )
+
+
+def q_geo_angle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Angle at the second derived vertex (law of cosines, Angle.java),
+    rounded to 1e-9 rad."""
+    from .functions.accessors import st_angle
+    from .functions.vector import st_point
+
+    pts = _with_tri_coords(points_from_events(spark, sf_dir).filter(F.col("event_id") > 0))
+    ang = st_angle(
+        st_point(F.col("x1"), F.col("y1")),
+        st_point(F.col("x2"), F.col("y2")),
+        st_point(F.col("x3"), F.col("y3")),
+    )
+    return pts.select("event_id", F.round(ang, 9).alias("angle"))
+
+
+def o_geo_angle() -> str:
+    def d2(xa, ya, xb, yb):
+        return f"(({xb} - {xa}) * ({xb} - {xa}) + ({yb} - {ya}) * ({yb} - {ya}))"
+
+    ab2 = d2("x1", "y1", "x2", "y2")
+    bc2 = d2("x3", "y3", "x2", "y2")
+    ac2 = d2("x1", "y1", "x3", "y3")
+    v = f"(({bc2}) + ({ab2}) - ({ac2})) / (2 * sqrt({bc2}) * sqrt({ab2}))"
+    return (
+        f"WITH {_PTS_CTE}, t AS (SELECT event_id, {_TRI_SQL_COLS} FROM pts "
+        f"WHERE event_id > 0) SELECT event_id, "
+        f"round(acos(greatest(-1.0, least(1.0, {v}))), 9) AS angle FROM t"
+    )
+
+
+def q_geo_buffer_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Area of ST_Buffer(point, r) — the general arrangement-backed buffer
+    on a point yields the 32-gon disc whose area is exactly
+    16·r²·sin(π/16); radius varies per row.  End-to-end exercise of the
+    buffer → noding → face-trace → coverage pipeline with a closed-form
+    oracle."""
+    from .functions.transforms2 import st_buffer
+    from .functions.vector import st_area, st_point
+
+    pts = points_from_events(spark, sf_dir).filter(F.col("event_id") % 100 == 0)
+    r = (F.col("event_id") % 7 + 1).cast("double") / 4.0
+    buf = st_buffer(st_point(F.col("lon"), F.col("lat")), r)
+    return pts.select("event_id", F.round(st_area(buf), 6).alias("buf_area"))
+
+
+def o_geo_buffer_area() -> str:
+    return (
+        f"WITH {_PTS_CTE} SELECT event_id, "
+        "round(16.0 * ((event_id % 7 + 1)::DOUBLE / 4.0) * ((event_id % 7 + 1)::DOUBLE / 4.0)"
+        " * sin(pi() / 16), 6) AS buf_area FROM pts WHERE event_id % 100 = 0"
+    )
+
+
+def q_geo_mvt_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_AsMVTGeom of each point into a fixed tile (extent 4096, flipped
+    Y) — the integer tile coordinates are read back with st_x/st_y and
+    compared against the closed-form mapping."""
+    from .functions.exporters2 import st_asmvtgeom
+    from .functions.vector import st_point, st_x, st_y
+
+    pts = points_from_events(spark, sf_dir)
+    mvt = st_asmvtgeom(
+        st_point(F.col("lon"), F.col("lat")),
+        F.lit(-180.0),
+        F.lit(-90.0),
+        F.lit(180.0),
+        F.lit(90.0),
+        F.lit(4096.0),
+    )
+    return pts.select(
+        "event_id", st_x(mvt).alias("tx"), st_y(mvt).alias("ty")
+    )
+
+
+def o_geo_mvt_coords() -> str:
+    return (
+        f"WITH {_PTS_CTE} SELECT event_id, "
+        "round((lon - (-180.0)) / 360.0 * 4096.0) AS tx, "
+        "round((90.0 - lat) / 180.0 * 4096.0) AS ty FROM pts"
+    )
+
+
 # ------------------------------------------------------------------ export --
 
 QUERIES = {
@@ -1334,6 +1512,10 @@ QUERIES = {
     "geo_azimuth": q_geo_azimuth,
     "geo_transform_merc": q_geo_transform_merc,
     "geo_clip_area": q_geo_clip_area,
+    "geo_boundary_len": q_geo_boundary_len,
+    "geo_angle": q_geo_angle,
+    "geo_buffer_area": q_geo_buffer_area,
+    "geo_mvt_coords": q_geo_mvt_coords,
     "geo_mp_pip_join": q_geo_mp_pip_join,
     "geo_overlay_halfplane": q_geo_overlay_halfplane,
     "geo_hausdorff": q_geo_hausdorff,
@@ -1376,6 +1558,13 @@ ORACLES = {
     "geo_envelope_agg": o_geo_envelope_agg(),
     "temporal_allen": o_temporal_allen(),
     "geo_haversine": o_geo_haversine(),
+    "geo_azimuth": o_geo_azimuth(),
+    "geo_transform_merc": o_geo_transform_merc(),
+    "geo_clip_area": o_geo_clip_area(),
+    "geo_boundary_len": o_geo_boundary_len(),
+    "geo_angle": o_geo_angle(),
+    "geo_buffer_area": o_geo_buffer_area(),
+    "geo_mvt_coords": o_geo_mvt_coords(),
     "geo_mp_pip_join": o_geo_mp_pip_join(),
     "geo_overlay_halfplane": o_geo_overlay_halfplane(),
     "geo_hausdorff": o_geo_hausdorff(),

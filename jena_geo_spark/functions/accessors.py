@@ -191,8 +191,9 @@ st_interiorringn = _ug2(_interior_ring_n)
 
 @_u(IntegerType())
 def st_nrings(g):
-    """Total ring count over all member polygons (NRings.java)."""
-    return sum(len(rings) for rings in g.polygons())
+    """Interior-ring count over all member polygons (NRings.java delegates
+    to JTS ``getNumInteriorRing``; golden: simple triangle → 0)."""
+    return sum(max(len(rings) - 1, 0) for rings in g.polygons())
 
 
 @_u(IntegerType())
@@ -252,7 +253,9 @@ def st_ismeasured(g):
 
 @_u(IntegerType())
 def st_ndims(g):
-    return len(g.dims)
+    """Spatial coordinate dimension: 2 or 3 — M does NOT count
+    (NDimsTest.java goldens: XY→2, XYZ→3, XYM→2; JTS coordinate model)."""
+    return 3 if "Z" in g.dims else 2
 
 
 @_u(BooleanType())

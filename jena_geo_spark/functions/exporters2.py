@@ -38,12 +38,19 @@ def st_asbinary(g: Column) -> Column:
     return F.col(g) if isinstance(g, str) else g
 
 
-def st_ashexewkb(g: Column, endianness: Column | None = None) -> Column:
-    """Hex WKB.  The reference's AsHEXEWKB XDR branch never actually swaps
-    bytes (ByteBuffer.order is not a transform), so NDR == XDR there; we
-    emit NDR hex for both."""
-    col = F.col(g) if isinstance(g, str) else g
-    return F.upper(F.hex(col))
+@pandas_udf(StringType())
+def st_ashexewkb(b: pd.Series) -> pd.Series:
+    """Hex WKB in XDR (big-endian) byte order — JTS WKBWriter's default,
+    matching the ``AsHEXEWKBTest.java`` golden byte-for-byte.  (The
+    reference's NDR branch is a no-op ByteBuffer.order call, so its output
+    is always the big-endian hex.)"""
+    return pd.Series(
+        [
+            W.to_wkb(W.from_wkb(x), little=False).hex().upper() if x is not None else None
+            for x in b
+        ],
+        dtype=object,
+    )
 
 
 @pandas_udf(StringType())

@@ -171,10 +171,17 @@ def st_transform(b: pd.Series, from_srid: pd.Series, to_srid: pd.Series) -> pd.S
 
 @pandas_udf(DoubleType())
 def st_azimuth(x1: pd.Series, y1: pd.Series, x2: pd.Series, y2: pd.Series) -> pd.Series:
-    """Planar azimuth in radians clockwise from north (PostGIS/reference
-    ``point/Azimuth.java`` convention)."""
+    """Great-circle azimuth in radians clockwise from north, [0, 2π) —
+    the reference delegates to jena-geosparql's spherical
+    ``great_circle.Azimuth.find`` (``point/Azimuth.java``); golden
+    (25 45)→(75 100) = 6.113262637907632 (``AzimuthTest.java``)."""
+    lon1 = np.radians(x1.to_numpy(np.float64))
+    lat1 = np.radians(y1.to_numpy(np.float64))
+    lon2 = np.radians(x2.to_numpy(np.float64))
+    lat2 = np.radians(y2.to_numpy(np.float64))
+    dlon = lon2 - lon1
     az = np.arctan2(
-        x2.to_numpy(np.float64) - x1.to_numpy(np.float64),
-        y2.to_numpy(np.float64) - y1.to_numpy(np.float64),
+        np.sin(dlon) * np.cos(lat2),
+        np.cos(lat1) * np.sin(lat2) - np.sin(lat1) * np.cos(lat2) * np.cos(dlon),
     )
-    return pd.Series(np.where(az < 0, az + 2 * np.pi, az))
+    return pd.Series(np.mod(az, 2 * np.pi))

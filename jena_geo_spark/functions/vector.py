@@ -557,17 +557,19 @@ def st_union_area(a: pd.Series, b: pd.Series) -> pd.Series:
 
 @pandas_udf(DoubleType())
 def st_intersection_percentage(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Reference ST_IntersectionPercentage: |A∩B| / |A| (general overlay)."""
+    """Reference ST_IntersectionPercentage: |A∩B| / |B| — the SECOND
+    geometry's area is the denominator (``IntersectionPercentage.java``:
+    ``intersection.getArea() / geom2.getArea()``; golden 2/7 =
+    0.2857142857142857 in ``IntersectionPercentageTest.java``); NaN → 0."""
     from ..geom import overlay as O
 
     out = np.zeros(len(a))
     for i, (x, y) in enumerate(zip(a, b)):
         ra = W.from_wkb(x).exterior()
-        area = K.ring_area(ra)
+        rb = W.from_wkb(y).exterior()
+        area_b = K.ring_area(rb)
         out[i] = (
-            O.overlay_area(ra, W.from_wkb(y).exterior(), "intersection") / area
-            if area
-            else 0.0
+            O.overlay_area(ra, rb, "intersection") / area_b if area_b else 0.0
         )
     return pd.Series(out)
 

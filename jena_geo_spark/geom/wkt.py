@@ -282,43 +282,47 @@ _DIMS_OFFSET = {"XY": 0, "XYZ": 1000, "XYM": 2000, "XYZM": 3000}
 _OFFSET_DIMS = {v: k for k, v in _DIMS_OFFSET.items()}
 
 
-def to_wkb(g: Geom) -> bytes:
-    """Little-endian OGC WKB (ISO Z/M type codes: +1000/+2000/+3000)."""
+def to_wkb(g: Geom, little: bool = True) -> bytes:
+    """OGC WKB, little-endian by default (ISO Z/M type codes:
+    +1000/+2000/+3000); ``little=False`` emits XDR/big-endian — the byte
+    order JTS WKBWriter defaults to (AsHEXEWKB golden)."""
+    e = "<" if little else ">"
+    eb = b"\x01" if little else b"\x00"
     code = _WKB_CODE[g.kind] + _DIMS_OFFSET[g.dims]
     w = len(g.dims)
-    out = [b"\x01", struct.pack("<I", code)]
+    out = [eb, struct.pack(e + "I", code)]
     if g.kind == "point":
         if not g.parts or len(g.parts[0]) == 0:
             # POINT EMPTY: all-NaN coordinates (OGC convention)
-            out.append(struct.pack(f"<{w}d", *([float("nan")] * w)))
+            out.append(struct.pack(f"{e}{w}d", *([float("nan")] * w)))
         else:
-            out.append(struct.pack(f"<{w}d", *g.parts[0][0]))
+            out.append(struct.pack(f"{e}{w}d", *g.parts[0][0]))
     elif g.kind in ("linestring", "multipoint"):
         a = g.parts[0] if g.parts else np.empty((0, w))
-        out.append(struct.pack("<I", len(a)))
+        out.append(struct.pack(e + "I", len(a)))
         if g.kind == "multipoint":
-            pt_code = struct.pack("<I", 1 + _DIMS_OFFSET[g.dims])
+            pt_code = struct.pack(e + "I", 1 + _DIMS_OFFSET[g.dims])
             for row in a:
-                out.append(b"\x01" + pt_code + struct.pack(f"<{w}d", *row))
+                out.append(eb + pt_code + struct.pack(f"{e}{w}d", *row))
         else:
-            out.append(np.ascontiguousarray(a, dtype="<f8").tobytes())
+            out.append(np.ascontiguousarray(a, dtype=e + "f8").tobytes())
     elif g.kind == "polygon":
-        out.append(struct.pack("<I", len(g.parts)))
+        out.append(struct.pack(e + "I", len(g.parts)))
         for r in g.parts:
-            out.append(struct.pack("<I", len(r)))
-            out.append(np.ascontiguousarray(r, dtype="<f8").tobytes())
+            out.append(struct.pack(e + "I", len(r)))
+            out.append(np.ascontiguousarray(r, dtype=e + "f8").tobytes())
     elif g.kind == "multilinestring":
-        out.append(struct.pack("<I", len(g.parts)))
+        out.append(struct.pack(e + "I", len(g.parts)))
         for p in g.parts:
-            out.append(to_wkb(Geom("linestring", [p], g.dims)))
+            out.append(to_wkb(Geom("linestring", [p], g.dims), little))
     elif g.kind == "multipolygon":
-        out.append(struct.pack("<I", len(g.parts)))
+        out.append(struct.pack(e + "I", len(g.parts)))
         for rings in g.parts:
-            out.append(to_wkb(Geom("polygon", rings, g.dims)))
+            out.append(to_wkb(Geom("polygon", rings, g.dims), little))
     elif g.kind == "geometrycollection":
-        out.append(struct.pack("<I", len(g.parts)))
+        out.append(struct.pack(e + "I", len(g.parts)))
         for member in g.parts:
-            out.append(to_wkb(member))
+            out.append(to_wkb(member, little))
     return b"".join(out)
 
 

@@ -1,0 +1,234 @@
+"""Golden values ported from the reference's unit tests
+(``src/test/de/hsmainz/cs/semgis/arqextension/test/...``) — exact unless
+noted.  Runs the kernels / UDF bodies directly (no Spark session): these
+are value tests, the Spark plumbing is covered by test_registry.py.
+
+Documented divergences (reference value NOT matched on purpose):
+* RelateTest.java expects "212101212" for a ZERO-AREA (collinear) second
+  polygon — JTS mislabels the degenerate ring's interior as 2-dimensional;
+  our relate returns the topologically correct 'F12F01212' (empty interior).
+* FrechetDistanceTest.java expects 10.0 for two polylines whose END POINTS
+  are 191.05 apart — the continuous Fréchet distance is bounded below by
+  the endpoint distance, so 10.0 is impossible; the vendored
+  heigit/ors FrechetDistance the reference calls is not a Fréchet metric.
+  Ours returns the true value (endpoint-coupled dynamic program).
+* IsMorePreciseTest.java expects ±1 but the implementation compares a
+  geometry with itself (copy-paste bug) and JTS FLOATING precision models
+  are always equal — the reference test cannot pass against its own code.
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from jena_geo_spark.functions import accessors as A
+from jena_geo_spark.functions import shapes as FS
+from jena_geo_spark.functions import transform as FT
+from jena_geo_spark.functions import vector as FV
+from jena_geo_spark.functions import exporters2 as E2
+from jena_geo_spark.geom import distances as D
+from jena_geo_spark.geom import relate as R
+from jena_geo_spark.geom import shapes as S
+from jena_geo_spark.geom import wkt as W
+
+
+def g(s):
+    return W.from_wkt(s)
+
+
+def wkb(s):
+    return W.to_wkb(g(s))
+
+
+def u1(udf, *args):
+    """Invoke a pandas_udf's underlying function on single values."""
+    series = [pd.Series([a]) for a in args]
+    return udf.func(*series).iloc[0]
+
+
+def test_hausdorff_golden():  # HausdorffDistanceTest.java
+    assert D.hausdorff(g("LINESTRING (0 0, 2 0)"), g("MULTIPOINT (0 1, 1 0, 2 1)")) == 1.0
+
+
+def test_max_distance_golden():  # MaxDistanceTest.java
+    got = D.max_distance(
+        g("LINESTRING(77.29 29.07,77.42 29.26,77.27 29.31,77.29 29.07)"),
+        g("LINESTRING(5 5 ,10 10)"),
+    )
+    assert got == 76.37541489249011
+
+
+def test_relate_multipoint_self_golden():  # IntersectionMatrixTest.java
+    mp = g("MULTIPOINT (10 40, 40 30, 20 20, 30 10)")
+    assert R.relate(mp, mp) == "0FFFFFFF2"
+
+
+def test_intersection_percentage_golden():  # IntersectionPercentageTest.java
+    got = u1(
+        FV.st_intersection_percentage,
+        wkb("POLYGON((1 2, 11 13, 5 6, 1 2))"),
+        wkb("POLYGON((1 2, 11 13, 5 5, 1 2))"),
+    )
+    # the triangles share a full edge — a GH degeneracy the overlay kernel
+    # resolves with a 1e-9 relative perturbation, so ~1e-8 noise is expected
+    assert got == pytest.approx(0.2857142857142857, abs=1e-7)
+
+
+def test_angle_golden():  # AngleTest.java
+    got = u1(A.st_angle, wkb("POINT (25 45)"), wkb("POINT (75 100)"), wkb("POINT (50 80)"))
+    assert got == pytest.approx(0.15824032445087835, abs=1e-15)
+
+
+def test_azimuth_golden():  # AzimuthTest.java (spherical great-circle)
+    got = u1(FT.st_azimuth, 25.0, 45.0, 75.0, 100.0)
+    assert got == pytest.approx(6.113262637907632, abs=1e-12)
+
+
+def test_minimum_clearance_golden():  # MinimumClearanceTest.java
+    d, _ = A._min_clearance(g("POLYGON ((0 0, 1 0, 1 1, 0.5 3.2e-4, 0 0))"))
+    assert d == pytest.approx(0.00032, abs=1e-18)
+
+
+def test_minimum_diameter_golden():  # MinimumDiameterTest.java
+    got = u1(FS.st_minimumdiameter, wkb("POLYGON ((0 0, 1 0, 1 1, 0.5 3.2e-4, 0 0))"))
+    assert got == pytest.approx(0.7071067811865476, abs=1e-15)
+
+
+def test_minimum_bounding_radius_golden():  # MinimumBoundingRadiusTest.java
+    _, _, r = S.min_bounding_circle(
+        g("POLYGON((26426 65078,26531 65242,26075 65136,26096 65427,26426 65078))").all_coords()
+    )
+    assert r == pytest.approx(247.4360455914027, abs=1e-9)
+
+
+def test_circularity_golden():  # CircularityIndexTest.java
+    assert u1(A.st_circularity, wkb("POLYGON((8 2, 11 13, 2 6, 8 2))")) == pytest.approx(
+        0.5440126910331675, abs=1e-15
+    )
+    # non-polygon → 0.0 per the reference
+    assert u1(A.st_circularity, wkb("LINESTRING(1 2, 3 4)")) == 0.0
+
+
+def test_length_to_point_golden():  # LengthToPointTest.java
+    got = u1(A.st_lengthtopoint, wkb("LINESTRING (0 0, 0 1, 1 1, 1 0, 0 0)"), wkb("POINT (1 0)"))
+    assert got == 3.0
+
+
+def test_nrings_golden():  # NRingsTest.java — interior rings only
+    assert u1(A.st_nrings, wkb("POLYGON((1 2, 3 4, 5 6, 1 2))")) == 0
+    assert (
+        u1(A.st_nrings, wkb("POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (3 3, 4 3, 4 4, 3 4, 3 3))")) == 1
+    )
+
+
+def test_ndims_goldens():  # NDimsTest.java — M does not add a dimension
+    assert u1(A.st_ndims, wkb("POINT (1 1)")) == 2
+    assert u1(A.st_ndims, wkb("POINT Z (1 1 2)")) == 3
+    assert u1(A.st_ndims, wkb("POINT M (1 1 0.5)")) == 2
+
+
+def test_is_closed_goldens():  # IsClosedTest.java
+    assert u1(A.st_isclosed, wkb("LINESTRING (0 0, 1 1)")) is False
+    assert u1(A.st_isclosed, wkb("LINESTRING (0 0, 0 1, 1 1, 0 0)")) is True
+    assert (
+        u1(A.st_isclosed, wkb("MULTILINESTRING ((0 0, 0 1, 1 1, 0 0), (0 0, 1 1))")) is False
+    )
+    assert u1(A.st_isclosed, wkb("POINT (0 0)")) is True
+
+
+def test_is_ring_goldens():  # IsRingTest.java
+    assert u1(A.st_isring, wkb("LINESTRING (0 0, 0 1, 1 1, 1 0, 0 0)")) is True
+    assert u1(A.st_isring, wkb("LINESTRING (0 0, 0 1, 1 0, 1 1)")) is False
+
+
+def test_is_valid_trajectory_goldens():  # IsValidTrajectoryTest.java
+    assert u1(A.st_isvalidtrajectory, wkb("LINESTRING M (0 0 1, 0 1 2)")) is True
+    assert u1(A.st_isvalidtrajectory, wkb("LINESTRING M (0 0 1, 0 1 0)")) is False
+
+
+def test_has_repeated_points_goldens():  # HasRepeatedPointsTest.java
+    # NB the reference golden uses consecutive duplicates ((1 1) twice
+    # adjacent? no — (1 1) reappears NON-adjacently; JTS RepeatedPointTester
+    # only flags consecutive repeats, so the golden 'true' case must contain
+    # an adjacent pair after closing; test both behaviours explicitly:
+    assert u1(A.st_hasrepeatedpoints, wkb("LINESTRING (0 0, 1 1, 1 1, 6 8)")) is True
+    assert u1(A.st_hasrepeatedpoints, wkb("LINESTRING (0 0, 1 1, 2 4, 6 8)")) is False
+
+
+def test_num_distinct_goldens():  # NumDistinct{Points,Geometries}Test.java
+    line = "LINESTRING(77.29 29.07,77.42 29.26,77.27 29.31,77.29 29.07)"
+    assert u1(A.st_numdistinctpoints, wkb(line)) == 3
+    gc = (
+        "GEOMETRYCOLLECTION(MULTIPOINT(-2 3, -2 2),LINESTRING(5 5, 10 10),"
+        "LINESTRING(5 5, 10 10),POLYGON((-7 4.2,-7.1 5,-7.1 4.3,-7 4.2)))"
+    )
+    assert u1(A.st_numdistinctgeometries, wkb(gc)) == 3
+    assert u1(A.st_numgeometries, wkb(gc)) == 4
+
+
+def test_zm_accessor_goldens():  # {X,Y,Z,M,MinM,MaxM,MinZ,MaxZ,...}Test.java
+    from jena_geo_spark.functions import zm as Z
+
+    p = wkb("POINT ZM (1 2 3 4)")
+    assert u1(FV.st_x, p) == 1.0
+    assert u1(FV.st_y, p) == 2.0
+    assert u1(Z.st_z, p) == 3.0
+    assert u1(Z.st_m, p) == 4.0
+    lm = wkb("LINESTRING M (1 2 3, 4 5 6, 7 8 9)")
+    assert u1(Z.st_mmin, lm) == 3.0
+    assert u1(Z.st_mmax, lm) == 9.0
+    lz = wkb("LINESTRING Z (1 2 3, 4 5 6, 7 8 9)")
+    assert u1(Z.st_zmin, lz) == 3.0
+    assert u1(Z.st_zmax, lz) == 9.0
+    l4 = wkb("LINESTRING (1 2, 3 4, 5 6, 7 8)")
+    assert u1(A.st_xmin, l4) == 1.0
+    assert u1(A.st_xmax, l4) == 7.0
+    assert u1(A.st_ymin, l4) == 2.0
+    assert u1(A.st_ymax, l4) == 8.0
+
+
+def test_bbox_distance_golden():  # BBOXDistanceTest.java
+    a = wkb("LINESTRING (1 4, 1 7)")
+    b = wkb("LINESTRING (0 0, 4 2)")
+    env_a = u1(FV.st_envelope, a)
+    env_b = u1(FV.st_envelope, b)
+    assert u1(FV.st_distance, env_a, env_b) == 2.0
+
+
+def test_hexewkb_golden():  # AsHEXEWKBTest.java — byte-for-byte XDR hex
+    got = u1(E2.st_ashexewkb, wkb("POLYGON((0 0,0 1,1 1,1 0,0 0))"))
+    assert got == (
+        "000000000300000001000000050000000000000000000000000000000000000000000000003FF00"
+        "000000000003FF00000000000003FF00000000000003FF00000000000000000000000000000000"
+        "00000000000000000000000000000"
+    )
+
+
+def test_polyshape_golden():  # AsPolyshapeTest.java
+    assert u1(E2.st_aspolyshape, wkb("POINT (49.9928617 8.2472526)")) == "0kfcpHixiq@"
+
+
+def test_astextround_golden():  # AsTextRoundTest.java
+    got = u1(E2.st_astextround, wkb("LINESTRING (1.32453 2.65655, 4.96254 5.43341)"), 2.0)
+    assert got == "LINESTRING (1.32 2.66, 4.96 5.43)"
+
+
+def test_frechet_lower_bound_vs_reference():
+    """Documented divergence (see module docstring): the true continuous
+    Fréchet distance here is the endpoint distance 191.049…, not the
+    reference's 10.0."""
+    p = np.array([[130.0, 0.0], [0.0, 0.0], [0.0, 150.0]])
+    q = np.array([[10.0, 10.0], [10.0, 150.0], [130.0, 10.0]])
+    got = D.frechet_continuous(p, q)
+    endpoint = math.hypot(130 - 0, 10 - 150)
+    assert got >= endpoint - 1e-9
+    assert got == pytest.approx(191.049731745428, abs=1e-6)
+
+
+def test_relate_degenerate_divergence():
+    """Documented divergence: zero-area collinear 'polygon' has an empty
+    interior — entry [0] of the matrix must be F, not the reference's 2."""
+    got = R.relate(g("POLYGON((8 2, 11 13, 2 6, 8 2))"), g("POLYGON((1 2, 3 4, 5 6, 1 2))"))
+    assert got[0] == "F"
