@@ -19,7 +19,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BinaryType, DoubleType, StructField, StructType
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from .functions.vector import (
     gc_cell,
@@ -1495,6 +1502,77 @@ def o_geo_mvt_coords() -> str:
     )
 
 
+_STREAM_SEQ = [0]
+
+
+def q_stream_tile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming end-to-end: events read as a FILE-SOURCE STREAM,
+    derived points tiled, event-time 1-hour windowed counts drained with an
+    availableNow trigger — by construction (all input drained, watermark
+    never closes on availableNow) the result equals the batch answer, so
+    the batch SQL oracle gates the streaming pipeline exactly."""
+    from pyspark.sql.types import TimestampType
+
+    from .functions.vector import gc_cell, gc_cell_xy
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    # the file stream source requires a DIRECTORY — stream the table dir
+    # with a glob filter selecting the events file
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    pts = stream.select(
+        "event_id",
+        "ts",
+        (((F.col("event_id") * 2654435761) % 360000000) / 1000000.0 - 180.0).alias("lon"),
+        (((F.col("event_id") * 2246822519) % 180000000) / 1000000.0 - 90.0).alias("lat"),
+    )
+    cells = pts.withColumn("cell", gc_cell(F.col("lon"), F.col("lat"), F.lit(6)))
+    xy = cells.withColumn("xy", gc_cell_xy(F.col("cell")))
+    counts = (
+        xy.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window(F.col("ts"), "1 hour").alias("w"),
+            F.col("xy.ix").alias("tile_ix"),
+            F.col("xy.iy").alias("tile_iy"),
+        )
+        .agg(F.count("*").alias("n_rows"))
+        .select(F.col("w.start").alias("window_start"), "tile_ix", "tile_iy", "n_rows")
+    )
+    _STREAM_SEQ[0] += 1
+    name = f"stream_tile_hist_{_STREAM_SEQ[0]}"
+    (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name)
+
+
+def o_stream_tile_hist() -> str:
+    return (
+        f"WITH {_PTS_CTE.replace('FROM events)', ', ts FROM events)')} SELECT "
+        "time_bucket(INTERVAL '1 hour', ts) AS window_start, "
+        "LEAST(GREATEST(CAST(FLOOR(((lon - -180.0) / 360.0) * 64.0) AS BIGINT), 0), 63) AS tile_ix, "
+        "LEAST(GREATEST(CAST(FLOOR(((lat - -90.0) / 180.0) * 64.0) AS BIGINT), 0), 63) AS tile_iy, "
+        "count(*) AS n_rows FROM pts GROUP BY 1, 2, 3"
+    )
+
+
 # ------------------------------------------------------------------ export --
 
 QUERIES = {
@@ -1516,6 +1594,7 @@ QUERIES = {
     "geo_angle": q_geo_angle,
     "geo_buffer_area": q_geo_buffer_area,
     "geo_mvt_coords": q_geo_mvt_coords,
+    "stream_tile_hist": q_stream_tile_hist,
     "geo_mp_pip_join": q_geo_mp_pip_join,
     "geo_overlay_halfplane": q_geo_overlay_halfplane,
     "geo_hausdorff": q_geo_hausdorff,
@@ -1565,6 +1644,7 @@ ORACLES = {
     "geo_angle": o_geo_angle(),
     "geo_buffer_area": o_geo_buffer_area(),
     "geo_mvt_coords": o_geo_mvt_coords(),
+    "stream_tile_hist": o_stream_tile_hist(),
     "geo_mp_pip_join": o_geo_mp_pip_join(),
     "geo_overlay_halfplane": o_geo_overlay_halfplane(),
     "geo_hausdorff": o_geo_hausdorff(),
