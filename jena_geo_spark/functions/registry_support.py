@@ -205,16 +205,19 @@ st_epsgtosrid = _epsg_udf()
 
 @pandas_udf(DoubleType())
 def st_distancesphere_geom(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Great-circle distance between two geometries' representative points
-    (DistanceSphere.java operates on the point coordinates)."""
+    """Great-circle distance between the NEAREST planar points of the two
+    geometries (DistanceSphere.java → GeometryWrapper.distanceGreatCircle;
+    golden 7269372.186370237 m in DistanceSphereTest.java, matched to
+    last-ULP with the mean-Earth radius 6371008.7714)."""
+    from ..geom import distances as D
+
     out = []
     for x, y in zip(a, b):
         if x is None or y is None:
             out.append(None)
             continue
         ga, gb = W.from_wkb(x), W.from_wkb(y)
-        pa = ga.all_coords()[:, :2].mean(axis=0)
-        pb = gb.all_coords()[:, :2].mean(axis=0)
+        pa, pb = D.nearest_points(ga, gb)[:2]
         out.append(float(K.haversine_m(pa[0], pa[1], pb[0], pb[1])))
     return pd.Series(out, dtype=object)
 

@@ -77,14 +77,6 @@ def _map_coords(g: Geom, fn) -> Geom:
     return Geom(g.kind, mp(g.parts), g.dims)
 
 
-def _with_dims(g: Geom, dims: str) -> Geom:
-    g2 = _map_coords(g, lambda a: a)
-    g2.dims = dims
-    if g2.kind == "geometrycollection":
-        g2.parts = [_with_dims(m, dims) for m in g2.parts]
-    return g2
-
-
 # ------------------------------------------------------- arrangement-backed --
 
 
@@ -173,10 +165,8 @@ def _offset_curve(g: Geom, dist: float) -> Geom:
             elif cross * side > 1e-12:
                 # corner turns toward the offset side → trim at the
                 # intersection of the two offset lines (JTS inner join)
-                prev_dir = a[i] - a[i - 1] if i >= 1 else None
-                q0 = out[-1] if out else p0
-                # intersect line through q_prev along prev segment dir with
-                # line through p0 along current segment dir
+                # intersect line through the previous offset point along the
+                # previous segment direction with the current offset line
                 d_prev = a[i] - a[i - 1]
                 d_cur = a[i + 1] - a[i]
                 den = d_prev[0] * d_cur[1] - d_prev[1] * d_cur[0]

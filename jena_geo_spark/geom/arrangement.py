@@ -152,7 +152,6 @@ def trace_faces(segments: list) -> list:
     # drop dangling chains (degree-1 vertices) iteratively — they bound no face
     changed = True
     deg = {v: len(ns) for v, ns in adj.items()}
-    alive = {(min(a, b), max(a, b)) for a in adj for b in adj[a]}
     edge_alive = set()
     for seg in segments:
         a, b = tuple(seg[0]), tuple(seg[1])

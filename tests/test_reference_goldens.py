@@ -189,6 +189,19 @@ def test_zm_accessor_goldens():  # {X,Y,Z,M,MinM,MaxM,MinZ,MaxZ,...}Test.java
     assert u1(A.st_ymax, l4) == 8.0
 
 
+def test_distance_sphere_golden():  # DistanceSphereTest.java
+    from jena_geo_spark.functions import registry_support as RS
+
+    got = u1(
+        RS.st_distancesphere_geom,
+        wkb("LINESTRING(77.29 29.07,77.42 29.26,77.27 29.31,77.29 29.07)"),
+        wkb("LINESTRING(5 5, 10 10)"),
+    )
+    assert got == pytest.approx(7269372.186370237, abs=1e-5)
+    same = wkb("LINESTRING(77.29 29.07,77.42 29.26,77.27 29.31,77.29 29.07)")
+    assert u1(RS.st_distancesphere_geom, same, same) == 0.0
+
+
 def test_bbox_distance_golden():  # BBOXDistanceTest.java
     a = wkb("LINESTRING (1 4, 1 7)")
     b = wkb("LINESTRING (0 0, 4 2)")
