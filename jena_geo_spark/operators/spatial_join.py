@@ -45,7 +45,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .. import grid
-from ..functions.vector import gc_cell, st_point_in_polygon
+from ..functions.vector import gc_cell
 from ..geom import wkt as W
 
 FINE_RES = 24  # ~2.6 m cells at the equator; finer than any realistic cover
@@ -60,13 +60,25 @@ class ZoneCover:
 
 
 def build_zone_covers(
-    zones: list[tuple[str, str]], cells_target: int = 64, max_cells: int = 256
+    zones: list[tuple[str, str]],
+    cells_target: int = 1024,
+    max_cells: int = 4096,
+    level_stride: int = 2,
 ) -> list[ZoneCover]:
     """Driver-side cover construction for a zone list [(zone_id, wkt)].
 
     Resolution is chosen per polygon from its bbox (adaptive), capped at
     FINE_RES so point ancestors exist for every cover level.
-    """
+
+    Sizing for the join, not for memory: finer covers (defaults raised 64→
+    1024 target in r2.1) shrink the refine workload ~4× (more ``full``
+    cells ⇒ candidates skip the exact PIP entirely) while a 12-zone cover
+    is still ≪1 MB broadcast.  ``level_stride`` snaps cover cells onto
+    every-other resolution (cells at odd levels descend one level, children
+    outside the polygon dropped): the point side explodes one ancestor row
+    per DISTINCT cover level, so halving the level count halves the probe
+    fan-out — cover cell count grows ≤4× per snapped level, probe rows
+    shrink linearly."""
     out = []
     for zone_id, wkt_str in zones:
         g = W.from_wkt(wkt_str)
@@ -77,6 +89,30 @@ def build_zone_covers(
             ring = rings[0]
             res = min(grid.pick_cover_res(ring, cells_target), FINE_RES)
             cells = grid.cover_polygon(ring, max_res=res, max_cells=max_cells)
+            if level_stride > 1:
+                cres = grid.cell_res(cells)
+                snapped = (cres + level_stride - 1) // level_stride * level_stride
+                snapped = np.minimum(snapped, FINE_RES)
+                keep = cells[cres == snapped]
+                parts_out = [keep]
+                for r2 in sorted(set(snapped[cres != snapped].tolist())):
+                    src = cells[(cres != snapped) & (snapped == r2)]
+                    if len(src) == 0:
+                        continue
+                    desc, _ = grid.descendants_at(src, int(r2))
+                    xmin, ymin, xmax, ymax = grid.cell_bounds(desc)
+                    ok = np.array(
+                        [
+                            grid._rect_polygon_relation(
+                                float(xmin[i]), float(ymin[i]), float(xmax[i]), float(ymax[i]), ring
+                            )
+                            != 0
+                            for i in range(len(desc))
+                        ],
+                        dtype=bool,
+                    )
+                    parts_out.append(desc[ok])
+                cells = np.concatenate(parts_out) if parts_out else cells
             for c in cells.tolist():
                 xmin, ymin, xmax, ymax = (
                     float(v[0]) for v in grid.cell_bounds(np.array([c]))
@@ -107,6 +143,95 @@ def build_zone_covers(
         full = np.array([cell_full[int(c)] for c in kept], dtype=bool)
         out.append(ZoneCover(zone_id, W.to_wkb(g), kept, full))
     return out
+
+
+def _ring_pip_expr(ring: np.ndarray, lon: Column, lat: Column) -> Column:
+    """Pure-Catalyst even-odd ray-cast for ONE ring: term-for-term the same
+    IEEE double arithmetic as ``kernel.points_in_polygon`` (crossing iff
+    (y1>lat)!=(y2>lat) and lon < (x2-x1)*(lat-y1)/(y2-y1)+x1), so results
+    are bit-identical to the pandas-UDF refine and the DuckDB oracle.
+    Parity accumulates through a chain of ``!=`` (boolean XOR)."""
+    ring = np.asarray(ring, dtype=np.float64)[:, :2]
+    if len(ring) >= 2 and (ring[0] == ring[-1]).all():
+        ring = ring[:-1]
+    acc = F.lit(False)
+    m = len(ring)
+    for i in range(m):
+        x1, y1 = float(ring[i][0]), float(ring[i][1])
+        x2, y2 = float(ring[(i + 1) % m][0]), float(ring[(i + 1) % m][1])
+        cond = (F.lit(y1) > lat) != (F.lit(y2) > lat)
+        xs = F.lit(x2 - x1) * (lat - F.lit(y1)) / F.lit(y2 - y1) + F.lit(x1)
+        acc = acc != (cond & (lon < xs))
+    return acc
+
+
+def zone_pip_expr(
+    zone_covers: list[ZoneCover], lon: Column, lat: Column, zone_id: Column
+) -> Column:
+    """Exact PIP refine as ONE whole-stage-codegen Catalyst expression:
+    CASE over zone_id, each branch the even-odd ray-cast against that
+    zone's rings (members OR-ed, holes subtracted).  This removes BOTH the
+    Python worker round-trip AND the per-candidate-row zone_wkb Arrow
+    transfer from the join's hot path — the refine compiles into the same
+    generated stage as the cell equi-join.  Zones are driver-side dimension
+    data (the reference's workloads), so unrolling them into the plan is
+    free; frame-sized polygon sides keep the pandas-UDF refine."""
+    expr = None
+    for zc in zone_covers:
+        g = W.from_wkb(zc.wkb)
+        ins_any = F.lit(False)
+        for rings in g.polygons():
+            ins = _ring_pip_expr(rings[0], lon, lat)
+            for hole in rings[1:]:
+                ins = ins & ~_ring_pip_expr(hole, lon, lat)
+            ins_any = ins_any | ins
+        expr = (
+            F.when(zone_id == zc.zone_id, ins_any)
+            if expr is None
+            else expr.when(zone_id == zc.zone_id, ins_any)
+        )
+    return expr.otherwise(F.lit(False)) if expr is not None else F.lit(False)
+
+
+def _zone_pip_udf(spark, zone_covers: list[ZoneCover]):
+    """Refine UDF: exact even-odd ray-cast against broadcast zone rings.
+
+    Zone geometry is shipped ONCE per executor via ``sc.broadcast`` (rings
+    as numpy arrays keyed by zone_id); the Arrow exchange carries only the
+    (lon, lat, zone_id) of partial-cell candidates.  Per batch, rows
+    factorize by zone_id and each distinct zone ray-casts as one
+    vectorised numpy sweep — identical term-for-term arithmetic to
+    ``kernel.points_in_polygon`` (and the DuckDB oracle expression), so
+    results are bit-exact across refine impls."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    from ..geom import kernel as K
+
+    rings_by_zone = {
+        zc.zone_id: W.from_wkb(zc.wkb).polygons() for zc in zone_covers
+    }
+    bz = spark.sparkContext.broadcast(rings_by_zone)
+
+    @pandas_udf(BooleanType())
+    def pip(lon_s: pd.Series, lat_s: pd.Series, zid_s: pd.Series) -> pd.Series:
+        gm = bz.value
+        px = lon_s.to_numpy(dtype=np.float64)
+        py = lat_s.to_numpy(dtype=np.float64)
+        out = np.zeros(len(px), dtype=bool)
+        codes, uniq = pd.factorize(zid_s)
+        for u, zid in enumerate(uniq):
+            m = codes == u
+            ins_any = np.zeros(int(m.sum()), dtype=bool)
+            for rings in gm[zid]:
+                ins = K.points_in_polygon(px[m], py[m], rings[0])
+                for hole in rings[1:]:
+                    ins &= ~K.points_in_polygon(px[m], py[m], hole)
+                ins_any |= ins
+            out[m] = ins_any
+        return pd.Series(out)
+
+    return pip
 
 
 def ancestor_col(fine_cell: Column, fine_res: int, target_res: int) -> Column:
@@ -140,6 +265,7 @@ def spatial_join_points_zones(
     strategy: str = "broadcast",
     salt_buckets: int = 8,
     fine_res: int = FINE_RES,
+    refine: str = "udf",
 ) -> DataFrame:
     """Join points to zones by spatial containment.
 
@@ -147,20 +273,83 @@ def spatial_join_points_zones(
     match ≥1 zone (``semi``) / no zone (``anti``).
 
     strategy:
-      * ``broadcast`` — zone cover exploded to (cell, zone_id, full, wkb)
-        and broadcast; the point side is NOT shuffled.
+      * ``broadcast`` — zone cover exploded to (cell, zone_id, full) and
+        broadcast; the point side is NOT shuffled.
       * ``salted`` — for large/hot covers: zone cover rows are replicated
         ``salt_buckets`` ways, points get a deterministic salt; the join key
         becomes (cell, salt) which splits hot cells across reducers.
+
+    refine:
+      * ``udf`` (default) — vectorized pandas-UDF ray-cast; zone geometry
+        rides an ``sc.broadcast`` dict keyed by zone_id, so the Arrow
+        exchange carries ONLY (lon, lat, zone_id) for the partial-cell
+        candidates (never per-row wkb), and each distinct zone in a batch
+        ray-casts once over all its rows as one numpy sweep.
+      * ``catalyst`` — exact ray-cast unrolled into a CASE expression over
+        zone_id (``zone_pip_expr``): zero Python.  Measured slower than the
+        factorized numpy sweep on wide zones (the deep scalar expression
+        tree evaluates per row; numpy amortizes per batch) — kept for
+        plans that must be UDF-free end-to-end.
     """
+    cand = spatial_join_candidates(
+        spark,
+        points,
+        zone_covers,
+        lon=lon,
+        lat=lat,
+        strategy=strategy,
+        salt_buckets=salt_buckets,
+        fine_res=fine_res,
+    )
+    refined = refine_candidates(
+        spark, cand, zone_covers, lon=lon, lat=lat, refine=refine
+    )
+    out_cols = [c for c in points.columns] + ["zone_id"]
+    matched = refined.select(*out_cols)
+
+    if how == "inner":
+        return matched
+    if how == "semi":
+        return points.join(
+            matched.select(points.columns[0]).distinct(), on=points.columns[0], how="left_semi"
+        )
+    if how == "anti":
+        return points.join(
+            matched.select(points.columns[0]).distinct(), on=points.columns[0], how="left_anti"
+        )
+    raise ValueError(how)
+
+
+def spatial_join_candidates(
+    spark,
+    points: DataFrame,
+    zone_covers: list[ZoneCover],
+    lon: str = "lon",
+    lat: str = "lat",
+    strategy: str = "broadcast",
+    salt_buckets: int = 8,
+    fine_res: int = FINE_RES,
+) -> DataFrame:
+    """Phase 1 of the spatial join, pure JVM: cell-cover equi-join emitting
+    candidate rows ``points.columns + [zone_id, full]``.  Rows with
+    ``full=true`` are definite matches (cover cell entirely inside the
+    zone); ``full=false`` rows need the exact PIP refine.
+
+    Split out so callers can DEFER the refine past a shuffle boundary
+    (``refine_candidates`` after tile repartition): the map stage then
+    carries only the upstream pandas/Arrow stage (e.g. phash verify) and
+    the reduce stage only the refine — one Python worker set per stage
+    instead of two chained exchanges per task, which measurably collapses
+    at high core counts.  Extra shuffle volume is only the false-candidate
+    margin (boundary-cell rows, ~10% at default cover sizing)."""
     rows, levels = [], set()
     for zc in zone_covers:
         res = grid.cell_res(zc.cells)
         for c, r, fl in zip(zc.cells.tolist(), res.tolist(), zc.full.tolist()):
-            rows.append((zc.zone_id, int(c), int(r), bool(fl), bytearray(zc.wkb)))
+            rows.append((zc.zone_id, int(c), int(r), bool(fl)))
             levels.add(int(r))
     zone_cells = spark.createDataFrame(
-        rows, "zone_id string, cell long, cell_res int, full boolean, zone_wkb binary"
+        rows, "zone_id string, cell long, cell_res int, full boolean"
     )
     levels = sorted(levels)
 
@@ -182,28 +371,29 @@ def spatial_join_points_zones(
         zside = F.broadcast(zone_cells)
 
     cand = pts.join(zside, on=join_keys, how="inner")
+    return cand.select(*[F.col(c) for c in points.columns], "zone_id", "full")
 
-    refined = cand.withColumn(
-        "_match",
-        F.when(F.col("full"), F.lit(True)).otherwise(
-            st_point_in_polygon(F.col(lon), F.col(lat), F.col("zone_wkb"))
-        ),
-    ).filter(F.col("_match"))
 
-    out_cols = [c for c in points.columns] + ["zone_id"]
-    matched = refined.select(*out_cols)
-
-    if how == "inner":
-        return matched
-    if how == "semi":
-        return points.join(
-            matched.select(points.columns[0]).distinct(), on=points.columns[0], how="left_semi"
+def refine_candidates(
+    spark,
+    cand: DataFrame,
+    zone_covers: list[ZoneCover],
+    lon: str = "lon",
+    lat: str = "lat",
+    refine: str = "udf",
+    drop_full: bool = True,
+) -> DataFrame:
+    """Phase 2: exact PIP refine of candidate rows (see
+    ``spatial_join_candidates``).  Keeps full-cell rows untouched and
+    ray-casts the rest; output drops the ``full`` flag."""
+    if refine == "catalyst":
+        pip = zone_pip_expr(zone_covers, F.col(lon), F.col(lat), F.col("zone_id"))
+    else:
+        pip = _zone_pip_udf(spark, zone_covers)(
+            F.col(lon), F.col(lat), F.col("zone_id")
         )
-    if how == "anti":
-        return points.join(
-            matched.select(points.columns[0]).distinct(), on=points.columns[0], how="left_anti"
-        )
-    raise ValueError(how)
+    out = cand.filter(F.when(F.col("full"), F.lit(True)).otherwise(pip))
+    return out.drop("full") if drop_full else out
 
 
 def polygon_join(

@@ -36,42 +36,70 @@ def assign_tiles(
     return df.withColumn(tile_col, ancestor_col(F.col("cell_fine"), fine_res, tile_res))
 
 
-def detect_hot_tiles(df: DataFrame, tile_col: str = "tile_id", hot_share: float = 0.05) -> list[int]:
-    """Tiles holding more than ``hot_share`` of all rows (skew candidates)."""
-    total = df.count()
+def detect_hot_tiles(
+    df: DataFrame, tile_col: str = "tile_id", hot_share: float = 0.05
+) -> dict[int, float]:
+    """Tiles holding more than ``hot_share`` of all rows → their row share.
+
+    One cheap map-side-combined aggregate; at ingest this is a data-layout
+    statistic computed once per table (like NDV/size stats AQE reuses), not
+    a per-query cost."""
+    rows = df.groupBy(tile_col).count().collect()
+    total = sum(r["count"] for r in rows)
     if total == 0:
-        return []
-    rows = (
-        df.groupBy(tile_col)
-        .count()
-        .filter(F.col("count") > hot_share * total)
-        .select(tile_col)
-        .collect()
-    )
-    return [r[0] for r in rows]
+        return {}
+    return {
+        r[tile_col]: r["count"] / total
+        for r in rows
+        if r["count"] > hot_share * total
+    }
 
 
 def repartition_by_tile(
     df: DataFrame,
     tile_col: str = "tile_id",
     num_partitions: int | None = None,
-    hot_tiles: list[int] | None = None,
+    hot_tiles: dict[int, float] | list[int] | None = None,
     salt_buckets: int = 8,
     mode: str = "hash",
 ) -> DataFrame:
     """Partition by tile id; hot tiles are salted so one tile can span
     several partitions instead of one straggler reducer.
 
-    ``mode='hash'`` (default): single-pass shuffle — each tile lands wholly
-    in one partition.  ``mode='range'``: additionally lays tiles out in
-    Z-order-contiguous ranges (better for downstream range scans) at the
-    cost of Spark's range-sampling pass, which re-executes the upstream
-    plan — callers should persist() first if the input is expensive."""
+    ``hot_tiles`` — ``detect_hot_tiles`` output (tile → row share): each hot
+    tile is split into ``ceil(share * salt_buckets * 2)`` sub-buckets, so a
+    tile owning 70% of the rows spreads across ~1.4×salt_buckets reducers
+    while a barely-hot one splits in two.  A bare list salts every listed
+    tile into ``salt_buckets``.  The salt is a deterministic hash of the
+    first (id) column — reproducible across resumed runs.
+
+    ``mode='hash'`` (default): single-pass shuffle — each (tile, salt) group
+    lands wholly in one partition.  ``mode='range'``: additionally lays
+    tiles out in Z-order-contiguous ranges (better for downstream range
+    scans) at the cost of Spark's range-sampling pass, which re-executes
+    the upstream plan — callers should persist() first if the input is
+    expensive.  ``mode='rebalance'``: AQE-managed REBALANCE hint — splits
+    oversized reduce partitions at runtime with no statistics needed
+    (``spark.sql.adaptive.optimizeSkewsInRebalancePartitions``), the
+    stats-free alternative to explicit salting."""
+    if mode == "rebalance":
+        return df.hint("rebalance", tile_col)
     if hot_tiles:
-        salt = F.when(
-            F.col(tile_col).isin(hot_tiles),
-            F.pmod(F.xxhash64(*[F.col(c) for c in df.columns[:1]]), F.lit(salt_buckets)),
-        ).otherwise(F.lit(0))
+        id_hash = F.xxhash64(*[F.col(c) for c in df.columns[:1]])
+        if isinstance(hot_tiles, dict):
+            import math
+
+            salt = F.lit(0)
+            for t, share in hot_tiles.items():
+                b = max(2, math.ceil(share * salt_buckets * 2))
+                salt = F.when(
+                    F.col(tile_col) == t, F.pmod(id_hash, F.lit(b))
+                ).otherwise(salt)
+        else:
+            salt = F.when(
+                F.col(tile_col).isin(list(hot_tiles)),
+                F.pmod(id_hash, F.lit(salt_buckets)),
+            ).otherwise(F.lit(0))
         df = df.withColumn("_tile_salt", salt.cast("int"))
         parts = [F.col(tile_col), F.col("_tile_salt")]
     else:
