@@ -110,21 +110,38 @@ def decode_feature_stats(df: DataFrame) -> DataFrame:
 
     Factorized: each distinct payload is decoded and reduced ONCE per Arrow
     batch; per-row results are a gather (r1 used ``iterrows`` — the slowest
-    possible traversal, VERDICT What's-wrong #4)."""
+    possible traversal, VERDICT What's-wrong #4).  Keys are built without
+    per-row tuples: payloads factorize directly (one C-level hash each) and
+    the small (w,h,fmt) triple packs into the same int64 composite the
+    phash UDF uses."""
 
     schema = "image_id string, mean_r double, mean_g double, mean_b double, std double"
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            keys = pd.Series(
-                list(zip(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])), dtype=object
+            codes_b, _ = pd.factorize(pdf["bytes"])
+            fc, _ = pd.factorize(pdf["fmt"])
+            wv = pdf["w"].fillna(0).to_numpy(dtype=np.int64)
+            hv = pdf["h"].fillna(0).to_numpy(dtype=np.int64)
+            key = (
+                (codes_b.astype(np.int64) << 36)
+                | ((wv & 0xFFFF) << 20)
+                | ((hv & 0xFFFF) << 4)
+                | ((fc.astype(np.int64) + 1) & 0xF)
             )
-            codes, uniq = pd.factorize(keys)
-            u_stats = np.full((len(uniq), 4), np.nan)
-            for u, (bb, ww, hh, f) in enumerate(uniq):
+            codes, _ = pd.factorize(key)
+            k = codes.max() + 1 if len(codes) else 0
+            first_idx = np.empty(k, dtype=np.int64)
+            rev = np.arange(len(codes) - 1, -1, -1)
+            first_idx[codes[rev]] = rev
+            bvals = pdf["bytes"].to_numpy()
+            fv = pdf["fmt"].to_numpy()
+            u_stats = np.full((k, 4), np.nan)
+            for u, i in enumerate(first_idx.tolist()):
+                bb, f = bvals[i], fv[i]
                 if f == "jpg" or bb is None:
                     continue
-                arr = codec.decode(bytes(bb), int(ww), int(hh), f)
+                arr = codec.decode(bytes(bb), int(wv[i]), int(hv[i]), f)
                 flat = arr.reshape(-1, 3)
                 u_stats[u, :3] = flat.mean(axis=0)
                 u_stats[u, 3] = arr.std()
