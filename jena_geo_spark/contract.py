@@ -40,6 +40,7 @@ from .operators.knn import knn_join
 from .operators.spatial_join import (
     build_zone_covers,
     dwithin_join_points_centers,
+    polygon_join_frames,
     spatial_join_points_zones,
 )
 from .pipelines import dedup, similarity, text
@@ -1573,9 +1574,97 @@ def o_stream_tile_hist() -> str:
     )
 
 
+# -------------------------------------------------- polygon×polygon join --
+
+
+@pandas_udf(StringType())
+def _tri_wkt(x1: pd.Series, y1: pd.Series, x2: pd.Series, y2: pd.Series, x3: pd.Series, y3: pd.Series) -> pd.Series:
+    # repr-formatted coordinates round-trip bit-exact through the WKT codec
+    return pd.Series(
+        [
+            f"POLYGON(({a!r} {b!r}, {c!r} {d!r}, {e!r} {f!r}, {a!r} {b!r}))"
+            for a, b, c, d, e, f in zip(x1, y1, x2, y2, x3, y3)
+        ]
+    )
+
+
+_PJ_MOD = 100  # every 100th event → ~100 triangles at sf0.01
+
+
+def q_geo_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-scale polygon×polygon intersects self-join
+    (``polygon_join_frames``: mapInPandas covers → ancestor-emission cell
+    equi-join → distributed exact refine) over triangles derived from the
+    events table.  Reference semantics: geof:sfIntersects polygon case
+    (``GeometryWrapper.java`` intersects → JTS); re-architected for
+    frame-sized polygon sets with nothing driver-side."""
+    pts = _with_tri_coords(
+        points_from_events(spark, sf_dir).filter(F.col("event_id") % _PJ_MOD == 0)
+    )
+    tri = pts.select(
+        F.format_string("t%09d", F.col("event_id")).alias("id"),
+        _tri_wkt(*[F.col(c) for c in ("x1", "y1", "x2", "y2", "x3", "y3")]).alias("wkt"),
+    )
+    return polygon_join_frames(spark, tri, id_col="id", wkt_col="wkt")
+
+
+def o_geo_polygon_join() -> str:
+    """Exhaustive SQL oracle: intersects(A,B) = any vertex of A inside B
+    (even-odd ray-cast, same term order as ``kernel.points_in_polygon``)
+    OR any vertex of B inside A OR any of the 9 edge pairs strictly
+    crossing (orientation sign tests).  Hashed coordinates are in generic
+    position (no exact touching/collinearity), where the strict predicate
+    set coincides with the kernel's boundary-aware one."""
+
+    def pip(px: str, py: str, q: str) -> str:
+        terms = []
+        for i, j in ((1, 2), (2, 3), (3, 1)):
+            xi, yi = f"{q}.x{i}", f"{q}.y{i}"
+            xj, yj = f"{q}.x{j}", f"{q}.y{j}"
+            terms.append(
+                f"((({yi} > {py}) <> ({yj} > {py})) AND "
+                f"({px} < ({xj} - {xi}) * ({py} - {yi}) / ({yj} - {yi}) + {xi}))"
+            )
+        return f"(({terms[0]} <> {terms[1]}) <> {terms[2]})"
+
+    def orient(ax, ay, bx, by, cx, cy):
+        return f"(({bx} - {ax}) * ({cy} - {ay}) - ({by} - {ay}) * ({cx} - {ax}))"
+
+    def cross(p1, p2, q1, q2):
+        d1 = orient(q1[0], q1[1], q2[0], q2[1], p1[0], p1[1])
+        d2 = orient(q1[0], q1[1], q2[0], q2[1], p2[0], p2[1])
+        d3 = orient(p1[0], p1[1], p2[0], p2[1], q1[0], q1[1])
+        d4 = orient(p1[0], p1[1], p2[0], p2[1], q2[0], q2[1])
+        return (
+            f"((({d1} > 0) <> ({d2} > 0)) AND (({d3} > 0) <> ({d4} > 0)))"
+        )
+
+    def vtx(q, i):
+        return (f"{q}.x{i}", f"{q}.y{i}")
+
+    edges = [((1, 2)), ((2, 3)), ((3, 1))]
+    pip_terms = [pip(f"a.x{i}", f"a.y{i}", "b") for i in (1, 2, 3)] + [
+        pip(f"b.x{i}", f"b.y{i}", "a") for i in (1, 2, 3)
+    ]
+    cross_terms = [
+        cross(vtx("a", i), vtx("a", j), vtx("b", k), vtx("b", l))
+        for i, j in edges
+        for k, l in edges
+    ]
+    cond = " OR ".join(pip_terms + cross_terms)
+    return (
+        f"WITH {_PTS_CTE}, t AS (SELECT event_id, {_TRI_SQL_COLS} FROM pts "
+        f"WHERE event_id % {_PJ_MOD} = 0) "
+        f"SELECT printf('t%09d', a.event_id) AS id_a, "
+        f"printf('t%09d', b.event_id) AS id_b "
+        f"FROM t a JOIN t b ON a.event_id < b.event_id AND ({cond})"
+    )
+
+
 # ------------------------------------------------------------------ export --
 
 QUERIES = {
+    "geo_polygon_join": q_geo_polygon_join,
     "geo_pip_join": q_geo_pip_join,
     "geo_bbox_filter": q_geo_bbox_filter,
     "geo_dwithin": q_geo_dwithin,
@@ -1626,6 +1715,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "geo_polygon_join": o_geo_polygon_join(),
     "geo_pip_join": o_geo_pip_join(),
     "geo_bbox_filter": o_geo_bbox_filter(),
     "geo_dwithin": o_geo_dwithin(),

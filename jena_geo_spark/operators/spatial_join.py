@@ -59,6 +59,38 @@ class ZoneCover:
     full: np.ndarray  # bool per cell
 
 
+def snap_cover_levels(
+    cells: np.ndarray, ring: np.ndarray, level_stride: int, max_res: int = FINE_RES
+) -> np.ndarray:
+    """Snap cover cells onto every-``level_stride``-th resolution: cells at
+    disallowed levels descend to the next allowed finer level, children
+    disjoint from ``ring`` dropped (the union stays a superset of the
+    polygon).  Bounds the number of DISTINCT cover levels, which bounds
+    the probe-side ancestor fan-out of cover equi-joins."""
+    cres = grid.cell_res(cells)
+    snapped = (cres + level_stride - 1) // level_stride * level_stride
+    snapped = np.minimum(snapped, max_res)
+    parts_out = [cells[cres == snapped]]
+    for r2 in sorted(set(snapped[cres != snapped].tolist())):
+        src = cells[(cres != snapped) & (snapped == r2)]
+        if len(src) == 0:
+            continue
+        desc, _ = grid.descendants_at(src, int(r2))
+        xmin, ymin, xmax, ymax = grid.cell_bounds(desc)
+        ok = np.array(
+            [
+                grid._rect_polygon_relation(
+                    float(xmin[i]), float(ymin[i]), float(xmax[i]), float(ymax[i]), ring
+                )
+                != 0
+                for i in range(len(desc))
+            ],
+            dtype=bool,
+        )
+        parts_out.append(desc[ok])
+    return np.concatenate(parts_out) if parts_out else cells
+
+
 def build_zone_covers(
     zones: list[tuple[str, str]],
     cells_target: int = 1024,
@@ -90,29 +122,7 @@ def build_zone_covers(
             res = min(grid.pick_cover_res(ring, cells_target), FINE_RES)
             cells = grid.cover_polygon(ring, max_res=res, max_cells=max_cells)
             if level_stride > 1:
-                cres = grid.cell_res(cells)
-                snapped = (cres + level_stride - 1) // level_stride * level_stride
-                snapped = np.minimum(snapped, FINE_RES)
-                keep = cells[cres == snapped]
-                parts_out = [keep]
-                for r2 in sorted(set(snapped[cres != snapped].tolist())):
-                    src = cells[(cres != snapped) & (snapped == r2)]
-                    if len(src) == 0:
-                        continue
-                    desc, _ = grid.descendants_at(src, int(r2))
-                    xmin, ymin, xmax, ymax = grid.cell_bounds(desc)
-                    ok = np.array(
-                        [
-                            grid._rect_polygon_relation(
-                                float(xmin[i]), float(ymin[i]), float(xmax[i]), float(ymax[i]), ring
-                            )
-                            != 0
-                            for i in range(len(desc))
-                        ],
-                        dtype=bool,
-                    )
-                    parts_out.append(desc[ok])
-                cells = np.concatenate(parts_out) if parts_out else cells
+                cells = snap_cover_levels(cells, ring, level_stride)
             for c in cells.tolist():
                 xmin, ymin, xmax, ymax = (
                     float(v[0]) for v in grid.cell_bounds(np.array([c]))
@@ -490,6 +500,128 @@ def _rings_intersect(ra: np.ndarray, rb: np.ndarray) -> bool:
     b = rb if (rb[0] != rb[-1]).any() else rb[:-1]
     return edges_intersect_any(
         np.vstack([a, a[:1]]), np.vstack([b, b[:1]])
+    )
+
+
+def polygon_join_frames(
+    spark,
+    a_df: DataFrame,
+    b_df: DataFrame | None = None,
+    id_col: str = "id",
+    wkt_col: str = "wkt",
+    predicate: str = "intersects",
+    max_cells: int = 64,
+    level_stride: int = 2,
+) -> DataFrame:
+    """Frame-scale polygon×polygon spatial join — the distributed
+    generalisation of ``polygon_join`` (whose covers are built on the
+    driver for dim-table-sized zone lists).
+
+    Nothing touches the driver: per-polygon compact covers are built
+    inside a ``mapInPandas`` over the polygon frames (cells snapped onto
+    every-``level_stride``-th resolution), and mixed-resolution covers
+    join through pure-Catalyst **ancestor emission**: side A's cover
+    cells join side B's cells' ancestors at every allowed level (catching
+    a ⊇ b), unioned with the mirrored direction (a ⊂ b), then
+    ``distinct``.  Quadtree cells at one level are disjoint, so a
+    candidate pair appears once per (cell, level) hit and the distinct is
+    a pair-key dedup, not a correctness crutch.  Exact refine
+    (vertex-containment + edge-crossing sweep, same kernel as
+    ``polygon_join``) runs distributed on the candidate pairs with the
+    two WKT columns joined back in.
+
+    Returns (id_a, id_b) pairs; ``b_df=None`` ⇒ self-join with
+    ``id_a < id_b``.  ``predicate='bbox'`` skips the exact refine.
+    Scale shape: shuffle volume is O(cover cells × |levels|); hot cells
+    (e.g. a continent-sized polygon over a dense tile) are AQE skew-join
+    territory, and ``max_cells`` bounds per-polygon fan-out by
+    construction."""
+    self_join = b_df is None
+    allowed = [r for r in range(0, FINE_RES + 1) if r % level_stride == 0]
+
+    def cover_gen(batches):
+        for pdf in batches:
+            ids_out: list[str] = []
+            cells_out: list[int] = []
+            for pid, wkt_str in zip(pdf[id_col], pdf[wkt_col]):
+                g = W.from_wkt(wkt_str)
+                seen: set[int] = set()
+                for rings in g.polygons() or [[g.exterior()]]:
+                    ring = rings[0]
+                    res = min(grid.pick_cover_res(ring, 32), FINE_RES)
+                    res = min(
+                        [r for r in allowed if r >= res] or [allowed[-1]]
+                    )
+                    cells = grid.cover_polygon(ring, max_res=res, max_cells=max_cells)
+                    cells = snap_cover_levels(cells, ring, level_stride)
+                    seen.update(int(c) for c in cells.tolist())
+                ids_out += [pid] * len(seen)
+                cells_out += sorted(seen)
+            yield pd.DataFrame({"pid": ids_out, "cell": np.array(cells_out, dtype=np.int64)})
+
+    def covers_of(df: DataFrame, out_id: str) -> DataFrame:
+        c = df.select(F.col(id_col), F.col(wkt_col)).mapInPandas(
+            cover_gen, "pid string, cell long"
+        )
+        return c.select(F.col("pid").alias(out_id), "cell")
+
+    def with_ancestors(cov: DataFrame, out_id: str) -> DataFrame:
+        """One row per (cell, allowed level ≤ res): the cell's ancestor at
+        that level — pure Catalyst (morton shift on the packed int64)."""
+        mask = 0x00FFFFFFFFFFFFFF
+        ancs = [
+            F.expr(
+                f"CASE WHEN shiftrightunsigned(cell, 56) >= {l} THEN "
+                f"shiftrightunsigned(cell & {mask}L, "
+                f"cast(2 * (shiftrightunsigned(cell, 56) - {l}) as int)) "
+                f"| {l << 56}L END"
+            )
+            for l in allowed
+        ]
+        return (
+            cov.withColumn("anc", F.explode(F.array(*ancs)))
+            .filter(F.col("anc").isNotNull())
+            .select(F.col(out_id), F.col("anc").alias("cell"))
+        )
+
+    cov_a = covers_of(a_df, "id_a")
+    cov_b = covers_of(a_df if self_join else b_df, "id_b")
+    # a-cell covers b-cell (a coarser-or-equal) ∪ the mirrored direction
+    pairs = (
+        cov_a.join(with_ancestors(cov_b, "id_b"), "cell")
+        .select("id_a", "id_b")
+        .unionAll(
+            with_ancestors(cov_a, "id_a")
+            .join(cov_b, "cell")
+            .select("id_a", "id_b")
+        )
+        .distinct()
+    )
+    if self_join:
+        pairs = pairs.filter(F.col("id_a") < F.col("id_b"))
+    if predicate == "bbox":
+        return pairs
+
+    ga = a_df.select(F.col(id_col).alias("id_a"), F.col(wkt_col).alias("_wkt_a"))
+    gb = (a_df if self_join else b_df).select(
+        F.col(id_col).alias("id_b"), F.col(wkt_col).alias("_wkt_b")
+    )
+    withg = pairs.join(ga, "id_a").join(gb, "id_b")
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    @pandas_udf(BooleanType())
+    def refine(wa: pd.Series, wb: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(wa, wb):
+            out.append(
+                _rings_intersect(W.from_wkt(x).exterior(), W.from_wkt(y).exterior())
+            )
+        return pd.Series(out)
+
+    return withg.filter(refine(F.col("_wkt_a"), F.col("_wkt_b"))).select(
+        "id_a", "id_b"
     )
 
 

@@ -59,3 +59,45 @@ def test_rings_intersect_cases():
     assert _rings_intersect(sq, contained)
     assert _rings_intersect(contained, sq)
     assert _rings_intersect(sq, cross)
+
+
+# ---------------------------------------------------- frame-scale variant --
+
+
+def _random_polys(n, seed):
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        cx, cy = rng.uniform(-30, 30), rng.uniform(-20, 20)
+        r = rng.uniform(0.5, 6.0)
+        m = int(rng.integers(4, 9))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, m))
+        ring = np.column_stack(
+            [cx + np.cos(ang) * r * rng.uniform(0.5, 1.0, m),
+             cy + np.sin(ang) * r * rng.uniform(0.5, 1.0, m)]
+        )
+        pts = ", ".join(f"{x!r} {y!r}" for x, y in np.vstack([ring, ring[:1]]))
+        out.append((f"p{i:03d}", f"POLYGON(({pts}))"))
+    return out
+
+
+def test_polygon_join_frames_self_matches_oracle(spark):
+    from jena_geo_spark.operators.spatial_join import polygon_join_frames
+
+    polys = _random_polys(60, seed=7)
+    pdf = spark.createDataFrame(polys, "id string, wkt string")
+    got = {(r.id_a, r.id_b) for r in polygon_join_frames(spark, pdf).collect()}
+    exp = _oracle_pairs(polys)
+    assert got == exp
+    assert len(exp) > 20  # dense enough to be a real test
+
+
+def test_polygon_join_frames_two_sided_matches_driver(spark, zone_list):
+    from jena_geo_spark.operators.spatial_join import polygon_join_frames
+
+    left, right = zone_list[:6], zone_list[6:]
+    ldf = spark.createDataFrame(left, "id string, wkt string")
+    rdf = spark.createDataFrame(right, "id string, wkt string")
+    got = {(r.id_a, r.id_b) for r in polygon_join_frames(spark, ldf, rdf).collect()}
+    exp = {(r.id_a, r.id_b) for r in polygon_join(spark, left, right).collect()}
+    assert got == exp
