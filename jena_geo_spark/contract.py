@@ -40,6 +40,7 @@ from .operators.knn import knn_join
 from .operators.spatial_join import (
     build_zone_covers,
     dwithin_join_points_centers,
+    dwithin_join_points_points,
     polygon_join_frames,
     spatial_join_points_zones,
 )
@@ -1661,10 +1662,46 @@ def o_geo_polygon_join() -> str:
     )
 
 
+# ------------------------------------------------ frame-scale dwithin join --
+
+_DW_MOD = 20
+_DW_RADIUS = 5.0
+
+
+def q_geo_dwithin_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table×table ST_DWithin self-join (``dwithin_join_points_points``:
+    grid-bucket equi-join + codegen distance refine, zero Python) over an
+    events subsample.  Reference semantics: ``geof:nearby`` /
+    ``spatial:withinCircle`` generalised to a frame-sized right side."""
+    pts = points_from_events(spark, sf_dir).filter(
+        F.col("event_id") % _DW_MOD == 0
+    ).select("event_id", "lon", "lat")
+    out = dwithin_join_points_points(
+        spark, pts, pts, _DW_RADIUS, left_id="event_id", right_id="event_id"
+    )
+    return out.select(
+        F.col("event_id").alias("id_l"),
+        F.col("event_id_right").alias("id_r"),
+        "dist",
+    )
+
+
+def o_geo_dwithin_frames() -> str:
+    return (
+        f"WITH {_PTS_CTE}, s AS (SELECT event_id, lon, lat FROM pts "
+        f"WHERE event_id % {_DW_MOD} = 0) "
+        f"SELECT a.event_id AS id_l, b.event_id AS id_r, "
+        f"sqrt((a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat)) AS dist "
+        f"FROM s a JOIN s b ON "
+        f"sqrt((a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat)) <= {_DW_RADIUS!r}"
+    )
+
+
 # ------------------------------------------------------------------ export --
 
 QUERIES = {
     "geo_polygon_join": q_geo_polygon_join,
+    "geo_dwithin_frames": q_geo_dwithin_frames,
     "geo_pip_join": q_geo_pip_join,
     "geo_bbox_filter": q_geo_bbox_filter,
     "geo_dwithin": q_geo_dwithin,
@@ -1716,6 +1753,7 @@ QUERIES = {
 
 ORACLES = {
     "geo_polygon_join": o_geo_polygon_join(),
+    "geo_dwithin_frames": o_geo_dwithin_frames(),
     "geo_pip_join": o_geo_pip_join(),
     "geo_bbox_filter": o_geo_bbox_filter(),
     "geo_dwithin": o_geo_dwithin(),

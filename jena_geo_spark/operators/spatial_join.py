@@ -625,6 +625,82 @@ def polygon_join_frames(
     )
 
 
+def dwithin_join_points_points(
+    spark,
+    left: DataFrame,
+    right: DataFrame,
+    radius: float,
+    left_id: str = "id",
+    right_id: str = "id",
+    lon: str = "lon",
+    lat: str = "lat",
+    max_res: int = FINE_RES,
+) -> DataFrame:
+    """Frame-scale ST_DWithin join: every (left, right) pair with planar
+    distance ≤ ``radius`` (coordinate units) — the table×table
+    generalisation of ``dwithin_join_points_centers`` (reference
+    ``geof:nearby`` / ``spatial:withinCircle``, jena-geo's nearby filter
+    family).
+
+    Plan (zero Python, one equi-join, both sides fully distributed):
+    pick the coarsest grid resolution whose cell height ≥ radius, key the
+    LEFT side by its (ix, iy) grid cell — plain floor arithmetic in
+    whole-stage codegen — and explode the RIGHT side to its 3×3 cell
+    neighborhood (9 rows).  Any pair within ``radius`` shares a key in
+    exactly one of the 9 offsets (cell ≥ radius ⇒ neighbors can't be
+    further than one cell away), and the 9 neighbor keys of a right row
+    are distinct ⇒ each qualifying pair matches exactly once — no dedup
+    shuffle.  Exact refine: ``sqrt(dx²+dy²) ≤ radius`` in codegen.
+    Equi-join on int64 keys ⇒ broadcastable when one side is small, AQE
+    skew-split otherwise.
+
+    Returns left columns + right id + ``dist``."""
+    res = int(np.clip(np.floor(np.log2(_LAT_SPAN_DEG / max(radius, 1e-12))), 0, max_res))
+    n = 1 << res
+    cw = 360.0 / n
+    ch = 180.0 / n
+
+    def ix_iy(df):
+        ix = F.floor((F.col(lon) + F.lit(180.0)) / F.lit(cw)).cast("long")
+        iy = F.floor((F.col(lat) + F.lit(90.0)) / F.lit(ch)).cast("long")
+        return (
+            F.least(F.greatest(ix, F.lit(0)), F.lit(n - 1)),
+            F.least(F.greatest(iy, F.lit(0)), F.lit(n - 1)),
+        )
+
+    lx, ly = ix_iy(left)
+    l = left.withColumn("_k", lx * F.lit(n) + ly)
+    rx, ry = ix_iy(right)
+    offsets = F.array(
+        *[
+            (rx + F.lit(di)) * F.lit(n) + (ry + F.lit(dj))
+            for di in (-1, 0, 1)
+            for dj in (-1, 0, 1)
+        ]
+    )
+    r = (
+        right.select(
+            F.col(right_id).alias("_rid"),
+            F.col(lon).alias("_rlon"),
+            F.col(lat).alias("_rlat"),
+            F.explode(offsets).alias("_k"),
+        )
+    )
+    cand = l.join(r, "_k")
+    dx = F.col(lon) - F.col("_rlon")
+    dy = F.col(lat) - F.col("_rlat")
+    dist = F.sqrt(dx * dx + dy * dy)
+    out_cols = [c for c in left.columns]
+    return (
+        cand.withColumn("dist", dist)
+        .filter(F.col("dist") <= F.lit(radius))
+        .select(*out_cols, F.col("_rid").alias(right_id + "_right"), "dist")
+    )
+
+
+_LAT_SPAN_DEG = 180.0
+
+
 def dwithin_join_points_centers(
     spark,
     points: DataFrame,

@@ -119,3 +119,31 @@ def test_tiling_partitions_and_histogram(spark, small_data):
     got = {r.image_id: r.tile_id for r in tiled.select("image_id", "tile_id").collect()}
     for iid, cell in zip(imgs.image_id, exp):
         assert got[iid] == cell
+
+
+def test_dwithin_join_points_points_matches_bruteforce(spark):
+    import numpy as np
+    import pandas as pd
+
+    from jena_geo_spark.operators.spatial_join import dwithin_join_points_points
+
+    rng = np.random.default_rng(11)
+    n = 1200
+    lon = rng.uniform(-179, 179, n)
+    lat = rng.uniform(-84, 84, n)
+    lon[:300] = 8.28 + rng.normal(0, 0.2, 300)  # dense cluster
+    lat[:300] = 49.99 + rng.normal(0, 0.2, 300)
+    pdf = pd.DataFrame({"id": [f"p{i:05d}" for i in range(n)], "lon": lon, "lat": lat})
+    df = spark.createDataFrame(pdf)
+    radius = 0.3
+    got = {
+        (r.id, r.id_right)
+        for r in dwithin_join_points_points(spark, df, df, radius).collect()
+    }
+    d = np.sqrt(
+        (lon[:, None] - lon[None, :]) ** 2 + (lat[:, None] - lat[None, :]) ** 2
+    )
+    ii, jj = np.where(d <= radius)
+    exp = {(f"p{i:05d}", f"p{j:05d}") for i, j in zip(ii, jj)}
+    assert got == exp
+    assert len(exp) > n  # cluster produces real pairs beyond self-matches
