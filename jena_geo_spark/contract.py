@@ -1697,11 +1697,55 @@ def o_geo_dwithin_frames() -> str:
     )
 
 
+# --------------------------------------------------- frame-scale kNN join --
+
+_KNNF_K = 3
+_KNNF_LMOD = 20
+_KNNF_RMOD = 7
+
+
+def q_geo_knn_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-scale kNN join (``knn_join_frames``: grid-bucket rounds with
+    per-row completion guarantees, resolution-expansion for sparse areas)
+    — k nearest right rows for every left row, both sides tables.
+    Reference semantics: ``spatial:nearby``/kNN generalised beyond a
+    driver-side query list."""
+    from .operators.knn import knn_join_frames
+
+    base = points_from_events(spark, sf_dir)
+    l = base.filter(F.col("event_id") % _KNNF_LMOD == 0).select("event_id", "lon", "lat")
+    r = base.filter(F.col("event_id") % _KNNF_RMOD == 0).select("event_id", "lon", "lat")
+    out = knn_join_frames(
+        spark, l, r, _KNNF_K, left_id="event_id", right_id="event_id"
+    )
+    return out.select(
+        F.col("event_id").alias("id_l"),
+        F.col("event_id_right").alias("id_r"),
+        "dist",
+        "rank",
+    )
+
+
+def o_geo_knn_frames() -> str:
+    return (
+        f"WITH {_PTS_CTE}, "
+        f"l AS (SELECT event_id, lon, lat FROM pts WHERE event_id % {_KNNF_LMOD} = 0), "
+        f"r AS (SELECT event_id, lon, lat FROM pts WHERE event_id % {_KNNF_RMOD} = 0), "
+        f"c AS (SELECT l.event_id AS id_l, r.event_id AS id_r, "
+        f"(l.lon - r.lon) * (l.lon - r.lon) + (l.lat - r.lat) * (l.lat - r.lat) AS d2 "
+        f"FROM l CROSS JOIN r), "
+        f"rk AS (SELECT id_l, id_r, sqrt(d2) AS dist, "
+        f"row_number() OVER (PARTITION BY id_l ORDER BY d2, id_r) AS rank FROM c) "
+        f"SELECT id_l, id_r, dist, rank FROM rk WHERE rank <= {_KNNF_K}"
+    )
+
+
 # ------------------------------------------------------------------ export --
 
 QUERIES = {
     "geo_polygon_join": q_geo_polygon_join,
     "geo_dwithin_frames": q_geo_dwithin_frames,
+    "geo_knn_frames": q_geo_knn_frames,
     "geo_pip_join": q_geo_pip_join,
     "geo_bbox_filter": q_geo_bbox_filter,
     "geo_dwithin": q_geo_dwithin,
@@ -1754,6 +1798,7 @@ QUERIES = {
 ORACLES = {
     "geo_polygon_join": o_geo_polygon_join(),
     "geo_dwithin_frames": o_geo_dwithin_frames(),
+    "geo_knn_frames": o_geo_knn_frames(),
     "geo_pip_join": o_geo_pip_join(),
     "geo_bbox_filter": o_geo_bbox_filter(),
     "geo_dwithin": o_geo_dwithin(),

@@ -116,3 +116,140 @@ def knn_join(
         else:
             ring *= 2
     raise RuntimeError("knn ring expansion exceeded max_expand")
+
+
+def knn_join_frames(
+    spark,
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    left_id: str = "id",
+    right_id: str = "id",
+    lon: str = "lon",
+    lat: str = "lat",
+    start_res: int | None = None,
+    n_hint: int | None = None,
+    max_iters: int = 24,
+) -> DataFrame:
+    """Frame-scale kNN join: the k nearest RIGHT rows for EVERY left row —
+    the table×table generalisation of ``knn_join`` (whose query side is a
+    driver list).  Nothing is per-row on the driver; the driver only runs
+    the resolution-expansion loop (≤ ``max_iters`` distributed rounds).
+
+    Round structure (all Catalyst):
+    1. grid-bucket candidate join at the current resolution — left keyed
+       by its (ix,iy) cell, right exploded to its 3×3 neighborhood (the
+       ``dwithin_join_points_points`` plan shape);
+    2. per-left top-k window over candidates (dist², id tie-break);
+    3. a left row is DONE when it has ≥k candidates AND its k-th distance
+       is ≤ the guaranteed-coverage radius min(cell_w, cell_h) — every
+       point that close is provably inside the 3×3 neighborhood;
+    4. unfinished rows retry one resolution coarser (coverage radius
+       doubles, candidate area ×4).  At res 0 the neighborhood spans the
+       world and every straggler finishes.
+
+    Dense areas finish in the first rounds (small, cheap candidate sets);
+    only sparse-neighborhood rows pay for wide scans — the distributed
+    analogue of a per-query expanding ring search.
+
+    Output: (left columns…, {right_id}_right, dist, rank).
+    """
+    if start_res is None:
+        n = n_hint if n_hint is not None else right.count()
+        density = max(n, 1) / (360.0 * 180.0)
+        # cell width w such that density * (3w)² ≈ 4k candidates
+        w = np.sqrt(4.0 * k / max(density, 1e-12)) / 3.0
+        start_res = int(np.clip(np.floor(np.log2(360.0 / max(w, 1e-9))), 0, 20))
+    res = max(start_res, 2)
+    pending = left
+    done_parts: list[DataFrame] = []
+    out_cols = [c for c in left.columns] + [right_id + "_right", "dist", "rank"]
+    for _ in range(max_iters):
+        if res <= 1:
+            # coarse-grid endgame: the ix*n+iy key packing can alias
+            # out-of-range neighbors onto valid cells when the grid is
+            # ≤2 cells wide (duplicate candidate hazard) — the stragglers
+            # left at this point have near-world-scale neighborhoods, so
+            # an honest cross join of the (few) pending rows is both
+            # correct and the cheapest remaining plan
+            r_all = right.select(
+                F.col(right_id).alias("_rid"),
+                F.col(lon).alias("_rlon"),
+                F.col(lat).alias("_rlat"),
+            )
+            cand = pending.crossJoin(r_all)
+            dx = F.col(lon) - F.col("_rlon")
+            dy = F.col(lat) - F.col("_rlat")
+            cand = cand.withColumn("_d2", dx * dx + dy * dy)
+            w_spec = Window.partitionBy(left_id).orderBy(
+                F.col("_d2").asc(), F.col("_rid").asc()
+            )
+            done_parts.append(
+                cand.withColumn("rank", F.row_number().over(w_spec))
+                .filter(F.col("rank") <= k)
+                .withColumn("dist", F.sqrt(F.col("_d2")))
+                .withColumn(right_id + "_right", F.col("_rid"))
+                .select(*out_cols)
+            )
+            break
+        n_grid = 1 << res
+        cw = 360.0 / n_grid
+        ch = 180.0 / n_grid
+
+        def key(lon_c, lat_c):
+            ix = F.floor((lon_c + F.lit(180.0)) / F.lit(cw)).cast("long")
+            iy = F.floor((lat_c + F.lit(90.0)) / F.lit(ch)).cast("long")
+            return (
+                F.least(F.greatest(ix, F.lit(0)), F.lit(n_grid - 1)),
+                F.least(F.greatest(iy, F.lit(0)), F.lit(n_grid - 1)),
+            )
+
+        lx, ly = key(F.col(lon), F.col(lat))
+        l_keyed = pending.withColumn("_k", lx * F.lit(n_grid) + ly)
+        rx, ry = key(F.col(lon), F.col(lat))
+        offsets = F.array(
+            *[
+                (rx + F.lit(di)) * F.lit(n_grid) + (ry + F.lit(dj))
+                for di in (-1, 0, 1)
+                for dj in (-1, 0, 1)
+            ]
+        )
+        r_keyed = right.select(
+            F.col(right_id).alias("_rid"),
+            F.col(lon).alias("_rlon"),
+            F.col(lat).alias("_rlat"),
+            F.explode(offsets).alias("_k"),
+        )
+        cand = l_keyed.join(r_keyed, "_k")
+        dx = F.col(lon) - F.col("_rlon")
+        dy = F.col(lat) - F.col("_rlat")
+        cand = cand.withColumn("_d2", dx * dx + dy * dy)
+        w_spec = Window.partitionBy(left_id).orderBy(
+            F.col("_d2").asc(), F.col("_rid").asc()
+        )
+        topk = (
+            cand.withColumn("rank", F.row_number().over(w_spec))
+            .filter(F.col("rank") <= k)
+            .withColumn("dist", F.sqrt(F.col("_d2")))
+            .withColumn(right_id + "_right", F.col("_rid"))
+        )
+        topk = topk.cache()
+        safe_r = min(cw, ch)
+        per_left = topk.groupBy(left_id).agg(
+            F.max("dist").alias("_dmax"), F.count("*").alias("_n")
+        )
+        done_ids = per_left.filter(
+            (F.col("_n") >= k) & (F.col("_dmax") <= F.lit(safe_r))
+        ).select(left_id)
+        # semi/anti equi-joins on the id — AQE picks broadcast when the
+        # done set is small; no forced broadcast (done_ids can be most
+        # of the table on the first round)
+        done_parts.append(topk.join(done_ids, left_id, "left_semi").select(*out_cols))
+        pending = pending.join(done_ids, left_id, "left_anti")
+        if pending.isEmpty():
+            break
+        res -= 1
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.unionAll(p)
+    return out

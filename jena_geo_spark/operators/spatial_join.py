@@ -654,8 +654,33 @@ def dwithin_join_points_points(
     Equi-join on int64 keys ⇒ broadcastable when one side is small, AQE
     skew-split otherwise.
 
-    Returns left columns + right id + ``dist``."""
-    res = int(np.clip(np.floor(np.log2(_LAT_SPAN_DEG / max(radius, 1e-12))), 0, max_res))
+    Returns left columns + right id + ``dist``.
+
+    Grid-edge note: out-of-range neighbor keys (ix±1 beyond the grid) can
+    collide with valid keys via the ``ix*n+iy`` packing when the grid is
+    narrower than 3 cells; such spurious candidates are eliminated by the
+    exact distance refine for any n ≥ 4, so the resolution floor is 2
+    (radius > 45° degenerates to a near-all-pairs problem and the cell
+    pruning would be moot anyway)."""
+    dx_ = F.col(lon) - F.col("_rlon")
+    dy_ = F.col(lat) - F.col("_rlat")
+    if radius >= _LAT_SPAN_DEG / 4:
+        # radius ≥ 45°: cell pruning is moot (most pairs qualify) and the
+        # 3×3 guarantee needs cell ≥ radius, which a ≥4-wide grid can't
+        # give — honest cross join + exact filter
+        r_all = right.select(
+            F.col(right_id).alias("_rid"),
+            F.col(lon).alias("_rlon"),
+            F.col(lat).alias("_rlat"),
+        )
+        dist_ = F.sqrt(dx_ * dx_ + dy_ * dy_)
+        return (
+            left.crossJoin(r_all)
+            .withColumn("dist", dist_)
+            .filter(F.col("dist") <= F.lit(radius))
+            .select(*left.columns, F.col("_rid").alias(right_id + "_right"), "dist")
+        )
+    res = int(np.clip(np.floor(np.log2(_LAT_SPAN_DEG / max(radius, 1e-12))), 2, max_res))
     n = 1 << res
     cw = 360.0 / n
     ch = 180.0 / n

@@ -147,3 +147,29 @@ def test_dwithin_join_points_points_matches_bruteforce(spark):
     exp = {(f"p{i:05d}", f"p{j:05d}") for i, j in zip(ii, jj)}
     assert got == exp
     assert len(exp) > n  # cluster produces real pairs beyond self-matches
+
+
+def test_knn_join_frames_matches_bruteforce(spark):
+    import numpy as np
+    import pandas as pd
+
+    from jena_geo_spark.operators.knn import knn_join_frames
+
+    rng = np.random.default_rng(23)
+    nl, nr, k = 300, 900, 4
+    llon = rng.uniform(-179, 179, nl); llat = rng.uniform(-84, 84, nl)
+    rlon = rng.uniform(-179, 179, nr); rlat = rng.uniform(-84, 84, nr)
+    llon[:80] = 8.3 + rng.normal(0, 0.4, 80); llat[:80] = 50 + rng.normal(0, 0.4, 80)
+    rlon[:250] = 8.3 + rng.normal(0, 0.4, 250); rlat[:250] = 50 + rng.normal(0, 0.4, 250)
+    ldf = spark.createDataFrame(
+        pd.DataFrame({"id": [f"l{i:04d}" for i in range(nl)], "lon": llon, "lat": llat}))
+    rdf = spark.createDataFrame(
+        pd.DataFrame({"id": [f"r{i:04d}" for i in range(nr)], "lon": rlon, "lat": rlat}))
+    got = {}
+    for r in knn_join_frames(spark, ldf, rdf, k).collect():
+        got.setdefault(r.id, []).append((r.rank, r.id_right))
+    d2 = (llon[:, None] - rlon[None, :]) ** 2 + (llat[:, None] - rlat[None, :]) ** 2
+    for i in range(nl):
+        order = sorted(range(nr), key=lambda j: (d2[i, j], f"r{j:04d}"))[:k]
+        exp = [(rk + 1, f"r{j:04d}") for rk, j in enumerate(order)]
+        assert sorted(got[f"l{i:04d}"]) == exp
