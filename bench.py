@@ -135,6 +135,18 @@ def run(sf_dir: str, cpus: int) -> dict:
         ),
     )
     timed("emb_topk", lambda: _noop(q_emb_topk(spark, sf_dir)))
+    from jena_geo_spark.pipelines import similarity as _sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ivf_cents = _sim.train_ivf_centroids(emb, n_centroids=32)
+    timed(
+        "emb_ivf_topk",
+        lambda: _noop(
+            _sim.ivf_topk(
+                emb, list(range(10)), k=10, nprobe=8, centroids=ivf_cents
+            )
+        ),
+    )
 
     total = round(sum(timings.values()), 3)
     join_rps = round(n_images / timings["flagship_join_tile"], 1)

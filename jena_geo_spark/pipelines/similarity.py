@@ -358,3 +358,142 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "score", "rank")
     )
+
+
+# ----------------------------------------------------------------- IVF ANN --
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 32,
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic spherical k-means on a bounded sample — the IVF coarse
+    quantizer.  Training is a driver-side numpy Lloyd loop over ≤``sample``
+    vectors (hash-selected, order-independent); at 10^12 rows the sample is
+    a fixed-size sketch, the expensive assignment stays distributed."""
+    frac_mod = F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_003))
+    rows = (
+        df.select(id_col, vec_col, frac_mod.alias("_h"))
+        .orderBy("_h", id_col)
+        .limit(sample)
+        .collect()
+    )
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    n = np.linalg.norm(x, axis=1)
+    n[n == 0] = 1.0
+    x = x / n[:, None]
+    rng = np.random.default_rng(seed)
+    k = min(n_centroids, len(x))
+    cents = x[rng.choice(len(x), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                nv = np.linalg.norm(v)
+                cents[c] = v / nv if nv > 0 else cents[c]
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach the nearest-centroid list id: one broadcast matmul per Arrow
+    batch (the distributed half of IVF indexing — on a real cluster this
+    is the ingest-time write of the ``list_id`` partition column)."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+    schema = StructType(
+        [StructField("_ivf_id", LongType()), StructField("list_id", LongType())]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        for pdf in batches:
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            m = m / norms[:, None]
+            yield pd.DataFrame(
+                {
+                    "_ivf_id": pdf[id_col].astype(np.int64),
+                    "list_id": np.argmax(m @ cents.T, axis=1).astype(np.int64),
+                }
+            )
+
+    lists = df.select(id_col, vec_col).mapInPandas(assign, schema)
+    return df.join(lists.withColumnRenamed("_ivf_id", id_col), id_col)
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 32,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) search — the brief's
+    named scale path next to LSH: vectors partition into ``n_centroids``
+    coarse lists; each query scans only its ``nprobe`` nearest lists
+    (candidate fraction ≈ nprobe/n_centroids of the table), exact cosine
+    re-rank on the candidates.  Output schema matches ``cosine_topk``;
+    recall<1 by construction — tests report recall vs brute force and
+    verify every emitted score bit-exactly."""
+    spark = df.sparkSession
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            df, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+
+    qids, qm = _collect_queries(df, query_ids, id_col, vec_col)
+    probes = np.argsort(-(qm @ centroids.T), axis=1)[:, :nprobe]
+    probe_rows = [
+        (int(q), int(c)) for i, q in enumerate(qids) for c in probes[i]
+    ]
+    probe_df = spark.createDataFrame(probe_rows, "query_id long, list_id long")
+
+    cand = assigned.join(F.broadcast(probe_df), "list_id").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+
+    qmap = {int(q): qm[i] for i, q in enumerate(qids)}
+    bq = spark.sparkContext.broadcast(qmap)
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qm_l = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            m = m / norms[:, None]
+            qarr = np.array([qm_l[int(q)] for q in pdf["query_id"]])
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].astype(np.int64),
+                    "vec_id": pdf[id_col].astype(np.int64),
+                    "score": (qarr * m).sum(axis=1),
+                }
+            )
+
+    scored = cand.select("query_id", id_col, vec_col).mapInPandas(rerank, _TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )

@@ -202,3 +202,51 @@ def test_jaccard_max_df_cap_keeps_exact_pairs(spark):
               jaccard_dedup_pairs(docs, n=3, threshold_num=1, threshold_den=5, max_df=10).collect()}
     # cap above every df → identical output, and inter/uni stay EXACT
     assert capped == full and (0, 1) in capped
+
+
+def test_ivf_topk_recall_and_exact_scores(spark):
+    from jena_geo_spark.pipelines import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qids = list(range(10))
+    k = 10
+    exact = similarity.cosine_topk(emb, qids, k=k)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    def recall(nprobe):
+        got_sets = {}
+        rows = similarity.ivf_topk(
+            emb, qids, k=k, n_centroids=16, nprobe=nprobe
+        ).collect()
+        for r in rows:
+            got_sets.setdefault(r.query_id, set()).add(r.vec_id)
+        hits = sum(len(got_sets.get(q, set()) & exact_sets[q]) for q in exact_sets)
+        total = sum(len(s) for s in exact_sets.values())
+        return hits / total, rows
+
+    r2, _ = recall(2)
+    r8, rows = recall(8)
+    assert r8 >= 0.7, f"IVF recall {r8:.2f} too low at nprobe=8"
+    assert r8 > r2, "recall must grow with nprobe (probe fraction)"
+    # every emitted score must be the exact cosine (re-rank is exact)
+    import numpy as np
+
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+
+    def cos(a, b):
+        a = a / np.linalg.norm(a)
+        b = b / np.linalg.norm(b)
+        return float((a * b).sum())
+
+    for r in rows[:100]:
+        assert abs(r.score - cos(vecs[r.query_id], vecs[r.vec_id])) < 1e-12
+
+    # determinism: same seed, same result
+    again = similarity.ivf_topk(emb, qids, k=k, n_centroids=16, nprobe=8)
+    assert sorted((r.query_id, r.vec_id, r.rank) for r in again.collect()) == sorted(
+        (r.query_id, r.vec_id, r.rank) for r in rows
+    )
