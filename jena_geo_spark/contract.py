@@ -1740,12 +1740,71 @@ def o_geo_knn_frames() -> str:
     )
 
 
+# ----------------------------------------------------------- zonal stats --
+
+_ZS_SCALE = 0.01
+
+
+def q_raster_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed zonal statistics (``raster.zonal.zonal_stats``): per-zone
+    pixel stats over a TABLE of georeferenced raster tiles — the
+    frame-scale raster↔vector aggregate (reference has only per-row
+    raster×geometry relations, ``raster/relation/*.java``).  Tiles are
+    deterministic 8×8 rasters anchored at each event's hashed lon/lat."""
+    from .raster import wkb_raster as WR
+    from .raster.zonal import zonal_stats
+
+    @pandas_udf(BinaryType())
+    def make_tile(event_id: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+        out = []
+        idx = np.arange(_RAST_W * _RAST_H, dtype=np.int64)
+        for eid, x0, y0 in zip(event_id, lon, lat):
+            v = (int(eid) * _RAST_MULT_A + idx * _RAST_MULT_B) % _RAST_MOD
+            band = WR.Band(7, None, v.reshape(_RAST_H, _RAST_W).astype(np.int32), 0)
+            r = WR.Raster(
+                0, _ZS_SCALE, _ZS_SCALE, float(x0), float(y0), 0.0, 0.0,
+                4326, _RAST_W, _RAST_H, [band],
+            )
+            out.append(WR.encode(r))
+        return pd.Series(out)
+
+    pts = points_from_events(spark, sf_dir)
+    tiles = pts.select(
+        make_tile(F.col("event_id"), F.col("lon"), F.col("lat")).alias("rast")
+    )
+    zones = [(z, _zone_wkt(z)) for z in ZONES]
+    return zonal_stats(tiles, zones)
+
+
+def o_raster_zonal_stats() -> str:
+    n = _RAST_W * _RAST_H
+    selects = []
+    for z in ZONES:
+        pip = _sql_raycast_ring(ZONES[z], lon="x", lat="y")
+        selects.append(
+            f"SELECT '{z}' AS zone_id, count(*) AS n, sum(v)::DOUBLE AS px_sum, "
+            f"sum(v)::DOUBLE / count(*) AS px_mean, "
+            f"min(v)::DOUBLE AS px_min, max(v)::DOUBLE AS px_max "
+            f"FROM pix WHERE {pip} HAVING count(*) > 0"
+        )
+    u = " UNION ALL ".join(selects)
+    return (
+        f"WITH {_PTS_CTE}, pix AS ("
+        f"SELECT event_id, "
+        f"(event_id * {_RAST_MULT_A} + i * {_RAST_MULT_B}) % {_RAST_MOD} AS v, "
+        f"lon + (i % {_RAST_W})::DOUBLE * {_ZS_SCALE!r} AS x, "
+        f"lat + (i // {_RAST_W})::DOUBLE * {_ZS_SCALE!r} AS y "
+        f"FROM pts, range(0, {n}) t(i)) {u}"
+    )
+
+
 # ------------------------------------------------------------------ export --
 
 QUERIES = {
     "geo_polygon_join": q_geo_polygon_join,
     "geo_dwithin_frames": q_geo_dwithin_frames,
     "geo_knn_frames": q_geo_knn_frames,
+    "raster_zonal_stats": q_raster_zonal_stats,
     "geo_pip_join": q_geo_pip_join,
     "geo_bbox_filter": q_geo_bbox_filter,
     "geo_dwithin": q_geo_dwithin,
@@ -1799,6 +1858,7 @@ ORACLES = {
     "geo_polygon_join": o_geo_polygon_join(),
     "geo_dwithin_frames": o_geo_dwithin_frames(),
     "geo_knn_frames": o_geo_knn_frames(),
+    "raster_zonal_stats": o_raster_zonal_stats(),
     "geo_pip_join": o_geo_pip_join(),
     "geo_bbox_filter": o_geo_bbox_filter(),
     "geo_dwithin": o_geo_dwithin(),

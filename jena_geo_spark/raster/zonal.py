@@ -1,0 +1,117 @@
+"""Distributed zonal statistics — the frame-scale raster↔vector operator.
+
+Reference parity: the per-row raster↔geometry relations
+(``raster/relation/*.java``) answer "does THIS raster touch THIS
+geometry"; a 10^12-tile coverage needs the aggregate form — per-zone
+pixel statistics over a whole raster-tile TABLE.  Plan shape:
+
+1. zone rings ride an ``sc.broadcast`` (zones are dimension data);
+2. one ``mapInPandas`` pass decodes each tile, computes pixel-center
+   coordinates vectorised, bbox-prefilters zones against the tile extent,
+   ray-casts the surviving zones (``kernel.points_in_polygon``, one numpy
+   sweep per (tile, zone)), and — crucially — pre-aggregates per zone
+   WITHIN the Arrow batch, emitting at most |zones| rows per batch;
+3. a narrow ``groupBy(zone_id)`` combines the partials (count/sum are
+   associative; min/max idempotent; mean derived at the end).
+
+Shuffle volume is O(batches × zones), independent of pixel count — the
+map-side combine the task mandate asks for, done one level earlier than
+Spark's own partial aggregation.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..geom import wkt as W
+from ..geom import kernel as K
+from . import wkb_raster as WR
+
+
+def zonal_stats(
+    rasters: DataFrame,
+    zones: list[tuple[str, str]],
+    raster_col: str = "rast",
+    band: int = 0,
+) -> DataFrame:
+    """Per-zone pixel statistics (n, sum, mean, min, max) over a raster
+    tile table.  A pixel belongs to a zone when its CENTER is inside the
+    polygon (even-odd ray-cast; multipolygon members OR-ed, holes
+    subtracted).  Zones with zero covered pixels are absent from the
+    output."""
+    spark = rasters.sparkSession
+    rings_by_zone = {zid: W.from_wkt(wkt).polygons() for zid, wkt in zones}
+    bboxes = {}
+    for zid, polys in rings_by_zone.items():
+        pts = np.vstack([r for rings in polys for r in rings])
+        bboxes[zid] = (
+            pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max()
+        )
+    bz = spark.sparkContext.broadcast((rings_by_zone, bboxes))
+
+    schema = "zone_id string, n long, px_sum double, px_min double, px_max double"
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rings, boxes = bz.value
+        for pdf in batches:
+            acc: dict[str, list] = {}
+            for blob in pdf[raster_col]:
+                if blob is None:
+                    continue
+                r = WR.decode(bytes(blob))
+                vals = r.bands[band].data.astype(np.float64).ravel()
+                cols = np.tile(np.arange(r.width, dtype=np.float64), r.height)
+                rows = np.repeat(np.arange(r.height, dtype=np.float64), r.width)
+                px = r.ip_x + cols * r.scale_x + rows * r.skew_x
+                py = r.ip_y + rows * r.scale_y + cols * r.skew_y
+                exmin, exmax = px.min(), px.max()
+                eymin, eymax = py.min(), py.max()
+                for zid, polys in rings.items():
+                    bxmin, bymin, bxmax, bymax = boxes[zid]
+                    if exmax < bxmin or exmin > bxmax or eymax < bymin or eymin > bymax:
+                        continue
+                    inside = np.zeros(len(px), dtype=bool)
+                    for member in polys:
+                        ins = K.points_in_polygon(px, py, member[0])
+                        for hole in member[1:]:
+                            ins &= ~K.points_in_polygon(px, py, hole)
+                        inside |= ins
+                    if not inside.any():
+                        continue
+                    v = vals[inside]
+                    a = acc.get(zid)
+                    if a is None:
+                        acc[zid] = [int(inside.sum()), v.sum(), v.min(), v.max()]
+                    else:
+                        a[0] += int(inside.sum())
+                        a[1] += v.sum()
+                        a[2] = min(a[2], v.min())
+                        a[3] = max(a[3], v.max())
+            if acc:
+                yield pd.DataFrame(
+                    {
+                        "zone_id": list(acc),
+                        "n": [a[0] for a in acc.values()],
+                        "px_sum": [a[1] for a in acc.values()],
+                        "px_min": [a[2] for a in acc.values()],
+                        "px_max": [a[3] for a in acc.values()],
+                    }
+                )
+
+    part = rasters.select(raster_col).mapInPandas(partials, schema)
+    return (
+        part.groupBy("zone_id")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("px_sum").alias("px_sum"),
+            F.min("px_min").alias("px_min"),
+            F.max("px_max").alias("px_max"),
+        )
+        .withColumn("px_mean", F.col("px_sum") / F.col("n"))
+        .select("zone_id", "n", "px_sum", "px_mean", "px_min", "px_max")
+    )

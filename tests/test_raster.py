@@ -126,3 +126,35 @@ def test_world_raster_coords():
     col, row = r.world_to_raster(969870.0 + 95.0, 642930.0 - 95.0)
     assert (col, row) == (1, 1)
     assert r.raster_to_world(0, 0) == (969870.0, 642930.0)
+
+
+def test_zonal_stats_holes_and_multipolygon(spark):
+    import numpy as np
+    import pandas as pd
+    from jena_geo_spark.raster import wkb_raster as WR
+    from jena_geo_spark.raster.zonal import zonal_stats
+
+    # one 10x10 tile: pixel centers at (0..9, 0..9), value = row*10+col
+    vals = np.arange(100, dtype=np.int32).reshape(10, 10)
+    r = WR.Raster(0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0, 4326, 10, 10, [WR.Band(7, None, vals, 0)])
+    tiles = spark.createDataFrame(pd.DataFrame({"rast": [WR.encode(r)]}))
+    zones = [
+        # square with a hole: covers centers 0<=x,y<=5 minus 2<x,y<4
+        ("holed", "POLYGON((-0.5 -0.5, 5.5 -0.5, 5.5 5.5, -0.5 5.5, -0.5 -0.5),"
+                  "(1.5 1.5, 3.5 1.5, 3.5 3.5, 1.5 3.5, 1.5 1.5))"),
+        # multipolygon: two disjoint 1-pixel boxes around (8,8) and (9,0)
+        ("mp", "MULTIPOLYGON(((7.5 7.5, 8.5 7.5, 8.5 8.5, 7.5 8.5, 7.5 7.5)),"
+               "((8.5 -0.5, 9.5 -0.5, 9.5 0.5, 8.5 0.5, 8.5 -0.5)))"),
+        ("far", "POLYGON((100 100, 101 100, 101 101, 100 101, 100 100))"),
+    ]
+    got = {row.zone_id: row for row in zonal_stats(tiles, zones).collect()}
+    xs, ys = np.meshgrid(np.arange(10.0), np.arange(10.0))
+    inside_sq = (xs <= 5) & (ys <= 5)
+    hole = (xs >= 2) & (xs <= 3) & (ys >= 2) & (ys <= 3)
+    exp = vals[(inside_sq & ~hole)]
+    assert got["holed"].n == len(exp)
+    assert got["holed"].px_sum == exp.sum()
+    assert got["holed"].px_min == exp.min() and got["holed"].px_max == exp.max()
+    assert got["mp"].n == 2
+    assert got["mp"].px_sum == float(vals[8, 8] + vals[0, 9])
+    assert "far" not in got  # zero-pixel zones absent
