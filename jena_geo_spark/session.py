@@ -34,6 +34,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # Spark 4.1's checksum checkpoint-file writer can deadlock its
+        # awaitResult on local-fs state stores (observed with
+        # applyInPandasWithState commits in this sandbox); corruption
+        # detection for checkpoints is a durable-storage concern — real
+        # clusters re-enable it on HDFS/S3
+        .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
         # RAM-backed shuffle dir: the sandbox's virtual disk adds large,
         # core-count-independent variance to shuffle writes; a real cluster
         # has local NVMe per executor (override with SPARK_GRAFT_LOCAL_DIR)

@@ -79,3 +79,89 @@ def test_stream_plan_is_stream_static_broadcast(spark, stream_dir):
     # the zone side must carry the broadcast hint (stream-static broadcast
     # join — no stateful stream-stream join operator)
     assert "BROADCAST" in plan.upper()
+
+
+def test_stream_zone_visits_stateful(spark, tmp_path_factory):
+    """applyInPandasWithState zone-visit sessionization: closed visits from
+    the stream must equal a straightforward python reference over the same
+    rows (visits still open at end-of-stream stay in state, not emitted)."""
+    import pandas as pd
+
+    d = str(tmp_path_factory.mktemp("visits_stream"))
+    rows = []
+    t0 = 1704067200
+    # entity 1: zone A (3 pts), gap-close, zone A again (2 pts), zone B (1 pt)
+    for i, (dt, z) in enumerate(
+        [(0, "A"), (60, "A"), (120, "A"), (2000, "A"), (2060, "A"), (2120, "B")]
+    ):
+        rows.append((1, t0 + dt, z))
+    # entity 2: zone B then zone A
+    for dt, z in [(0, "B"), (30, "B"), (90, "A")]:
+        rows.append((2, t0 + dt, z))
+    pdf = pd.DataFrame(rows, columns=["event_id", "epoch", "zone_id"])
+    sdf = spark.createDataFrame(pdf).select(
+        "event_id", F.timestamp_seconds(F.col("epoch")).alias("ts"), "zone_id"
+    )
+    sdf.repartition(2).write.mode("overwrite").parquet(d)
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType, TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("zone_id", StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(d)
+    visits = SP.stream_zone_visits(stream, gap_seconds=600)
+    SP.run_available_now(visits, "visits_stream", output_mode="append")
+    got = {
+        (r.entity, r.zone_id, int(r.enter_ts.timestamp()), int(r.exit_ts.timestamp()), r.n_points)
+        for r in spark.table("visits_stream").collect()
+    }
+    # closed visits: entity1 A[0,120]x3 (closed by the 2000s gap),
+    # A[2000,2060]x2 (closed by zone change to B); entity2 B[0,30]x2
+    # (closed by zone change to A).  Open at end: e1 B, e2 A.
+    want = {
+        (1, "A", t0 + 0, t0 + 120, 3),
+        (1, "A", t0 + 2000, t0 + 2060, 2),
+        (2, "B", t0 + 0, t0 + 30, 2),
+    }
+    assert got == want
+
+
+def test_stream_dedup_exact(spark, tmp_path_factory):
+    import pandas as pd
+
+    d = str(tmp_path_factory.mktemp("dedup_stream"))
+    t0 = 1704067200
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 1, 2, 2, 3],
+            "epoch": [t0, t0, t0 + 10, t0 + 10, t0 + 20],
+            "text": ["a", "a", "b", "b", "c"],
+        }
+    )
+    sdf = spark.createDataFrame(pdf).select(
+        "doc_id", F.timestamp_seconds(F.col("epoch")).alias("ts"), "text"
+    )
+    sdf.write.mode("overwrite").parquet(d)
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType, TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("text", StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(d)
+    out = SP.stream_dedup_exact(stream, ["doc_id"], watermark="1 hour")
+    SP.run_available_now(out, "dedup_stream", output_mode="append")
+    got = sorted((r.doc_id, r.text) for r in spark.table("dedup_stream").collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
