@@ -1798,6 +1798,64 @@ def o_raster_zonal_stats() -> str:
     )
 
 
+# ------------------------------------------------- raster point sampling --
+
+_RSAMP_MOD = 50
+_RSAMP_RES = 11  # cell ≥ tile extent (0.08°) ⇒ each tile spans ≤ 2×2 cells
+
+
+def q_raster_sample_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster point-sampling join (``raster.sample.sample_raster_at_points``):
+    pixel value under every event point for every tile containing it —
+    the coverage-scale form of the reference's per-row ``rast_value``
+    accessors (``raster/attribute``).  Tiles = every {_RSAMP_MOD}th
+    event's deterministic 8×8 raster anchored at its hashed coords."""
+    from .raster import wkb_raster as WR
+    from .raster.sample import sample_raster_at_points
+
+    @pandas_udf(BinaryType())
+    def make_tile(event_id: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+        out = []
+        idx = np.arange(_RAST_W * _RAST_H, dtype=np.int64)
+        for eid, x0, y0 in zip(event_id, lon, lat):
+            v = (int(eid) * _RAST_MULT_A + idx * _RAST_MULT_B) % _RAST_MOD
+            band = WR.Band(7, None, v.reshape(_RAST_H, _RAST_W).astype(np.int32), 0)
+            r = WR.Raster(
+                0, _ZS_SCALE, _ZS_SCALE, float(x0), float(y0), 0.0, 0.0,
+                4326, _RAST_W, _RAST_H, [band],
+            )
+            out.append(WR.encode(r))
+        return pd.Series(out)
+
+    pts = points_from_events(spark, sf_dir)
+    tiles = pts.filter(F.col("event_id") % _RSAMP_MOD == 0).select(
+        F.format_string("t%09d", F.col("event_id")).alias("tile_id"),
+        make_tile(F.col("event_id"), F.col("lon"), F.col("lat")).alias("rast"),
+    )
+    out = sample_raster_at_points(
+        tiles, pts.select("event_id", "lon", "lat"), cover_res=_RSAMP_RES
+    )
+    return out.select("event_id", "tile_id", "value")
+
+
+def o_raster_sample_points() -> str:
+    half = repr(0.5 * _ZS_SCALE)
+    sc = repr(_ZS_SCALE)
+    return (
+        f"WITH {_PTS_CTE}, "
+        f"t AS (SELECT event_id AS tid, lon AS tx, lat AS ty FROM pts "
+        f"WHERE event_id % {_RSAMP_MOD} = 0), "
+        f"c AS (SELECT p.event_id, t.tid, "
+        f"CAST(FLOOR((p.lon - (t.tx - {half})) / {sc}) AS BIGINT) AS col, "
+        f"CAST(FLOOR((p.lat - (t.ty - {half})) / {sc}) AS BIGINT) AS row "
+        f"FROM pts p CROSS JOIN t) "
+        f"SELECT event_id, printf('t%09d', tid) AS tile_id, "
+        f"((tid * {_RAST_MULT_A} + (row * {_RAST_W} + col) * {_RAST_MULT_B}) "
+        f"% {_RAST_MOD})::DOUBLE AS value "
+        f"FROM c WHERE col BETWEEN 0 AND {_RAST_W - 1} AND row BETWEEN 0 AND {_RAST_H - 1}"
+    )
+
+
 # ------------------------------------------------------------------ export --
 
 QUERIES = {
@@ -1805,6 +1863,7 @@ QUERIES = {
     "geo_dwithin_frames": q_geo_dwithin_frames,
     "geo_knn_frames": q_geo_knn_frames,
     "raster_zonal_stats": q_raster_zonal_stats,
+    "raster_sample_points": q_raster_sample_points,
     "geo_pip_join": q_geo_pip_join,
     "geo_bbox_filter": q_geo_bbox_filter,
     "geo_dwithin": q_geo_dwithin,
@@ -1859,6 +1918,7 @@ ORACLES = {
     "geo_dwithin_frames": o_geo_dwithin_frames(),
     "geo_knn_frames": o_geo_knn_frames(),
     "raster_zonal_stats": o_raster_zonal_stats(),
+    "raster_sample_points": o_raster_sample_points(),
     "geo_pip_join": o_geo_pip_join(),
     "geo_bbox_filter": o_geo_bbox_filter(),
     "geo_dwithin": o_geo_dwithin(),

@@ -158,3 +158,29 @@ def test_zonal_stats_holes_and_multipolygon(spark):
     assert got["mp"].n == 2
     assert got["mp"].px_sum == float(vals[8, 8] + vals[0, 9])
     assert "far" not in got  # zero-pixel zones absent
+
+
+def test_sample_raster_at_points(spark):
+    import numpy as np
+    import pandas as pd
+    from jena_geo_spark.raster import wkb_raster as WR
+    from jena_geo_spark.raster.sample import sample_raster_at_points
+
+    # two 4x4 tiles, scale 1.0, anchored at (0,0) and (10,10); values row*4+col
+    vals = np.arange(16, dtype=np.int32).reshape(4, 4)
+    tiles = []
+    for tid, (ax, ay) in [("t0", (0.0, 0.0)), ("t1", (10.0, 10.0))]:
+        r = WR.Raster(0, 1.0, 1.0, ax, ay, 0.0, 0.0, 4326, 4, 4, [WR.Band(7, None, vals, 0)])
+        tiles.append((tid, WR.encode(r)))
+    tdf = spark.createDataFrame(pd.DataFrame(tiles, columns=["tile_id", "rast"]))
+    # points: inside t0 pixel (2,1)=6 at (1.2, 2.4); on t1 pixel (0,0) at (9.6,9.8);
+    # outside both at (5,5); t0 pixel (0,0) at exact anchor (0,0)
+    pts = pd.DataFrame(
+        {"id": ["a", "b", "c", "d"], "lon": [1.2, 9.6, 5.0, 0.0], "lat": [2.4, 9.8, 5.0, 0.0]}
+    )
+    pdf = spark.createDataFrame(pts)
+    got = {
+        (r.id, r.tile_id): r.value
+        for r in sample_raster_at_points(tdf, pdf, cover_res=4).collect()
+    }
+    assert got == {("a", "t0"): 9.0, ("b", "t1"): 0.0, ("d", "t0"): 0.0}
