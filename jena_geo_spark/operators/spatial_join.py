@@ -15,8 +15,11 @@ for Spark at 10^12-row scale:
     (the common case: dimension-table-sized zone sets), else a shuffle hash
     join with optional explicit **salting** of hot cells + AQE skew-join as
     backstop;
-4.  exact refine: vectorised ray-casting point-in-polygon
-    (``st_point_in_polygon``) only for candidates from partial cells;
+4.  exact refine: vectorised ray-casting point-in-polygon only for
+    candidates from partial cells — zone rings ride an ``sc.broadcast``
+    dict, the Arrow exchange carries just (lon, lat, zone_id), and the
+    refine can be DEFERRED past the tile shuffle (``refine_candidates``)
+    so each stage runs a single Python exchange;
 5.  semantics: ``within``/``intersects`` for point-vs-polygon are identical;
     ``dwithin`` covers the buffered polygon and refines on true distance.
 
@@ -32,7 +35,11 @@ Scale notes:
 * column pruning: only (id, lon, lat[, payload cols the caller selects])
   flow through the join — never image ``bytes``;
 * the per-level ancestor derivation keeps candidate generation inside
-  whole-stage codegen.
+  whole-stage codegen;
+* frame-scale variants with nothing driver-side: ``polygon_join_frames``
+  (covers in mapInPandas + ancestor-emission equi-join),
+  ``dwithin_join_points_points`` (grid-bucket 3×3 join, zero Python),
+  and ``operators.knn.knn_join_frames``.
 """
 
 from __future__ import annotations
@@ -312,7 +319,7 @@ def spatial_join_points_zones(
         fine_res=fine_res,
     )
     refined = refine_candidates(
-        spark, cand, zone_covers, lon=lon, lat=lat, refine=refine
+        spark, cand, zone_covers, lon=lon, lat=lat, refine=refine, pin=False
     )
     out_cols = [c for c in points.columns] + ["zone_id"]
     matched = refined.select(*out_cols)
@@ -392,16 +399,27 @@ def refine_candidates(
     lat: str = "lat",
     refine: str = "udf",
     drop_full: bool = True,
+    pin: bool = True,
 ) -> DataFrame:
     """Phase 2: exact PIP refine of candidate rows (see
     ``spatial_join_candidates``).  Keeps full-cell rows untouched and
-    ray-casts the rest; output drops the ``full`` flag."""
+    ray-casts the rest; output drops the ``full`` flag.
+
+    ``pin=True`` (default for deferred use) marks the refine UDF
+    non-deterministic — NOT because it is (it's a pure function), but as
+    the optimizer barrier that stops Catalyst pushing the filter back
+    down through the tile-shuffle Exchange, which would silently fuse the
+    refine into the same stage as the upstream verify UDF and recreate
+    the two-Python-exchanges-per-task shape the deferral exists to avoid.
+    ``spatial_join_points_zones`` passes ``pin=False`` (inline refine —
+    free placement is fine within one stage)."""
     if refine == "catalyst":
         pip = zone_pip_expr(zone_covers, F.col(lon), F.col(lat), F.col("zone_id"))
     else:
-        pip = _zone_pip_udf(spark, zone_covers)(
-            F.col(lon), F.col(lat), F.col("zone_id")
-        )
+        udf = _zone_pip_udf(spark, zone_covers)
+        if pin:
+            udf = udf.asNondeterministic()
+        pip = udf(F.col(lon), F.col(lat), F.col("zone_id"))
     out = cand.filter(F.when(F.col("full"), F.lit(True)).otherwise(pip))
     return out.drop("full") if drop_full else out
 

@@ -94,3 +94,55 @@ def test_whole_stage_codegen_on_catalyst_path(spark, imgs):
     # and the agg runs as codegen-capable HashAggregate over the scan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "HashAggregate" in plan
+
+
+def test_dwithin_frames_plan_is_pure_jvm(spark, imgs):
+    """The table×table DWithin join must contain NO Python evaluation at
+    all — key derivation, 3×3 explode, equi-join, and distance refine are
+    whole-stage-codegen arithmetic."""
+    from jena_geo_spark.operators.spatial_join import dwithin_join_points_points
+
+    pts = imgs.select(F.col("image_id").alias("id"), "lon", "lat")
+    out = dwithin_join_points_points(spark, pts, pts, 0.5)
+    plan = _plan(out)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_deferred_refine_splits_python_stages(spark, imgs, covers):
+    """candidates → tile shuffle → refine: the exchange must sit BETWEEN
+    the verify UDF and the PIP refine UDF so each stage runs one Python
+    exchange (AQE off in this check: its runtime re-planning hides the
+    exchange position in the pre-execution string)."""
+    from jena_geo_spark.image.spark import with_phash_verified
+    from jena_geo_spark.operators.spatial_join import (
+        refine_candidates,
+        spatial_join_candidates,
+    )
+    from jena_geo_spark.operators.tiling import assign_tiles, repartition_by_tile
+
+    v = with_phash_verified(imgs).filter(F.col("phash_ok")).drop(
+        "bytes", "w", "h", "fmt", "phash_ok"
+    )
+    cand = assign_tiles(spatial_join_candidates(spark, v, covers), tile_res=6)
+    out = refine_candidates(spark, repartition_by_tile(cand), covers)
+    plan = _plan(out)
+    # exactly two python stages: verify below the Exchange, refine above it
+    assert plan.count("ArrowEvalPython") == 2
+    exch = plan.find("Exchange")
+    first_py = plan.find("ArrowEvalPython")
+    last_py = plan.rfind("ArrowEvalPython")
+    # plan strings print top-down: refine (above exchange) appears first
+    assert first_py < exch < last_py
+
+
+def test_verify_udf_not_double_evaluated(spark, imgs):
+    """filter(phash_ok).drop(phash_ok) must evaluate the verify UDF once;
+    keeping the column after the filter used to clone the UDF into both
+    the Filter and the Project (r2.1 regression guard)."""
+    from jena_geo_spark.image.spark import with_phash_verified
+
+    v = with_phash_verified(imgs).filter(F.col("phash_ok")).drop(
+        "bytes", "w", "h", "fmt", "phash_ok"
+    )
+    assert _plan(v).count("phash_matches") == 1
