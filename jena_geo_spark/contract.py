@@ -1856,6 +1856,61 @@ def o_raster_sample_points() -> str:
     )
 
 
+# ------------------------------------------------- visit sessionization --
+
+_VS_GAP = 3600
+
+
+def q_geo_visit_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch zone-visit sessionization (``operators.sessionize``): PIP join
+    of event points against the zone set, then pure-Catalyst window
+    sessionization — the batch twin of the streaming
+    ``stream_zone_visits`` stateful operator, sharing its semantics
+    (maximal per-entity runs inside one zone, gap-bounded)."""
+    from .operators.sessionize import sessionize_visits
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    pts = ev.withColumn(
+        "lon", _hash_coord(F.col("event_id"), _LON_MULT, 360000000, 180.0)
+    ).withColumn("lat", _hash_coord(F.col("event_id"), _LAT_MULT, 180000000, 90.0))
+    covers = build_zone_covers([(z, _zone_wkt(z)) for z in ZONES])
+    joined = spatial_join_points_zones(
+        spark, pts.select("event_id", "user_id", "ts", "lon", "lat"), covers
+    )
+    return sessionize_visits(
+        joined,
+        entity_col="user_id",
+        ts_col="ts",
+        zone_col="zone_id",
+        order_tiebreak=["event_id", "zone_id"],
+        gap_seconds=_VS_GAP,
+    )
+
+
+def o_geo_visit_sessions() -> str:
+    zsel = " UNION ALL ".join(
+        f"SELECT event_id, user_id, ts, '{z}' AS zone_id FROM pts2 WHERE {_sql_raycast(z)}"
+        for z in ZONES
+    )
+    ord_ = "ORDER BY ts, event_id, zone_id"
+    return (
+        "WITH pts2 AS (SELECT event_id, user_id, ts, "
+        f"{_sql_coord(_LON_MULT, 360000000, 180.0)} AS lon, "
+        f"{_sql_coord(_LAT_MULT, 180000000, 90.0)} AS lat FROM events), "
+        f"j AS ({zsel}), "
+        f"s AS (SELECT *, CASE WHEN lag(zone_id) OVER w IS NULL "
+        f"OR lag(zone_id) OVER w <> zone_id "
+        f"OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_VS_GAP * 1_000_000} "
+        f"THEN 1 ELSE 0 END AS brk FROM j WINDOW w AS (PARTITION BY user_id {ord_})), "
+        f"t AS (SELECT *, sum(brk) OVER (PARTITION BY user_id {ord_} "
+        f"ROWS UNBOUNDED PRECEDING) AS sid FROM s) "
+        f"SELECT user_id, min(zone_id) AS zone_id, min(ts) AS enter_ts, "
+        f"max(ts) AS exit_ts, count(*) AS n_points FROM t GROUP BY user_id, sid"
+    )
+
+
 # ------------------------------------------------------------------ export --
 
 QUERIES = {
@@ -1864,6 +1919,7 @@ QUERIES = {
     "geo_knn_frames": q_geo_knn_frames,
     "raster_zonal_stats": q_raster_zonal_stats,
     "raster_sample_points": q_raster_sample_points,
+    "geo_visit_sessions": q_geo_visit_sessions,
     "geo_pip_join": q_geo_pip_join,
     "geo_bbox_filter": q_geo_bbox_filter,
     "geo_dwithin": q_geo_dwithin,
@@ -1919,6 +1975,7 @@ ORACLES = {
     "geo_knn_frames": o_geo_knn_frames(),
     "raster_zonal_stats": o_raster_zonal_stats(),
     "raster_sample_points": o_raster_sample_points(),
+    "geo_visit_sessions": o_geo_visit_sessions(),
     "geo_pip_join": o_geo_pip_join(),
     "geo_bbox_filter": o_geo_bbox_filter(),
     "geo_dwithin": o_geo_dwithin(),

@@ -165,3 +165,36 @@ def test_stream_dedup_exact(spark, tmp_path_factory):
     SP.run_available_now(out, "dedup_stream", output_mode="append")
     got = sorted((r.doc_id, r.text) for r in spark.table("dedup_stream").collect())
     assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_batch_sessionize_is_superset_of_streaming_closed_visits(spark):
+    """The batch window sessionizer and the streaming stateful operator
+    share semantics: the stream's CLOSED visits must appear verbatim in
+    the batch result; batch additionally holds the still-open tail runs."""
+    import pandas as pd
+
+    from jena_geo_spark.operators.sessionize import sessionize_visits
+
+    t0 = 1704067200
+    rows = [
+        (1, t0, "A"), (1, t0 + 60, "A"), (1, t0 + 120, "A"),
+        (1, t0 + 2000, "A"), (1, t0 + 2060, "A"), (1, t0 + 2120, "B"),
+        (2, t0, "B"), (2, t0 + 30, "B"), (2, t0 + 90, "A"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "epoch", "zone_id"])
+    df = spark.createDataFrame(pdf).select(
+        "event_id", F.timestamp_seconds(F.col("epoch")).alias("ts"), "zone_id"
+    )
+    batch = {
+        (r.event_id, r.zone_id, int(r.enter_ts.timestamp()), int(r.exit_ts.timestamp()), r.n_points)
+        for r in sessionize_visits(
+            df, entity_col="event_id", gap_seconds=600
+        ).collect()
+    }
+    closed = {
+        (1, "A", t0 + 0, t0 + 120, 3),
+        (1, "A", t0 + 2000, t0 + 2060, 2),
+        (2, "B", t0 + 0, t0 + 30, 2),
+    }
+    open_tail = {(1, "B", t0 + 2120, t0 + 2120, 1), (2, "A", t0 + 90, t0 + 90, 1)}
+    assert batch == closed | open_tail
