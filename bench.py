@@ -121,6 +121,21 @@ def run(sf_dir: str, cpus: int) -> dict:
             knn_join(spark, imgs, KNN_QUERIES, k=KNN_K, id_col="image_id", n_hint=n_images)
         ),
     )
+    from jena_geo_spark.operators.knn import knn_join_frames
+    from jena_geo_spark.operators.spatial_join import dwithin_join_points_points
+
+    pts = imgs.select(F.col("image_id").alias("id"), "lon", "lat")
+    timed(
+        "images_dwithin_frames",
+        lambda: _noop(dwithin_join_points_points(spark, pts, pts, 0.002)),
+    )
+    knn_left = pts.filter(F.pmod(F.xxhash64("id"), F.lit(100)) == 0)  # ~1% sample
+    timed(
+        "images_knn_frames",
+        lambda: _noop(
+            knn_join_frames(spark, knn_left, pts, k=5, n_hint=n_images)
+        ),
+    )
     timed("events_pip_join", lambda: _noop(q_geo_pip_join(spark, sf_dir)))
     timed("events_tile_hist", lambda: _noop(q_geo_tile_hist(spark, sf_dir)))
     timed("doc_jaccard_pairs", lambda: _noop(q_doc_jaccard_pairs(spark, sf_dir)))
