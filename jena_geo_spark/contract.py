@@ -1911,9 +1911,95 @@ def o_geo_visit_sessions() -> str:
     )
 
 
+# ------------------------------------------- connected components --------
+
+_CC_MOD = 8
+_CC_RADIUS = 1.0
+
+
+def q_geo_cluster_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_ClusterWithin at frame scale (``operators.components``): clusters
+    are the connected components of the "within distance d" graph.  Edges
+    come from the zero-Python ``dwithin_join_points_points`` (self-pairs
+    give every point a self-loop, so singletons label themselves); labels
+    converge by min-label propagation with pointer jumping — O(log n)
+    shuffle rounds, all Catalyst.  Reference: ClusterWithin semantics of
+    the PostGIS surface jena-geo registers (PostGISConfig.java)."""
+    from .operators.components import connected_components
+
+    pts = (
+        points_from_events(spark, sf_dir)
+        .filter(F.col("event_id") % _CC_MOD == 0)
+        .select("event_id", "lon", "lat")
+    )
+    edges = dwithin_join_points_points(
+        spark, pts, pts, _CC_RADIUS, left_id="event_id", right_id="event_id"
+    ).select(
+        F.col("event_id").alias("src"), F.col("event_id_right").alias("dst")
+    )
+    out = connected_components(edges)
+    return out.select(F.col("node").alias("event_id"), "component")
+
+
+def o_geo_cluster_within() -> str:
+    # transitive closure by recursive CTE (tractable at oracle scale
+    # because _CC_RADIUS keeps components small); component label = min
+    # reachable id, exactly the engine's min-label fixpoint.
+    return (
+        f"WITH RECURSIVE {_PTS_CTE}, "
+        f"s AS (SELECT event_id, lon, lat FROM pts WHERE event_id % {_CC_MOD} = 0), "
+        f"e AS (SELECT a.event_id AS a, b.event_id AS b FROM s a JOIN s b ON "
+        f"sqrt((a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat)) "
+        f"<= {_CC_RADIUS!r}), "
+        f"reach(a, b) AS (SELECT a, b FROM e "
+        f"UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a) "
+        f"SELECT a AS event_id, min(b) AS component FROM reach GROUP BY a"
+    )
+
+
+def q_doc_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup GROUP assignment: duplicate PAIRS → canonical groups via
+    distributed connected components.  Pairs are chained per exact-dup key
+    (lag window), so multi-member groups require label propagation across
+    the chain — the pointer-jumping path is genuinely exercised while the
+    oracle stays a plain SQL group-min."""
+    from pyspark.sql.window import Window
+
+    from .operators.components import connected_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    keyed = docs.select(
+        "doc_id",
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " "
+        ).alias("k"),
+    )
+    w = Window.partitionBy("k").orderBy("doc_id")
+    chain = keyed.withColumn("prev", F.lag("doc_id").over(w))
+    edges = chain.select(
+        F.coalesce(F.col("prev"), F.col("doc_id")).alias("src"),
+        F.col("doc_id").alias("dst"),
+    )
+    out = connected_components(edges)
+    return out.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("group_id")
+    )
+
+
+def o_doc_dedup_groups() -> str:
+    return (
+        "WITH keyed AS (SELECT doc_id, "
+        "array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS k "
+        "FROM documents) "
+        "SELECT doc_id, min(doc_id) OVER (PARTITION BY k) AS group_id FROM keyed"
+    )
+
+
 # ------------------------------------------------------------------ export --
 
 QUERIES = {
+    "geo_cluster_within": q_geo_cluster_within,
+    "doc_dedup_groups": q_doc_dedup_groups,
     "geo_polygon_join": q_geo_polygon_join,
     "geo_dwithin_frames": q_geo_dwithin_frames,
     "geo_knn_frames": q_geo_knn_frames,
@@ -1970,6 +2056,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "geo_cluster_within": o_geo_cluster_within(),
+    "doc_dedup_groups": o_doc_dedup_groups(),
     "geo_polygon_join": o_geo_polygon_join(),
     "geo_dwithin_frames": o_geo_dwithin_frames(),
     "geo_knn_frames": o_geo_knn_frames(),

@@ -1,0 +1,52 @@
+"""Connected components vs a python union-find reference."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from jena_geo_spark.operators.components import connected_components
+
+
+def _uf_reference(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min id per component
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for n in members:
+            out[n] = m
+    return out
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_components_match_union_find(spark, seed):
+    rng = np.random.default_rng(seed)
+    n = 400
+    # mixture: random sparse edges + a long chain (pointer-jump stressor)
+    edges = set()
+    for _ in range(300):
+        a, b = int(rng.integers(0, n)), int(rng.integers(0, n))
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    for i in range(100, 160):  # chain of 60
+        edges.add((i, i + 1))
+    edges = sorted(edges)
+    nodes = sorted({x for e in edges for x in e})
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    want = _uf_reference(edges, nodes)
+    assert got == want
