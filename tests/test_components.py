@@ -32,6 +32,19 @@ def _uf_reference(edges, nodes):
     return out
 
 
+def test_components_empty_edges(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(df).count() == 0
+
+
+def test_components_self_loops_only(spark):
+    # a dedup scan that found no cross-doc pairs emits only self-loops;
+    # every node must label itself in one round
+    df = spark.createDataFrame([(i, i) for i in range(5)], "src long, dst long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == {i: i for i in range(5)}
+
+
 @pytest.mark.parametrize("seed", [3, 11])
 def test_components_match_union_find(spark, seed):
     rng = np.random.default_rng(seed)
