@@ -29,6 +29,7 @@ from jena_geo_spark.contract import (  # noqa: E402
     q_doc_jaccard_pairs,
     q_emb_topk,
     q_geo_pip_join,
+    q_geo_polygon_join,
     q_geo_tile_hist,
 )
 from jena_geo_spark.pipelines import dedup as _dedup  # noqa: E402
@@ -137,6 +138,43 @@ def run(sf_dir: str, cpus: int) -> dict:
         ),
     )
     timed("events_pip_join", lambda: _noop(q_geo_pip_join(spark, sf_dir)))
+    # frame-scale polygon×polygon self-join (mapInPandas covers →
+    # ancestor-emission equi-join → factorized batch refine).  Polygons are
+    # locally-sized triangles (~0.5° envelope) anchored at event points —
+    # the spatial-density regime the operator targets at 100 TB (the
+    # contract query q_geo_polygon_join keeps the adversarial global-
+    # triangle derivation for the oracle gate; here it would measure an
+    # all-pairs refine, not the join plan).
+    from jena_geo_spark.contract import points_from_events
+    from jena_geo_spark.operators.spatial_join import polygon_join_frames
+
+    # ~4° triangles: the hash-lattice point set is low-discrepancy (pairwise
+    # min distance ~3.6° at 5k points), so sub-degree polygons would never
+    # touch and the join would measure nothing
+    ev = points_from_events(spark, sf_dir).filter(F.col("event_id") % 20 == 0)
+    tri_local = ev.select(
+        F.format_string("t%09d", F.col("event_id")).alias("id"),
+        F.format_string(
+            "POLYGON((%s %s, %s %s, %s %s, %s %s))",
+            *[
+                c.cast("string")
+                for c in (
+                    F.col("lon"),
+                    F.col("lat"),
+                    F.col("lon") + 4.0,
+                    F.col("lat") + 0.8,
+                    F.col("lon") + 1.6,
+                    F.col("lat") + 3.2,
+                    F.col("lon"),
+                    F.col("lat"),
+                )
+            ],
+        ).alias("wkt"),
+    )
+    timed(
+        "polygon_join_frames",
+        lambda: _noop(polygon_join_frames(spark, tri_local, id_col="id", wkt_col="wkt")),
+    )
     timed("events_tile_hist", lambda: _noop(q_geo_tile_hist(spark, sf_dir)))
     timed("doc_jaccard_pairs", lambda: _noop(q_doc_jaccard_pairs(spark, sf_dir)))
     # production minhash path (xxhash64 shingle hashing); the contract query

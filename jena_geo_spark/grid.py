@@ -141,18 +141,20 @@ def descendants_at(cid: np.ndarray, target_res: int) -> np.ndarray:
     """
     cid = np.asarray(cid, dtype=np.int64)
     res = cell_res(cid)
+    if len(cid) and int(res.max()) > target_res:
+        raise ValueError("cell finer than target_res")
     out_cells, out_owner = [], []
-    for i in range(len(cid)):
-        s = int(target_res - res[i])
-        if s < 0:
-            raise ValueError("cell finer than target_res")
-        ix, iy = cell_xy(cid[i : i + 1])
-        base_x, base_y = int(ix[0]) << s, int(iy[0]) << s
-        k = 1 << s
+    # vectorised per depth-group: all cells s levels above target expand to a
+    # (2^s × 2^s) block each with one broadcast add
+    for s in sorted(set((target_res - res).tolist())):
+        grp = np.nonzero(target_res - res == s)[0]
+        ix, iy = cell_xy(cid[grp])
+        k = 1 << int(s)
         gx, gy = np.meshgrid(np.arange(k, dtype=np.int64), np.arange(k, dtype=np.int64))
-        cells = pack(target_res, base_x + gx.ravel(), base_y + gy.ravel())
-        out_cells.append(cells)
-        out_owner.append(np.full(len(cells), i, dtype=np.int64))
+        xs = (ix[:, None] << s) + gx.ravel()[None, :]
+        ys = (iy[:, None] << s) + gy.ravel()[None, :]
+        out_cells.append(pack(target_res, xs.ravel(), ys.ravel()))
+        out_owner.append(np.repeat(grp, k * k))
     if not out_cells:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     return np.concatenate(out_cells), np.concatenate(out_owner)
@@ -215,6 +217,110 @@ def _rect_polygon_relation(
     return 0
 
 
+def rect_ring_relation(
+    xmin: np.ndarray,
+    ymin: np.ndarray,
+    xmax: np.ndarray,
+    ymax: np.ndarray,
+    poly: np.ndarray,
+) -> np.ndarray:
+    """Batch ``_rect_polygon_relation``: N rects against ONE ring at once.
+
+    Returns uint8[N]: 0 = disjoint, 1 = partial, 2 = rect fully inside.
+    Same conservative contract as the scalar version (may report 1 where
+    0/2 would be exact; 0 and 2 are sound) and the same relative-epsilon
+    rect dilation.  Replaces the per-cell Python loop that dominated
+    driver-side cover construction (r2 VERDICT "What's wrong" #3): the
+    whole BFS frontier is classified with (N_rects × M_edges) numpy ops —
+    Liang–Barsky segment-rect clipping for edge crossings, one vectorised
+    ray-cast for the 4N corners, broadcast compares for vertex-in-rect.
+    """
+    poly = np.asarray(poly, dtype=np.float64)[:, :2]
+    if len(poly) >= 2 and (poly[0] == poly[-1]).all():
+        poly = poly[:-1]
+    xmin = np.asarray(xmin, dtype=np.float64)
+    ymin = np.asarray(ymin, dtype=np.float64)
+    xmax = np.asarray(xmax, dtype=np.float64)
+    ymax = np.asarray(ymax, dtype=np.float64)
+    n = len(xmin)
+    if n == 0:
+        return np.empty(0, dtype=np.uint8)
+    eps = 1e-9 * np.maximum(xmax - xmin, ymax - ymin)
+    xmin, ymin = xmin - eps, ymin - eps
+    xmax, ymax = xmax + eps, ymax + eps
+
+    px, py = poly[:, 0], poly[:, 1]
+    rel = np.ones(n, dtype=np.uint8)
+    # bbox reject
+    disjoint_bbox = (
+        (xmin > px.max()) | (xmax < px.min()) | (ymin > py.max()) | (ymax < py.min())
+    )
+    rel[disjoint_bbox] = 0
+    live = ~disjoint_bbox
+    if not live.any():
+        return rel
+
+    lx0, ly0 = xmin[live], ymin[live]
+    lx1, ly1 = xmax[live], ymax[live]
+    # --- edge × rect intersection via Liang–Barsky -------------------------
+    ax, ay = px, py
+    bx, by = np.roll(px, -1), np.roll(py, -1)
+    dx, dy = bx - ax, by - ay  # (M,)
+    # p_k (M,) per clip side; q_k (L, M) per rect × edge
+    P = np.stack([-dx, dx, -dy, dy])  # (4, M)
+    Q = np.stack(
+        [
+            ax[None, :] - lx0[:, None],
+            lx1[:, None] - ax[None, :],
+            ay[None, :] - ly0[:, None],
+            ly1[:, None] - ay[None, :],
+        ]
+    )  # (4, L, M)
+    t0 = np.zeros_like(Q[0])
+    t1 = np.ones_like(Q[0])
+    valid = np.ones(Q[0].shape, dtype=bool)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for k in range(4):
+            pk = P[k][None, :]
+            qk = Q[k]
+            t = qk / pk
+            valid &= ~((pk == 0) & (qk < 0))
+            t0 = np.where(pk < 0, np.maximum(t0, t), t0)
+            t1 = np.where(pk > 0, np.minimum(t1, t), t1)
+    edge_hit = (valid & (t0 <= t1)).any(axis=1)  # (L,)
+
+    # --- corners inside the ring (one vectorised ray-cast for 4L points) ---
+    cx = np.concatenate([lx0, lx1, lx1, lx0])
+    cy = np.concatenate([ly0, ly0, ly1, ly1])
+    from .geom.kernel import points_in_polygon
+
+    cin = points_in_polygon(cx, cy, poly).reshape(4, -1)  # (4, L)
+    all_in, any_in = cin.all(axis=0), cin.any(axis=0)
+
+    # --- ring vertex inside rect -------------------------------------------
+    vin = (
+        (px[None, :] >= lx0[:, None])
+        & (px[None, :] <= lx1[:, None])
+        & (py[None, :] >= ly0[:, None])
+        & (py[None, :] <= ly1[:, None])
+    ).any(axis=1)
+
+    lrel = np.where(
+        edge_hit, 1, np.where(all_in, 2, np.where(any_in | vin, 1, 0))
+    ).astype(np.uint8)
+    rel[live] = lrel
+    return rel
+
+
+def rect_cells_relation(cells: np.ndarray, poly: np.ndarray) -> np.ndarray:
+    """``rect_ring_relation`` over cell ids (batched cell_bounds)."""
+    cells = np.asarray(cells, dtype=np.int64)
+    if len(cells) == 0:
+        return np.empty(0, dtype=np.uint8)
+    xmin, ymin, xmax, ymax = cell_bounds(cells)
+    return rect_ring_relation(xmin, ymin, xmax, ymax, poly)
+
+
 def cover_polygon(
     poly: np.ndarray, max_res: int, min_res: int = 0, max_cells: int = 256
 ) -> np.ndarray:
@@ -232,33 +338,35 @@ def cover_polygon(
     fx1 = int(np.clip((poly[:, 0].max() - _LON_MIN) / _LON_SPAN * n0, 0, n0 - 1))
     fy0 = int(np.clip((poly[:, 1].min() - _LAT_MIN) / _LAT_SPAN * n0, 0, n0 - 1))
     fy1 = int(np.clip((poly[:, 1].max() - _LAT_MIN) / _LAT_SPAN * n0, 0, n0 - 1))
-    frontier = [
-        int(pack(min_res, np.array([x]), np.array([y]))[0])
-        for x in range(fx0, fx1 + 1)
-        for y in range(fy0, fy1 + 1)
-    ]
-    out: list[int] = []
-    while frontier:
+    gx, gy = np.meshgrid(
+        np.arange(fx0, fx1 + 1, dtype=np.int64), np.arange(fy0, fy1 + 1, dtype=np.int64)
+    )
+    frontier = pack(min_res, gx.ravel(), gy.ravel())
+    out: list[np.ndarray] = []
+    n_out = 0
+    while len(frontier):
         # stop refining when the budget is reached: keep remaining frontier
-        if len(out) + len(frontier) >= max_cells:
-            for c in frontier:
-                xmin, ymin, xmax, ymax = (float(v[0]) for v in cell_bounds(np.array([c])))
-                if _rect_polygon_relation(xmin, ymin, xmax, ymax, poly) != 0:
-                    out.append(c)
+        if n_out + len(frontier) >= max_cells:
+            keep = frontier[rect_cells_relation(frontier, poly) != 0]
+            out.append(keep)
             break
-        nxt: list[int] = []
-        for c in frontier:
-            xmin, ymin, xmax, ymax = (float(v[0]) for v in cell_bounds(np.array([c])))
-            rel = _rect_polygon_relation(xmin, ymin, xmax, ymax, poly)
-            if rel == 0:
-                continue
-            r = int(cell_res(np.array([c]))[0])
-            if rel == 2 or r >= max_res:
-                out.append(c)
-            else:
-                nxt.extend(int(ch) for ch in children(c))
-        frontier = nxt
-    return np.array(sorted(set(out)), dtype=np.int64)
+        rel = rect_cells_relation(frontier, poly)
+        res = cell_res(frontier)
+        done = (rel == 2) | ((rel != 0) & (res >= max_res))
+        out.append(frontier[done])
+        n_out += int(done.sum())
+        split = frontier[(rel == 1) & (res < max_res)]
+        if len(split) == 0:
+            break
+        ix, iy = cell_xy(split)
+        ix, iy = ix << 1, iy << 1
+        frontier = pack(
+            np.repeat(cell_res(split) + 1, 4),
+            np.stack([ix, ix + 1, ix, ix + 1], axis=1).ravel(),
+            np.stack([iy, iy, iy + 1, iy + 1], axis=1).ravel(),
+        )
+    merged = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+    return np.unique(merged)
 
 
 def cover_point_radius(
