@@ -436,6 +436,48 @@ def o_geo_haversine() -> str:
     )
 
 
+def q_geo_geodesic_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRID-keyed distance dispatch (``GeometryWrapper.java:676-686``):
+    even event_ids carry a geographic SRID (4326 → great-circle metres via
+    spherical Vincenty on the nearest vertex pair), odd a projected one
+    (3857 → planar Euclidean in CRS units).  Geographic rows round to
+    whole metres, planar to 9 dp (libm last-ULP absorption — the
+    geo_haversine pattern)."""
+    from .functions.vector import geof_distance, st_point
+
+    pts = points_from_events(spark, sf_dir)
+    srid = F.when(F.col("event_id") % 2 == 0, F.lit(4326)).otherwise(F.lit(3857))
+    d = geof_distance(
+        st_point(F.col("lon"), F.col("lat")),
+        st_point(F.lit(8.2835), F.lit(49.9928)),
+        srid,
+    )
+    dist = F.when(F.col("event_id") % 2 == 0, F.round(d, 0)).otherwise(F.round(d, 9))
+    return pts.select("event_id", dist.alias("dist"))
+
+
+def o_geo_geodesic_dist() -> str:
+    # geographic branch: spherical Vincenty atan2 form, same op order as
+    # kernel.vincenty_m; projected branch: planar sqrt(dx²+dy²)
+    lam2, phi2 = "radians(8.2835::DOUBLE)", "radians(49.9928::DOUBLE)"
+    vin = (
+        f"6371008.7714 * atan2(sqrt("
+        f"(cos({phi2}) * sin({lam2} - radians(lon))) * (cos({phi2}) * sin({lam2} - radians(lon)))"
+        f" + (cos(radians(lat)) * sin({phi2}) - sin(radians(lat)) * cos({phi2}) * cos({lam2} - radians(lon)))"
+        f" * (cos(radians(lat)) * sin({phi2}) - sin(radians(lat)) * cos({phi2}) * cos({lam2} - radians(lon)))"
+        f"), sin(radians(lat)) * sin({phi2}) + cos(radians(lat)) * cos({phi2}) * cos({lam2} - radians(lon)))"
+    )
+    pl = (
+        "sqrt((lon - 8.2835::DOUBLE) * (lon - 8.2835::DOUBLE)"
+        " + (lat - 49.9928::DOUBLE) * (lat - 49.9928::DOUBLE))"
+    )
+    return (
+        f"WITH {_PTS_CTE} SELECT event_id, "
+        f"CASE WHEN event_id % 2 = 0 THEN round({vin}, 0) ELSE round({pl}, 9) END"
+        f" AS dist FROM pts"
+    )
+
+
 def q_geo_azimuth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Great-circle azimuth from each point to the next derived vertex,
     rounded to 1e-9 rad (libm last-ULP absorption — haversine pattern)."""
@@ -2042,6 +2084,7 @@ QUERIES = {
     "geo_envelope_agg": q_geo_envelope_agg,
     "temporal_allen": q_temporal_allen,
     "geo_haversine": q_geo_haversine,
+    "geo_geodesic_dist": q_geo_geodesic_dist,
     "geo_azimuth": q_geo_azimuth,
     "geo_transform_merc": q_geo_transform_merc,
     "geo_clip_area": q_geo_clip_area,
@@ -2062,7 +2105,6 @@ QUERIES = {
     "geo_bounds_box": q_geo_bounds_box,
     "geo_units": q_geo_units,
     "geo_affine": q_geo_affine,
-    "geo_dump_points": q_geo_dump_points,
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
     "doc_dedup_exact": q_doc_dedup_exact,
@@ -2082,6 +2124,7 @@ QUERIES = {
     # (tests/test_driver_contract.py runs all of them, bit-exact).
     "geo_triangle_centroid": q_geo_triangle_centroid,
     "geo_boundary_len": q_geo_boundary_len,
+    "geo_dump_points": q_geo_dump_points,
     "tpch_q1": q_tpch_q1,
     "events_window": q_events_window,
     "orders_agg": q_orders_agg,
@@ -2107,6 +2150,7 @@ ORACLES = {
     "geo_envelope_agg": o_geo_envelope_agg(),
     "temporal_allen": o_temporal_allen(),
     "geo_haversine": o_geo_haversine(),
+    "geo_geodesic_dist": o_geo_geodesic_dist(),
     "geo_azimuth": o_geo_azimuth(),
     "geo_transform_merc": o_geo_transform_merc(),
     "geo_clip_area": o_geo_clip_area(),

@@ -268,6 +268,10 @@ _reg("st_closestCooordinate", R2.st_closestcoordinate, "g", "gpt")
 _reg("st_furthestCoordinate", R2.st_furthestcoordinate, "g", "gpt")
 _reg("st_closestPoint", V.st_closestpoint, "g", "gpt")
 _reg("st_distance", V.st_distance, "g", "g2")
+# geof:distance — BONUS surface beyond PostGISConfig (the GeoSPARQL core
+# function): SRID-keyed dispatch, geographic → great-circle (Vincenty on the
+# nearest vertex pair), projected → planar (GeometryWrapper.java:676-686)
+_reg("geof_distance", V.geof_distance, "g", "g2", L(4326))
 _reg("st_distancesphere", RS.st_distancesphere_geom, "gpt", "gpt2")
 _reg("st_equalSRS", R2.st_equalsrs, "sridc", "sridc")
 _reg("st_equalType", R2.st_equaltype, "g", "g2")

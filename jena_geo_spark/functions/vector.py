@@ -211,6 +211,41 @@ def st_distance_sphere(lon1: pd.Series, lat1: pd.Series, lon2: pd.Series, lat2: 
     return pd.Series(K.haversine_m(lon1, lat1, lon2, lat2))
 
 
+@pandas_udf(DoubleType())
+def geof_distance(a: pd.Series, b: pd.Series, srid: pd.Series) -> pd.Series:
+    """geof:distance with the reference's SRID-keyed dispatch
+    (``GeometryWrapper.java:676-686``): geographic SRS → great-circle in
+    metres (nearest VERTEX pair by planar distance, then spherical
+    Vincenty — ``GeometryWrapper.java:616-629``), projected SRS → planar
+    Euclidean in CRS units.  Point-point rows (the bulk at scale) take a
+    fully vectorised path; only mixed/complex geometries fall back to the
+    per-row nearest-pair kernel."""
+    from ..geom import distances as D
+    from .srid import is_geographic
+
+    geo_mask = np.array([is_geographic(int(s)) for s in srid], dtype=bool)
+    out = np.empty(len(a), dtype=np.float64)
+    geoms_a = [W.from_wkb(x) for x in a]
+    geoms_b = [W.from_wkb(x) for x in b]
+    pp = np.array(
+        [ga.kind == "point" and gb.kind == "point" for ga, gb in zip(geoms_a, geoms_b)],
+        dtype=bool,
+    )
+    fast = geo_mask & pp
+    if fast.any():
+        ax = np.array([geoms_a[i].all_coords()[0] for i in np.nonzero(fast)[0]])
+        bx = np.array([geoms_b[i].all_coords()[0] for i in np.nonzero(fast)[0]])
+        out[fast] = K.vincenty_m(ax[:, 0], ax[:, 1], bx[:, 0], bx[:, 1])
+    for i in np.nonzero(geo_mask & ~pp)[0]:
+        (x1, y1), (x2, y2) = D.nearest_coordinate_pair(geoms_a[i], geoms_b[i])
+        out[i] = 0.0 if (x1 == x2 and y1 == y2) else float(
+            K.vincenty_m(x1, y1, x2, y2)
+        )
+    for i in np.nonzero(~geo_mask)[0]:
+        out[i] = K.geom_distance_g(geoms_a[i], geoms_b[i])
+    return pd.Series(out)
+
+
 # --- distance long tail (geom/distances.py kernels) ---
 # reference geometry/relation/{HausdorffDistance,FrechetDistance,
 # MaxDistance,ClosestPoint,ShortestLine,LongestLine,CentroidDistance}.java

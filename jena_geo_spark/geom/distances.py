@@ -106,6 +106,23 @@ def nearest_points(ga, gb) -> tuple:
     return pa, pb
 
 
+def nearest_coordinate_pair(ga, gb) -> tuple:
+    """((ax, ay), (bx, by)): the planar-nearest pair of VERTICES, one from
+    each geometry — the reference's ``CoordinatePair.findNearestPair``
+    (``GeometryWrapper.java:616-618``: "the nearest pair of coordinates
+    from each Geometry using Euclidean distance"), which its great-circle
+    distance then feeds to Vincenty.  Vertex-to-vertex only (no segment
+    projection), matching the reference exactly."""
+    a = np.asarray(ga.all_coords(), dtype=np.float64)[:, :2]
+    b = np.asarray(gb.all_coords(), dtype=np.float64)[:, :2]
+    d2 = (
+        (a[:, 0][:, None] - b[:, 0][None, :]) ** 2
+        + (a[:, 1][:, None] - b[:, 1][None, :]) ** 2
+    )
+    i, j = np.unravel_index(np.argmin(d2), d2.shape)
+    return (float(a[i, 0]), float(a[i, 1])), (float(b[j, 0]), float(b[j, 1]))
+
+
 def frechet_discrete(p: np.ndarray, q: np.ndarray) -> float:
     """Discrete Fréchet distance (Eiter–Mannila coupling DP)."""
     p = np.asarray(p, dtype=np.float64)

@@ -313,6 +313,24 @@ def _any_vertex_inside(g_area, g_pts) -> bool:
 _EARTH_RADIUS_M = 6371008.7714  # mean earth radius (IUGG)
 
 
+def vincenty_m(lon1, lat1, lon2, lat2) -> np.ndarray:
+    """Great-circle distance in metres, spherical Vincenty (atan2 form) —
+    the formula the reference applies to the nearest coordinate pair on
+    the geographic branch of its distance dispatch
+    (``GeometryWrapper.java:623``: "Vincenty Formula is apparently more
+    accurate at the Longitude boundary"); numerically stable where the
+    haversine loses precision (antipodal / boundary pairs)."""
+    lon1, lat1, lon2, lat2 = (
+        np.radians(np.asarray(v, dtype=np.float64)) for v in (lon1, lat1, lon2, lat2)
+    )
+    dlon = lon2 - lon1
+    c1, c2 = np.cos(lat1), np.cos(lat2)
+    s1, s2 = np.sin(lat1), np.sin(lat2)
+    num = np.sqrt((c2 * np.sin(dlon)) ** 2 + (c1 * s2 - s1 * c2 * np.cos(dlon)) ** 2)
+    den = s1 * s2 + c1 * c2 * np.cos(dlon)
+    return _EARTH_RADIUS_M * np.arctan2(num, den)
+
+
 def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
     """Great-circle distance in metres (vectorised).  Implements the
     geographic branch of the reference distance dispatch

@@ -33,6 +33,32 @@ from pyspark.sql.types import BooleanType, LongType
 from . import codec
 
 
+def _composite_codes(
+    codes_b: np.ndarray, wv: np.ndarray, hv: np.ndarray, fc: np.ndarray
+) -> np.ndarray:
+    """Factor codes for the (payload, w, h, fmt) composite.
+
+    Fast path packs the four factors into one int64 (payload code ≤ 2^27
+    per Arrow batch | 16-bit w | 16-bit h | 4-bit fmt code) and factorizes
+    that.  The packing is only used when every field FITS — w/h ≥ 65536 or
+    >15 distinct formats would alias different images onto one key and
+    reuse the wrong decode (ADVICE r2 #5) — otherwise the exact multi-
+    column ``np.unique(axis=0)`` fallback runs (same contract, no packing).
+    """
+    in_range = (
+        (wv >= 0).all()
+        and (hv >= 0).all()
+        and (len(wv) == 0 or (wv.max() < 0x10000 and hv.max() < 0x10000))
+        and (len(fc) == 0 or fc.max() < 0xF)
+    )
+    if in_range:
+        key = (codes_b << 36) | (wv << 20) | (hv << 4) | ((fc + 1) & 0xF)
+        return pd.factorize(key)[0]
+    return np.unique(
+        np.column_stack([codes_b, wv, hv, fc]), axis=0, return_inverse=True
+    )[1].ravel()
+
+
 def _factorized_phashes_arrow(
     b: "pa.Array", w: "pa.Array", h: "pa.Array", fmt: "pa.Array"
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -55,9 +81,7 @@ def _factorized_phashes_arrow(
     fc = pc.fill_null(fd.indices, -1).to_numpy(zero_copy_only=False).astype(np.int64)
     wv = pc.fill_null(w, 0).to_numpy(zero_copy_only=False).astype(np.int64)
     hv = pc.fill_null(h, 0).to_numpy(zero_copy_only=False).astype(np.int64)
-    # pack: payload code (≤ batch size < 2^27) | w,h (16 bits) | fmt code
-    key = (codes_b << 36) | ((wv & 0xFFFF) << 20) | ((hv & 0xFFFF) << 4) | ((fc + 1) & 0xF)
-    codes, _ = pd.factorize(key)
+    codes = _composite_codes(codes_b, wv, hv, fc)
     k = codes.max() + 1 if len(codes) else 0
     # first row index per unique key: reverse-order assign ⇒ first wins
     first_idx = np.empty(k, dtype=np.int64)
@@ -123,13 +147,9 @@ def decode_feature_stats(df: DataFrame) -> DataFrame:
             fc, _ = pd.factorize(pdf["fmt"])
             wv = pdf["w"].fillna(0).to_numpy(dtype=np.int64)
             hv = pdf["h"].fillna(0).to_numpy(dtype=np.int64)
-            key = (
-                (codes_b.astype(np.int64) << 36)
-                | ((wv & 0xFFFF) << 20)
-                | ((hv & 0xFFFF) << 4)
-                | ((fc.astype(np.int64) + 1) & 0xF)
+            codes = _composite_codes(
+                codes_b.astype(np.int64), wv, hv, fc.astype(np.int64)
             )
-            codes, _ = pd.factorize(key)
             k = codes.max() + 1 if len(codes) else 0
             first_idx = np.empty(k, dtype=np.int64)
             rev = np.arange(len(codes) - 1, -1, -1)

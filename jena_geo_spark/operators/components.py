@@ -23,9 +23,12 @@ Iterative-Spark pitfalls handled explicitly:
   ``persist`` alone does not truncate the plan Catalyst re-analyzes).
   Each round ends in ``localCheckpoint(eager=True)``, which both
   materializes the round and cuts the plan back to a leaf.
-* **cheap convergence test** — labels are elementwise non-increasing, so
-  the label SUM strictly decreases until the fixpoint; one tiny
-  aggregate per round replaces an old-vs-new join.
+* **cheap convergence test** — each round carries a ``changed`` flag
+  (new label ≠ the round's starting label) through the checkpoint, so
+  convergence is one ``limit(1).count()`` on already-materialized rows:
+  no old-vs-new join, no arithmetic on node ids (the r2 label-sum test
+  broke for string ids — ANSI ``CAST_INVALID_INPUT`` — and could in
+  principle overflow int64 sums; ADVICE r2 item 1).
 
 Determinism: the final label of every node is the MINIMUM node id in its
 component — independent of join order or partitioning, hence exactly
@@ -45,8 +48,14 @@ def connected_components(
     max_iters: int = 50,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; component
-    = min node id of its connected component.  Isolated nodes of the
-    graph do not appear (callers union them back with label=self)."""
+    = min node id of its connected component.  Node ids may be any
+    orderable type (long, string, ...).  Isolated nodes of the graph do
+    not appear (callers union them back with label=self).
+
+    Raises ``RuntimeError`` if ``max_iters`` rounds pass without reaching
+    the fixpoint (pointer jumping converges in O(log n) rounds, so
+    exhaustion means the input is pathological — silently returning
+    partial labels would corrupt downstream dedup groups)."""
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -59,9 +68,9 @@ def connected_components(
         .withColumn("lbl", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("lbl")).first()[0]
     for _ in range(max_iters):
-        # min over own label and neighbors' labels
+        # min over own label and neighbors' labels; keep the round's
+        # starting label so convergence is a flag, not id arithmetic
         neigh = (
             e.join(labels.withColumnRenamed("node", "b"), "b")
             .groupBy(F.col("a").alias("node"))
@@ -69,6 +78,7 @@ def connected_components(
         )
         new = labels.join(neigh, "node", "left").select(
             "node",
+            F.col("lbl").alias("prev"),
             F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
                 "lbl"
             ),
@@ -86,12 +96,15 @@ def connected_components(
             .select(
                 F.col("node"),
                 F.coalesce(F.col("lbl2"), F.col("lbl")).alias("lbl"),
+                (F.coalesce(F.col("lbl2"), F.col("lbl")) != F.col("prev")).alias(
+                    "changed"
+                ),
             )
             .localCheckpoint(eager=True)
         )
-        labels = jumped
-        cur_sum = labels.agg(F.sum("lbl")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    return labels.select(F.col("node"), F.col("lbl").alias("component"))
+        labels = jumped.select("node", "lbl")
+        if jumped.where("changed").limit(1).count() == 0:
+            return labels.select(F.col("node"), F.col("lbl").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds"
+    )

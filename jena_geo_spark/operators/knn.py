@@ -93,7 +93,7 @@ def knn_join(
                 "rank",
             )
         )
-        topk = topk.cache()
+        topk = topk.localCheckpoint(eager=True)
         # guard: ring guarantees correctness iff kth distance fits inside the
         # ring's inscribed radius (ring reaches at least `ring` cells out in
         # every direction; cell height is the binding dimension)
@@ -110,7 +110,8 @@ def knn_join(
         )
         if ok:
             return topk
-        topk.unpersist()
+        # (checkpoint blocks of the failed round are GC-released once the
+        # frame goes out of scope — no explicit unpersist needed)
         if ring_res > 0:
             ring_res -= 1  # coarsen: same cell count, double the radius
         else:
@@ -233,7 +234,12 @@ def knn_join_frames(
             .withColumn("dist", F.sqrt(F.col("_d2")))
             .withColumn(right_id + "_right", F.col("_rid"))
         )
-        topk = topk.cache()
+        # localCheckpoint, not cache(): blocks free themselves when the
+        # round frame becomes unreferenced (cache() pins executor storage
+        # until an explicit unpersist — r2 leaked one frame per round,
+        # ADVICE r2 #3) and the pending anti-join lineage is truncated so
+        # the plan doesn't grow by one join per round.
+        topk = topk.localCheckpoint(eager=True)
         safe_r = min(cw, ch)
         per_left = topk.groupBy(left_id).agg(
             F.max("dist").alias("_dmax"), F.count("*").alias("_n")

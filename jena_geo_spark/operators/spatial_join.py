@@ -167,6 +167,12 @@ def _ring_pip_expr(ring: np.ndarray, lon: Column, lat: Column) -> Column:
     for i in range(m):
         x1, y1 = float(ring[i][0]), float(ring[i][1])
         x2, y2 = float(ring[(i + 1) % m][0]), float(ring[(i + 1) % m][1])
+        if y1 == y2:
+            # horizontal edge: (y1>lat) != (y2>lat) is identically false, so
+            # the term can never flip parity — skipping it both prunes the
+            # expression and removes a 0-divisor literal that only worked
+            # because CASE/AND short-circuits (ADVICE r2 #2)
+            continue
         cond = (F.lit(y1) > lat) != (F.lit(y2) > lat)
         xs = F.lit(x2 - x1) * (lat - F.lit(y1)) / F.lit(y2 - y1) + F.lit(x1)
         acc = acc != (cond & (lon < xs))

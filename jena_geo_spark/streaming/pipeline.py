@@ -112,11 +112,13 @@ def stream_dedup_exact(
     watermark: str = "30 minutes",
 ) -> DataFrame:
     """Streaming exact deduplication: first arrival per key wins within the
-    watermark horizon (``dropDuplicates`` keyed state, bounded by the
-    watermark — the streaming form of the batch exact-dedup pipeline).
-    At 100 TB/day state holds one entry per distinct in-horizon key."""
-    return stream.withWatermark(ts_col, watermark).dropDuplicates(
-        key_cols + [ts_col]
+    watermark horizon (``dropDuplicatesWithinWatermark`` keyed state —
+    TRUE first-per-key: a later event with the same key but a different
+    event time is dropped too, not just exact (key, ts) replays; ADVICE
+    r2 #4).  At 100 TB/day state holds one entry per distinct in-horizon
+    key and expires with the watermark."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
     )
 
 

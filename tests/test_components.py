@@ -63,3 +63,32 @@ def test_components_match_union_find(spark, seed):
     got = {r.node: r.component for r in connected_components(df).collect()}
     want = _uf_reference(edges, nodes)
     assert got == want
+
+
+def test_components_string_ids(spark):
+    # node ids are often document ids (strings); the r2 convergence test
+    # summed ids and threw CAST_INVALID_INPUT under ANSI (ADVICE r2 #1)
+    edges = [("a", "b"), ("b", "c"), ("x", "y"), ("z", "z")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "z"}
+
+
+def test_components_max_iters_raises(spark):
+    # a 60-node chain cannot converge in 1 round; partial labels must not
+    # be returned silently
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iters=1)
+
+
+def test_components_round_count_logarithmic(spark):
+    # pointer jumping halves chain depth per round: a 200-node chain must
+    # close in O(log n) rounds, far under the plain-propagation bound
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "src long, dst long"
+    )
+    out = connected_components(df, max_iters=12)  # log2(200) ~ 7.6 + slack
+    assert {r.component for r in out.collect()} == {0}

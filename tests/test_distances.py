@@ -121,3 +121,48 @@ def test_distance_udfs(spark):
     assert r["m"] == pytest.approx(np.hypot(10, 3))
     sl = W.from_wkb(bytes(r["sl"]))
     assert sl.kind == "linestring" and np.hypot(*(sl.parts[0][1] - sl.parts[0][0])) == 3.0
+
+
+def test_geof_distance_srid_dispatch(spark):
+    """Reference dispatch (GeometryWrapper.java:676-686): geographic SRID →
+    great-circle metres via spherical Vincenty on the nearest vertex pair;
+    projected SRID → planar Euclidean, unchanged from st_distance."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from jena_geo_spark.functions.vector import geof_distance, st_distance, st_geomfromtext
+    from jena_geo_spark.geom.kernel import vincenty_m
+
+    df = spark.createDataFrame(
+        [("POINT(8.2835 49.9928)", "POINT(2.3522 48.8566)")], "wa string, wb string"
+    ).select(
+        st_geomfromtext(F.col("wa")).alias("ga"),
+        st_geomfromtext(F.col("wb")).alias("gb"),
+    )
+    geo = df.select(
+        geof_distance(F.col("ga"), F.col("gb"), F.lit(4326)).alias("d")
+    ).first().d
+    want = float(vincenty_m(8.2835, 49.9928, 2.3522, 48.8566))
+    assert geo == want  # bit-exact: same kernel on the same pair
+    assert abs(geo - 447_000) < 10_000  # sanity: Mainz→Paris ≈ 447 km
+
+    proj = df.select(
+        geof_distance(F.col("ga"), F.col("gb"), F.lit(3857)).alias("d"),
+        st_distance(F.col("ga"), F.col("gb")).alias("p"),
+    ).first()
+    assert proj.d == proj.p  # projected branch == planar distance
+
+    # geographic branch on NON-point geometry: nearest VERTEX pair feeds
+    # Vincenty (reference CoordinatePair semantics, not segment projection)
+    df2 = spark.createDataFrame(
+        [("LINESTRING(0 0, 10 0)", "POINT(5 1)")], "wa string, wb string"
+    ).select(
+        st_geomfromtext(F.col("wa")).alias("ga"),
+        st_geomfromtext(F.col("gb") if False else F.col("wb")).alias("gb"),
+    )
+    got = df2.select(
+        geof_distance(F.col("ga"), F.col("gb"), F.lit(4326)).alias("d")
+    ).first().d
+    # nearest vertices: (0,0) or (10,0) vs (5,1) — both 5.099..° away; the
+    # argmin picks the first, so the golden is vincenty((0,0),(5,1))
+    assert got == float(vincenty_m(0.0, 0.0, 5.0, 1.0))

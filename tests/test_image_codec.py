@@ -71,3 +71,33 @@ def test_psnr_gate():
     assert codec.psnr(a, a) == float("inf")
     noisy = np.clip(a.astype(np.int16) + rng.integers(-2, 3, a.shape), 0, 255).astype(np.uint8)
     assert codec.psnr(a, noisy) >= 40.0  # the lossy-path acceptance gate
+
+
+def test_composite_codes_no_aliasing():
+    # w/h beyond 16 bits or >15 formats must fall back to exact multi-col
+    # factorization instead of aliasing packed keys (ADVICE r2 #5)
+    import numpy as np
+
+    from jena_geo_spark.image.spark import _composite_codes
+
+    b = np.zeros(2, dtype=np.int64)
+    w = np.array([8, 8 + 65536], dtype=np.int64)
+    h = np.array([8, 8], dtype=np.int64)
+    f = np.zeros(2, dtype=np.int64)
+    codes = _composite_codes(b, w, h, f)
+    assert codes[0] != codes[1]
+
+    n = 20  # > 15 distinct fmt codes
+    b = np.zeros(n, dtype=np.int64)
+    w = np.full(n, 8, dtype=np.int64)
+    h = np.full(n, 8, dtype=np.int64)
+    f = np.arange(n, dtype=np.int64)
+    assert len(set(_composite_codes(b, w, h, f).tolist())) == n
+
+    # fast path: identical composites share a code, distinct ones don't
+    b = np.array([0, 0, 1], dtype=np.int64)
+    w = np.array([8, 8, 8], dtype=np.int64)
+    h = np.array([8, 8, 8], dtype=np.int64)
+    f = np.array([0, 0, 0], dtype=np.int64)
+    codes = _composite_codes(b, w, h, f)
+    assert codes[0] == codes[1] != codes[2]

@@ -24,6 +24,9 @@ ALLOWED_EXTRAS = {
     "st_touches",
     "st_within",
     "st_rast_algebra_abs",
+    # geof:distance — GeoSPARQL core function with the reference's
+    # SRID-keyed great-circle/planar dispatch (GeometryWrapper.java:676)
+    "geof_distance",
 }
 
 

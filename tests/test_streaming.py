@@ -138,11 +138,14 @@ def test_stream_dedup_exact(spark, tmp_path_factory):
 
     d = str(tmp_path_factory.mktemp("dedup_stream"))
     t0 = 1704067200
+    # doc 1: exact replay; doc 2: same key at a DIFFERENT event time (the
+    # case plain dropDuplicates on (key, ts) would keep — first-per-key
+    # semantics must drop it)
     pdf = pd.DataFrame(
         {
             "doc_id": [1, 1, 2, 2, 3],
-            "epoch": [t0, t0, t0 + 10, t0 + 10, t0 + 20],
-            "text": ["a", "a", "b", "b", "c"],
+            "epoch": [t0, t0, t0 + 10, t0 + 70, t0 + 20],
+            "text": ["a", "a", "b", "b2", "c"],
         }
     )
     sdf = spark.createDataFrame(pdf).select(
