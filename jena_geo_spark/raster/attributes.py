@@ -658,6 +658,14 @@ def rt_asjpg(b: pd.Series) -> pd.Series:
 
 @pandas_udf(BinaryType())
 def rt_astiff(b: pd.Series) -> pd.Series:
-    """STUB: no TIFF codec in this container; reference AsTIFF.java uses
-    ImageIO.  Returns NULL."""
-    return pd.Series([None] * len(b), dtype=object)
+    """Uncompressed baseline TIFF + GeoTIFF georeferencing tags, encoded
+    from scratch (struct packing, ``raster/tiff.py``) — the surface the
+    reference's AsTIFF.java sketches but leaves UnsupportedOperation.
+    Distinct payloads encode once per batch (factorize)."""
+    from .tiff import raster_to_tiff
+
+    codes, uniq = pd.factorize(b)
+    enc = [raster_to_tiff(x) if x is not None else None for x in uniq]
+    return pd.Series(
+        [enc[c] if c >= 0 else None for c in codes], dtype=object
+    )

@@ -184,3 +184,79 @@ def test_sample_raster_at_points(spark):
         for r in sample_raster_at_points(tdf, pdf, cover_res=4).collect()
     }
     assert got == {("a", "t0"): 9.0, ("b", "t1"): 0.0, ("d", "t0"): 0.0}
+
+
+# ------------------------------------------------------------------- TIFF --
+
+
+def test_tiff_roundtrip_multiband_u8():
+    from jena_geo_spark.raster import tiff as T
+
+    b1 = WR.Band(4, None, np.arange(12, dtype=np.uint8).reshape(3, 4))
+    b2 = WR.Band(4, None, (np.arange(12, dtype=np.uint8) * 2).reshape(3, 4))
+    r = WR.Raster(0, 0.5, -0.5, 10.0, 20.0, 0.0, 0.0, 4326, 4, 3, [b1, b2])
+    buf = T.encode_tiff(r)
+    # header goldens: little-endian magic, IFD at 8
+    assert buf[:4] == b"II*\x00" and buf[4:8] == b"\x08\x00\x00\x00"
+    tags, arr = T.decode_tiff(buf)
+    assert arr.shape == (3, 4, 2)
+    assert (arr[:, :, 0] == b1.data).all() and (arr[:, :, 1] == b2.data).all()
+    # TIFF 6.0 field goldens
+    assert tags[259] == (1,)  # uncompressed
+    assert tags[258] == (8, 8) and tags[339] == (1, 1)
+    assert tags[284] == (1,) and tags[278] == (3,)
+    # GeoTIFF georeferencing survives (positive ScaleY convention)
+    assert tags[33550] == (0.5, 0.5, 0.0)
+    assert tags[33922] == (0.0, 0.0, 0.0, 10.0, 20.0, 0.0)
+
+
+def test_tiff_roundtrip_float_and_signed():
+    from jena_geo_spark.raster import tiff as T
+
+    for pixtype, dt, sf in ((11, np.float64, 3), (10, np.float32, 3), (5, np.int16, 2)):
+        data = (np.linspace(-3, 7, 12).reshape(3, 4)).astype(dt)
+        r = WR.Raster(0, 1.0, -1.0, 0.0, 0.0, 0.0, 0.0, 0, 4, 3, [WR.Band(pixtype, None, data)])
+        tags, arr = T.decode_tiff(T.encode_tiff(r))
+        assert tags[339] == (sf,)
+        assert (arr[:, :, 0] == data).all()
+
+
+def test_tiff_of_reference_fixture_wkb4():
+    """Encode the reference's annotated 3-band 5x5 fixture; pixel payload
+    must round-trip byte-exactly through the TIFF."""
+    from jena_geo_spark.raster import tiff as T
+
+    r = WR.decode_hex(WKB4)
+    tags, arr = T.decode_tiff(T.encode_tiff(r))
+    assert arr.shape == (5, 5, 3)
+    for i, band in enumerate(r.bands):
+        assert (arr[:, :, i] == band.data).all()
+    assert tags[33550][0] == r.scale_x
+
+
+def test_tiff_mixed_pixtypes_raise():
+    from jena_geo_spark.raster import tiff as T
+
+    r = WR.decode_hex(WKB4)
+    r.bands[1].pixtype = 5
+    r.bands[1].data = r.bands[1].data.astype(np.int16)
+    with pytest.raises(ValueError, match="mixed band pixel types"):
+        T.encode_tiff(r)
+
+
+def test_st_astiff_spark(spark):
+    from pyspark.sql import functions as F
+
+    from jena_geo_spark.functions.registry import REGISTRY
+    from jena_geo_spark.raster import tiff as T
+
+    fn, _ = REGISTRY["st_astiff"]
+    df = spark.createDataFrame(
+        [(bytes.fromhex(WKB4),), (None,)], "rast binary"
+    ).select(fn(F.col("rast")).alias("t"))
+    rows = df.collect()
+    assert rows[1].t is None
+    tags, arr = T.decode_tiff(bytes(rows[0].t))
+    want = WR.decode_hex(WKB4)
+    assert arr.shape == (5, 5, 3)
+    assert (arr[:, :, 0] == want.bands[0].data).all()

@@ -54,7 +54,7 @@ def test_registry_entries_execute(frame, batch):
     # every entry must produce a value; NULL allowed only for documented
     # codec stubs (jpg/tiff) — everything else must be non-null on the
     # sample inputs
-    nullable = {"st_asjpg", "st_astiff"}
+    nullable = {"st_asjpg"}  # st_astiff is a real encoder since r3
     for name in batch:
         if name in nullable:
             continue
