@@ -602,6 +602,11 @@ _reg("st_rastFromWKB", RT.rt_fromwkb, "rast")
 _reg("st_aspng", RTR.st_aspng, "rast")
 _reg("st_asjpg", RT.rt_asjpg, "rast")
 _reg("st_astiff", RT.rt_astiff, "rast")
+# CoverageJSON literal codec — BONUS surface (the reference ships
+# AsCoverageJSON/RastFromCoverageJSON + CovJSONDatatype but never puts them
+# in PostGISConfig, so they are outside the 423-name parity set)
+_reg("st_ascoveragejson", RT.rt_ascoveragejson, "rast")
+_reg("st_rastfromcoveragejson", RT.rt_fromcoveragejson, "covjson")
 _reg("st_resize", RTR.st_resize, "rast", L(2), L(2))
 _reg("st_reskew", RS.rastfn_udf(__import__("jena_geo_spark.raster.transform", fromlist=["set_skew"]).set_skew, 2, "rt_reskew"), "rast", L(0.1), L(0.1))
 _reg("st_retile", RS.rt_retile, "rast", L(2), L(2))
@@ -676,6 +681,9 @@ def sample_frame(spark):
         "sridc": 4326,
         "x": 2.5,
         "rast": bytearray(rast(range(16))),
+        "covjson": __import__(
+            "jena_geo_spark.raster.covjson", fromlist=["raster_to_covjson"]
+        ).raster_to_covjson(WR.decode(rast(range(16)))),
         "rast2": bytearray(rast(range(16, 32), ipx=2.0, ipy=6.0)),
         "rasthex": WR.encode_hex(WR.decode(rast(range(16)))),
     }

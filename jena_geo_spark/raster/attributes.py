@@ -649,6 +649,35 @@ def rt_fromwkb(col):
     return F.col(col) if isinstance(col, str) else col
 
 
+@pandas_udf(StringType())
+def rt_ascoveragejson(b: pd.Series) -> pd.Series:
+    """CoverageJSON export (reference AsCoverageJSON.java /
+    CoverageJsonWriter.java; spec covjson.org) — Grid domain, one NdArray
+    range per band."""
+    from .covjson import raster_to_covjson
+
+    return pd.Series(
+        [raster_to_covjson(WR.decode(x)) if x is not None else None for x in s_iter(b)],
+        dtype=object,
+    )
+
+
+@pandas_udf(BinaryType())
+def rt_fromcoveragejson(s: pd.Series) -> pd.Series:
+    """CoverageJSON literal → WKB raster (reference
+    RastFromCoverageJSON.java / CoverageJSONReader.java)."""
+    from .covjson import covjson_to_raster
+
+    return pd.Series(
+        [WR.encode(covjson_to_raster(x)) if x is not None else None for x in s_iter(s)],
+        dtype=object,
+    )
+
+
+def s_iter(s: pd.Series):
+    return s.tolist()
+
+
 @pandas_udf(BinaryType())
 def rt_asjpg(b: pd.Series) -> pd.Series:
     """STUB: no JPEG codec in this container (image/codec.py policy);

@@ -260,3 +260,86 @@ def test_st_astiff_spark(spark):
     want = WR.decode_hex(WKB4)
     assert arr.shape == (5, 5, 3)
     assert (arr[:, :, 0] == want.bands[0].data).all()
+
+
+# --------------------------------------------------------------- CovJSON --
+
+
+COVJSON_FIXTURE = """{
+  "type": "Coverage",
+  "domain": {
+    "type": "Domain", "domainType": "Grid",
+    "axes": {
+      "x": {"start": 0.05, "stop": 0.45, "num": 5},
+      "y": {"values": [0.45, 0.35, 0.25, 0.15, 0.05]}
+    },
+    "referencing": [{"coordinates": ["x","y"],
+      "system": {"type": "GeographicCRS",
+                 "id": "http://www.opengis.net/def/crs/EPSG/0/4326"}}]
+  },
+  "parameters": {"band1": {"type": "Parameter",
+    "observedProperty": {"label": {"en": "band1"}}}},
+  "ranges": {"band1": {"type": "NdArray", "dataType": "float",
+    "axisNames": ["y","x"], "shape": [5,5],
+    "values": [0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16,17,18,19,20,21,22,23,null]}}
+}"""
+
+
+def test_covjson_fixture_matches_hexwkb_twin():
+    """Hand-built spec fixture vs its HexWKB-decoded twin: same grid, same
+    geotransform (cell-center axes), same band values (reference surface:
+    CovJSONDatatype/CoverageJSONReader; their own fixture is empty —
+    SampleRasters.java:100)."""
+    from jena_geo_spark.raster import covjson as CJ
+
+    r = CJ.covjson_to_raster(COVJSON_FIXTURE)
+    # twin: 5x5 f8 raster, scale 0.1/-0.1, origin (0, 0.5) — built via the
+    # WKB codec so both literal forms decode through independent paths
+    vals = np.arange(25, dtype=np.float64)
+    vals[24] = -9999.0
+    twin = WR.Raster(
+        0, 0.1, -0.1, 0.0, 0.5, 0.0, 0.0, 4326, 5, 5,
+        [WR.Band(11, -9999.0, vals.reshape(5, 5), nodata_raw=-9999.0)],
+    )
+    twin = WR.decode(WR.encode(twin))  # through the HexWKB codec
+    assert (r.width, r.height) == (twin.width, twin.height)
+    assert np.isclose(r.scale_x, twin.scale_x) and np.isclose(r.scale_y, twin.scale_y)
+    assert np.isclose(r.ip_x, twin.ip_x) and np.isclose(r.ip_y, twin.ip_y)
+    assert r.bands[0].nodata == twin.bands[0].nodata
+    assert (r.bands[0].data == twin.bands[0].data).all()
+
+
+def test_covjson_roundtrip_multiband():
+    from jena_geo_spark.raster import covjson as CJ
+
+    r = WR.decode_hex(WKB4)
+    back = CJ.covjson_to_raster(CJ.raster_to_covjson(r))
+    assert (back.width, back.height) == (r.width, r.height)
+    assert np.isclose(back.scale_x, r.scale_x) and np.isclose(back.scale_y, r.scale_y)
+    assert np.isclose(back.ip_x, r.ip_x) and np.isclose(back.ip_y, r.ip_y)
+    assert len(back.bands) == 3
+    for a, b in zip(back.bands, r.bands):
+        assert (a.data == b.data.astype(np.float64)).all()
+
+
+def test_covjson_xy_axis_order_and_values_axes():
+    from jena_geo_spark.raster import covjson as CJ
+
+    cov = {
+        "type": "Coverage",
+        "domain": {"type": "Domain", "domainType": "Grid",
+                   "axes": {"x": {"values": [10.5, 11.5]},
+                            "y": {"values": [5.0, 4.0, 3.0]}}},
+        "ranges": {"b": {"type": "NdArray", "axisNames": ["x", "y"],
+                         "shape": [2, 3],
+                         "values": [1, 2, 3, 4, 5, 6]}},
+    }
+    import json as _json
+
+    r = CJ.covjson_to_raster(_json.dumps(cov))
+    assert (r.width, r.height) == (2, 3)
+    # axisNames ["x","y"] transposes to row-major (y, x)
+    assert r.bands[0].data.shape == (3, 2)
+    assert r.bands[0].data[0, 0] == 1 and r.bands[0].data[0, 1] == 4
+    assert r.scale_x == 1.0 and r.scale_y == -1.0
+    assert r.ip_x == 10.0 and r.ip_y == 5.5

@@ -27,6 +27,10 @@ ALLOWED_EXTRAS = {
     # geof:distance — GeoSPARQL core function with the reference's
     # SRID-keyed great-circle/planar dispatch (GeometryWrapper.java:676)
     "geof_distance",
+    # CoverageJSON literal codec — reference ships the classes but never
+    # registers them in PostGISConfig
+    "st_ascoveragejson",
+    "st_rastfromcoveragejson",
 }
 
 
