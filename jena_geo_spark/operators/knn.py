@@ -153,6 +153,20 @@ def knn_join_frames(
     only sparse-neighborhood rows pay for wide scans — the distributed
     analogue of a per-query expanding ring search.
 
+    **Skew-adaptive start resolution** (r3): a start res derived from the
+    GLOBAL average density degenerates on clustered data — on the
+    zipf-clustered images table (68 % of rows near one tile) the first
+    round's 3×3 candidate join produced ~10⁹ pairs.  Instead each left row
+    picks its own start level from the right side's per-cell histogram at
+    a fine base res (one aggregate + one broadcast-friendly equi-join):
+    with n_local right rows in the row's base cell, a 3×3 neighborhood
+    (B−r) levels coarser holds ≈ 9·n_local·4^(B−r) candidates, so the row
+    starts at the finest r whose expected candidate count reaches ~4k.
+    Dense rows therefore join with SMALL cells (bounded candidates) and
+    sparse rows start coarse exactly as before; the per-round completion
+    guarantee is untouched (local-uniformity is only a planning estimate —
+    under-supplied rows simply coarsen one level and retry).
+
     Output: (left columns…, {right_id}_right, dist, rank).
     """
     if start_res is None:
@@ -162,7 +176,49 @@ def knn_join_frames(
         w = np.sqrt(4.0 * k / max(density, 1e-12)) / 3.0
         start_res = int(np.clip(np.floor(np.log2(360.0 / max(w, 1e-9))), 0, 20))
     res = max(start_res, 2)
-    pending = left
+    # ---- per-row adaptive start level from the right-cell histogram ------
+    base_res = min(res + 6, 20)
+    nb = 1 << base_res
+    bx = F.least(
+        F.greatest(F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0 / nb)).cast("long"), F.lit(0)),
+        F.lit(nb - 1),
+    )
+    by = F.least(
+        F.greatest(F.floor((F.col(lat) + F.lit(90.0)) / F.lit(180.0 / nb)).cast("long"), F.lit(0)),
+        F.lit(nb - 1),
+    )
+    hist = (
+        right.select((bx * F.lit(nb) + by).alias("_bk"))
+        .groupBy("_bk")
+        .agg(F.count("*").alias("_nloc"))
+    )
+    lvl_up = F.ceil(
+        F.log(4.0, F.lit(4.0 * k) / (F.lit(9.0) * F.coalesce(F.col("_nloc"), F.lit(1))))
+    ).cast("int")
+    # dense rows (their base cell alone already holds ≥ k right rows) start
+    # FINER than the global estimate — bounded candidates; everyone else
+    # keeps the global level.  Extrapolating local density from a near-empty
+    # cell is unreliable (measured: rows with an empty base cell started 5
+    # levels too fine and paid one retry round per level).
+    start_lvl = F.when(
+        F.coalesce(F.col("_nloc"), F.lit(0)) >= k,
+        F.greatest(F.lit(res), F.lit(base_res) - F.greatest(lvl_up, F.lit(0))),
+    ).otherwise(F.lit(res))
+    leveled = (
+        left.withColumn("_bk", bx * F.lit(nb) + by)
+        .join(hist, "_bk", "left")
+        .withColumn("_startres", start_lvl)
+        .drop("_bk", "_nloc")
+        .localCheckpoint(eager=True)
+    )
+    lvl_counts = {
+        int(r[0]): int(r[1])
+        for r in leveled.groupBy("_startres").count().collect()
+    }
+    levels = sorted(lvl_counts, reverse=True) or [res]
+    res = max(int(levels[0]), 2)
+    pending = leveled.filter(F.col("_startres") >= res).drop("_startres")
+    n_pending = lvl_counts.get(res, 0)
     done_parts: list[DataFrame] = []
     out_cols = [c for c in left.columns] + [right_id + "_right", "dist", "rank"]
     for _ in range(max_iters):
@@ -244,17 +300,40 @@ def knn_join_frames(
         per_left = topk.groupBy(left_id).agg(
             F.max("dist").alias("_dmax"), F.count("*").alias("_n")
         )
-        done_ids = per_left.filter(
-            (F.col("_n") >= k) & (F.col("_dmax") <= F.lit(safe_r))
-        ).select(left_id)
+        done_ids = (
+            per_left.filter((F.col("_n") >= k) & (F.col("_dmax") <= F.lit(safe_r)))
+            .select(left_id)
+            .localCheckpoint(eager=True)  # evaluated twice otherwise: the
+            # round's pending anti-join AND the caller's final action would
+            # each re-run the per-left aggregate
+        )
         # semi/anti equi-joins on the id — AQE picks broadcast when the
         # done set is small; no forced broadcast (done_ids can be most
         # of the table on the first round)
         done_parts.append(topk.join(done_ids, left_id, "left_semi").select(*out_cols))
         pending = pending.join(done_ids, left_id, "left_anti")
-        if pending.isEmpty():
-            break
-        res -= 1
+        # convergence bookkeeping is DRIVER-side arithmetic on the (tiny,
+        # already-materialized) done_ids count — no isEmpty re-evaluation
+        # of the anti-join chain per round
+        n_pending -= done_ids.count()
+        # next round: unfinished rows coarsen — straight to the next
+        # POPULATED start level when one exists (they merge with that
+        # level's first-timers; skipping intermediate levels is sound, the
+        # completion guarantee is per-round) else one level at a time; with
+        # nothing unfinished and no levels left, done
+        lower = [l for l in levels if l < res]
+        if n_pending <= 0:
+            if not lower:
+                break
+            res = int(lower[0])
+            pending = leveled.filter(F.col("_startres") == res).drop("_startres")
+            n_pending = lvl_counts[res]
+        else:
+            res = int(lower[0]) if lower else res - 1
+            pending = pending.unionByName(
+                leveled.filter(F.col("_startres") == res).drop("_startres")
+            )
+            n_pending += lvl_counts.get(res, 0)
     out = done_parts[0]
     for p in done_parts[1:]:
         out = out.unionAll(p)
