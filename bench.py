@@ -83,10 +83,20 @@ def run(sf_dir: str, cpus: int) -> dict:
     timings: dict[str, float] = {}
 
     def timed(name, fn):
+        import gc
+
         fn()  # untimed warm pass (JIT/codegen/worker/page-cache)
+        # release checkpoint/broadcast blocks of the warm pass before timing:
+        # without this, iterative operators' localCheckpoint blocks pile up
+        # across queries, squeeze execution memory, and bleed 2-4x noise
+        # into UNRELATED downstream entries (observed r3)
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         fn()
         timings[name] = round(time.perf_counter() - t0, 3)
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     def _flagship(points, strategy="broadcast"):
         cand = assign_tiles(

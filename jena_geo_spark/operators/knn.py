@@ -234,7 +234,12 @@ def knn_join_frames(
                 F.col(lon).alias("_rlon"),
                 F.col(lat).alias("_rlat"),
             )
-            cand = pending.crossJoin(r_all)
+            # pending is a deep anti-join/union plan with unknown stats by
+            # now — materialize the (small) row set and broadcast it so the
+            # cross join streams the right side once instead of a
+            # cartesian-shuffle of both sides
+            pending = pending.localCheckpoint(eager=True)
+            cand = r_all.crossJoin(F.broadcast(pending))
             dx = F.col(lon) - F.col("_rlon")
             dy = F.col(lat) - F.col("_rlat")
             cand = cand.withColumn("_d2", dx * dx + dy * dy)
