@@ -85,8 +85,13 @@ def pipeline():
     shuffled = repartition_by_tile(cand, hot_tiles=hot, salt_buckets=2 * cpus)
     return refine_candidates(spark, shuffled, covers)
 noop(pipeline())  # warmup: python workers + page cache
+import gc as _gc
 ts = []
 for _ in range(runs):
+    # release the previous run's shuffle/broadcast blocks before timing —
+    # accumulated blocks squeeze execution memory and degrade successive
+    # runs monotonically (observed: 6.6 s -> 29.5 s over 4 runs without it)
+    _gc.collect(); spark.sparkContext._jvm.System.gc()
     t0 = time.perf_counter(); noop(pipeline()); ts.append(time.perf_counter() - t0)
 ts.sort()
 med = ts[len(ts)//2]
