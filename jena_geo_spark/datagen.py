@@ -61,11 +61,50 @@ def gen_points(n: int, rng: np.random.Generator) -> tuple[np.ndarray, np.ndarray
     return lon[perm], lat[perm]
 
 
+_DCTS: dict[int, np.ndarray] = {}
+
+
+def _lowpass(arr: np.ndarray) -> np.ndarray:
+    """DCT-truncate a random uint8 image to its lowest-quarter frequencies.
+
+    jpg pool entries use this so the lossy payload satisfies the BASELINE
+    PSNR ≥ 40 dB per-row invariant at quality 95 (full-spectrum noise
+    cannot — the quantizer floors high-frequency energy).  Pure transform
+    of the already-drawn array: consumes NO rng draws, so the generator's
+    random stream (and thus every geometry/caption/idx downstream) is
+    byte-identical to the pre-jpg datasets."""
+    a = arr.astype(np.float64)
+    h, w, _ = a.shape
+    for n in (h, w):
+        if n not in _DCTS:
+            _DCTS[n] = codec._dct_matrix(n)
+    dh, dw = _DCTS[h], _DCTS[w]
+    kh, kw = max(1, h // 4), max(1, w // 4)
+    out = np.empty_like(a)
+    for c in range(3):
+        co = dh @ a[..., c] @ dw.T
+        co[kh:, :] = 0.0
+        co[:, kw:] = 0.0
+        out[..., c] = dh.T @ co @ dw
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
 def make_image(rng: np.random.Generator, i: int) -> tuple[bytes, int, int, str, int]:
+    from .image import jpeg
+
     w = int(rng.choice([5, 8, 16]))
     h = w
     arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-    fmt = "png" if i % 5 == 0 else "raw"
+    fmt = "png" if i % 5 == 0 else ("jpg" if i % 5 == 2 else "raw")
+    if fmt == "jpg":
+        src = _lowpass(arr)
+        data = jpeg.encode_jpeg(src, quality=95)
+        decoded = jpeg.decode_jpeg(data)
+        # stored phash = phash of the DECODED pixels (what the verify
+        # stage recomputes); generation enforces the lossy invariant
+        p = codec.psnr(src, decoded)
+        assert p >= 40.0, f"jpg pool image PSNR {p:.2f} < 40 dB"
+        return data, w, h, fmt, codec.phash64(decoded)
     data = codec.encode_png(arr) if fmt == "png" else codec.encode_raw(arr)
     return data, w, h, fmt, codec.phash64(arr)
 

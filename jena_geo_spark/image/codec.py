@@ -5,10 +5,11 @@ The input table carries opaque image ``bytes`` with (w, h, fmt) metadata
 
 * ``raw`` — band-interleaved uint8 RGB, C-order, exactly w*h*3 bytes;
 * ``png`` — real PNG (8-bit RGB, filter 0, zlib), encoder+decoder below;
-* ``jpg`` — no JPEG codec exists in this container; decode raises
-  ``NotImplementedError`` (clearly-marked stub per task instructions) and
-  the generator does not emit jpg rows.  The PSNR gate code path is still
-  real and tested against a synthetic lossy round-trip.
+* ``jpg`` — real baseline JFIF JPEG, pure-numpy encoder+decoder in
+  ``image/jpeg.py`` (DCT + Annex-K quantization/Huffman — no codec
+  library needed); the generator emits jpg rows with the stored phash
+  computed from the DECODED (lossy) pixels so the verify gate is exact,
+  and generation asserts the PSNR ≥ 40 dB lossy invariant per payload.
 
 ``phash64`` is a DCT-based 64-bit perceptual hash (numpy matmul DCT-II),
 deterministic from the pixel array.
@@ -110,10 +111,9 @@ def decode(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     if fmt == "png":
         return decode_png(data)
     if fmt == "jpg":
-        raise NotImplementedError(
-            "JPEG decode: no codec library in this container (stub; "
-            "swap in PIL/libjpeg on a real cluster)"
-        )
+        from . import jpeg  # deferred: jpeg.py imports this module's DCT
+
+        return jpeg.decode_jpeg(data)
     raise ValueError(f"unknown fmt {fmt}")
 
 

@@ -13,8 +13,9 @@ ONE broadcast matmul pair (``codec.phash64_batch``).  Synthetic corpora pool
 payloads heavily (parquet dictionary encoding), and even on unique-payload
 data the batched DCT beats per-row gemms.
 
-``fmt='jpg'`` rows are passed through as NULL (codec stubbed in this
-container — see image/codec.py).
+All three payload formats (raw / png / jpg) decode for real — jpg via
+the pure-numpy baseline codec in image/jpeg.py; rows whose payload fails
+to decode (NULL bytes, malformed stream) are passed through as NULL.
 """
 
 from __future__ import annotations
@@ -91,10 +92,14 @@ def _factorized_phashes_arrow(
     for u, i in enumerate(first_idx.tolist()):
         bb = b[i].as_py()
         f = fmt[i].as_py()
-        if f == "jpg" or bb is None:
+        if bb is None:
             grays.append(_ZERO32)
             continue
-        arr = codec.decode(bb, int(wv[i]), int(hv[i]), f)
+        try:
+            arr = codec.decode(bb, int(wv[i]), int(hv[i]), f)
+        except (ValueError, AssertionError):
+            grays.append(_ZERO32)
+            continue
         grays.append(codec.gray32(arr))
         ok[u] = True
     ph = codec.phash64_batch(np.stack(grays)) if grays else np.empty(0, np.int64)
@@ -108,7 +113,7 @@ _ZERO32 = np.zeros((32, 32))
 def phash_matches(b: "pa.Array", w: "pa.Array", h: "pa.Array", fmt: "pa.Array", ph: "pa.Array") -> "pa.Array":
     codes, uph, ok = _factorized_phashes_arrow(b, w, h, fmt)
     stored = pc.fill_null(ph, 0).to_numpy(zero_copy_only=False).astype(np.int64)
-    # validity mask: NULL for jpg / undecodable rows (stub documented)
+    # validity mask: NULL for rows whose payload cannot be decoded
     return pa.array(uph[codes] == stored, mask=~ok[codes])
 
 
@@ -159,7 +164,7 @@ def decode_feature_stats(df: DataFrame) -> DataFrame:
             u_stats = np.full((k, 4), np.nan)
             for u, i in enumerate(first_idx.tolist()):
                 bb, f = bvals[i], fv[i]
-                if f == "jpg" or bb is None:
+                if bb is None:
                     continue
                 arr = codec.decode(bytes(bb), int(wv[i]), int(hv[i]), f)
                 flat = arr.reshape(-1, 3)

@@ -678,11 +678,34 @@ def s_iter(s: pd.Series):
     return s.tolist()
 
 
+def _raster_to_jpg(wkb: bytes) -> bytes:
+    """WKB raster → baseline JPEG via the pure-numpy codec (image/jpeg.py).
+
+    Reference ``raster/exporter/AsJPG.java`` renders through ImageIO; the
+    same band→image convention applies here: bands 1-3 become RGB when at
+    least three exist, otherwise band 1 is replicated to gray RGB.  Band
+    values clamp to uint8 (JPEG is 8-bit)."""
+    from ..image.jpeg import encode_jpeg
+
+    r = WR.decode(wkb)
+    chans = [bd.data for bd in r.bands[:3]]
+    if not chans:
+        raise ValueError("raster has no band payload")
+    if len(chans) < 3:
+        chans = [chans[0]] * 3
+    arr = np.clip(
+        np.round(np.stack(chans, axis=-1).astype(np.float64)), 0, 255
+    ).astype(np.uint8)
+    return encode_jpeg(arr, quality=90)
+
+
 @pandas_udf(BinaryType())
 def rt_asjpg(b: pd.Series) -> pd.Series:
-    """STUB: no JPEG codec in this container (image/codec.py policy);
-    reference AsJPG.java uses ImageIO.  Returns NULL."""
-    return pd.Series([None] * len(b), dtype=object)
+    """JPEG export (reference AsJPG.java, ImageIO-backed there; real
+    baseline-JFIF encoder here).  Distinct payloads encode once per batch."""
+    codes, uniq = pd.factorize(b)
+    enc = [_raster_to_jpg(x) if x is not None else None for x in uniq]
+    return pd.Series([enc[c] if c >= 0 else None for c in codes], dtype=object)
 
 
 @pandas_udf(BinaryType())

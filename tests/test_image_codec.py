@@ -44,12 +44,17 @@ def test_png_filters_decode():
     assert (codec.decode_png(png) == arr).all()
 
 
-def test_decode_dispatch_and_jpg_stub():
+def test_decode_dispatch_and_jpg():
     rng = np.random.default_rng(4)
     arr = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
     assert (codec.decode(codec.encode_raw(arr), 8, 8, "raw") == arr).all()
-    with pytest.raises(NotImplementedError):
-        codec.decode(b"", 8, 8, "jpg")
+    # jpg dispatches to the real baseline codec (lossy round trip)
+    from jena_geo_spark.image.jpeg import encode_jpeg
+
+    dec = codec.decode(encode_jpeg(arr, quality=95), 8, 8, "jpg")
+    assert dec.shape == arr.shape and dec.dtype == np.uint8
+    with pytest.raises(ValueError):
+        codec.decode(b"not a jpeg", 8, 8, "jpg")
 
 
 def test_phash_deterministic_and_sensitive():

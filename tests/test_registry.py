@@ -55,10 +55,9 @@ def test_registry_entries_execute(frame, batch):
     for name in batch:
         cols.append(REG.invoke(name, frame).alias(name))
     row = frame.select(*cols).collect()[0]
-    # every entry must produce a value; NULL allowed only for documented
-    # codec stubs (jpg/tiff) — everything else must be non-null on the
-    # sample inputs
-    nullable = {"st_asjpg"}  # st_astiff is a real encoder since r3
+    # every entry must produce a value on the sample inputs — since r3
+    # there are no codec stubs left (tiff and jpg are real encoders)
+    nullable: set[str] = set()
     for name in batch:
         if name in nullable:
             continue
