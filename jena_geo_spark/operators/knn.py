@@ -119,6 +119,15 @@ def knn_join(
     raise RuntimeError("knn ring expansion exceeded max_expand")
 
 
+#: bit width of one grid axis inside the packed (res, ix, iy) join key.
+#: res <= 20 so valid ix/iy < 2**20; neighbor offsets can push an index to
+#: -1 or 2**res, but with 21 bits per axis the borrow/carry lands on an
+#: (res', ix', iy') combination no in-range LEFT key ever produces, so
+#: out-of-range neighbors simply match nothing (no aliasing, no clamping).
+_AXIS_BITS = 21
+_AXIS = 1 << _AXIS_BITS
+
+
 def knn_join_frames(
     spark,
     left: DataFrame,
@@ -157,15 +166,28 @@ def knn_join_frames(
     GLOBAL average density degenerates on clustered data — on the
     zipf-clustered images table (68 % of rows near one tile) the first
     round's 3×3 candidate join produced ~10⁹ pairs.  Instead each left row
-    picks its own start level from the right side's per-cell histogram at
-    a fine base res (one aggregate + one broadcast-friendly equi-join):
-    with n_local right rows in the row's base cell, a 3×3 neighborhood
-    (B−r) levels coarser holds ≈ 9·n_local·4^(B−r) candidates, so the row
-    starts at the finest r whose expected candidate count reaches ~4k.
-    Dense rows therefore join with SMALL cells (bounded candidates) and
-    sparse rows start coarse exactly as before; the per-round completion
-    guarantee is untouched (local-uniformity is only a planning estimate —
-    under-supplied rows simply coarsen one level and retry).
+    picks its own start level from a three-level right-cell histogram
+    (base = global+6, mid = global, low = global−4): the finest level whose
+    cell holds ≥ k right rows anchors the estimate, and the start is that
+    level adjusted by ⌊log₄(9n/4k)⌋ (expected 3×3 candidates ≈ 4k),
+    quantized DOWN to an even level.  Dense rows therefore join with SMALL
+    cells (bounded candidates even inside the cluster) and desert rows
+    start coarse; the per-round completion guarantee is untouched
+    (histograms are only planning estimates — under-supplied rows coarsen
+    two levels, radius ×4, and retry).
+
+    **Merged multi-level rounds** (r3.1): one level per round serializes
+    the driver loop — with per-row starts that meant one ~1.5 s fixed-
+    overhead Spark round per populated level.  Instead every pending row
+    carries its own ``_res`` and ALL levels join in one round: the join
+    key packs (res, ix, iy) into a long, the PENDING side explodes its 3×3
+    neighborhood (9·|pending| rows — pending shrinks every round) and the
+    right side is keyed once per active level (L·|right|, vs 9·L·|right|
+    for a right-side explode).  Done-detection runs inside the same ranked
+    frame via window aggregates (count + k-th distance per left id), so a
+    round is exactly two actions: one eager localCheckpoint (lineage
+    truncation, ADVICE r2 #3's cache-leak fix carried over) and one tiny
+    per-level count collect on the materialized blocks.
 
     Output: (left columns…, {right_id}_right, dist, rank).
     """
@@ -175,170 +197,260 @@ def knn_join_frames(
         # cell width w such that density * (3w)² ≈ 4k candidates
         w = np.sqrt(4.0 * k / max(density, 1e-12)) / 3.0
         start_res = int(np.clip(np.floor(np.log2(360.0 / max(w, 1e-9))), 0, 20))
-    res = max(start_res, 2)
-    # ---- per-row adaptive start level from the right-cell histogram ------
-    base_res = min(res + 6, 20)
-    nb = 1 << base_res
-    bx = F.least(
-        F.greatest(F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0 / nb)).cast("long"), F.lit(0)),
-        F.lit(nb - 1),
+    res_g = int(np.clip(start_res, 2, 20))
+    base_res = min(res_g + 6, 20)
+    mid_res = res_g
+    low_res = max(res_g - 4, 2)
+
+    def _xy(level, lon_c, lat_c):
+        """Clamped (ix, iy) long columns at ``level``."""
+        n_grid = 1 << level
+        ix = F.floor((lon_c + F.lit(180.0)) / F.lit(360.0 / n_grid)).cast("long")
+        iy = F.floor((lat_c + F.lit(90.0)) / F.lit(180.0 / n_grid)).cast("long")
+        return (
+            F.least(F.greatest(ix, F.lit(0)), F.lit(n_grid - 1)),
+            F.least(F.greatest(iy, F.lit(0)), F.lit(n_grid - 1)),
+        )
+
+    # ---- three-level right-cell histogram (one scan + two tiny rollups) --
+    bx, by = _xy(base_res, F.col(lon), F.col(lat))
+    hist_b = right.groupBy(bx.alias("_x"), by.alias("_y")).agg(
+        F.count("*").alias("_n")
     )
-    by = F.least(
-        F.greatest(F.floor((F.col(lat) + F.lit(90.0)) / F.lit(180.0 / nb)).cast("long"), F.lit(0)),
-        F.lit(nb - 1),
+    d_bm = base_res - mid_res
+    d_ml = mid_res - low_res
+    hist_m = hist_b.groupBy(
+        F.shiftright("_x", d_bm).alias("_x"), F.shiftright("_y", d_bm).alias("_y")
+    ).agg(F.sum("_n").alias("_n"))
+    hist_l = hist_m.groupBy(
+        F.shiftright("_x", d_ml).alias("_x"), F.shiftright("_y", d_ml).alias("_y")
+    ).agg(F.sum("_n").alias("_n"))
+
+    def _renamed(h, suffix):
+        return h.select(
+            F.col("_x").alias("_x" + suffix),
+            F.col("_y").alias("_y" + suffix),
+            F.col("_n").alias("_n" + suffix),
+        )
+
+    # per-row start level: anchor at the finest histogram level whose cell
+    # holds >= k right rows, adjust by floor(log4(9n/4k)) so the expected
+    # 3x3 candidate count is ~4k, trust-cap the finer excursion at +4
+    # levels (within-cell uniformity is an estimate), clamp to [2, 20],
+    # quantize down to an even level (halves simultaneous levels AND round
+    # count; coarser starts are always safe — just more candidates)
+    nb_ = F.coalesce(F.col("_nb"), F.lit(0))
+    nm_ = F.coalesce(F.col("_nm"), F.lit(0))
+    nl_ = F.coalesce(F.col("_nl"), F.lit(0))
+    s_eff = (
+        F.when(nb_ >= k, F.lit(base_res))
+        .when(nm_ >= k, F.lit(mid_res))
+        .otherwise(F.lit(low_res))
     )
-    hist = (
-        right.select((bx * F.lit(nb) + by).alias("_bk"))
-        .groupBy("_bk")
-        .agg(F.count("*").alias("_nloc"))
+    n_eff = (
+        F.when(nb_ >= k, nb_).when(nm_ >= k, nm_).otherwise(F.greatest(nl_, F.lit(1)))
+    ).cast("double")
+    adj = F.floor(F.log(4.0, n_eff * F.lit(9.0 / (4.0 * k))))
+    start = F.greatest(
+        F.lit(2),
+        F.least(s_eff + adj, F.least(s_eff + F.lit(4), F.lit(20))),
     )
-    lvl_up = F.ceil(
-        F.log(4.0, F.lit(4.0 * k) / (F.lit(9.0) * F.coalesce(F.col("_nloc"), F.lit(1))))
-    ).cast("int")
-    # dense rows (their base cell alone already holds ≥ k right rows) start
-    # FINER than the global estimate — bounded candidates; everyone else
-    # keeps the global level.  Extrapolating local density from a near-empty
-    # cell is unreliable (measured: rows with an empty base cell started 5
-    # levels too fine and paid one retry round per level).
-    start_lvl = F.when(
-        F.coalesce(F.col("_nloc"), F.lit(0)) >= k,
-        F.greatest(F.lit(res), F.lit(base_res) - F.greatest(lvl_up, F.lit(0))),
-    ).otherwise(F.lit(res))
+    start = (F.floor(start / F.lit(2)) * 2).cast("int")
     leveled = (
-        left.withColumn("_bk", bx * F.lit(nb) + by)
-        .join(hist, "_bk", "left")
-        .withColumn("_startres", start_lvl)
-        .drop("_bk", "_nloc")
+        left.withColumn("_xb", bx)
+        .withColumn("_yb", by)
+        # no broadcast hints: at 100 TB hist_b is as wide as the distinct
+        # nonempty right cells — AQE broadcasts when it actually fits
+        .join(_renamed(hist_b, "b"), ["_xb", "_yb"], "left")
+        .withColumn("_xm", F.shiftright("_xb", d_bm))
+        .withColumn("_ym", F.shiftright("_yb", d_bm))
+        .join(_renamed(hist_m, "m"), ["_xm", "_ym"], "left")
+        .withColumn("_xl", F.shiftright("_xm", d_ml))
+        .withColumn("_yl", F.shiftright("_ym", d_ml))
+        .join(_renamed(hist_l, "l"), ["_xl", "_yl"], "left")
+        .withColumn("_res", start)
+        .select(*left.columns, "_res")
         .localCheckpoint(eager=True)
     )
-    lvl_counts = {
-        int(r[0]): int(r[1])
-        for r in leveled.groupBy("_startres").count().collect()
+    counts = {
+        int(r[0]): int(r[1]) for r in leveled.groupBy("_res").count().collect()
     }
-    levels = sorted(lvl_counts, reverse=True) or [res]
-    res = max(int(levels[0]), 2)
-    pending = leveled.filter(F.col("_startres") >= res).drop("_startres")
-    n_pending = lvl_counts.get(res, 0)
-    done_parts: list[DataFrame] = []
     out_cols = [c for c in left.columns] + [right_id + "_right", "dist", "rank"]
-    for _ in range(max_iters):
-        if res <= 1:
-            # coarse-grid endgame: the ix*n+iy key packing can alias
-            # out-of-range neighbors onto valid cells when the grid is
-            # ≤2 cells wide (duplicate candidate hazard) — the stragglers
-            # left at this point have near-world-scale neighborhoods, so
-            # an honest cross join of the (few) pending rows is both
-            # correct and the cheapest remaining plan
-            r_all = right.select(
+    done_parts: list[DataFrame] = []
+    end_parts: list[DataFrame] = []  # stragglers that coarsened below res 2
+    n_endgame = 0
+    pending = leveled
+
+    def _pack(res_c, ix_c, iy_c):
+        return (res_c.cast("long") * _AXIS + ix_c) * _AXIS + iy_c
+
+    rounds = 0
+    while counts:
+        rounds += 1
+        if rounds > max_iters:
+            raise RuntimeError(
+                f"knn_join_frames: {sum(counts.values())} rows unfinished "
+                f"after {max_iters} rounds (levels {sorted(counts)})"
+            )
+        active = sorted(counts)
+        # per-row grid geometry from the row's own _res (all even, >= 2)
+        ng_l = F.pow(F.lit(2.0), F.col("_res"))
+        lx = F.least(
+            F.greatest(
+                F.floor((F.col(lon) + F.lit(180.0)) * ng_l / F.lit(360.0)).cast("long"),
+                F.lit(0),
+            ),
+            (ng_l - 1).cast("long"),
+        )
+        ly = F.least(
+            F.greatest(
+                F.floor((F.col(lat) + F.lit(90.0)) * ng_l / F.lit(180.0)).cast("long"),
+                F.lit(0),
+            ),
+            (ng_l - 1).cast("long"),
+        )
+        # pending side explodes its 3x3 neighborhood (9·|pending| rows);
+        # out-of-range neighbors are intentionally NOT clamped — the packed
+        # key makes them match nothing (see _AXIS_BITS note)
+        l_expl = pending.withColumn(
+            "_k",
+            F.explode(
+                F.array(
+                    *[
+                        _pack(F.col("_res"), lx + F.lit(di), ly + F.lit(dj))
+                        for di in (-1, 0, 1)
+                        for dj in (-1, 0, 1)
+                    ]
+                )
+            ),
+        )
+        # right side keyed at its CENTER cell, once per active level
+        ng_r = F.pow(F.lit(2.0), F.col("_res"))
+        rx = F.least(
+            F.greatest(
+                F.floor((F.col("_rlon") + F.lit(180.0)) * ng_r / F.lit(360.0)).cast("long"),
+                F.lit(0),
+            ),
+            (ng_r - 1).cast("long"),
+        )
+        ry = F.least(
+            F.greatest(
+                F.floor((F.col("_rlat") + F.lit(90.0)) * ng_r / F.lit(180.0)).cast("long"),
+                F.lit(0),
+            ),
+            (ng_r - 1).cast("long"),
+        )
+        r_keyed = (
+            right.select(
                 F.col(right_id).alias("_rid"),
                 F.col(lon).alias("_rlon"),
                 F.col(lat).alias("_rlat"),
+                F.explode(F.array(*[F.lit(r) for r in active])).alias("_res"),
             )
-            # pending is a deep anti-join/union plan with unknown stats by
-            # now — materialize the (small) row set and broadcast it so the
-            # cross join streams the right side once instead of a
-            # cartesian-shuffle of both sides
-            pending = pending.localCheckpoint(eager=True)
-            cand = r_all.crossJoin(F.broadcast(pending))
-            dx = F.col(lon) - F.col("_rlon")
-            dy = F.col(lat) - F.col("_rlat")
-            cand = cand.withColumn("_d2", dx * dx + dy * dy)
-            w_spec = Window.partitionBy(left_id).orderBy(
-                F.col("_d2").asc(), F.col("_rid").asc()
-            )
-            done_parts.append(
-                cand.withColumn("rank", F.row_number().over(w_spec))
-                .filter(F.col("rank") <= k)
-                .withColumn("dist", F.sqrt(F.col("_d2")))
-                .withColumn(right_id + "_right", F.col("_rid"))
-                .select(*out_cols)
-            )
-            break
-        n_grid = 1 << res
-        cw = 360.0 / n_grid
-        ch = 180.0 / n_grid
-
-        def key(lon_c, lat_c):
-            ix = F.floor((lon_c + F.lit(180.0)) / F.lit(cw)).cast("long")
-            iy = F.floor((lat_c + F.lit(90.0)) / F.lit(ch)).cast("long")
-            return (
-                F.least(F.greatest(ix, F.lit(0)), F.lit(n_grid - 1)),
-                F.least(F.greatest(iy, F.lit(0)), F.lit(n_grid - 1)),
-            )
-
-        lx, ly = key(F.col(lon), F.col(lat))
-        l_keyed = pending.withColumn("_k", lx * F.lit(n_grid) + ly)
-        rx, ry = key(F.col(lon), F.col(lat))
-        offsets = F.array(
-            *[
-                (rx + F.lit(di)) * F.lit(n_grid) + (ry + F.lit(dj))
-                for di in (-1, 0, 1)
-                for dj in (-1, 0, 1)
-            ]
+            .select("_rid", "_rlon", "_rlat", _pack(F.col("_res"), rx, ry).alias("_k"))
         )
-        r_keyed = right.select(
+        # small-pending fast path: when the pending key set is broadcast-
+        # sized (driver knows the exact pending count), prefilter the right
+        # side with a broadcast semi-join — the L·|right| keyed rows never
+        # shuffle, they hash-probe a tiny key set and only true candidates
+        # survive into the join.  First rounds at 100 TB scale skip this
+        # (pending ~ |left|) and take the honest shuffle join.
+        if sum(counts.values()) * 9 <= 300_000:
+            key_set = l_expl.select("_k").distinct()
+            r_keyed = r_keyed.join(F.broadcast(key_set), "_k", "left_semi")
+        # LEFT join keeps empty-neighborhood rows pending (null _rid ranks
+        # after every real candidate and never enters a done group)
+        cand = l_expl.join(r_keyed, "_k", "left")
+        dx = F.col(lon) - F.col("_rlon")
+        dy = F.col(lat) - F.col("_rlat")
+        cand = cand.withColumn("_d2", dx * dx + dy * dy)
+        w_rank = Window.partitionBy(left_id).orderBy(
+            F.col("_d2").asc_nulls_last(), F.col("_rid").asc_nulls_last()
+        )
+        w_part = Window.partitionBy(left_id)
+        # after the rank<=k filter, count(_rid) == k  <=>  >= k candidates,
+        # and max(_d2) is the k-th squared distance — done iff that fits
+        # inside the guaranteed-coverage radius min(cw, ch) = 180/2^res
+        safe = F.lit(180.0) / F.pow(F.lit(2.0), F.col("_res"))
+        scored = (
+            cand.withColumn("rank", F.row_number().over(w_rank))
+            .filter(F.col("rank") <= k)
+            .withColumn("_n", F.count("_rid").over(w_part))
+            .withColumn("_dk", F.max("_d2").over(w_part))
+            .withColumn(
+                "_done",
+                F.coalesce(
+                    (F.col("_n") >= k) & (F.col("_dk") <= safe * safe), F.lit(False)
+                ),
+            )
+            .select(*left.columns, "_res", "_rid", "_d2", "rank", "_done")
+        )
+        # one eager localCheckpoint per round: truncates lineage AND lets
+        # the done/pending splits + the count below reuse the same blocks
+        # (cache() would pin storage for the session — ADVICE r2 #3)
+        scored = scored.localCheckpoint(eager=True)
+        done_parts.append(
+            scored.filter("_done")
+            .withColumn("dist", F.sqrt(F.col("_d2")))
+            .withColumn(right_id + "_right", F.col("_rid"))
+            .select(*out_cols)
+        )
+        nxt = scored.filter((~F.col("_done")) & (F.col("rank") == 1)).select(
+            *left.columns, (F.col("_res") - 2).alias("_res")
+        )
+        # per-level pending counts: a tiny aggregate over materialized
+        # blocks — the round's ONLY other action
+        new_counts: dict[int, int] = {}
+        for r in (
+            scored.filter((~F.col("_done")) & (F.col("rank") == 1))
+            .groupBy("_res")
+            .count()
+            .collect()
+        ):
+            new_counts[int(r[0]) - 2] = int(r[1])
+        n_end = sum(c for lvl, c in new_counts.items() if lvl < 2)
+        if n_end:
+            end_parts.append(nxt.filter(F.col("_res") < 2).drop("_res"))
+            n_endgame += n_end
+        pending = nxt.filter(F.col("_res") >= 2)
+        counts = {lvl: c for lvl, c in new_counts.items() if lvl >= 2}
+    if n_endgame:
+        # coarse endgame: the stragglers have near-world-scale
+        # neighborhoods, so an honest cross join of the (few, materialized
+        # + broadcast) pending rows streams the right side exactly once
+        pend = end_parts[0]
+        for p in end_parts[1:]:
+            pend = pend.unionByName(p)
+        pend = pend.localCheckpoint(eager=True)
+        r_all = right.select(
             F.col(right_id).alias("_rid"),
             F.col(lon).alias("_rlon"),
             F.col(lat).alias("_rlat"),
-            F.explode(offsets).alias("_k"),
         )
-        cand = l_keyed.join(r_keyed, "_k")
+        cand = r_all.crossJoin(F.broadcast(pend))
         dx = F.col(lon) - F.col("_rlon")
         dy = F.col(lat) - F.col("_rlat")
         cand = cand.withColumn("_d2", dx * dx + dy * dy)
         w_spec = Window.partitionBy(left_id).orderBy(
             F.col("_d2").asc(), F.col("_rid").asc()
         )
-        topk = (
+        done_parts.append(
             cand.withColumn("rank", F.row_number().over(w_spec))
             .filter(F.col("rank") <= k)
             .withColumn("dist", F.sqrt(F.col("_d2")))
             .withColumn(right_id + "_right", F.col("_rid"))
+            .select(*out_cols)
         )
-        # localCheckpoint, not cache(): blocks free themselves when the
-        # round frame becomes unreferenced (cache() pins executor storage
-        # until an explicit unpersist — r2 leaked one frame per round,
-        # ADVICE r2 #3) and the pending anti-join lineage is truncated so
-        # the plan doesn't grow by one join per round.
-        topk = topk.localCheckpoint(eager=True)
-        safe_r = min(cw, ch)
-        per_left = topk.groupBy(left_id).agg(
-            F.max("dist").alias("_dmax"), F.count("*").alias("_n")
+    if not done_parts:
+        # left was empty: a zero-row frame with the right output schema
+        rid_type = right.schema[right.columns.index(right_id)].dataType
+        done_parts.append(
+            leveled.drop("_res")
+            .withColumn(right_id + "_right", F.lit(None).cast(rid_type))
+            .withColumn("dist", F.lit(None).cast("double"))
+            .withColumn("rank", F.lit(None).cast("int"))
+            .select(*out_cols)
         )
-        done_ids = (
-            per_left.filter((F.col("_n") >= k) & (F.col("_dmax") <= F.lit(safe_r)))
-            .select(left_id)
-            .localCheckpoint(eager=True)  # evaluated twice otherwise: the
-            # round's pending anti-join AND the caller's final action would
-            # each re-run the per-left aggregate
-        )
-        # semi/anti equi-joins on the id — AQE picks broadcast when the
-        # done set is small; no forced broadcast (done_ids can be most
-        # of the table on the first round)
-        done_parts.append(topk.join(done_ids, left_id, "left_semi").select(*out_cols))
-        pending = pending.join(done_ids, left_id, "left_anti")
-        # convergence bookkeeping is DRIVER-side arithmetic on the (tiny,
-        # already-materialized) done_ids count — no isEmpty re-evaluation
-        # of the anti-join chain per round
-        n_pending -= done_ids.count()
-        # next round: unfinished rows coarsen — straight to the next
-        # POPULATED start level when one exists (they merge with that
-        # level's first-timers; skipping intermediate levels is sound, the
-        # completion guarantee is per-round) else one level at a time; with
-        # nothing unfinished and no levels left, done
-        lower = [l for l in levels if l < res]
-        if n_pending <= 0:
-            if not lower:
-                break
-            res = int(lower[0])
-            pending = leveled.filter(F.col("_startres") == res).drop("_startres")
-            n_pending = lvl_counts[res]
-        else:
-            res = int(lower[0]) if lower else res - 1
-            pending = pending.unionByName(
-                leveled.filter(F.col("_startres") == res).drop("_startres")
-            )
-            n_pending += lvl_counts.get(res, 0)
     out = done_parts[0]
     for p in done_parts[1:]:
         out = out.unionAll(p)
