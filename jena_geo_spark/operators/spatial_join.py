@@ -445,16 +445,22 @@ def polygon_join(
     self_join = right is None
     rows = []
     sides = [("a", left), ("b", left if self_join else right)]
-    geoms: dict[tuple[str, str], np.ndarray] = {}
+    geoms: dict[tuple[str, str], list] = {}
     # common alignment resolution: the min of per-polygon cover max levels
     covers: dict[str, list] = {"a": [], "b": []}
     for side, items in sides:
         for pid, wkt_str in items:
-            g = W.from_wkt(wkt_str)
-            ring = g.exterior()
-            geoms[(side, pid)] = ring
-            res = min(grid.pick_cover_res(ring, 32), FINE_RES)
-            covers[side].append((pid, grid.cover_polygon(ring, max_res=res, max_cells=join_res_cells)))
+            polys = _parse_polys(wkt_str)
+            geoms[(side, pid)] = polys
+            # union cover over every member's exterior (holes stay out of
+            # the cover — a superset is fine, the refine decides exactly)
+            seen: set[int] = set()
+            for rings in polys:
+                ring = rings[0]
+                res = min(grid.pick_cover_res(ring, 32), FINE_RES)
+                cov = grid.cover_polygon(ring, max_res=res, max_cells=join_res_cells)
+                seen.update(int(c) for c in cov.tolist())
+            covers[side].append((pid, np.array(sorted(seen), dtype=np.int64)))
     # alignment resolution: coarsest max-cover-level across every polygon —
     # every cover can be mapped onto it (ancestors up, descendants down)
     align = min(
@@ -480,9 +486,9 @@ def polygon_join(
     if self_join:
         pairs = pairs.filter(F.col("id_a") < F.col("id_b"))
 
-    # distributed exact refine: rings broadcast, pandas UDF per pair batch
+    # distributed exact refine: geometries broadcast, pandas UDF per batch
     bgeoms = spark.sparkContext.broadcast(
-        {side + ":" + pid: ring for (side, pid), ring in geoms.items()}
+        {side + ":" + pid: polys for (side, pid), polys in geoms.items()}
     )
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BooleanType
@@ -492,42 +498,100 @@ def polygon_join(
         gm = bgeoms.value
         ca, ua = pd.factorize(id_a, sort=False)
         cb, ub = pd.factorize(id_b, sort=False)
-        rings_a = [gm["a:" + x] for x in ua]
-        rings_b = [gm["b:" + y] for y in ub]
-        return pd.Series(_refine_intersect_pairs(rings_a, ca, rings_b, cb))
+        polys_a = [gm["a:" + x] for x in ua]
+        polys_b = [gm["b:" + y] for y in ub]
+        return pd.Series(_refine_intersect_pairs(polys_a, ca, polys_b, cb))
 
     if predicate == "bbox":
         return pairs
     return pairs.filter(refine(F.col("id_a"), F.col("id_b")))
 
 
+def _parse_polys(wkt_str: str) -> list:
+    """WKT → member-ring structure: list of member polygons, each a list of
+    rings (exterior first, holes after).  Non-areal WKT degrades to a
+    single one-ring member over its exterior hull ring."""
+    g = W.from_wkt(wkt_str)
+    return g.polygons() or [[g.exterior()]]
+
+
+def _poly_vertices(polys: list) -> np.ndarray:
+    """Stacked (n,2) vertices over every ring of every member — hole
+    vertices included (they lie on the geometry's boundary, so one of them
+    strictly inside the partner proves intersection)."""
+    pts = [np.asarray(r, dtype=np.float64)[:, :2] for rings in polys for r in rings]
+    return np.vstack(pts) if pts else np.zeros((0, 2))
+
+
+def _points_in_polys(px: np.ndarray, py: np.ndarray, polys: list) -> np.ndarray:
+    """Even-odd PIP against a full areal geometry: inside some member's
+    exterior AND outside every hole of that member (members OR-ed)."""
+    from ..geom.kernel import points_in_polygon
+
+    inside = np.zeros(np.shape(px), dtype=bool)
+    for rings in polys:
+        m = points_in_polygon(px, py, rings[0])
+        for hole in rings[1:]:
+            m &= ~points_in_polygon(px, py, hole)
+        inside |= m
+    return inside
+
+
+_NAN_ROW = np.full((1, 2), np.nan)
+
+
+def _edge_chain(polys: list) -> np.ndarray:
+    """NaN-separated concatenation of the closed rings of every member —
+    ONE chain ``kernel.edges_intersect_any`` sweeps in a single vectorised
+    call: a NaN endpoint fails every bbox comparison, so the phantom
+    segments joining consecutive rings are never candidate edges."""
+    parts: list[np.ndarray] = []
+    for rings in polys:
+        for r in rings:
+            r = np.asarray(r, dtype=np.float64)[:, :2]
+            if not (r[0] != r[-1]).any():
+                r = r[:-1]
+            parts.append(np.vstack([r, r[:1]]))
+            parts.append(_NAN_ROW)
+    return np.vstack(parts[:-1]) if parts else np.zeros((0, 2))
+
+
 def _refine_intersect_pairs(
-    rings_a: list, ca: np.ndarray, rings_b: list, cb: np.ndarray
+    polys_a: list, ca: np.ndarray, polys_b: list, cb: np.ndarray
 ) -> np.ndarray:
     """Vectorised polygon-intersects refine over a batch of candidate pairs.
 
-    ``rings_a/rings_b`` are the DISTINCT exterior rings in the batch;
+    ``polys_a/polys_b`` are the DISTINCT geometries in the batch in
+    member-ring structure (see ``_parse_polys``) — holes and multipolygon
+    members participate exactly: a polygon wholly inside another's hole
+    does NOT intersect, and any member-or-hole boundary crossing does.
     ``ca/cb`` are per-pair indices into them (factorized — each WKT parsed
     once per batch, not once per pair).  Three passes, each narrowing the
     undecided set:
 
-    1. any B-vertex inside A — grouped by distinct A: ONE ray-cast over the
+    1. any B-vertex (over every ring of every member) inside A — even-odd
+       with holes, grouped by distinct A: one ray-cast per A ring over the
        concatenated partner vertices, per-pair ``any`` via reduceat;
     2. the mirror (any A-vertex inside B), grouped by distinct B;
-    3. edge-crossing sweep only for the still-undecided tail (polygons that
-       intersect without vertex containment are the rare boundary-cross
-       case; the common cases never reach the per-pair kernel).
+    3. edge-crossing sweep only for the still-undecided tail over the two
+       NaN-separated ring chains (polygons that intersect without vertex
+       containment are the rare boundary-cross case; the common cases
+       never reach the per-pair kernel).
 
-    Replaces the r2 per-pair Python dispatch (VERDICT "Next round" #4).
+    Replaces the r2 per-pair Python dispatch (VERDICT "Next round" #4);
+    single-ring inputs take exactly the r3 single-ring code path.
     """
-    from ..geom.kernel import edges_intersect_any, points_in_polygon
+    from ..geom.kernel import edges_intersect_any
 
     n = len(ca)
     res = np.zeros(n, dtype=bool)
     if n == 0:
         return res
 
-    def vertex_pass(codes: np.ndarray, rings_out: list, pcodes: np.ndarray, rings_in: list):
+    verts_a = [_poly_vertices(p) for p in polys_a]
+    verts_b = [_poly_vertices(p) for p in polys_b]
+
+    def vertex_pass(codes: np.ndarray, polys_out: list, pcodes: np.ndarray, verts_in: list):
         pend = np.nonzero(~res)[0]
         if len(pend) == 0:
             return
@@ -536,23 +600,28 @@ def _refine_intersect_pairs(
         bounds = np.nonzero(np.r_[True, oc[1:] != oc[:-1]])[0]
         ends = np.r_[bounds[1:], len(order)]
         for s, e in zip(bounds, ends):
-            ring = rings_out[oc[s]]
+            polys = polys_out[oc[s]]
             idxs = order[s:e]
-            pts = [rings_in[pcodes[i]] for i in idxs]
+            pts = [verts_in[pcodes[i]] for i in idxs]
             lens = np.array([len(p) for p in pts])
             allp = np.vstack(pts)
-            inside = points_in_polygon(allp[:, 0], allp[:, 1], ring)
+            inside = _points_in_polys(allp[:, 0], allp[:, 1], polys)
             seg = np.r_[0, np.cumsum(lens)[:-1]]
             hit = np.logical_or.reduceat(inside, seg)
             res[idxs[hit]] = True
 
-    vertex_pass(ca, rings_a, cb, rings_b)
-    vertex_pass(cb, rings_b, ca, rings_a)
+    vertex_pass(ca, polys_a, cb, verts_b)
+    vertex_pass(cb, polys_b, ca, verts_a)
+    chains_a: dict[int, np.ndarray] = {}
+    chains_b: dict[int, np.ndarray] = {}
     for i in np.nonzero(~res)[0]:
-        a, b = rings_a[ca[i]], rings_b[cb[i]]
-        a = a if (a[0] != a[-1]).any() else a[:-1]
-        b = b if (b[0] != b[-1]).any() else b[:-1]
-        res[i] = edges_intersect_any(np.vstack([a, a[:1]]), np.vstack([b, b[:1]]))
+        a = chains_a.get(ca[i])
+        if a is None:
+            a = chains_a[ca[i]] = _edge_chain(polys_a[ca[i]])
+        b = chains_b.get(cb[i])
+        if b is None:
+            b = chains_b[cb[i]] = _edge_chain(polys_b[cb[i]])
+        res[i] = edges_intersect_any(a, b)
     return res
 
 
@@ -716,9 +785,9 @@ def polygon_join_frames(
         # vectorised three-pass refine (no per-pair Python dispatch)
         ca, ua = pd.factorize(wa, sort=False)
         cb, ub = pd.factorize(wb, sort=False)
-        rings_a = [W.from_wkt(x).exterior() for x in ua]
-        rings_b = [W.from_wkt(y).exterior() for y in ub]
-        return pd.Series(_refine_intersect_pairs(rings_a, ca, rings_b, cb))
+        polys_a = [_parse_polys(x) for x in ua]
+        polys_b = [_parse_polys(y) for y in ub]
+        return pd.Series(_refine_intersect_pairs(polys_a, ca, polys_b, cb))
 
     return withg.filter(refine(F.col("_wkt_a"), F.col("_wkt_b"))).select(
         "id_a", "id_b"

@@ -101,3 +101,78 @@ def test_polygon_join_frames_two_sided_matches_driver(spark, zone_list):
     got = {(r.id_a, r.id_b) for r in polygon_join_frames(spark, ldf, rdf).collect()}
     exp = {(r.id_a, r.id_b) for r in polygon_join(spark, left, right).collect()}
     assert got == exp
+
+
+# ------------------------------------------------- holes & multipolygons --
+
+
+DONUT = (
+    "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+    "(3 3, 7 3, 7 7, 3 7, 3 3))"
+)
+IN_HOLE = "POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))"          # entirely inside the hole
+STRADDLE = "POLYGON ((6 6, 8 6, 8 8, 6 8, 6 6))"          # crosses the hole boundary
+OUTSIDE = "POLYGON ((20 20, 22 20, 22 22, 20 22, 20 20))"
+MULTI = (
+    "MULTIPOLYGON (((-30 -30, -28 -30, -28 -28, -30 -28, -30 -30)), "
+    "((19 19, 25 19, 25 25, 19 25, 19 19)))"              # 2nd member hits OUTSIDE
+)
+
+
+def _pairs_refine(wkts_a, wkts_b):
+    from jena_geo_spark.operators.spatial_join import (
+        _parse_polys,
+        _refine_intersect_pairs,
+    )
+
+    polys_a = [_parse_polys(w) for w in wkts_a]
+    polys_b = [_parse_polys(w) for w in wkts_b]
+    n = len(wkts_a)
+    return _refine_intersect_pairs(
+        polys_a, np.arange(n), polys_b, np.arange(n)
+    ).tolist()
+
+
+def test_refine_holes_and_multipolygons():
+    got = _pairs_refine(
+        [DONUT, DONUT, DONUT, MULTI, MULTI, IN_HOLE],
+        [IN_HOLE, STRADDLE, OUTSIDE, OUTSIDE, DONUT, STRADDLE],
+    )
+    #           in-hole straddle outside  multi×outside multi×donut in-hole×straddle
+    assert got == [False, True, False, True, False, True]
+
+
+def test_polygon_join_hole_semantics(spark):
+    zones = [
+        ("donut", DONUT),
+        ("in_hole", IN_HOLE),
+        ("straddle", STRADDLE),
+        ("outside", OUTSIDE),
+        ("multi", MULTI),
+    ]
+    got = {(r.id_a, r.id_b) for r in polygon_join(spark, zones).collect()}
+    assert got == {
+        ("donut", "straddle"),      # crosses the hole boundary into the solid part
+        ("in_hole", "straddle"),    # both small squares overlap each other
+        ("multi", "outside"),       # 2nd multipolygon member overlaps OUTSIDE
+    }
+    assert ("donut", "in_hole") not in got  # wholly inside the hole ⇒ disjoint
+
+
+def test_polygon_join_frames_hole_semantics(spark):
+    from jena_geo_spark.operators.spatial_join import polygon_join_frames
+
+    zones = [
+        ("donut", DONUT),
+        ("in_hole", IN_HOLE),
+        ("straddle", STRADDLE),
+        ("outside", OUTSIDE),
+        ("multi", MULTI),
+    ]
+    df = spark.createDataFrame(zones, "id string, wkt string")
+    got = {(r.id_a, r.id_b) for r in polygon_join_frames(spark, df).collect()}
+    assert got == {
+        ("donut", "straddle"),
+        ("in_hole", "straddle"),
+        ("multi", "outside"),
+    }
