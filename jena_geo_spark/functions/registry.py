@@ -607,6 +607,14 @@ _reg("st_astiff", RT.rt_astiff, "rast")
 # in PostGISConfig, so they are outside the 423-name parity set)
 _reg("st_ascoveragejson", RT.rt_ascoveragejson, "rast")
 _reg("st_rastfromcoveragejson", RT.rt_fromcoveragejson, "covjson")
+# XYZ / ASCIIGrid / GeoTIFF-read raster literals — BONUS surface (the
+# reference lists all three as "Planned further implementations",
+# README.md:412-421, and never ships them)
+_reg("st_asxyz", RT.rt_asxyz, "rast")
+_reg("st_rastfromxyz", RT.rt_fromxyz, "xyzs")
+_reg("st_asasciigrid", RT.rt_asasciigrid, "rast")
+_reg("st_rastfromasciigrid", RT.rt_fromasciigrid, "aaigs")
+_reg("st_rastfromtiff", RT.rt_fromtiff, "tiffb")
 _reg("st_resize", RTR.st_resize, "rast", L(2), L(2))
 _reg("st_reskew", RS.rastfn_udf(__import__("jena_geo_spark.raster.transform", fromlist=["set_skew"]).set_skew, 2, "rt_reskew"), "rast", L(0.1), L(0.1))
 _reg("st_retile", RS.rt_retile, "rast", L(2), L(2))
@@ -684,6 +692,17 @@ def sample_frame(spark):
         "covjson": __import__(
             "jena_geo_spark.raster.covjson", fromlist=["raster_to_covjson"]
         ).raster_to_covjson(WR.decode(rast(range(16)))),
+        "xyzs": __import__(
+            "jena_geo_spark.raster.grids", fromlist=["raster_to_xyz"]
+        ).raster_to_xyz(WR.decode(rast(range(16)))),
+        "aaigs": __import__(
+            "jena_geo_spark.raster.grids", fromlist=["raster_to_aaigrid"]
+        ).raster_to_aaigrid(WR.decode(rast(range(16)))),
+        "tiffb": bytearray(
+            __import__(
+                "jena_geo_spark.raster.tiff", fromlist=["encode_tiff"]
+            ).encode_tiff(WR.decode(rast(range(16))))
+        ),
         "rast2": bytearray(rast(range(16, 32), ipx=2.0, ipy=6.0)),
         "rasthex": WR.encode_hex(WR.decode(rast(range(16)))),
     }

@@ -674,6 +674,64 @@ def rt_fromcoveragejson(s: pd.Series) -> pd.Series:
     )
 
 
+@pandas_udf(StringType())
+def rt_asxyz(b: pd.Series) -> pd.Series:
+    """XYZ gridded-ASCII export of band 1 (format the reference only plans,
+    README.md:412-421; GDAL XYZ driver layout)."""
+    from .grids import raster_to_xyz
+
+    return pd.Series(
+        [raster_to_xyz(WR.decode(x)) if x is not None else None for x in s_iter(b)],
+        dtype=object,
+    )
+
+
+@pandas_udf(BinaryType())
+def rt_fromxyz(s: pd.Series) -> pd.Series:
+    """XYZ gridded-ASCII literal → WKB raster."""
+    from .grids import xyz_to_raster
+
+    return pd.Series(
+        [WR.encode(xyz_to_raster(x)) if x is not None else None for x in s_iter(s)],
+        dtype=object,
+    )
+
+
+@pandas_udf(StringType())
+def rt_asasciigrid(b: pd.Series) -> pd.Series:
+    """Esri ASCIIGrid (AAIGrid) export of band 1 (format the reference only
+    plans, README.md:412-421; GDAL AAIGrid driver layout)."""
+    from .grids import raster_to_aaigrid
+
+    return pd.Series(
+        [raster_to_aaigrid(WR.decode(x)) if x is not None else None for x in s_iter(b)],
+        dtype=object,
+    )
+
+
+@pandas_udf(BinaryType())
+def rt_fromasciigrid(s: pd.Series) -> pd.Series:
+    """Esri ASCIIGrid literal → WKB raster."""
+    from .grids import aaigrid_to_raster
+
+    return pd.Series(
+        [WR.encode(aaigrid_to_raster(x)) if x is not None else None for x in s_iter(s)],
+        dtype=object,
+    )
+
+
+@pandas_udf(BinaryType())
+def rt_fromtiff(b: pd.Series) -> pd.Series:
+    """GeoTIFF bytes → WKB raster (read direction of the st_astiff
+    encoder; the reference lists GeoTIFF as planned-only)."""
+    from .tiff import tiff_to_raster
+
+    return pd.Series(
+        [WR.encode(tiff_to_raster(x)) if x is not None else None for x in s_iter(b)],
+        dtype=object,
+    )
+
+
 def s_iter(s: pd.Series):
     return s.tolist()
 

@@ -19,7 +19,7 @@ import struct
 
 import numpy as np
 
-from .wkb_raster import PIXEL_DTYPES, Raster
+from .wkb_raster import PIXEL_DTYPES, Band, Raster
 
 # pixtype → (numpy little-endian dtype, TIFF SampleFormat)
 _SAMPLEFORMAT = {  # 1 = unsigned int, 2 = signed int, 3 = IEEE float
@@ -146,3 +146,30 @@ def raster_to_tiff(wkb: bytes) -> bytes:
     from . import wkb_raster as WR
 
     return encode_tiff(WR.decode(wkb))
+
+
+_PIXTYPE_BY_DTYPE = {"u1": 4, "i1": 3, "i2": 5, "u2": 6, "i4": 7, "u4": 8, "f4": 10, "f8": 11}
+
+
+def tiff_to_raster(buf: bytes) -> Raster:
+    """GeoTIFF bytes → Raster — the read direction the reference only
+    plans (README.md:412-421 lists GeoTIFF under "Planned further
+    implementations").  Scope mirrors :func:`decode_tiff` (uncompressed,
+    little-endian, single strip) plus the two georeferencing tags this
+    module writes: ModelPixelScale (33550, ScaleY positive by GeoTIFF
+    convention → raster ``scale_y`` negated) and the (0,0) ModelTiepoint
+    (33922)."""
+    tags, arr = decode_tiff(buf)
+    h, w, spp = arr.shape
+    np_code = arr.dtype.str.lstrip("<>|=")
+    pixtype = _PIXTYPE_BY_DTYPE[np_code]
+    scale = tags.get(33550, (1.0, 1.0, 0.0))
+    tie = tags.get(33922, (0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    # tiepoint maps raster (i,j) → world (x,y): origin = tiepoint shifted
+    # back by i,j pixel offsets (our encoder always writes i=j=0)
+    ip_x = float(tie[3]) - float(tie[0]) * float(scale[0])
+    ip_y = float(tie[4]) + float(tie[1]) * float(scale[1])
+    bands = [Band(pixtype, None, arr[:, :, k].copy()) for k in range(spp)]
+    return Raster(
+        0, float(scale[0]), -float(scale[1]), ip_x, ip_y, 0.0, 0.0, 0, w, h, bands
+    )

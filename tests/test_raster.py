@@ -343,3 +343,103 @@ def test_covjson_xy_axis_order_and_values_axes():
     assert r.bands[0].data[0, 0] == 1 and r.bands[0].data[0, 1] == 4
     assert r.scale_x == 1.0 and r.scale_y == -1.0
     assert r.ip_x == 10.0 and r.ip_y == 5.5
+
+
+# -------------------------------------- XYZ / AAIGrid / GeoTIFF literals --
+
+
+def _grid_raster():
+    from jena_geo_spark.raster.wkb_raster import Band, Raster
+
+    data = np.arange(12, dtype=np.float64).reshape(3, 4) * 1.37 - 3.25
+    return Raster(0, 0.5, -0.5, 10.0, 20.0, 0.0, 0.0, 4326, 4, 3, [Band(11, None, data)])
+
+
+def test_xyz_roundtrip_and_any_line_order():
+    from jena_geo_spark.raster import grids as G
+
+    r = _grid_raster()
+    txt = G.raster_to_xyz(r)
+    back = G.xyz_to_raster(txt, srid=4326)
+    assert (back.scale_x, back.scale_y, back.ip_x, back.ip_y) == (0.5, -0.5, 10.0, 20.0)
+    assert (back.bands[0].data == r.bands[0].data).all()
+    lines = txt.split("\n")
+    back2 = G.xyz_to_raster("\n".join(lines[::-1]).replace(" ", ","))
+    assert (back2.bands[0].data == r.bands[0].data).all()
+
+
+def test_xyz_incomplete_grid_raises():
+    from jena_geo_spark.raster import grids as G
+
+    with pytest.raises(ValueError, match="do not fill"):
+        G.xyz_to_raster("0 0 1\n1 0 2\n0 1 3")  # 3 points, 2x2 grid
+
+
+def test_aaigrid_roundtrip_nodata_and_center_variant():
+    from jena_geo_spark.raster import grids as G
+    from jena_geo_spark.raster.wkb_raster import Band, Raster
+
+    r = Raster(
+        0, 1.0, -1.0, 0.0, 3.0, 0.0, 0.0, 0, 2, 3,
+        [Band(11, -9999.0, np.array([[1.0, 2.0], [-9999.0, 4.0], [5.0, 6.0]]),
+              nodata_raw=-9999.0)],
+    )
+    txt = G.raster_to_aaigrid(r)
+    assert txt.splitlines()[:2] == ["ncols 2", "nrows 3"]
+    assert "NODATA_value -9999" in txt
+    back = G.aaigrid_to_raster(txt)
+    assert back.bands[0].nodata == -9999.0
+    assert (back.bands[0].data == r.bands[0].data).all()
+    assert (back.ip_x, back.ip_y, back.scale_x, back.scale_y) == (0.0, 3.0, 1.0, -1.0)
+    c = G.aaigrid_to_raster("ncols 2\nnrows 1\nxllcenter 0.5\nyllcenter 0.5\ncellsize 1\n7 8")
+    assert (c.ip_x, c.ip_y) == (0.0, 1.0) and (c.bands[0].data == [[7.0, 8.0]]).all()
+
+
+def test_aaigrid_requires_square_pixels():
+    from jena_geo_spark.raster import grids as G
+    from jena_geo_spark.raster.wkb_raster import Band, Raster
+
+    r = Raster(0, 1.0, -2.0, 0.0, 2.0, 0.0, 0.0, 0, 1, 1,
+               [Band(11, None, np.zeros((1, 1)))])
+    with pytest.raises(ValueError, match="square"):
+        G.raster_to_aaigrid(r)
+
+
+def test_tiff_to_raster_roundtrips_geotransform_and_bands():
+    from jena_geo_spark.raster import tiff as T
+    from jena_geo_spark.raster.wkb_raster import Band, Raster
+
+    r = _grid_raster()
+    back = T.tiff_to_raster(T.encode_tiff(r))
+    assert (back.scale_x, back.scale_y, back.ip_x, back.ip_y) == (0.5, -0.5, 10.0, 20.0)
+    assert back.bands[0].pixtype == 11
+    assert (back.bands[0].data == r.bands[0].data).all()
+    rm = Raster(0, 1.0, -1.0, 0.0, 2.0, 0.0, 0.0, 0, 3, 2,
+                [Band(5, None, np.arange(6, dtype=np.int16).reshape(2, 3)),
+                 Band(5, None, (np.arange(6, dtype=np.int16) * 7).reshape(2, 3))])
+    back2 = T.tiff_to_raster(T.encode_tiff(rm))
+    assert len(back2.bands) == 2 and back2.bands[0].pixtype == 5
+    assert (back2.bands[1].data == rm.bands[1].data).all()
+
+
+def test_grid_literals_spark_roundtrip(spark):
+    """st_asxyz / st_rastfromxyz / st_asasciigrid / st_rastfromasciigrid /
+    st_rastfromtiff through the registered surface: export then re-import
+    must reproduce the full WKB raster payload bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from jena_geo_spark.raster import attributes as RT
+    from jena_geo_spark.raster import wkb_raster as WR
+
+    wkb = WR.encode(_grid_raster())
+    df = spark.createDataFrame([(bytearray(wkb),)], "rast binary")
+    out = df.select(
+        RT.rt_fromxyz(RT.rt_asxyz(F.col("rast"))).alias("xyz"),
+        RT.rt_fromasciigrid(RT.rt_asasciigrid(F.col("rast"))).alias("aai"),
+        RT.rt_fromtiff(RT.rt_astiff(F.col("rast"))).alias("tif"),
+    ).collect()[0]
+    for name in ("xyz", "aai", "tif"):
+        back = WR.decode(bytes(out[name]))
+        assert (back.width, back.height) == (4, 3), name
+        assert (back.ip_x, back.ip_y, back.scale_x, back.scale_y) == (10.0, 20.0, 0.5, -0.5), name
+        assert (back.bands[0].data == _grid_raster().bands[0].data).all(), name

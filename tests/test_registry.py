@@ -31,6 +31,13 @@ ALLOWED_EXTRAS = {
     # registers them in PostGISConfig
     "st_ascoveragejson",
     "st_rastfromcoveragejson",
+    # XYZ / ASCIIGrid / GeoTIFF-read raster literals — the reference's
+    # "Planned further implementations" list (README.md:412-421)
+    "st_asxyz",
+    "st_rastfromxyz",
+    "st_asasciigrid",
+    "st_rastfromasciigrid",
+    "st_rastfromtiff",
 }
 
 
