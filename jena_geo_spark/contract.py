@@ -797,6 +797,55 @@ def o_raster_stats() -> str:
     )
 
 
+def q_raster_grid_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the deterministic per-event raster through all three grid
+    literal codecs — XYZ gridded ASCII, Esri ASCIIGrid, GeoTIFF
+    (raster/grids.py, raster/tiff.py; the reference's planned-only formats,
+    README.md:412-421) — and emit each band sum: a corrupted cell,
+    mis-ordered row, or lost geotransform changes a sum and fails the
+    bit-exact hash gate."""
+    from .raster import attributes as RA
+    from .raster import transform as RT
+    from .raster import wkb_raster as WR
+
+    @pandas_udf(BinaryType())
+    def make_raster(event_id: pd.Series) -> pd.Series:
+        out = []
+        idx = np.arange(_RAST_W * _RAST_H, dtype=np.int64)
+        for eid in event_id:
+            v = (int(eid) * _RAST_MULT_A + idx * _RAST_MULT_B) % _RAST_MOD
+            band = WR.Band(7, None, v.reshape(_RAST_H, _RAST_W).astype(np.int32), 0)
+            r = WR.Raster(0, 1.0, -1.0, 0.0, 0.0, 0.0, 0.0, 4326, _RAST_W, _RAST_H, [band])
+            out.append(WR.encode(r))
+        return pd.Series(out)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+    r = ev.withColumn("r", make_raster(F.col("event_id")))
+    out = r.select(
+        "event_id",
+        RT.st_summarystats(RA.rt_fromxyz(RA.rt_asxyz(F.col("r")))).alias("sx"),
+        RT.st_summarystats(RA.rt_fromasciigrid(RA.rt_asasciigrid(F.col("r")))).alias("sa"),
+        RT.st_summarystats(RA.rt_fromtiff(RA.rt_astiff(F.col("r")))).alias("st"),
+    )
+    return out.select(
+        "event_id",
+        F.col("sx.sum").alias("xyz_sum"),
+        F.col("sa.sum").alias("aai_sum"),
+        F.col("st.sum").alias("tif_sum"),
+    )
+
+
+def o_raster_grid_literals() -> str:
+    n = _RAST_W * _RAST_H
+    return (
+        "WITH v AS (SELECT event_id, "
+        f"list_transform(range(0, {n}), i -> (event_id * {_RAST_MULT_A} + i * {_RAST_MULT_B}) % {_RAST_MOD}) AS px "
+        "FROM events) "
+        "SELECT event_id, list_sum(px)::DOUBLE AS xyz_sum, "
+        "list_sum(px)::DOUBLE AS aai_sum, list_sum(px)::DOUBLE AS tif_sum FROM v"
+    )
+
+
 def q_geo_mbc_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum-bounding-circle radius of each derived triangle (Welzl
     kernel; reference MinimumBoundingCircleRadius).  Oracle: closed-form
@@ -2525,6 +2574,7 @@ QUERIES = {
     "tpch_q1": q_tpch_q1,
     "events_window": q_events_window,
     "orders_agg": q_orders_agg,
+    "raster_grid_literals": q_raster_grid_literals,
 }
 
 ORACLES = {
@@ -2593,4 +2643,5 @@ ORACLES = {
     "tpch_q1": o_tpch_q1(),
     "events_window": o_events_window(),
     "orders_agg": o_orders_agg(),
+    "raster_grid_literals": o_raster_grid_literals(),
 }
