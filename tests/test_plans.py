@@ -146,3 +146,35 @@ def test_verify_udf_not_double_evaluated(spark, imgs):
         "bytes", "w", "h", "fmt", "phash_ok"
     )
     assert _plan(v).count("phash_matches") == 1
+
+
+def test_polygon_join_frames_plan_shape(spark, imgs):
+    """Frame-scale polygon×polygon join: candidates must be an equi-join on
+    the packed cell key (never a cartesian product), with NO row-at-a-time
+    Python anywhere and exactly one Arrow exchange (the exact-refine UDF)
+    in the full plan."""
+    from jena_geo_spark.operators.spatial_join import polygon_join_frames
+
+    tri = imgs.limit(200).select(
+        F.col("image_id").alias("id"),
+        F.format_string(
+            "POLYGON((%s %s, %s %s, %s %s, %s %s))",
+            *[
+                c.cast("string")
+                for c in (
+                    F.col("lon"), F.col("lat"),
+                    F.col("lon") + 4.0, F.col("lat") + 0.8,
+                    F.col("lon") + 1.6, F.col("lat") + 3.2,
+                    F.col("lon"), F.col("lat"),
+                )
+            ],
+        ).alias("wkt"),
+    )
+    cand = polygon_join_frames(spark, tri, predicate="bbox")
+    cplan = _plan(cand)
+    assert "CartesianProduct" not in cplan and "BroadcastNestedLoopJoin" not in cplan
+    assert "BatchEvalPython" not in cplan  # no row-at-a-time Python
+    full = polygon_join_frames(spark, tri)
+    fplan = _plan(full)
+    assert "BatchEvalPython" not in fplan
+    assert fplan.count("ArrowEvalPython") == 1  # exact refine only
