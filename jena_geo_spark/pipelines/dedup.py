@@ -120,7 +120,12 @@ def jaccard_dedup_pairs(
     pair is still exact; only pairs sharing exclusively-hot shingles can be
     missed, and the number of dropped shingles is logged (no silent caps).
     """
-    sh = shingle_df(df, n, text_col, id_col)
+    # materialize shingles ONCE: the frame feeds sizes, the df histogram,
+    # candidate generation, and the exact-intersection recount — without
+    # this the shingling subtree re-evaluates per branch (5x at sf0.1).
+    # Same trade at 100 TB: store one stage output vs recompute it four
+    # times; localCheckpoint blocks release when the frame goes out of scope.
+    sh = shingle_df(df, n, text_col, id_col).localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     if max_df is not None:
         dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
@@ -282,7 +287,8 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact verify: join shingle sets back on the candidate pairs
-    sh = shingle_df(df, n, text_col, id_col)
+    # (materialized once — feeds sizes and both intersection sides)
+    sh = shingle_df(df, n, text_col, id_col).localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     ia = sh.withColumnRenamed(id_col, "id_a")
     ib = sh.withColumnRenamed(id_col, "_rid").withColumnRenamed("shingle", "shingle_b")
