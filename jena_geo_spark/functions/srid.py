@@ -45,6 +45,25 @@ CRS_REGISTRY = {
     },
 }
 
+# the full EPSG WGS84/UTM series (32601-60 north, 32701-60 south) — all
+# projected metre CRSs; st_transform supports every one of them (Snyder
+# forward/inverse in functions/transform.py)
+for _z in range(1, 61):
+    for _code, _hemi in ((32600 + _z, "N"), (32700 + _z, "S")):
+        CRS_REGISTRY.setdefault(
+            _code,
+            {
+                "name": f"WGS 84 / UTM zone {_z}{_hemi}",
+                "axis1_name": "Easting",
+                "axis2_name": "Northing",
+                "axis1_orientation": "east",
+                "axis2_orientation": "north",
+                "flipped_axis": False,
+                "geographic": False,
+                "unit": "metre",
+            },
+        )
+
 
 def epsg_to_srid(epsg: str | int) -> int:
     """ST_EPSGToSRID: 'EPSG:4326' → 4326."""

@@ -6,8 +6,10 @@ Translate / TransScale / Reflect / ShearTransformation and ``Transform.java``
 reprojection implements the published formulas directly:
 
 * EPSG:4326 (lon/lat degrees) ↔ EPSG:3857 (spherical Web-Mercator metres)
-* EPSG:4326 ↔ UTM (zone from lon; standard Transverse-Mercator series,
-  WGS84 ellipsoid, Krüger 4th-order terms)
+* EPSG:4326 ↔ the full EPSG UTM series (32601-60 north / 32701-60 south;
+  Snyder 1987 Transverse-Mercator forward AND inverse, WGS84 ellipsoid,
+  ~millimetre round-trip)
+* any pair of the above composed through the 4326 pivot (e.g. 3857→32633)
 
 Affine ops are vectorised numpy over the coordinate arrays of a WKB column.
 """
@@ -111,9 +113,14 @@ def utm_zone(lon: float) -> int:
     return int(np.floor((lon + 180.0) / 6.0)) % 60 + 1
 
 
-def utm_forward(lon: np.ndarray, lat: np.ndarray, zone: int) -> tuple[np.ndarray, np.ndarray]:
-    """EPSG:4326 → UTM (northern-hemisphere convention: southern points get
-    the 10,000,000 m false northing)."""
+def utm_forward(
+    lon: np.ndarray, lat: np.ndarray, zone: int, south: bool | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """EPSG:4326 → UTM (WGS84 Transverse-Mercator series, Snyder 1987
+    eq. 8-9..8-15).  ``south=None`` keeps the legacy per-point convention
+    (southern latitudes get the 10,000,000 m false northing); ``south``
+    True/False applies the EPSG 327xx/326xx convention — the false
+    northing is a property of the CRS, not of the point."""
     lon = np.radians(np.asarray(lon, dtype=np.float64))
     lat = np.radians(np.asarray(lat, dtype=np.float64))
     lon0 = np.radians(float(zone * 6 - 183))
@@ -141,8 +148,50 @@ def utm_forward(lon: np.ndarray, lat: np.ndarray, zone: int) -> tuple[np.ndarray
             + (61 - 58 * t + t**2 + 600 * c - 330 * ep2) * a**6 / 720
         )
     )
-    northing = np.where(lat < 0, northing + 10000000.0, northing)
+    if south is None:
+        northing = np.where(lat < 0, northing + 10000000.0, northing)
+    elif south:
+        northing = northing + 10000000.0
     return easting, northing
+
+
+def utm_inverse(
+    e: np.ndarray, n: np.ndarray, zone: int, south: bool
+) -> tuple[np.ndarray, np.ndarray]:
+    """UTM → EPSG:4326 (Snyder 1987 eq. 8-16..8-25, footpoint-latitude
+    series) — ~millimetre round-trip (truncated-series accuracy) against :func:`utm_forward` across
+    the zone (pytest-asserted)."""
+    e = np.asarray(e, dtype=np.float64) - 500000.0
+    n = np.asarray(n, dtype=np.float64) - (10000000.0 if south else 0.0)
+    lon0 = np.radians(float(zone * 6 - 183))
+    ep2 = _E2 / (1 - _E2)
+    m = n / _K0
+    mu = m / (_A * (1 - _E2 / 4 - 3 * _E2**2 / 64 - 5 * _E2**3 / 256))
+    e1 = (1 - np.sqrt(1 - _E2)) / (1 + np.sqrt(1 - _E2))
+    phi1 = (
+        mu
+        + (3 * e1 / 2 - 27 * e1**3 / 32) * np.sin(2 * mu)
+        + (21 * e1**2 / 16 - 55 * e1**4 / 32) * np.sin(4 * mu)
+        + (151 * e1**3 / 96) * np.sin(6 * mu)
+        + (1097 * e1**4 / 512) * np.sin(8 * mu)
+    )
+    sin1, cos1, tan1 = np.sin(phi1), np.cos(phi1), np.tan(phi1)
+    c1 = ep2 * cos1**2
+    t1 = tan1**2
+    n1 = _A / np.sqrt(1 - _E2 * sin1**2)
+    r1 = _A * (1 - _E2) / (1 - _E2 * sin1**2) ** 1.5
+    d = e / (n1 * _K0)
+    lat = phi1 - (n1 * tan1 / r1) * (
+        d**2 / 2
+        - (5 + 3 * t1 + 10 * c1 - 4 * c1**2 - 9 * ep2) * d**4 / 24
+        + (61 + 90 * t1 + 298 * c1 + 45 * t1**2 - 252 * ep2 - 3 * c1**2) * d**6 / 720
+    )
+    lon = lon0 + (
+        d
+        - (1 + 2 * t1 + c1) * d**3 / 6
+        + (5 - 2 * c1 + 28 * t1 - 3 * c1**2 + 8 * ep2 + 24 * t1**2) * d**5 / 120
+    ) / cos1
+    return np.degrees(lon), np.degrees(lat)
 
 
 _TRANSFORMS = {
@@ -151,11 +200,53 @@ _TRANSFORMS = {
 }
 
 
+def _utm_code(srid: int) -> tuple[int, bool] | None:
+    """EPSG UTM code → (zone, south), else None."""
+    if 32601 <= srid <= 32660:
+        return srid - 32600, False
+    if 32701 <= srid <= 32760:
+        return srid - 32700, True
+    return None
+
+
+def _xy_transform(from_srid: int, to_srid: int):
+    """Vectorised (x, y) → (x', y') for the supported CRS pairs:
+    EPSG:4326 ↔ {3857, any UTM 326xx/327xx}, plus any pair of those
+    composed through the 4326 pivot (e.g. 3857 → 32633).  Raises KeyError
+    for unsupported codes — same contract the reference inherits from its
+    CRS registry (SRSInfoException on unknown SRS)."""
+    if from_srid == to_srid:
+        return lambda x, y: (np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64))
+    if (from_srid, to_srid) in _TRANSFORMS:
+        return _TRANSFORMS[(from_srid, to_srid)]
+    u_from, u_to = _utm_code(from_srid), _utm_code(to_srid)
+    if from_srid == 4326 and u_to:
+        zone, south = u_to
+        return lambda lon, lat: utm_forward(lon, lat, zone, south)
+    if u_from and to_srid == 4326:
+        zone, south = u_from
+        return lambda e, n: utm_inverse(e, n, zone, south)
+    if (from_srid == 4326 or u_from or from_srid in (3857,)) and (
+        to_srid == 4326 or u_to or to_srid in (3857,)
+    ):
+        to_geo = _xy_transform(from_srid, 4326)
+        from_geo = _xy_transform(4326, to_srid)
+
+        def composed(x, y):
+            lon, lat = to_geo(x, y)
+            return from_geo(lon, lat)
+
+        return composed
+    raise KeyError(f"st_transform: unsupported SRID pair ({from_srid}, {to_srid})")
+
+
 @pandas_udf(BinaryType())
 def st_transform(b: pd.Series, from_srid: pd.Series, to_srid: pd.Series) -> pd.Series:
-    """ST_Transform for geometry WKB columns (4326↔3857)."""
+    """ST_Transform for geometry WKB columns — 4326 ↔ 3857 ↔ the full
+    EPSG UTM series (32601-60 north, 32701-60 south), arbitrary pairs
+    composed through the 4326 pivot."""
     key = (int(from_srid.iloc[0]), int(to_srid.iloc[0]))
-    fn = _TRANSFORMS[key]
+    fn = _xy_transform(*key)
 
     def tr(g: W.Geom) -> W.Geom:
         def ap(arr):

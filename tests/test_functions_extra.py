@@ -162,3 +162,76 @@ def test_azimuth(spark):
     assert rows[0].az == 0.0  # due north
     assert rows[1].az == pytest.approx(np.pi / 2)  # due east
     assert rows[2].az == pytest.approx(3 * np.pi / 2)  # due west
+
+
+def test_utm_inverse_roundtrips_forward():
+    import numpy as np
+
+    from jena_geo_spark.functions import transform as X
+
+    rng = np.random.default_rng(3)
+    # zone 33 spans 12..18°E; sample within ±3° of the central meridian
+    lon = 15.0 + rng.uniform(-3, 3, 500)
+    lat = rng.uniform(-80, 84, 500)
+    for south in (False, True):
+        e, n = X.utm_forward(lon, lat, 33, south)
+        lon2, lat2 = X.utm_inverse(e, n, 33, south)
+        # ~millimetre: 2e-8 deg ~ 2 mm — the truncated Snyder series'
+        # intrinsic accuracy at high latitude / zone edge
+        assert np.abs(lon2 - lon).max() < 2e-8
+        assert np.abs(lat2 - lat).max() < 2e-8
+
+
+def test_utm_epsg_conventions():
+    import numpy as np
+
+    from jena_geo_spark.functions import transform as X
+
+    # central meridian maps to the 500 km false easting; equator to N=0
+    e, n = X.utm_forward(np.array([15.0]), np.array([0.0]), 33, False)
+    assert abs(e[0] - 500000.0) < 1e-6 and abs(n[0]) < 1e-6
+    # EPSG 327xx: false northing is a CRS property — applied even north
+    # of the equator (unlike the legacy per-point convention)
+    e, n = X.utm_forward(np.array([15.0]), np.array([1.0]), 33, True)
+    assert n[0] > 10000000.0
+
+
+def test_st_transform_utm_and_composed_pairs(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from jena_geo_spark.functions import transform as X
+    from jena_geo_spark.geom import wkt as W
+
+    wkb = W.to_wkb(W.from_wkt("POINT (15.5 52.1)"))
+    df = spark.createDataFrame([(bytearray(wkb),)], "g binary")
+    out = df.select(
+        X.st_transform(F.col("g"), F.lit(4326), F.lit(32633)).alias("utm"),
+        X.st_transform(
+            X.st_transform(F.col("g"), F.lit(4326), F.lit(3857)),
+            F.lit(3857),
+            F.lit(32633),
+        ).alias("via_merc"),
+    ).collect()[0]
+    p_utm = W.from_wkb(bytes(out.utm)).parts[0][0]
+    p_via = W.from_wkb(bytes(out.via_merc)).parts[0][0]
+    e_ref, n_ref = X.utm_forward(np.array([15.5]), np.array([52.1]), 33, False)
+    assert abs(p_utm[0] - e_ref[0]) < 1e-6 and abs(p_utm[1] - n_ref[0]) < 1e-6
+    # composed 3857→4326→32633 pivot agrees to micrometres
+    assert abs(p_via[0] - e_ref[0]) < 1e-6 and abs(p_via[1] - n_ref[0]) < 1e-6
+
+
+def test_st_transform_unknown_pair_raises(spark):
+    from pyspark.sql import functions as F
+
+    from jena_geo_spark.functions import transform as X
+
+    with pytest.raises(KeyError):
+        X._xy_transform(4326, 2154)  # Lambert-93: not in the registry
+
+
+def test_utm_srids_registered_projected():
+    from jena_geo_spark.functions.srid import CRS_REGISTRY, is_geographic
+
+    assert not is_geographic(32601) and not is_geographic(32760)
+    assert CRS_REGISTRY[32733]["name"] == "WGS 84 / UTM zone 33S"
