@@ -45,6 +45,25 @@ CRS_REGISTRY = {
     },
 }
 
+for _code, _name in (
+    (2154, "RGF93 v1 / Lambert-93"),
+    (5070, "NAD83 / Conus Albers"),
+    (3035, "ETRS89-extended / LAEA Europe"),
+):
+    CRS_REGISTRY.setdefault(
+        _code,
+        {
+            "name": _name,
+            "axis1_name": "Easting",
+            "axis2_name": "Northing",
+            "axis1_orientation": "east",
+            "axis2_orientation": "north",
+            "flipped_axis": False,
+            "geographic": False,
+            "unit": "metre",
+        },
+    )
+
 # the full EPSG WGS84/UTM series (32601-60 north, 32701-60 south) — all
 # projected metre CRSs; st_transform supports every one of them (Snyder
 # forward/inverse in functions/transform.py)

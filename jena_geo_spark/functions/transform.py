@@ -9,6 +9,9 @@ reprojection implements the published formulas directly:
 * EPSG:4326 ↔ the full EPSG UTM series (32601-60 north / 32701-60 south;
   Snyder 1987 Transverse-Mercator forward AND inverse, WGS84 ellipsoid,
   ~millimetre round-trip)
+* EPSG:4326 ↔ 2154 (Lambert-93, LCC 2SP), 5070 (Conus Albers, AEA 2SP),
+  3035 (LAEA Europe) — Snyder ellipsoidal forms on GRS80, pytest-validated
+  by origin/conformality/equal-area invariants, not just round-trips
 * any pair of the above composed through the 4326 pivot (e.g. 3857→32633)
 
 Affine ops are vectorised numpy over the coordinate arrays of a WKB column.
@@ -199,6 +202,178 @@ _TRANSFORMS = {
     (3857, 4326): merc_inverse,
 }
 
+# ------------------------------------------- conic / azimuthal projections --
+# Snyder 1987 ellipsoidal forms.  Datums (RGF93/NAD83/ETRS89) are treated
+# as WGS84-compatible — they agree to centimetres, far inside the
+# projection series' own accuracy, and the reference's SIS pipeline makes
+# the same null-datum-shift assumption for these CRSs.
+
+_GRS80_A = 6378137.0
+_GRS80_F = 1.0 / 298.257222101
+
+
+def _ell(a: float, f: float):
+    e2 = f * (2 - f)
+    return a, e2, np.sqrt(e2)
+
+
+def _m_snyder(phi, e2):
+    return np.cos(phi) / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+
+
+def _t_snyder(phi, e):
+    return np.tan(np.pi / 4 - phi / 2) / (
+        (1 - e * np.sin(phi)) / (1 + e * np.sin(phi))
+    ) ** (e / 2)
+
+
+def _q_snyder(phi, e2, e):
+    s = np.sin(phi)
+    return (1 - e2) * (
+        s / (1 - e2 * s**2) - (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+    )
+
+
+def _lcc2sp(lat1, lat2, lat0, lon0, fe, fn, a, e2, e):
+    """Lambert Conformal Conic 2SP (Snyder eq. 15-1..15-11)."""
+    p1, p2, p0 = np.radians(lat1), np.radians(lat2), np.radians(lat0)
+    l0 = np.radians(lon0)
+    m1, m2 = _m_snyder(p1, e2), _m_snyder(p2, e2)
+    t1, t2, t0 = _t_snyder(p1, e), _t_snyder(p2, e), _t_snyder(p0, e)
+    n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+    big_f = m1 / (n * t1**n)
+    rho0 = a * big_f * t0**n
+
+    def fwd(lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        rho = a * big_f * _t_snyder(phi, e) ** n
+        th = n * (lam - l0)
+        return fe + rho * np.sin(th), fn + rho0 - rho * np.cos(th)
+
+    def inv(x, y):
+        dx = np.asarray(x, dtype=np.float64) - fe
+        dy = rho0 - (np.asarray(y, dtype=np.float64) - fn)
+        rho = np.sign(n) * np.sqrt(dx**2 + dy**2)
+        tp = (rho / (a * big_f)) ** (1 / n)
+        lam = np.arctan2(np.sign(n) * dx, np.sign(n) * dy) / n + l0
+        phi = np.pi / 2 - 2 * np.arctan(tp)
+        for _ in range(8):
+            phi = np.pi / 2 - 2 * np.arctan(
+                tp * ((1 - e * np.sin(phi)) / (1 + e * np.sin(phi))) ** (e / 2)
+            )
+        return np.degrees(lam), np.degrees(phi)
+
+    return fwd, inv
+
+
+def _aea2sp(lat1, lat2, lat0, lon0, fe, fn, a, e2, e):
+    """Albers Equal-Area Conic 2SP (Snyder eq. 14-1..14-21)."""
+    p1, p2, p0 = np.radians(lat1), np.radians(lat2), np.radians(lat0)
+    l0 = np.radians(lon0)
+    m1, m2 = _m_snyder(p1, e2), _m_snyder(p2, e2)
+    q1, q2, q0 = _q_snyder(p1, e2, e), _q_snyder(p2, e2, e), _q_snyder(p0, e2, e)
+    n = (m1**2 - m2**2) / (q2 - q1)
+    big_c = m1**2 + n * q1
+    rho0 = a * np.sqrt(big_c - n * q0) / n
+
+    def fwd(lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        rho = a * np.sqrt(big_c - n * _q_snyder(phi, e2, e)) / n
+        th = n * (lam - l0)
+        return fe + rho * np.sin(th), fn + rho0 - rho * np.cos(th)
+
+    def inv(x, y):
+        dx = np.asarray(x, dtype=np.float64) - fe
+        dy = rho0 - (np.asarray(y, dtype=np.float64) - fn)
+        rho = np.sqrt(dx**2 + dy**2)
+        qp = (big_c - rho**2 * n**2 / a**2) / n
+        lam = np.arctan2(dx, dy) / n + l0
+        phi = np.arcsin(np.clip(qp / 2, -1, 1))
+        for _ in range(8):
+            s = np.sin(phi)
+            phi = phi + (1 - e2 * s**2) ** 2 / (2 * np.cos(phi)) * (
+                qp / (1 - e2)
+                - s / (1 - e2 * s**2)
+                + (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+            )
+        return np.degrees(lam), np.degrees(phi)
+
+    return fwd, inv
+
+
+def _laea(lat0, lon0, fe, fn, a, e2, e):
+    """Lambert Azimuthal Equal-Area, oblique ellipsoidal form
+    (Snyder eq. 24-2..24-30 + 3-18 authalic-latitude series)."""
+    p0 = np.radians(lat0)
+    l0 = np.radians(lon0)
+    qp = _q_snyder(np.pi / 2, e2, e)
+    rq = a * np.sqrt(qp / 2)
+    b1 = np.arcsin(_q_snyder(p0, e2, e) / qp)
+    m1 = _m_snyder(p0, e2)
+    d = a * m1 / (rq * np.cos(b1))
+    # authalic → geodetic series coefficients (Snyder eq. 3-18)
+    c2 = e2 / 3 + 31 * e2**2 / 180 + 517 * e2**3 / 5040
+    c4 = 23 * e2**2 / 360 + 251 * e2**3 / 3780
+    c6 = 761 * e2**3 / 45360
+
+    def fwd(lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        beta = np.arcsin(np.clip(_q_snyder(phi, e2, e) / qp, -1, 1))
+        dl = lam - l0
+        big_b = rq * np.sqrt(
+            2 / (1 + np.sin(b1) * np.sin(beta) + np.cos(b1) * np.cos(beta) * np.cos(dl))
+        )
+        x = fe + big_b * d * np.cos(beta) * np.sin(dl)
+        y = fn + (big_b / d) * (
+            np.cos(b1) * np.sin(beta) - np.sin(b1) * np.cos(beta) * np.cos(dl)
+        )
+        return x, y
+
+    def inv(x, y):
+        xp = (np.asarray(x, dtype=np.float64) - fe) / d
+        yp = (np.asarray(y, dtype=np.float64) - fn) * d
+        rho = np.sqrt(xp**2 + yp**2)
+        ce = 2 * np.arcsin(np.clip(rho / (2 * rq), -1, 1))
+        with np.errstate(invalid="ignore"):
+            beta = np.where(
+                rho == 0,
+                b1,
+                np.arcsin(
+                    np.clip(
+                        np.cos(ce) * np.sin(b1) + yp * np.sin(ce) * np.cos(b1) / rho,
+                        -1,
+                        1,
+                    )
+                ),
+            )
+            lam = l0 + np.arctan2(
+                xp * np.sin(ce),
+                rho * np.cos(b1) * np.cos(ce) - yp * np.sin(b1) * np.sin(ce),
+            )
+            lam = np.where(rho == 0, l0, lam)
+        phi = beta + c2 * np.sin(2 * beta) + c4 * np.sin(4 * beta) + c6 * np.sin(6 * beta)
+        return np.degrees(lam), np.degrees(phi)
+
+    return fwd, inv
+
+
+def _build_projected() -> dict:
+    a, e2, e = _ell(_GRS80_A, _GRS80_F)
+    return {
+        # RGF93 / Lambert-93 (France) — EPSG registry parameters
+        2154: _lcc2sp(49.0, 44.0, 46.5, 3.0, 700000.0, 6600000.0, a, e2, e),
+        # NAD83 / Conus Albers — EPSG registry parameters
+        5070: _aea2sp(29.5, 45.5, 23.0, -96.0, 0.0, 0.0, a, e2, e),
+        # ETRS89-extended / LAEA Europe — EPSG registry parameters
+        3035: _laea(52.0, 10.0, 4321000.0, 3210000.0, a, e2, e),
+    }
+
+
+_PROJECTED = _build_projected()
+
 
 def _utm_code(srid: int) -> tuple[int, bool] | None:
     """EPSG UTM code → (zone, south), else None."""
@@ -226,8 +401,12 @@ def _xy_transform(from_srid: int, to_srid: int):
     if u_from and to_srid == 4326:
         zone, south = u_from
         return lambda e, n: utm_inverse(e, n, zone, south)
-    if (from_srid == 4326 or u_from or from_srid in (3857,)) and (
-        to_srid == 4326 or u_to or to_srid in (3857,)
+    if from_srid == 4326 and to_srid in _PROJECTED:
+        return _PROJECTED[to_srid][0]
+    if from_srid in _PROJECTED and to_srid == 4326:
+        return _PROJECTED[from_srid][1]
+    if (from_srid == 4326 or u_from or from_srid in (3857,) or from_srid in _PROJECTED) and (
+        to_srid == 4326 or u_to or to_srid in (3857,) or to_srid in _PROJECTED
     ):
         to_geo = _xy_transform(from_srid, 4326)
         from_geo = _xy_transform(4326, to_srid)

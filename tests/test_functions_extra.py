@@ -227,7 +227,7 @@ def test_st_transform_unknown_pair_raises(spark):
     from jena_geo_spark.functions import transform as X
 
     with pytest.raises(KeyError):
-        X._xy_transform(4326, 2154)  # Lambert-93: not in the registry
+        X._xy_transform(4326, 27700)  # OSGB36: Airy datum shift not implemented
 
 
 def test_utm_srids_registered_projected():
@@ -235,3 +235,86 @@ def test_utm_srids_registered_projected():
 
     assert not is_geographic(32601) and not is_geographic(32760)
     assert CRS_REGISTRY[32733]["name"] == "WGS 84 / UTM zone 33S"
+
+
+def test_conic_laea_origin_invariants_and_roundtrip():
+    import numpy as np
+
+    from jena_geo_spark.functions import transform as X
+
+    cases = {
+        2154: ((3.0, 46.5), (700000.0, 6600000.0), ((-5, 10), (41, 51))),
+        5070: ((-96.0, 23.0), (0.0, 0.0), ((-125, -66), (24, 50))),
+        3035: ((10.0, 52.0), (4321000.0, 3210000.0), ((-10, 35), (34, 72))),
+    }
+    rng = np.random.default_rng(5)
+    for srid, (origin, fefn, ((lo1, lo2), (la1, la2))) in cases.items():
+        fwd = X._xy_transform(4326, srid)
+        inv = X._xy_transform(srid, 4326)
+        x, y = fwd(np.array([origin[0]]), np.array([origin[1]]))
+        # natural origin maps to the false easting/northing (EPSG def.)
+        assert abs(x[0] - fefn[0]) < 1e-6 and abs(y[0] - fefn[1]) < 1e-6, srid
+        lon = rng.uniform(lo1, lo2, 500)
+        lat = rng.uniform(la1, la2, 500)
+        lon2, lat2 = inv(*fwd(lon, lat))
+        # LCC/AEA invert iteratively to machine precision; LAEA's authalic
+        # series is good to ~1e-8 deg (~1 mm)
+        assert np.abs(lon2 - lon).max() < 2e-8, srid
+        assert np.abs(lat2 - lat).max() < 2e-8, srid
+
+
+def test_albers_and_laea_preserve_area():
+    """Equal-area projections must map a graticule cell to its authalic
+    area: A = Rq^2 * dlam * (sin b2 - sin b1) — an invariant independent
+    of the forward/inverse implementation."""
+    import numpy as np
+
+    from jena_geo_spark.functions import transform as X
+
+    a, e2, e = X._ell(X._GRS80_A, X._GRS80_F)
+    qp = X._q_snyder(np.pi / 2, e2, e)
+    rq2 = a * a * qp / 2
+
+    def authalic_area(lon1, lon2, lat1, lat2):
+        b1 = np.arcsin(X._q_snyder(np.radians(lat1), e2, e) / qp)
+        b2 = np.arcsin(X._q_snyder(np.radians(lat2), e2, e) / qp)
+        return rq2 * np.radians(lon2 - lon1) * (np.sin(b2) - np.sin(b1))
+
+    for srid, (lon1, lat1) in ((5070, (-100.0, 40.0)), (3035, (12.0, 48.0))):
+        fwd = X._xy_transform(4326, srid)
+        lon = np.array([lon1, lon1 + 0.1, lon1 + 0.1, lon1])
+        lat = np.array([lat1, lat1, lat1 + 0.1, lat1 + 0.1])
+        x, y = fwd(lon, lat)
+        shoelace = 0.5 * abs(
+            np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))
+        )
+        expect = authalic_area(lon1, lon1 + 0.1, lat1, lat1 + 0.1)
+        # quad edges are chords, not graticule arcs: agree to ~1e-5 relative
+        assert abs(shoelace - expect) / expect < 1e-4, srid
+
+
+def test_lambert93_is_conformal():
+    """Conformal: the local scale factor is direction-independent
+    (|dP/d(east)| == |dP/d(north)|) and the images of the east/north unit
+    vectors stay orthogonal."""
+    import numpy as np
+
+    from jena_geo_spark.functions import transform as X
+
+    fwd = X._xy_transform(4326, 2154)
+    lon0, lat0, h = 4.7, 45.2, 1e-7
+    x0, y0 = fwd(np.array([lon0]), np.array([lat0]))
+    xe, ye = fwd(np.array([lon0 + h]), np.array([lat0]))
+    xn, yn = fwd(np.array([lon0]), np.array([lat0 + h]))
+    # ellipsoidal metric: a degree of lon spans nu*cos(phi), a degree of
+    # lat spans rho_meridional — 0.3% apart on GRS80, so a spherical
+    # normalisation would mask/flag conformality spuriously
+    a, e2, _ = X._ell(X._GRS80_A, X._GRS80_F)
+    s2 = np.sin(np.radians(lat0)) ** 2
+    nu = a / np.sqrt(1 - e2 * s2)
+    rho_m = a * (1 - e2) / (1 - e2 * s2) ** 1.5
+    de = np.array([xe[0] - x0[0], ye[0] - y0[0]]) / (nu * np.cos(np.radians(lat0)))
+    dn = np.array([xn[0] - x0[0], yn[0] - y0[0]]) / rho_m
+    k_e, k_n = np.hypot(*de), np.hypot(*dn)
+    assert abs(k_e - k_n) / k_n < 1e-6
+    assert abs(np.dot(de, dn)) / (k_e * k_n) < 1e-6
