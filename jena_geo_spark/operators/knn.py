@@ -140,6 +140,7 @@ def knn_join_frames(
     start_res: int | None = None,
     n_hint: int | None = None,
     max_iters: int = 24,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Frame-scale kNN join: the k nearest RIGHT rows for EVERY left row —
     the table×table generalisation of ``knn_join`` (whose query side is a
@@ -287,6 +288,9 @@ def knn_join_frames(
     rounds = 0
     while counts:
         rounds += 1
+        if stats is not None:
+            stats["rounds"] = rounds
+            stats.setdefault("pending_per_round", []).append(sum(counts.values()))
         if rounds > max_iters:
             raise RuntimeError(
                 f"knn_join_frames: {sum(counts.values())} rows unfinished "
@@ -414,6 +418,8 @@ def knn_join_frames(
             n_endgame += n_end
         pending = nxt.filter(F.col("_res") >= 2)
         counts = {lvl: c for lvl, c in new_counts.items() if lvl >= 2}
+    if stats is not None:
+        stats["endgame_rows"] = n_endgame
     if n_endgame:
         # coarse endgame: the stragglers have near-world-scale
         # neighborhoods, so an honest cross join of the (few, materialized

@@ -166,8 +166,14 @@ def test_knn_join_frames_matches_bruteforce(spark):
     rdf = spark.createDataFrame(
         pd.DataFrame({"id": [f"r{i:04d}" for i in range(nr)], "lon": rlon, "lat": rlat}))
     got = {}
-    for r in knn_join_frames(spark, ldf, rdf, k).collect():
+    stats = {}
+    for r in knn_join_frames(spark, ldf, rdf, k, stats=stats).collect():
         got.setdefault(r.id, []).append((r.rank, r.id_right))
+    # per-row starts + 2-level coarsening: pending must shrink per round
+    # and close well inside the max_iters budget
+    assert stats["rounds"] <= 8
+    pend = stats["pending_per_round"]
+    assert pend == sorted(pend, reverse=True)
     d2 = (llon[:, None] - rlon[None, :]) ** 2 + (llat[:, None] - rlat[None, :]) ** 2
     for i in range(nl):
         order = sorted(range(nr), key=lambda j: (d2[i, j], f"r{j:04d}"))[:k]
