@@ -49,6 +49,7 @@ for _code, _name in (
     (2154, "RGF93 v1 / Lambert-93"),
     (5070, "NAD83 / Conus Albers"),
     (3035, "ETRS89-extended / LAEA Europe"),
+    (27700, "OSGB36 / British National Grid"),
 ):
     CRS_REGISTRY.setdefault(
         _code,

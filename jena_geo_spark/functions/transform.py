@@ -12,6 +12,9 @@ reprojection implements the published formulas directly:
 * EPSG:4326 ↔ 2154 (Lambert-93, LCC 2SP), 5070 (Conus Albers, AEA 2SP),
   3035 (LAEA Europe) — Snyder ellipsoidal forms on GRS80, pytest-validated
   by origin/conformality/equal-area invariants, not just round-trips
+* EPSG:4326 ↔ 27700 (British National Grid): 7-parameter Helmert datum
+  shift WGS84→OSGB36 through geocentric XYZ, then TM on Airy 1830 —
+  reproduces the Ordnance Survey guide's worked example to < 1 mm
 * any pair of the above composed through the 4326 pivot (e.g. 3857→32633)
 
 Affine ops are vectorised numpy over the coordinate arrays of a WKB column.
@@ -360,6 +363,158 @@ def _laea(lat0, lon0, fe, fn, a, e2, e):
     return fwd, inv
 
 
+# ------------------------------------------ datum shift (Helmert 7-param) --
+
+
+def _geodetic_to_xyz(lon, lat, a, e2):
+    lam, phi = np.radians(lon), np.radians(lat)
+    nu = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+    return (
+        nu * np.cos(phi) * np.cos(lam),
+        nu * np.cos(phi) * np.sin(lam),
+        nu * (1 - e2) * np.sin(phi),
+    )
+
+
+def _xyz_to_geodetic(x, y, z, a, e2):
+    lam = np.arctan2(y, x)
+    p = np.hypot(x, y)
+    phi = np.arctan2(z, p * (1 - e2))
+    for _ in range(6):  # converges to <1e-12 rad in 3-4 rounds at h=0
+        nu = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+        phi = np.arctan2(z + e2 * nu * np.sin(phi), p)
+    return np.degrees(lam), np.degrees(phi)
+
+
+def _helmert(params):
+    """Small-angle 7-parameter Helmert transform (position-vector sign
+    convention, the OGP/EPSG standard): X' = (1+s)·X + R×X + t."""
+    tx, ty, tz, rx_s, ry_s, rz_s, s_ppm = params
+    rx, ry, rz = (np.radians(v / 3600.0) for v in (rx_s, ry_s, rz_s))
+    m = 1.0 + s_ppm * 1e-6
+
+    def fwd(x, y, z):
+        return (
+            tx + m * x - rz * y + ry * z,
+            ty + rz * x + m * y - rx * z,
+            tz - ry * x + rx * y + m * z,
+        )
+
+    return fwd
+
+
+# WGS84 → OSGB36 (EPSG:1314 reversed; the published single-Helmert
+# approximation of the OSTN grid, accurate to a few metres — the same
+# null-grid fallback SIS/proj use without the OSTN15 file)
+_WGS84_TO_OSGB36 = _helmert((-446.448, 125.157, -542.060, -0.1502, -0.2470, -0.8421, 20.4894))
+_OSGB36_TO_WGS84 = _helmert((446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894))
+
+
+def _tm(lat0, lon0, k0, fe, fn, a, e2):
+    """General Transverse Mercator (Snyder series, arbitrary ellipsoid /
+    origin / scale) — the UTM code specialised to WGS84 stays untouched."""
+    ep2 = e2 / (1 - e2)
+    p0 = np.radians(lat0)
+    l0 = np.radians(lon0)
+
+    def _m_arc(phi):
+        return a * (
+            (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256) * phi
+            - (3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024) * np.sin(2 * phi)
+            + (15 * e2**2 / 256 + 45 * e2**3 / 1024) * np.sin(4 * phi)
+            - (35 * e2**3 / 3072) * np.sin(6 * phi)
+        )
+
+    m0 = _m_arc(p0)
+
+    def fwd(lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        n = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+        t = np.tan(phi) ** 2
+        c = ep2 * np.cos(phi) ** 2
+        aa = np.cos(phi) * (lam - l0)
+        m = _m_arc(phi)
+        x = fe + k0 * n * (
+            aa
+            + (1 - t + c) * aa**3 / 6
+            + (5 - 18 * t + t**2 + 72 * c - 58 * ep2) * aa**5 / 120
+        )
+        y = fn + k0 * (
+            m
+            - m0
+            + n
+            * np.tan(phi)
+            * (
+                aa**2 / 2
+                + (5 - t + 9 * c + 4 * c**2) * aa**4 / 24
+                + (61 - 58 * t + t**2 + 600 * c - 330 * ep2) * aa**6 / 720
+            )
+        )
+        return x, y
+
+    def inv(x, y):
+        e_ = np.asarray(x, dtype=np.float64) - fe
+        n_ = np.asarray(y, dtype=np.float64) - fn
+        m = m0 + n_ / k0
+        mu = m / (a * (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256))
+        e1 = (1 - np.sqrt(1 - e2)) / (1 + np.sqrt(1 - e2))
+        phi1 = (
+            mu
+            + (3 * e1 / 2 - 27 * e1**3 / 32) * np.sin(2 * mu)
+            + (21 * e1**2 / 16 - 55 * e1**4 / 32) * np.sin(4 * mu)
+            + (151 * e1**3 / 96) * np.sin(6 * mu)
+            + (1097 * e1**4 / 512) * np.sin(8 * mu)
+        )
+        sin1, cos1, tan1 = np.sin(phi1), np.cos(phi1), np.tan(phi1)
+        c1 = ep2 * cos1**2
+        t1 = tan1**2
+        n1 = a / np.sqrt(1 - e2 * sin1**2)
+        r1 = a * (1 - e2) / (1 - e2 * sin1**2) ** 1.5
+        d = e_ / (n1 * k0)
+        lat = phi1 - (n1 * tan1 / r1) * (
+            d**2 / 2
+            - (5 + 3 * t1 + 10 * c1 - 4 * c1**2 - 9 * ep2) * d**4 / 24
+            + (61 + 90 * t1 + 298 * c1 + 45 * t1**2 - 252 * ep2 - 3 * c1**2) * d**6 / 720
+        )
+        lon = l0 + (
+            d
+            - (1 + 2 * t1 + c1) * d**3 / 6
+            + (5 - 2 * c1 + 28 * t1 - 3 * c1**2 + 8 * ep2 + 24 * t1**2) * d**5 / 120
+        ) / cos1
+        return np.degrees(lon), np.degrees(lat)
+
+    return fwd, inv
+
+
+_AIRY_A = 6377563.396
+_AIRY_B = 6356256.909
+_AIRY_F = (_AIRY_A - _AIRY_B) / _AIRY_A
+_AIRY_E2 = _AIRY_F * (2 - _AIRY_F)
+_WGS_A, _WGS_E2 = _A, _E2
+
+
+def _osgb36():
+    """EPSG:27700 — WGS84 Helmert shift onto OSGB36, then the National
+    Grid TM on Airy 1830 (k0 = 0.9996012717, origin 49°N 2°W,
+    FE/FN = 400000/-100000)."""
+    tm_fwd, tm_inv = _tm(49.0, -2.0, 0.9996012717, 400000.0, -100000.0, _AIRY_A, _AIRY_E2)
+
+    def fwd(lon, lat):
+        x, y, z = _geodetic_to_xyz(
+            np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64), _WGS_A, _WGS_E2
+        )
+        lon36, lat36 = _xyz_to_geodetic(*_WGS84_TO_OSGB36(x, y, z), _AIRY_A, _AIRY_E2)
+        return tm_fwd(lon36, lat36)
+
+    def inv(e, n):
+        lon36, lat36 = tm_inv(e, n)
+        x, y, z = _geodetic_to_xyz(lon36, lat36, _AIRY_A, _AIRY_E2)
+        return _xyz_to_geodetic(*_OSGB36_TO_WGS84(x, y, z), _WGS_A, _WGS_E2)
+
+    return fwd, inv
+
+
 def _build_projected() -> dict:
     a, e2, e = _ell(_GRS80_A, _GRS80_F)
     return {
@@ -369,6 +524,8 @@ def _build_projected() -> dict:
         5070: _aea2sp(29.5, 45.5, 23.0, -96.0, 0.0, 0.0, a, e2, e),
         # ETRS89-extended / LAEA Europe — EPSG registry parameters
         3035: _laea(52.0, 10.0, 4321000.0, 3210000.0, a, e2, e),
+        # OSGB36 / British National Grid — the one non-null datum shift
+        27700: _osgb36(),
     }
 
 

@@ -227,7 +227,7 @@ def test_st_transform_unknown_pair_raises(spark):
     from jena_geo_spark.functions import transform as X
 
     with pytest.raises(KeyError):
-        X._xy_transform(4326, 27700)  # OSGB36: Airy datum shift not implemented
+        X._xy_transform(4326, 31370)  # Belgian Lambert 72: not implemented
 
 
 def test_utm_srids_registered_projected():
@@ -318,3 +318,50 @@ def test_lambert93_is_conformal():
     k_e, k_n = np.hypot(*de), np.hypot(*dn)
     assert abs(k_e - k_n) / k_n < 1e-6
     assert abs(np.dot(de, dn)) / (k_e * k_n) < 1e-6
+
+
+def test_osgb36_matches_os_worked_example():
+    """The Ordnance Survey 'Guide to coordinate systems in Great Britain'
+    worked example: OSGB36 geodetic 52°39'27.2531"N 1°43'4.5177"E must map
+    to National Grid E 651409.903, N 313177.270 (TM kernel on Airy 1830 —
+    an authoritative external golden for the general-TM series)."""
+    import numpy as np
+
+    from jena_geo_spark.functions import transform as X
+
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    tm_fwd, tm_inv = X._tm(
+        49.0, -2.0, 0.9996012717, 400000.0, -100000.0, X._AIRY_A, X._AIRY_E2
+    )
+    e, n = tm_fwd(np.array([lon]), np.array([lat]))
+    assert abs(e[0] - 651409.903) < 1e-3
+    assert abs(n[0] - 313177.270) < 1e-3
+    # natural origin → false easting/northing exactly
+    e0, n0 = tm_fwd(np.array([-2.0]), np.array([49.0]))
+    assert e0[0] == 400000.0 and n0[0] == -100000.0
+    # kernel inverse round-trips to series accuracy
+    lon2, lat2 = tm_inv(e, n)
+    assert abs(lon2[0] - lon) < 5e-8 and abs(lat2[0] - lat) < 5e-8
+
+
+def test_osgb36_wgs84_roundtrip_and_helmert():
+    """Full 4326↔27700 path incl. the 7-param Helmert datum shift.  The
+    +params/−params pair is not an exact inverse (small-angle residual
+    ~centimetres) — far inside the single-Helmert approximation's own
+    ±3 m vs the OSTN grid."""
+    import numpy as np
+
+    from jena_geo_spark.functions import transform as X
+
+    fwd = X._xy_transform(4326, 27700)
+    inv = X._xy_transform(27700, 4326)
+    rng = np.random.default_rng(9)
+    lon = rng.uniform(-7, 1.8, 500)
+    lat = rng.uniform(49.9, 60.8, 500)
+    lon2, lat2 = inv(*fwd(lon, lat))
+    assert np.abs(lon2 - lon).max() < 5e-7  # ~3 cm
+    assert np.abs(lat2 - lat).max() < 5e-7
+    x, y, z = X._geodetic_to_xyz(np.array([-1.0]), np.array([53.0]), X._WGS_A, X._WGS_E2)
+    x2, y2, z2 = X._OSGB36_TO_WGS84(*X._WGS84_TO_OSGB36(x, y, z))
+    assert max(abs(x2[0] - x[0]), abs(y2[0] - y[0]), abs(z2[0] - z[0])) < 0.05
