@@ -1,0 +1,1186 @@
+"""SPARQL entry point: the reference's production query surface on Spark.
+
+The reference's only user-facing query path is an HTTP SPARQL service
+(``example/ExampleWebService.java:13-33`` →
+``util/TripleStoreConnection.java:71-186``): prefix header prepended,
+Jena ARQ parses/executes the SELECT against a dim-scale in-memory Turtle
+model, every FILTER/BIND expression dispatches into the 423-function
+registry, and the response is a JSON object ``{geojson, data, size}``
+where ``?*_geom`` variables become GeoJSON FeatureCollections
+(``TripleStoreConnection.java:83-186``).
+
+This module re-creates that surface Spark-first:
+
+* a **Turtle-subset reader** (prefixes, ``;``/``,`` lists, typed
+  literals) → a triples DataFrame, mirroring the reference's
+  ``modelmap`` of dim-scale ``.ttl`` models
+  (``TripleStoreConnection.java:56-63``);
+* a **SPARQL-subset parser** (SELECT [DISTINCT], BGP, FILTER, BIND,
+  OPTIONAL, UNION, MINUS, ORDER BY, LIMIT, OFFSET) — the grammar the
+  reference's own example/benchmark queries use
+  (``TripleStoreConnection.java:190-203``);
+* a **compiler to DataFrame plans**.  Two model backends:
+
+  - :class:`TriplesModel` — a distributed ``(s, p, o, dt)`` frame (from
+    Turtle); each triple pattern is a predicate-filtered scan, patterns
+    sharing a subject join on ``s``.  This mirrors the classic
+    vertical-partitioning design of SPARQL-on-Spark engines (SPARQLGX,
+    S2RDF — see PAPERS.md): predicate constants prune at the scan.
+  - :class:`PropertyTable` — a wide table (e.g. the images parquet)
+    whose columns are declared as predicates.  A subject-star BGP over
+    one property table compiles to **one scan, zero shuffle, zero
+    joins** (plan-asserted in tests): the star-join that a triple store
+    executes as N self-joins is free in columnar form.  This is the
+    100 TB path — SPARQL over the 10^12-row image+caption table.
+
+* a **spatial-join rewrite**: ARQ evaluates ``?a ?b`` cross products
+  with a ``FILTER(geo2:ST_Within(...))`` binding-at-a-time (nested
+  loop, SURVEY §2.5).  When the filter's two geometry arguments come
+  from unconnected parts of the BGP and the backend declares one side
+  as points and the other as polygons, the compiler emits the engine's
+  cell-cover spatial join (broadcast/salted equi-join + exact PIP
+  refine, ``operators/spatial_join.py``) instead of
+  ``crossJoin().filter()`` — the north-rule re-architecture applied at
+  the SPARQL level.
+
+* a **service layer** ``query_service`` returning the reference's JSON
+  response shape (``{geojson, data, size}``; ``*_geom`` vars grouped
+  into FeatureCollections), reusing ``operators/geojson_sink``.
+
+Scale notes: Turtle models are dim-scale by design (the reference holds
+them fully in memory per request); frame-scale data enters through
+:class:`PropertyTable` where scans stay columnar and pruned.  Only the
+query *string* is parsed on the driver; all evaluation is Catalyst.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import registry as REG
+
+# ----------------------------------------------------------------- prefixes --
+
+# the reference prepends these to every query (TripleStoreConnection.java:32-41)
+BUILTIN_PREFIXES = {
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+    "geo": "http://www.opengis.net/ont/geosparql#",
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "geo2": "http://www.opengis.net/ont/geosparqlplus#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "owl": "http://www.w3.org/2002/07/owl#",
+    "geof": "http://www.opengis.net/def/function/geosparql/",
+}
+
+RDF_TYPE = BUILTIN_PREFIXES["rdf"] + "type"
+WKT_DT = BUILTIN_PREFIXES["geo"] + "wktLiteral"
+
+
+# ------------------------------------------------------------- turtle reader --
+
+
+def parse_turtle(text: str) -> list[tuple[str, str, str, str | None]]:
+    """Parse a Turtle subset into (s, p, o, dt) tuples.
+
+    Covers what the reference's own ``.ttl`` models use
+    (``owl/testdata.ttl``): ``@prefix``/``@base``, IRIs, prefixed names,
+    ``;`` predicate lists, ``,`` object lists, plain/typed/numeric
+    literals, the ``a`` keyword, comments.  Driver-side by design — the
+    reference also parses models in one JVM (dim-scale configuration
+    data); frame-scale facts belong in a :class:`PropertyTable`.
+    """
+    prefixes: dict[str, str] = dict(BUILTIN_PREFIXES)
+    toks = _tokenize_ttl(text)
+    out: list[tuple[str, str, str, str | None]] = []
+    i = 0
+
+    def term(j):
+        t = toks[j]
+        if t[0] == "iri":
+            return ("iri", t[1]), j + 1
+        if t[0] == "pname":
+            pfx, local = t[1].split(":", 1)
+            if pfx not in prefixes:
+                raise ValueError(f"undeclared prefix {pfx!r}")
+            return ("iri", prefixes[pfx] + local), j + 1
+        if t[0] == "str":
+            dt = None
+            if j + 1 < len(toks) and toks[j + 1][0] == "dtsep":
+                dtt = toks[j + 2]
+                if dtt[0] == "iri":
+                    dt = dtt[1]
+                else:
+                    pfx, local = dtt[1].split(":", 1)
+                    dt = prefixes[pfx] + local
+                return ("lit", t[1], dt), j + 3
+            return ("lit", t[1], None), j + 1
+        if t[0] == "num":
+            return ("lit", t[1], None), j + 1
+        if t[0] == "kw" and t[1] == "a":
+            return ("iri", RDF_TYPE), j + 1
+        raise ValueError(f"unexpected turtle token {t}")
+
+    while i < len(toks):
+        t = toks[i]
+        if t[0] == "kw" and t[1] in ("@prefix", "@base"):
+            if t[1] == "@prefix":
+                pfx = toks[i + 1][1].rstrip(":")
+                prefixes[pfx] = toks[i + 2][1]
+                i += 3
+            else:
+                i += 2
+            if i < len(toks) and toks[i][0] == "dot":
+                i += 1
+            continue
+        subj, i = term(i)
+        while True:
+            pred, i = term(i)
+            while True:
+                obj, i = term(i)
+                o_lex = obj[1]
+                o_dt = obj[2] if obj[0] == "lit" else None
+                out.append((subj[1], pred[1], o_lex, o_dt))
+                if i < len(toks) and toks[i][0] == "comma":
+                    i += 1
+                    continue
+                break
+            if i < len(toks) and toks[i][0] == "semi":
+                i += 1
+                # trailing ';' before '.'
+                if i < len(toks) and toks[i][0] == "dot":
+                    break
+                continue
+            break
+        if i < len(toks) and toks[i][0] == "dot":
+            i += 1
+    return out
+
+
+def _tokenize_ttl(text: str):
+    text = re.sub(r"(?m)^\s*#.*$", "", text)
+    pat = re.compile(
+        r"""\s+
+          | (?P<kw>@prefix|@base|\ba\b)
+          | (?P<iri><[^<>\s]*>)
+          | (?P<str>"(?:[^"\\]|\\.)*")
+          | (?P<num>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+          | (?P<pname>[A-Za-z_][\w.-]*:[A-Za-z_][\w.-]*|[A-Za-z_][\w.-]*:|:[A-Za-z_][\w.-]*|:)
+          | (?P<dtsep>\^\^)
+          | (?P<semi>;)
+          | (?P<comma>,)
+          | (?P<dot>\.)
+        """,
+        re.VERBOSE,
+    )
+    toks, pos = [], 0
+    while pos < len(text):
+        m = pat.match(text, pos)
+        if not m:
+            raise ValueError(f"turtle tokenize error at {text[pos:pos+40]!r}")
+        pos = m.end()
+        for name in ("kw", "iri", "str", "num", "pname", "dtsep", "semi", "comma", "dot"):
+            v = m.group(name)
+            if v is not None:
+                if name == "iri":
+                    v = v[1:-1]
+                elif name == "str":
+                    v = re.sub(r"\\(.)", r"\1", v[1:-1])
+                toks.append((name, v))
+                break
+    return toks
+
+
+def triples_from_turtle(spark: SparkSession, text: str) -> DataFrame:
+    rows = parse_turtle(text)
+    return spark.createDataFrame(rows, schema="s string, p string, o string, dt string")
+
+
+# ---------------------------------------------------------------- SPARQL AST --
+
+
+@dataclass
+class Var:
+    name: str
+
+
+@dataclass
+class Lit:
+    value: object
+    dt: str | None = None
+
+
+@dataclass
+class Iri:
+    iri: str
+
+
+@dataclass
+class Func:
+    iri: str
+    args: list
+
+
+@dataclass
+class Op2:
+    op: str
+    left: object
+    right: object
+
+
+@dataclass
+class Op1:
+    op: str
+    arg: object
+
+
+@dataclass
+class Triple:
+    s: object
+    p: object
+    o: object
+
+
+@dataclass
+class Filter:
+    expr: object
+
+
+@dataclass
+class Bind:
+    expr: object
+    var: str
+
+
+@dataclass
+class Group:
+    items: list = field(default_factory=list)
+
+
+@dataclass
+class Optional_:
+    group: Group
+
+
+@dataclass
+class Minus:
+    group: Group
+
+
+@dataclass
+class Union:
+    groups: list
+
+
+@dataclass
+class Query:
+    select: list | None  # None = SELECT *
+    distinct: bool
+    where: Group
+    order_by: list  # [(var, asc)]
+    limit: int | None
+    offset: int | None
+
+
+# ------------------------------------------------------------ SPARQL parsing --
+
+_SPARQL_TOK = re.compile(
+    r"""\s+
+      | (?P<comment>\#[^\n]*)
+      | (?P<iri><[^<>\s]*>)
+      | (?P<str>"(?:[^"\\]|\\.)*")
+      | (?P<num>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+      | (?P<var>\?[A-Za-z_]\w*)
+      | (?P<pname>[A-Za-z_][\w.-]*:[A-Za-z_][\w-]*|[A-Za-z_][\w.-]*:|:[A-Za-z_][\w-]*|:)
+      | (?P<word>[A-Za-z_][A-Za-z_0-9]*)
+      | (?P<dtsep>\^\^)
+      | (?P<op>&&|\|\||!=|<=|>=|[=<>!+\-*/])
+      | (?P<punct>[{}().;,])
+    """,
+    re.VERBOSE,
+)
+
+
+def _tokenize_sparql(text: str):
+    toks, pos = [], 0
+    while pos < len(text):
+        m = _SPARQL_TOK.match(text, pos)
+        if not m:
+            raise ValueError(f"SPARQL tokenize error at {text[pos:pos+40]!r}")
+        pos = m.end()
+        for name in ("iri", "str", "num", "var", "pname", "word", "dtsep", "op", "punct"):
+            v = m.group(name)
+            if v is not None:
+                if name == "iri":
+                    v = v[1:-1]
+                elif name == "str":
+                    v = re.sub(r"\\(.)", r"\1", v[1:-1])
+                toks.append((name, v))
+                break
+    return toks
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.prefixes = dict(BUILTIN_PREFIXES)
+        self.toks = _tokenize_sparql(text)
+        self.i = 0
+
+    # -- token helpers
+    def peek(self, k=0):
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else ("eof", "")
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def kw(self, word) -> bool:
+        t = self.peek()
+        if t[0] == "word" and t[1].upper() == word:
+            self.i += 1
+            return True
+        return False
+
+    def expect(self, kind, val=None):
+        t = self.next()
+        if t[0] != kind or (val is not None and t[1] != val):
+            raise ValueError(f"expected {kind} {val or ''}, got {t}")
+        return t
+
+    def expand(self, pname: str) -> str:
+        pfx, local = pname.split(":", 1)
+        if pfx not in self.prefixes:
+            raise ValueError(f"undeclared prefix {pfx!r}")
+        return self.prefixes[pfx] + local
+
+    # -- grammar
+    def parse(self) -> Query:
+        while self.kw("PREFIX"):
+            pn = self.expect("pname")[1]
+            iri = self.expect("iri")[1]
+            self.prefixes[pn.rstrip(":")] = iri
+        if not self.kw("SELECT"):
+            raise ValueError("only SELECT queries are supported")
+        distinct = self.kw("DISTINCT")
+        select: list | None = []
+        if self.peek() == ("op", "*"):
+            self.next()
+            select = None
+        else:
+            while self.peek()[0] == "var":
+                select.append(self.next()[1][1:])
+        self.kw("WHERE")
+        where = self.group()
+        order, limit, offset = [], None, None
+        while True:
+            if self.kw("ORDER"):
+                if not self.kw("BY"):
+                    raise ValueError("ORDER without BY")
+                while True:
+                    t = self.peek()
+                    if t[0] == "var":
+                        order.append((self.next()[1][1:], True))
+                    elif t[0] == "word" and t[1].upper() in ("ASC", "DESC"):
+                        asc = self.next()[1].upper() == "ASC"
+                        self.expect("punct", "(")
+                        order.append((self.expect("var")[1][1:], asc))
+                        self.expect("punct", ")")
+                    else:
+                        break
+            elif self.kw("LIMIT"):
+                limit = int(self.expect("num")[1])
+            elif self.kw("OFFSET"):
+                offset = int(self.expect("num")[1])
+            else:
+                break
+        return Query(select, distinct, where, order, limit, offset)
+
+    def group(self) -> Group:
+        self.expect("punct", "{")
+        g = Group()
+        while True:
+            t = self.peek()
+            if t == ("punct", "}"):
+                self.next()
+                return g
+            if t[0] == "word" and t[1].upper() == "FILTER":
+                self.next()
+                self.expect("punct", "(")
+                g.items.append(Filter(self.expr()))
+                self.expect("punct", ")")
+            elif t[0] == "word" and t[1].upper() == "BIND":
+                self.next()
+                self.expect("punct", "(")
+                e = self.expr()
+                if not self.kw("AS"):
+                    raise ValueError("BIND without AS")
+                v = self.expect("var")[1][1:]
+                self.expect("punct", ")")
+                g.items.append(Bind(e, v))
+            elif t[0] == "word" and t[1].upper() == "OPTIONAL":
+                self.next()
+                g.items.append(Optional_(self.group()))
+            elif t[0] == "word" and t[1].upper() == "MINUS":
+                self.next()
+                g.items.append(Minus(self.group()))
+            elif t == ("punct", "{"):
+                branches = [self.group()]
+                while self.kw("UNION"):
+                    branches.append(self.group())
+                g.items.append(Union(branches) if len(branches) > 1 else branches[0])
+            else:
+                self.triples(g)
+            # optional '.' separators
+            while self.peek() == ("punct", "."):
+                self.next()
+
+    def term(self):
+        t = self.next()
+        if t[0] == "var":
+            return Var(t[1][1:])
+        if t[0] == "iri":
+            return Iri(t[1])
+        if t[0] == "pname":
+            return Iri(self.expand(t[1]))
+        if t[0] == "word" and t[1] == "a":
+            return Iri(RDF_TYPE)
+        if t[0] == "str":
+            dt = None
+            if self.peek()[0] == "dtsep":
+                self.next()
+                d = self.next()
+                dt = d[1] if d[0] == "iri" else self.expand(d[1])
+            return Lit(t[1], dt)
+        if t[0] == "num":
+            v = t[1]
+            return Lit(float(v) if ("." in v or "e" in v.lower()) else int(v))
+        raise ValueError(f"unexpected term token {t}")
+
+    def triples(self, g: Group):
+        s = self.term()
+        while True:
+            p = self.term()
+            while True:
+                o = self.term()
+                g.items.append(Triple(s, p, o))
+                if self.peek() == ("punct", ","):
+                    self.next()
+                    continue
+                break
+            if self.peek() == ("punct", ";"):
+                self.next()
+                if self.peek() in (("punct", "."), ("punct", "}")):
+                    break
+                continue
+            break
+
+    # -- expressions (precedence climbing)
+    def expr(self):
+        return self._or()
+
+    def _or(self):
+        e = self._and()
+        while self.peek() == ("op", "||"):
+            self.next()
+            e = Op2("||", e, self._and())
+        return e
+
+    def _and(self):
+        e = self._cmp()
+        while self.peek() == ("op", "&&"):
+            self.next()
+            e = Op2("&&", e, self._cmp())
+        return e
+
+    def _cmp(self):
+        e = self._add()
+        t = self.peek()
+        if t[0] == "op" and t[1] in ("=", "!=", "<", ">", "<=", ">="):
+            self.next()
+            return Op2(t[1], e, self._add())
+        return e
+
+    def _add(self):
+        e = self._mul()
+        while self.peek()[0] == "op" and self.peek()[1] in ("+", "-"):
+            op = self.next()[1]
+            e = Op2(op, e, self._mul())
+        return e
+
+    def _mul(self):
+        e = self._unary()
+        while self.peek()[0] == "op" and self.peek()[1] in ("*", "/"):
+            op = self.next()[1]
+            e = Op2(op, e, self._unary())
+        return e
+
+    def _unary(self):
+        t = self.peek()
+        if t == ("op", "!"):
+            self.next()
+            return Op1("!", self._unary())
+        if t == ("op", "-"):
+            self.next()
+            return Op1("-", self._unary())
+        return self._primary()
+
+    def _primary(self):
+        t = self.peek()
+        if t == ("punct", "("):
+            self.next()
+            e = self.expr()
+            self.expect("punct", ")")
+            return e
+        if t[0] == "var":
+            self.next()
+            return Var(t[1][1:])
+        if t[0] == "num":
+            self.next()
+            v = t[1]
+            return Lit(float(v) if ("." in v or "e" in v.lower()) else int(v))
+        if t[0] == "str":
+            self.next()
+            dt = None
+            if self.peek()[0] == "dtsep":
+                self.next()
+                d = self.next()
+                dt = d[1] if d[0] == "iri" else self.expand(d[1])
+            return Lit(t[1], dt)
+        if t[0] in ("pname", "iri", "word"):
+            self.next()
+            iri = (
+                t[1]
+                if t[0] == "iri"
+                else (self.expand(t[1]) if t[0] == "pname" else "builtin:" + t[1].upper())
+            )
+            self.expect("punct", "(")
+            args = []
+            if self.peek() != ("punct", ")"):
+                args.append(self.expr())
+                while self.peek() == ("punct", ","):
+                    self.next()
+                    args.append(self.expr())
+            self.expect("punct", ")")
+            return Func(iri, args)
+        raise ValueError(f"unexpected expression token {t}")
+
+
+def parse_query(text: str) -> Query:
+    return _Parser(text).parse()
+
+
+# ------------------------------------------------------------------ backends --
+
+
+@dataclass
+class PropSpec:
+    """One predicate of a :class:`PropertyTable`.
+
+    kind: 'plain' (scalar), 'wkt' (geometry WKT string), 'wkt_point'
+    (point WKT with materialized lon/lat columns — enables the
+    spatial-join rewrite), 'wkt_polygon' (dim-scale polygon side of the
+    rewrite)."""
+
+    col: str
+    kind: str = "plain"
+    lon: str | None = None
+    lat: str | None = None
+
+
+class PropertyTable:
+    """Wide-table SPARQL backend: subject = ``prefix + id_col``, each
+    declared predicate is a column.  Star BGPs compile to one scan."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        id_col: str,
+        props: dict[str, PropSpec],
+        subject_prefix: str = "urn:row:",
+        type_iri: str | None = None,
+    ):
+        self.df = df
+        self.id_col = id_col
+        self.props = props
+        self.subject_prefix = subject_prefix
+        self.type_iri = type_iri
+
+    def star_frame(self, patterns: list[Triple], subj_var: str | None):
+        """One scan covering all patterns of a subject star.
+
+        Returns (frame, bindings var->column-name, geomkinds var->kind).
+        """
+        df = self.df
+        cols, binds, kinds = [], {}, {}
+        if subj_var is not None:
+            sc = f"__v_{subj_var}"
+            df = df.withColumn(
+                sc, F.concat(F.lit(self.subject_prefix), F.col(self.id_col).cast("string"))
+            )
+            cols.append(sc)
+            binds[subj_var] = sc
+            kinds[subj_var] = "plain"
+        for t in patterns:
+            pred = t.p.iri
+            if pred == RDF_TYPE:
+                if isinstance(t.o, Iri):
+                    if self.type_iri is not None and t.o.iri != self.type_iri:
+                        df = df.filter(F.lit(False))
+                elif isinstance(t.o, Var):
+                    oc = f"__v_{t.o.name}"
+                    df = df.withColumn(oc, F.lit(self.type_iri))
+                    cols.append(oc)
+                    binds[t.o.name] = oc
+                    kinds[t.o.name] = "plain"
+                continue
+            if pred not in self.props:
+                raise KeyError(f"predicate {pred} not declared on this PropertyTable")
+            spec = self.props[pred]
+            if isinstance(t.o, Var):
+                oc = f"__v_{t.o.name}"
+                df = df.withColumn(oc, F.col(spec.col).cast("string"))
+                cols.append(oc)
+                binds[t.o.name] = oc
+                kinds[t.o.name] = spec.kind
+                if spec.kind == "wkt_point" and spec.lon and spec.lat:
+                    df = df.withColumn(f"__lon_{t.o.name}", F.col(spec.lon)).withColumn(
+                        f"__lat_{t.o.name}", F.col(spec.lat)
+                    )
+                    cols += [f"__lon_{t.o.name}", f"__lat_{t.o.name}"]
+            else:
+                val = t.o.value if isinstance(t.o, Lit) else t.o.iri
+                df = df.filter(F.col(spec.col).cast("string") == str(val))
+        return df.select(*cols), binds, kinds
+
+
+class TriplesModel:
+    """Distributed (s, p, o, dt) frame backend (vertical partitioning).
+
+    Each pattern scans ``p == <pred>`` (predicate pushdown prunes at the
+    parquet/filter level); star patterns equi-join on ``s``."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+        self._dt_cache: dict[str, str | None] = {}
+
+    def predicate_dt(self, pred: str) -> str | None:
+        """Datatype of a predicate's literals (dim-scale model lookup,
+        memoized) — drives geometry typing of bound variables."""
+        if pred not in self._dt_cache:
+            row = self.df.filter(F.col("p") == pred).select("dt").first()
+            self._dt_cache[pred] = row[0] if row else None
+        return self._dt_cache[pred]
+
+    def star_frame(self, patterns: list[Triple], subj_var: str | None):
+        frames = []
+        subj_const = None
+        for t in patterns:
+            if isinstance(t.s, Iri):
+                subj_const = t.s.iri
+        out_binds, out_kinds = {}, {}
+        for idx, t in enumerate(patterns):
+            pred = t.p.iri
+            sc = self.df.filter(F.col("p") == pred)
+            if subj_const is not None:
+                sc = sc.filter(F.col("s") == subj_const)
+            sel = [F.col("s").alias("__s")]
+            if isinstance(t.o, Var):
+                oc = f"__v_{t.o.name}"
+                sel.append(F.col("o").alias(oc))
+                out_binds[t.o.name] = oc
+                dt = self.predicate_dt(pred)
+                out_kinds[t.o.name] = (
+                    "wkt" if dt is not None and dt.lower().endswith("wktliteral") else "plain"
+                )
+            else:
+                val = t.o.value if isinstance(t.o, Lit) else t.o.iri
+                sc = sc.filter(F.col("o") == str(val))
+            frames.append(sc.select(*sel))
+        df = frames[0]
+        for f in frames[1:]:
+            df = df.join(f, on="__s", how="inner")
+        cols = []
+        if subj_var is not None:
+            df = df.withColumnRenamed("__s", f"__v_{subj_var}")
+            out_binds[subj_var] = f"__v_{subj_var}"
+            out_kinds[subj_var] = "plain"
+            cols.append(f"__v_{subj_var}")
+        cols += [c for c in df.columns if c.startswith("__v_") and c not in cols]
+        return df.select(*cols), out_binds, out_kinds
+
+
+class UnionModel:
+    """Multiple backends behaving as one RDF model.
+
+    Each subject-star is routed to the backends that can satisfy it: a
+    :class:`PropertyTable` qualifies when it declares every non-type
+    predicate of the star AND any constant ``rdf:type`` matches its
+    ``type_iri`` (the static pruning a SPARQL engine gets from typed
+    BGPs); a :class:`TriplesModel` always qualifies.  One qualifying
+    backend → delegate (kinds stay precise, rewrites stay available);
+    several → union of the per-backend star frames (RDF merge
+    semantics), geometry kinds reconciled downward."""
+
+    def __init__(self, backends: list):
+        self.backends = backends
+
+    @staticmethod
+    def _qualifies(b, patterns: list[Triple]) -> bool:
+        if isinstance(b, TriplesModel):
+            return True
+        for t in patterns:
+            if t.p.iri == RDF_TYPE:
+                if isinstance(t.o, Iri) and b.type_iri is not None and t.o.iri != b.type_iri:
+                    return False
+                continue
+            if t.p.iri not in b.props:
+                return False
+        return True
+
+    def star_frame(self, patterns: list[Triple], subj_var: str | None):
+        cands = [b for b in self.backends if self._qualifies(b, patterns)]
+        if not cands:
+            preds = [t.p.iri for t in patterns]
+            raise KeyError(f"no backend satisfies star predicates {preds}")
+        if len(cands) == 1:
+            return cands[0].star_frame(patterns, subj_var)
+        parts = [b.star_frame(patterns, subj_var) for b in cands]
+        frame = parts[0][0]
+        for f, _, _ in parts[1:]:
+            frame = frame.unionByName(f, allowMissingColumns=True)
+        binds = {}
+        kinds = {}
+        for _, b, k in parts:
+            binds.update(b)
+            for v, kk in k.items():
+                prev = kinds.get(v)
+                if prev is None or prev == kk:
+                    kinds[v] = kk
+                else:
+                    kinds[v] = (
+                        "wkt" if prev.startswith("wkt") and kk.startswith("wkt") else "plain"
+                    )
+        return frame, binds, kinds
+
+
+# -------------------------------------------------------- expression compile --
+
+# sample-frame argspec token → expected input kind (registry.sample_frame)
+_WKB_TOKENS = {
+    "g", "g2", "ghole", "gtri", "gpt", "gpt2", "gpt3", "gline", "gline2",
+    "glinec", "glx", "glm", "glm2", "glz", "glz2", "gmp", "gmline",
+    "gmpoly", "gcoll", "gring",
+}
+_WKT_TOKENS = {"wkt_point", "wkt_line", "wkt_poly", "wkt_mpoint", "wkt_mline", "wkt_mpoly"}
+
+_GEO_PREDICATES = {
+    # filter functions the spatial rewrite recognizes: fn(point, polygon)
+    # (or flipped for *contains) — PIP semantics
+    "st_within": False,
+    "st_intersects": False,
+    "st_contains": True,  # contains(polygon, point): point arg is #2
+    "sfwithin": False,
+    "sfintersects": False,
+    "sfcontains": True,
+}
+
+
+def _registry_name(iri: str) -> str:
+    local = iri.rsplit("#", 1)[-1].rsplit("/", 1)[-1]
+    return local.lower()
+
+
+class _ExprCompiler:
+    """AST expression → (Column, kind); kind ∈ {'plain','wkt','geom'}."""
+
+    def __init__(self, binds: dict[str, str], kinds: dict[str, str]):
+        self.binds = binds
+        self.kinds = kinds
+
+    def var_col(self, name: str) -> F.Column:
+        if name not in self.binds:
+            raise KeyError(f"unbound variable ?{name}")
+        return F.col(self.binds[name])
+
+    def compile(self, e) -> tuple[F.Column, str]:
+        if isinstance(e, Var):
+            k = self.kinds.get(e.name, "plain")
+            return self.var_col(e.name), ("wkt" if k.startswith("wkt") else "plain")
+        if isinstance(e, Lit):
+            if e.dt is not None and e.dt.lower().endswith("wktliteral"):
+                return F.lit(e.value), "wkt"
+            return F.lit(e.value), "plain"
+        if isinstance(e, Iri):
+            return F.lit(e.iri), "plain"
+        if isinstance(e, Op1):
+            c, _ = self.compile(e.arg)
+            return (~c if e.op == "!" else -c), "plain"
+        if isinstance(e, Op2):
+            lc, lk = self.compile(e.left)
+            rc, rk = self.compile(e.right)
+            if e.op in ("<", ">", "<=", ">=", "+", "-", "*", "/"):
+                # SPARQL numeric operators: lexical literals promote
+                lc = lc.cast("double") if lk == "plain" and _numericish(e.left) else lc
+                rc = rc.cast("double") if rk == "plain" and _numericish(e.right) else rc
+            return {
+                "||": lambda: lc | rc,
+                "&&": lambda: lc & rc,
+                "=": lambda: lc == rc,
+                "!=": lambda: lc != rc,
+                "<": lambda: lc < rc,
+                ">": lambda: lc > rc,
+                "<=": lambda: lc <= rc,
+                ">=": lambda: lc >= rc,
+                "+": lambda: lc + rc,
+                "-": lambda: lc - rc,
+                "*": lambda: lc * rc,
+                "/": lambda: lc / rc,
+            }[e.op](), "plain"
+        if isinstance(e, Func):
+            return self.func(e)
+        raise TypeError(f"cannot compile expression {e!r}")
+
+    def func(self, e: Func) -> tuple[F.Column, str]:
+        if e.iri == "builtin:BOUND":
+            c, _ = self.compile(e.args[0])
+            return c.isNotNull(), "plain"
+        if e.iri == "builtin:STR":
+            c, _ = self.compile(e.args[0])
+            return c.cast("string"), "plain"
+        if e.iri.startswith(BUILTIN_PREFIXES["xsd"]):
+            cast = {"double": "double", "float": "double", "integer": "long",
+                    "long": "long", "int": "int", "string": "string",
+                    "boolean": "boolean"}[e.iri.rsplit("#", 1)[-1]]
+            c, _ = self.compile(e.args[0])
+            return c.cast(cast), "plain"
+        name = _registry_name(e.iri)
+        if e.iri.startswith(BUILTIN_PREFIXES["geof"]) and "geof_" + name in REG.REGISTRY:
+            name = "geof_" + name
+        if name not in REG.REGISTRY:
+            raise KeyError(f"function {e.iri} not in the registry")
+        fn, argspec = REG.REGISTRY[name]
+        cols = []
+        for i, a in enumerate(e.args):
+            tok = argspec[i] if i < len(argspec) else None
+            if isinstance(tok, tuple) and tok[0] == "pylit":
+                if not isinstance(a, Lit):
+                    raise ValueError(f"{name}: argument {i} must be a literal")
+                cols.append(a.value)
+                continue
+            c, k = self.compile(a)
+            want_wkb = isinstance(tok, str) and tok in _WKB_TOKENS
+            want_wkt = isinstance(tok, str) and tok in _WKT_TOKENS
+            if want_wkb and k == "wkt":
+                c = REG.REGISTRY["st_geomfromtext"][0](c)
+            elif want_wkt and k == "geom":
+                c = REG.REGISTRY["st_astext"][0](c)
+            cols.append(c)
+        out = fn(*cols)
+        # geometry-returning functions yield WKB binary columns
+        return out, "geom"
+
+
+def _numericish(e) -> bool:
+    return isinstance(e, (Var, Func, Op2, Op1)) or (
+        isinstance(e, Lit) and isinstance(e.value, (int, float))
+    )
+
+
+# --------------------------------------------------------------- BGP compile --
+
+
+class _GroupCompiler:
+    def __init__(self, spark: SparkSession, model):
+        self.spark = spark
+        self.model = model
+
+    def compile(self, g: Group):
+        triples = [it for it in g.items if isinstance(it, Triple)]
+        frame, binds, kinds = (None, {}, {})
+        if triples:
+            frame, binds, kinds = self._bgp(
+                triples, [it for it in g.items if isinstance(it, Filter)]
+            )
+        for it in g.items:
+            if isinstance(it, Triple):
+                continue
+            if isinstance(it, Bind):
+                ec = _ExprCompiler(binds, kinds)
+                col, kind = ec.compile(it.expr)
+                if kind == "geom":
+                    # registry functions return WKB for geometry results and
+                    # plain scalars otherwise — check the analyzed type, and
+                    # surface geometry bindings as WKT lexical forms (the
+                    # reference's literal representation)
+                    from pyspark.sql.types import BinaryType
+
+                    if isinstance(
+                        frame.select(col.alias("x")).schema[0].dataType, BinaryType
+                    ):
+                        col = REG.REGISTRY["st_astext"][0](col)
+                        kind = "wkt"
+                    else:
+                        kind = "plain"
+                cname = f"__v_{it.var}"
+                frame = frame.withColumn(cname, col)
+                binds[it.var] = cname
+                kinds[it.var] = kind
+            elif isinstance(it, Filter):
+                if getattr(it, "_consumed", False):
+                    continue
+                ec = _ExprCompiler(binds, kinds)
+                col, _ = ec.compile(it.expr)
+                frame = frame.filter(col)
+            elif isinstance(it, Optional_):
+                of, ob, ok = self.compile(it.group)
+                shared = [v for v in ob if v in binds]
+                sel = [of[ob[v]].alias(binds[v]) for v in shared] + [
+                    of[ob[v]].alias(f"__o_{v}") for v in ob if v not in shared
+                ]
+                right = of.select(*sel)
+                frame = (
+                    frame.join(right, on=[binds[v] for v in shared], how="left")
+                    if shared
+                    else frame.crossJoin(right)
+                )
+                for v in ob:
+                    if v not in binds:
+                        binds[v] = f"__o_{v}"
+                        kinds[v] = ok[v]
+            elif isinstance(it, Minus):
+                mf, mb, _ = self.compile(it.group)
+                shared = [v for v in mb if v in binds]
+                if shared:
+                    right = mf.select(*[mf[mb[v]].alias(binds[v]) for v in shared])
+                    frame = frame.join(right, on=[binds[v] for v in shared], how="left_anti")
+            elif isinstance(it, Union):
+                parts = [self.compile(b) for b in it.groups]
+                allvars: list[str] = []
+                for _, b, _k in parts:
+                    allvars += [v for v in b if v not in allvars]
+                norm = []
+                for f, b, _k in parts:
+                    cols = [
+                        (F.col(b[v]) if v in b else F.lit(None).cast("string")).alias(
+                            f"__v_{v}"
+                        )
+                        for v in allvars
+                    ]
+                    norm.append(f.select(*cols))
+                uf = norm[0]
+                for nf in norm[1:]:
+                    uf = uf.unionByName(nf)
+                ub = {v: f"__v_{v}" for v in allvars}
+                uk = {}
+                for _, b, k in parts:
+                    uk.update(k)
+                if frame is None:
+                    frame, binds, kinds = uf, ub, dict(uk)
+                else:
+                    shared = [v for v in ub if v in binds]
+                    right = uf.select(
+                        *[
+                            uf[ub[v]].alias(binds[v] if v in shared else ub[v])
+                            for v in ub
+                        ]
+                    )
+                    frame = (
+                        frame.join(right, on=[binds[v] for v in shared], how="inner")
+                        if shared
+                        else frame.crossJoin(right)
+                    )
+                    for v in ub:
+                        if v not in binds:
+                            binds[v] = ub[v]
+                            kinds[v] = uk[v]
+        if frame is None:
+            raise ValueError("empty group pattern")
+        return frame, binds, kinds
+
+    # -- basic graph pattern: star grouping + join graph + spatial rewrite
+    def _bgp(self, triples: list[Triple], filters: list[Filter]):
+        stars: dict[object, list[Triple]] = {}
+        order: list[object] = []
+        for t in triples:
+            key = t.s.name if isinstance(t.s, Var) else ("iri", t.s.iri)
+            if key not in stars:
+                stars[key] = []
+                order.append(key)
+            stars[key].append(t)
+
+        built = []
+        for key in order:
+            subj_var = key if isinstance(key, str) else None
+            f, b, k = self.model.star_frame(stars[key], subj_var)
+            built.append({"frame": f, "binds": b, "kinds": k})
+
+        # connected components over shared variables
+        merged = built[0]
+        pending = built[1:]
+        while pending:
+            progress = False
+            for i, nxt in enumerate(pending):
+                shared = [v for v in nxt["binds"] if v in merged["binds"]]
+                if shared:
+                    merged = self._join(merged, pending.pop(i), shared)
+                    progress = True
+                    break
+            if not progress:
+                nxt = pending[0]
+                rewritten = self._try_spatial_rewrite(merged, nxt, filters)
+                if rewritten is not None:
+                    merged = rewritten
+                    pending.pop(0)
+                else:
+                    # SPARQL cross product (ARQ's nested-loop shape);
+                    # filters apply afterwards
+                    nxt = pending.pop(0)
+                    merged = {
+                        "frame": merged["frame"].crossJoin(nxt["frame"]),
+                        "binds": {**merged["binds"], **nxt["binds"]},
+                        "kinds": {**merged["kinds"], **nxt["kinds"]},
+                    }
+        return merged["frame"], merged["binds"], merged["kinds"]
+
+    def _join(self, a, b, shared):
+        bf = b["frame"]
+        # align shared-var column names then equi-join (Catalyst plans
+        # broadcast vs shuffle via AQE)
+        ren = {}
+        for v in shared:
+            if b["binds"][v] != a["binds"][v]:
+                bf = bf.withColumnRenamed(b["binds"][v], a["binds"][v])
+            ren[v] = a["binds"][v]
+        joined = a["frame"].join(bf, on=[a["binds"][v] for v in shared], how="inner")
+        binds = {**b["binds"], **ren, **a["binds"]}
+        kinds = {**b["kinds"], **a["kinds"]}
+        return {"frame": joined, "binds": binds, "kinds": kinds}
+
+    def _try_spatial_rewrite(self, a, b, filters: list[Filter]):
+        """cross + FILTER(ST_Within(?pt, ?poly)) → cell-cover spatial join.
+
+        Applies when one side binds a declared point geometry (with
+        lon/lat columns) and the other a polygon geometry; this is the
+        exact query shape ARQ runs as a nested loop (SURVEY §2.5) and the
+        north-rule's re-architected operator replaces."""
+        from .operators.spatial_join import build_zone_covers, spatial_join_points_zones
+
+        for flt in filters:
+            e = flt.expr
+            if not (isinstance(e, Func) and _registry_name(e.iri) in _GEO_PREDICATES):
+                continue
+            if len(e.args) != 2 or not all(isinstance(x, Var) for x in e.args):
+                continue
+            flipped = _GEO_PREDICATES[_registry_name(e.iri)]
+            pt_e, poly_e = (e.args[1], e.args[0]) if flipped else (e.args[0], e.args[1])
+            sides = {}
+            for side, part in (("a", a), ("b", b)):
+                for role, var in (("pt", pt_e.name), ("poly", poly_e.name)):
+                    if var in part["binds"]:
+                        sides[role] = (side, part)
+            if len(sides) != 2 or sides["pt"][0] == sides["poly"][0]:
+                continue
+            pt_part, poly_part = sides["pt"][1], sides["poly"][1]
+            if pt_part["kinds"].get(pt_e.name) != "wkt_point":
+                continue
+            if not pt_part["kinds"].get(pt_e.name) or f"__lon_{pt_e.name}" not in pt_part["frame"].columns:
+                continue
+            if not (poly_part["kinds"].get(poly_e.name) or "").startswith("wkt"):
+                continue
+            # polygon side is dim-scale by declaration: collect (sid, wkt)
+            poly_f = poly_part["frame"]
+            zid = "__zid"
+            poly_rows = poly_f.withColumn(zid, F.monotonically_increasing_id()).cache()
+            zones = [
+                (str(r[zid]), r[poly_part["binds"][poly_e.name]])
+                for r in poly_rows.select(zid, poly_part["binds"][poly_e.name]).collect()
+            ]
+            covers = build_zone_covers(zones)
+            joined = spatial_join_points_zones(
+                self.spark,
+                pt_part["frame"],
+                covers,
+                lon=f"__lon_{pt_e.name}",
+                lat=f"__lat_{pt_e.name}",
+            )
+            out = joined.withColumn(zid, F.col("zone_id").cast("long")).drop("zone_id").join(
+                F.broadcast(poly_rows), on=zid, how="inner"
+            ).drop(zid)
+            flt._consumed = True  # noqa: SLF001 — mark applied
+            return {
+                "frame": out,
+                "binds": {**pt_part["binds"], **poly_part["binds"]},
+                "kinds": {**pt_part["kinds"], **poly_part["kinds"]},
+            }
+        return None
+
+
+# ------------------------------------------------------------------ executor --
+
+
+def execute_query(spark: SparkSession, query: str, model) -> DataFrame:
+    """Compile and run a SPARQL SELECT against a model backend
+    (:class:`TriplesModel` or :class:`PropertyTable`).  Returns a
+    DataFrame whose columns are the selected variable names."""
+    q = parse_query(query)
+    frame, binds, kinds = _GroupCompiler(spark, model).compile(q.where)
+    sel_vars = q.select if q.select is not None else sorted(binds)
+    cols = []
+    for v in sel_vars:
+        if v not in binds:
+            cols.append(F.lit(None).cast("string").alias(v))
+        else:
+            cols.append(F.col(binds[v]).alias(v))
+    out = frame.select(*cols)
+    if q.distinct:
+        out = out.dropDuplicates()
+    if q.order_by:
+        out = out.orderBy(
+            *[(F.col(v).asc() if asc else F.col(v).desc()) for v, asc in q.order_by]
+        )
+    if q.offset:
+        out = out.offset(q.offset)
+    if q.limit is not None:
+        out = out.limit(q.limit)
+    return out
+
+
+def query_service(
+    spark: SparkSession,
+    query: str,
+    model,
+    geojsonout: bool = False,
+    max_rows: int = 100_000,
+) -> str:
+    """The reference's HTTP response shape
+    (``TripleStoreConnection.java:83-186``): JSON with ``data`` = bound
+    rows, ``size``, and ``geojson`` = one FeatureCollection per
+    ``?*_geom`` variable (converted through the GeoJSON exporter)."""
+    from .operators.geojson_sink import featurecollection_json
+
+    df = execute_query(spark, query, model)
+    rows = df.limit(max_rows).collect()
+    geom_vars = [c for c in df.columns if c.endswith("_geom")]
+    collections = []
+    for gv in geom_vars:
+        sub = df.select(*df.columns).withColumn(
+            "__wkb", REG.REGISTRY["st_geomfromtext"][0](F.col(gv))
+        )
+        fc = featurecollection_json(
+            sub.drop(gv).withColumnRenamed("__wkb", gv), geom_col=gv, wkb=True, max_rows=max_rows
+        )
+        obj = json.loads(fc)
+        obj["name"] = gv
+        collections.append(obj)
+    data = [
+        {c: (r[c] if not isinstance(r[c], (bytes, bytearray)) else r[c].hex()) for c in df.columns}
+        for r in rows
+    ]
+    result = {"geojson": collections, "data": data, "size": len(data)}
+    return json.dumps(result) if not geojsonout else json.dumps(collections)

@@ -1,0 +1,245 @@
+"""SPARQL entry point (jena_geo_spark/sparql.py).
+
+Mirrors the reference's production query path: the example queries in
+``util/TripleStoreConnection.java:190-203`` (main) and the service's JSON
+response shape (``:83-186``).  Also asserts the Spark-first properties the
+reference can't have: a subject-star BGP over a PropertyTable compiles to
+ONE scan with no join/exchange, and a cross-product + FILTER(ST_Within)
+compiles into the cell-cover spatial join instead of a CartesianProduct.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from jena_geo_spark import sparql as S
+
+TTL = """
+@prefix geo: <http://www.opengis.net/ont/geosparql#> .
+@prefix geo2: <http://www.opengis.net/ont/geosparqlplus#> .
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+@prefix : <http://example.org/> .
+
+# comment line
+:house_1_geom geo:asWKT "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))"^^geo:wktLiteral ;
+    a geo2:Geometry ;
+    :name "house" .
+:pt_1_geom geo:asWKT "POINT (1 1)"^^geo:wktLiteral ;
+    a geo2:Geometry ;
+    :name "pt1" , "pt1-alias" .
+:small_geom geo:asWKT "POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))"^^geo:wktLiteral ;
+    a geo2:Geometry .
+:bare :name "no-geometry" .
+"""
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    return S.TriplesModel(S.triples_from_turtle(spark, TTL))
+
+
+# ------------------------------------------------------------------- turtle --
+
+
+def test_parse_turtle_lists_types_comments():
+    tris = S.parse_turtle(TTL)
+    # ';' predicate list, ',' object list, 'a' keyword, default prefix
+    assert ("http://example.org/pt_1_geom", S.RDF_TYPE,
+            "http://www.opengis.net/ont/geosparqlplus#Geometry", None) in tris
+    names = [t for t in tris if t[1] == "http://example.org/name"]
+    assert ("http://example.org/pt_1_geom", "http://example.org/name", "pt1", None) in names
+    assert ("http://example.org/pt_1_geom", "http://example.org/name", "pt1-alias", None) in names
+    wkts = [t for t in tris if t[1].endswith("asWKT")]
+    assert all(t[3] == S.WKT_DT for t in wkts)
+    assert len(wkts) == 3
+
+
+# ------------------------------------- reference example queries (path A/B) --
+
+
+def test_ref_example_filter_area(spark, model):
+    # TripleStoreConnection.java:199-200 (commented main example)
+    q = "SELECT ?geom ?wkt WHERE { ?geom geo:asWKT ?wkt . FILTER(geo2:ST_Area(?wkt)>10) }"
+    rows = S.execute_query(spark, q, model).collect()
+    assert len(rows) == 1
+    assert rows[0]["geom"] == "http://example.org/house_1_geom"
+    assert rows[0]["wkt"].startswith("POLYGON")
+
+
+def test_ref_example_bind(spark, model):
+    # TripleStoreConnection.java:202-203: BIND(ST_YMax) + FILTER(ST_Area)
+    q = ("SELECT ?wkt2 WHERE { ?geom geo:asWKT ?wkt . "
+         "BIND(geo2:ST_YMax(?wkt) AS ?wkt2). FILTER(geo2:ST_Area(?wkt)>10) }")
+    rows = S.execute_query(spark, q, model).collect()
+    assert [r["wkt2"] for r in rows] == [4.0]
+
+
+def test_ref_example_type_limit(spark, model):
+    # TripleStoreConnection.java:191-192 shape: rdf:type BGP + LIMIT
+    q = ("SELECT ?a ?c WHERE { ?a rdf:type geo2:Geometry . ?a geo:asWKT ?c . } "
+         "ORDER BY ?a LIMIT 2")
+    rows = S.execute_query(spark, q, model).collect()
+    assert [r["a"] for r in rows] == [
+        "http://example.org/house_1_geom",
+        "http://example.org/pt_1_geom",
+    ]
+
+
+# ----------------------------------------------------------- SPARQL algebra --
+
+
+def test_distinct_order_offset(spark, model):
+    q = "SELECT DISTINCT ?g WHERE { ?g geo:asWKT ?w } ORDER BY DESC(?g) LIMIT 2 OFFSET 1"
+    rows = S.execute_query(spark, q, model).collect()
+    assert [r["g"] for r in rows] == [
+        "http://example.org/pt_1_geom",
+        "http://example.org/house_1_geom",
+    ]
+
+
+def test_optional_left_join(spark, model):
+    q = ("SELECT ?g ?n WHERE { ?g a geo2:Geometry . "
+         "OPTIONAL { ?g :name ?n . FILTER(?n != \"pt1-alias\") } } ORDER BY ?g ?n")
+    # prefix ':' is not builtin — declare it
+    q = "PREFIX : <http://example.org/> " + q
+    rows = S.execute_query(spark, q, model).collect()
+    got = [(r["g"].rsplit("/", 1)[-1], r["n"]) for r in rows]
+    assert got == [("house_1_geom", "house"), ("pt_1_geom", "pt1"), ("small_geom", None)]
+
+
+def test_minus(spark, model):
+    q = ("PREFIX : <http://example.org/> "
+         "SELECT ?g WHERE { ?g a geo2:Geometry . MINUS { ?g :name ?n } } ORDER BY ?g")
+    rows = S.execute_query(spark, q, model).collect()
+    assert [r["g"].rsplit("/", 1)[-1] for r in rows] == ["small_geom"]
+
+
+def test_union(spark, model):
+    q = ("PREFIX : <http://example.org/> SELECT ?v WHERE { "
+         "{ :house_1_geom :name ?v } UNION { :bare :name ?v } } ORDER BY ?v")
+    rows = S.execute_query(spark, q, model).collect()
+    assert [r["v"] for r in rows] == ["house", "no-geometry"]
+
+
+def test_expression_operators(spark, model):
+    q = ("SELECT ?g WHERE { ?g geo:asWKT ?w . "
+         "FILTER(geo2:ST_Area(?w)*2 >= 2 && !(geo2:ST_Area(?w) > 10)) } ORDER BY ?g")
+    rows = S.execute_query(spark, q, model).collect()
+    assert [r["g"].rsplit("/", 1)[-1] for r in rows] == ["small_geom"]
+
+
+def test_geometry_valued_bind_rendered_as_wkt(spark, model):
+    q = ("SELECT ?c WHERE { ?g geo:asWKT ?w . FILTER(geo2:ST_Area(?w) > 10) . "
+         "BIND(geo2:ST_Centroid(?w) AS ?c) }")
+    rows = S.execute_query(spark, q, model).collect()
+    assert rows[0]["c"].startswith("POINT")
+
+
+# -------------------------------------------------------- property table 1 --
+
+
+@pytest.fixture(scope="module")
+def images_pt(spark):
+    from jena_geo_spark import datagen
+
+    d = datagen.ensure_dataset(0.001)
+    df = spark.read.parquet(f"{d}/images.parquet")
+    return S.PropertyTable(
+        df,
+        id_col="image_id",
+        subject_prefix="urn:img:",
+        type_iri="http://www.opengis.net/ont/geosparqlplus#Image",
+        props={
+            "http://example.org/img#caption": S.PropSpec("caption"),
+            "http://example.org/img#phash": S.PropSpec("phash"),
+            "http://www.opengis.net/ont/geosparql#asWKT": S.PropSpec(
+                "geom_wkt", kind="wkt_point", lon="lon", lat="lat"
+            ),
+        },
+    )
+
+
+@pytest.fixture(scope="module")
+def zones_pt(spark):
+    from jena_geo_spark import datagen
+
+    d = datagen.ensure_dataset(0.001)
+    df = spark.read.parquet(f"{d}/zones.parquet")
+    return S.PropertyTable(
+        df,
+        id_col="zone_id",
+        subject_prefix="urn:zone:",
+        type_iri="http://www.opengis.net/ont/geosparqlplus#Zone",
+        props={
+            "http://www.opengis.net/ont/geosparql#asWKT": S.PropSpec(
+                "geom_wkt", kind="wkt_polygon"
+            ),
+        },
+    )
+
+
+def test_property_table_star_single_scan(spark, images_pt):
+    q = ("PREFIX img: <http://example.org/img#> "
+         "SELECT ?s ?cap ?ph WHERE { ?s img:caption ?cap . ?s img:phash ?ph . "
+         "?s geo:asWKT ?w . FILTER(?ph > 0) }")
+    df = S.execute_query(spark, q, images_pt)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the 3-pattern star over one property table = ONE scan, no join
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    n_all = images_pt.df.filter(F.col("phash") > 0).count()
+    assert df.count() == n_all
+
+
+def test_property_table_rdf_type(spark, images_pt):
+    q = ("PREFIX img: <http://example.org/img#> "
+         "SELECT ?t WHERE { ?s a ?t . ?s img:caption ?cap } LIMIT 1")
+    rows = S.execute_query(spark, q, images_pt).collect()
+    assert rows[0]["t"].endswith("Image")
+
+
+# -------------------------------------------- spatial-join rewrite (§2.5)  --
+
+
+def test_spatial_rewrite_matches_operator(spark, images_pt, zones_pt):
+    q = ("SELECT ?img ?zone WHERE { "
+         "?img a geo2:Image . ?img geo:asWKT ?pt . "
+         "?zone a geo2:Zone . ?zone geo:asWKT ?poly . "
+         "FILTER(geo2:ST_Within(?pt, ?poly)) }")
+    df = S.execute_query(spark, q, S.UnionModel([images_pt, zones_pt]))
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+    from jena_geo_spark.operators.spatial_join import (
+        build_zone_covers,
+        spatial_join_points_zones,
+    )
+
+    zones = [
+        (r["zone_id"], r["geom_wkt"]) for r in zones_pt.df.select("zone_id", "geom_wkt").collect()
+    ]
+    covers = build_zone_covers(zones)
+    expect = spatial_join_points_zones(spark, images_pt.df, covers)
+    exp = {
+        ("urn:img:" + r["image_id"], "urn:zone:" + r["zone_id"])
+        for r in expect.select("image_id", "zone_id").collect()
+    }
+    got = {(r["img"], r["zone"]) for r in df.collect()}
+    assert got == exp and len(got) > 0
+
+
+# -------------------------------------------------------------- service JSON --
+
+
+def test_query_service_response_shape(spark, model):
+    q = "SELECT ?g_geom WHERE { ?g_geom geo:asWKT ?w . FILTER(geo2:ST_Area(?w) > 10) }"
+    # service: geometry var must carry the WKT lexical to convert
+    q = ("SELECT ?w_geom WHERE { ?g geo:asWKT ?w_geom . "
+         "FILTER(geo2:ST_Area(?w_geom) > 10) }")
+    out = json.loads(S.query_service(spark, q, model))
+    assert out["size"] == 1
+    assert out["data"][0]["w_geom"].startswith("POLYGON")
+    assert len(out["geojson"]) == 1
+    fc = out["geojson"][0]
+    assert fc["type"] == "FeatureCollection" and fc["name"] == "w_geom"
+    assert fc["features"][0]["geometry"]["type"] == "Polygon"
