@@ -2501,6 +2501,59 @@ def o_emb_ivf_exact() -> str:
     )
 
 
+def q_sparql_bgp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SPARQL entry point (sparql.py) under the oracle gate.
+
+    The reference's ONLY production query surface is SPARQL
+    (TripleStoreConnection.java:71-186); this row compiles a typed
+    two-star BGP — star ?n over the nation PropertyTable, star ?r over
+    region, joined on the shared object variable ?rk — plus FILTER and
+    BIND arithmetic, and must match the equivalent SQL join bit-exact."""
+    from . import sparql as S
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    EX = "http://example.org/tpch#"
+    npt = S.PropertyTable(
+        nation,
+        id_col="n_nationkey",
+        subject_prefix="urn:nation:",
+        type_iri=EX + "Nation",
+        props={
+            EX + "name": S.PropSpec("n_name"),
+            EX + "region": S.PropSpec("n_regionkey"),
+            EX + "key": S.PropSpec("n_nationkey"),
+        },
+    )
+    rpt = S.PropertyTable(
+        region,
+        id_col="r_regionkey",
+        subject_prefix="urn:region:",
+        type_iri=EX + "Region",
+        props={
+            EX + "name": S.PropSpec("r_name"),
+            EX + "key": S.PropSpec("r_regionkey"),
+        },
+    )
+    q = (
+        "PREFIX t: <http://example.org/tpch#> "
+        "SELECT ?nname ?rname ?nk2 WHERE { "
+        "?n a t:Nation . ?n t:name ?nname . ?n t:region ?rk . ?n t:key ?nk . "
+        "?r a t:Region . ?r t:key ?rk . ?r t:name ?rname . "
+        'FILTER(?rname != "ASIA") . BIND(?nk * 2 AS ?nk2) }'
+    )
+    return S.execute_query(spark, q, S.UnionModel([npt, rpt]))
+
+
+def o_sparql_bgp_join() -> str:
+    return (
+        "SELECT n_name AS nname, r_name AS rname, "
+        "CAST(n_nationkey AS DOUBLE) * 2 AS nk2 "
+        "FROM nation JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name <> 'ASIA'"
+    )
+
+
 QUERIES = {
     "geo_cluster_within": q_geo_cluster_within,
     "doc_dedup_groups": q_doc_dedup_groups,
@@ -2540,7 +2593,7 @@ QUERIES = {
     "raster_stats": q_raster_stats,
     "geo_bounds_box": q_geo_bounds_box,
     "geo_units": q_geo_units,
-    "geo_affine": q_geo_affine,
+    "sparql_bgp_join": q_sparql_bgp_join,
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
     "doc_dedup_exact": q_doc_dedup_exact,
@@ -2559,6 +2612,7 @@ QUERIES = {
     # transform_merc + affine; accessors: bounds_box) and the TPC-H trio is
     # pure host-Catalyst.  They stay oracle-gated by pytest
     # (tests/test_driver_contract.py runs ALL entries, bit-exact).
+    "geo_affine": q_geo_affine,
     "geo_line_length": q_geo_line_length,
     "geo_perimeter": q_geo_perimeter,
     "geo_triangle_centroid": q_geo_triangle_centroid,
@@ -2627,6 +2681,7 @@ ORACLES = {
     "geo_perimeter": o_geo_perimeter(),
     "geo_bounds_box": o_geo_bounds_box(),
     "geo_units": o_geo_units(),
+    "sparql_bgp_join": o_sparql_bgp_join(),
     "geo_affine": o_geo_affine(),
     "geo_dump_points": o_geo_dump_points(),
     "doc_token_stats": o_doc_token_stats(),
