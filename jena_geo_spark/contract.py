@@ -2545,6 +2545,54 @@ def q_sparql_bgp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.execute_query(spark, q, S.UnionModel([npt, rpt]))
 
 
+def q_sparql_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GROUP BY + the §2.4 aggregate family under the oracle gate.
+
+    The reference's aggregate classes (aggregate/AvgX.java etc.) are
+    README-contracted but never registered with ARQ; here they are
+    actually queryable: COUNT(*) + ST_MinX/ST_MaxY over events-derived
+    point WKTs, grouped by event_type.  min/max/count only — exact under
+    any partitioning, so the row is bit-exact by construction."""
+    from . import sparql as S
+
+    pts = points_from_events(spark, sf_dir).withColumn(
+        "wkt",
+        F.concat(
+            F.lit("POINT ("),
+            F.col("lon").cast("string"),
+            F.lit(" "),
+            F.col("lat").cast("string"),
+            F.lit(")"),
+        ),
+    )
+    EX = "http://example.org/ev#"
+    ppt = S.PropertyTable(
+        pts,
+        id_col="event_id",
+        subject_prefix="urn:ev:",
+        type_iri=EX + "Event",
+        props={
+            EX + "type": S.PropSpec("event_type"),
+            "http://www.opengis.net/ont/geosparql#asWKT": S.PropSpec("wkt", kind="wkt"),
+        },
+    )
+    q = (
+        "PREFIX ev: <http://example.org/ev#> "
+        "SELECT ?et (COUNT(*) AS ?n) (geo2:ST_MinX(?w) AS ?minx) "
+        "(geo2:ST_MaxY(?w) AS ?maxy) "
+        "WHERE { ?e a ev:Event . ?e ev:type ?et . ?e geo:asWKT ?w } GROUP BY ?et"
+    )
+    return S.execute_query(spark, q, ppt)
+
+
+def o_sparql_agg_group() -> str:
+    return (
+        f"WITH {_PTS_CTE} "
+        "SELECT event_type AS et, COUNT(*) AS n, MIN(lon) AS minx, "
+        "MAX(lat) AS maxy FROM pts GROUP BY event_type"
+    )
+
+
 def o_sparql_bgp_join() -> str:
     return (
         "SELECT n_name AS nname, r_name AS rname, "
@@ -2582,7 +2630,7 @@ QUERIES = {
     "raster_value_rel": q_raster_value_rel,
     "raster_resize": q_raster_resize,
     "geo_srid_meta": q_geo_srid_meta,
-    "geo_coord_aggs": q_geo_coord_aggs,
+    "sparql_agg_group": q_sparql_agg_group,
     "emb_ivf_exact": q_emb_ivf_exact,
     "geo_mvt_coords": q_geo_mvt_coords,
     "stream_tile_hist": q_stream_tile_hist,
@@ -2613,6 +2661,7 @@ QUERIES = {
     # pure host-Catalyst.  They stay oracle-gated by pytest
     # (tests/test_driver_contract.py runs ALL entries, bit-exact).
     "geo_affine": q_geo_affine,
+    "geo_coord_aggs": q_geo_coord_aggs,
     "geo_line_length": q_geo_line_length,
     "geo_perimeter": q_geo_perimeter,
     "geo_triangle_centroid": q_geo_triangle_centroid,
@@ -2682,6 +2731,7 @@ ORACLES = {
     "geo_bounds_box": o_geo_bounds_box(),
     "geo_units": o_geo_units(),
     "sparql_bgp_join": o_sparql_bgp_join(),
+    "sparql_agg_group": o_sparql_agg_group(),
     "geo_affine": o_geo_affine(),
     "geo_dump_points": o_geo_dump_points(),
     "doc_token_stats": o_doc_token_stats(),

@@ -223,6 +223,7 @@ class Iri:
 class Func:
     iri: str
     args: list
+    distinct: bool = False  # COUNT(DISTINCT ?x) form
 
 
 @dataclass
@@ -278,12 +279,13 @@ class Union:
 
 @dataclass
 class Query:
-    select: list | None  # None = SELECT *
+    select: list | None  # None = SELECT *; items: ("var", name) | ("expr", ast, alias)
     distinct: bool
     where: Group
     order_by: list  # [(var, asc)]
     limit: int | None
     offset: int | None
+    group_by: list = field(default_factory=list)
 
 
 # ------------------------------------------------------------ SPARQL parsing --
@@ -373,13 +375,30 @@ class _Parser:
             self.next()
             select = None
         else:
-            while self.peek()[0] == "var":
-                select.append(self.next()[1][1:])
+            while True:
+                t = self.peek()
+                if t[0] == "var":
+                    select.append(("var", self.next()[1][1:]))
+                elif t == ("punct", "("):
+                    self.next()
+                    e = self.expr()
+                    if not self.kw("AS"):
+                        raise ValueError("projection expression without AS")
+                    v = self.expect("var")[1][1:]
+                    self.expect("punct", ")")
+                    select.append(("expr", e, v))
+                else:
+                    break
         self.kw("WHERE")
         where = self.group()
-        order, limit, offset = [], None, None
+        order, limit, offset, group_by = [], None, None, []
         while True:
-            if self.kw("ORDER"):
+            if self.kw("GROUP"):
+                if not self.kw("BY"):
+                    raise ValueError("GROUP without BY")
+                while self.peek()[0] == "var":
+                    group_by.append(self.next()[1][1:])
+            elif self.kw("ORDER"):
                 if not self.kw("BY"):
                     raise ValueError("ORDER without BY")
                 while True:
@@ -399,7 +418,7 @@ class _Parser:
                 offset = int(self.expect("num")[1])
             else:
                 break
-        return Query(select, distinct, where, order, limit, offset)
+        return Query(select, distinct, where, order, limit, offset, group_by)
 
     def group(self) -> Group:
         self.expect("punct", "{")
@@ -560,14 +579,20 @@ class _Parser:
                 else (self.expand(t[1]) if t[0] == "pname" else "builtin:" + t[1].upper())
             )
             self.expect("punct", "(")
+            distinct = False
+            if self.peek()[0] == "word" and self.peek()[1].upper() == "DISTINCT":
+                self.next()
+                distinct = True
             args = []
-            if self.peek() != ("punct", ")"):
+            if self.peek() == ("op", "*"):  # COUNT(*)
+                self.next()
+            elif self.peek() != ("punct", ")"):
                 args.append(self.expr())
                 while self.peek() == ("punct", ","):
                     self.next()
                     args.append(self.expr())
             self.expect("punct", ")")
-            return Func(iri, args)
+            return Func(iri, args, distinct)
         raise ValueError(f"unexpected expression token {t}")
 
 
@@ -1121,23 +1146,205 @@ class _GroupCompiler:
         return None
 
 
+# ---------------------------------------------------------------- aggregates --
+
+# SPARQL builtin set-functions → Catalyst aggregates
+_PLAIN_AGGS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
+# the reference's §2.4 aggregate surface (aggregate/*.java — contracted in
+# its README but never registered with ARQ, so *only queryable here*)
+_GEO_AGGS = {"st_boundingbox", "st_avgx", "st_avgy", "st_minx", "st_maxx",
+             "st_miny", "st_maxy"}
+
+
+def _is_agg_node(e) -> bool:
+    if not isinstance(e, Func):
+        return False
+    if e.iri.startswith("builtin:") and e.iri[len("builtin:"):] in _PLAIN_AGGS:
+        return True
+    return _registry_name(e.iri) in _GEO_AGGS or _registry_name(e.iri).replace(
+        "distinct", ""
+    ) in _GEO_AGGS
+
+
+def _has_agg(e) -> bool:
+    if _is_agg_node(e):
+        return True
+    if isinstance(e, Func):
+        return any(_has_agg(a) for a in e.args)
+    if isinstance(e, Op2):
+        return _has_agg(e.left) or _has_agg(e.right)
+    if isinstance(e, Op1):
+        return _has_agg(e.arg)
+    return False
+
+
+class _AggCompiler:
+    """Select-expression compiler for aggregate mode.
+
+    Aggregate nodes become pre-aggregation Columns (collected into
+    ``self.aggs`` for one ``groupBy().agg(...)`` pass — Spark's
+    partial+final aggregation mirrors the reference's Accumulator split,
+    ``aggregate/AvgX.java:71-110``); the remaining expression is rebuilt
+    post-agg over the aggregated frame.  AvgX/AvgY fold per-row
+    coordinate (sum, count) pairs via ``F.aggregate`` over
+    ``st_dumppoints`` — every coordinate of every geometry, no row
+    explosion, map-side combinable."""
+
+    def __init__(self, ec: "_ExprCompiler", group_vars: list[str]):
+        self.ec = ec
+        self.group_vars = group_vars
+        self.aggs: list[F.Column] = []
+        self._n = 0
+
+    def _slot(self, col: F.Column) -> F.Column:
+        name = f"__agg{self._n}"
+        self._n += 1
+        self.aggs.append(col.alias(name))
+        return F.col(name)
+
+    def _geom_arg(self, e) -> F.Column:
+        c, k = self.ec.compile(e)
+        return REG.REGISTRY["st_geomfromtext"][0](c) if k == "wkt" else c
+
+    def compile(self, e) -> F.Column:
+        if _is_agg_node(e):
+            return self._agg(e)
+        if isinstance(e, Var):
+            if e.name not in self.group_vars:
+                raise ValueError(
+                    f"?{e.name} used outside an aggregate must be in GROUP BY"
+                )
+            return self.ec.var_col(e.name)
+        if isinstance(e, Lit):
+            return F.lit(e.value)
+        if isinstance(e, Op1):
+            c = self.compile(e.arg)
+            return ~c if e.op == "!" else -c
+        if isinstance(e, Op2):
+            lc, rc = self.compile(e.left), self.compile(e.right)
+            return {
+                "||": lc | rc, "&&": lc & rc, "=": lc == rc, "!=": lc != rc,
+                "<": lc < rc, ">": lc > rc, "<=": lc <= rc, ">=": lc >= rc,
+                "+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc,
+            }[e.op]
+        raise TypeError(f"cannot compile aggregate-mode expression {e!r}")
+
+    def _agg(self, e: Func) -> F.Column:
+        if e.iri.startswith("builtin:"):
+            name = e.iri[len("builtin:"):]
+            if name == "COUNT":
+                if not e.args:
+                    return self._slot(F.count(F.lit(1)))
+                c, _ = self.ec.compile(e.args[0])
+                return self._slot(F.count_distinct(c) if e.distinct else F.count(c))
+            if e.distinct:
+                raise NotImplementedError(f"{name}(DISTINCT) not supported")
+            c, _ = self.ec.compile(e.args[0])
+            if _numericish(e.args[0]):
+                c = c.cast("double")
+            fn = {"SUM": F.sum, "AVG": F.avg, "MIN": F.min, "MAX": F.max}[name]
+            return self._slot(fn(c))
+        name = _registry_name(e.iri)
+        if name.endswith("distinct") and name.replace("distinct", "") in _GEO_AGGS:
+            raise NotImplementedError(
+                f"{name}: Distinct coordinate aggregates need the exploded "
+                "path — use functions.aggregates.agg_coord_stats(distinct=True)"
+            )
+        g = self._geom_arg(e.args[0])
+        from .functions.vector import st_dumppoints
+
+        if name == "st_minx":
+            return self._slot(F.min(REG.REGISTRY["st_xmin"][0](g)))
+        if name == "st_maxx":
+            return self._slot(F.max(REG.REGISTRY["st_xmax"][0](g)))
+        if name == "st_miny":
+            return self._slot(F.min(REG.REGISTRY["st_ymin"][0](g)))
+        if name == "st_maxy":
+            return self._slot(F.max(REG.REGISTRY["st_ymax"][0](g)))
+        if name in ("st_avgx", "st_avgy"):
+            ax = "x" if name == "st_avgx" else "y"
+            pts = st_dumppoints(g)
+            coordsum = F.aggregate(
+                pts, F.lit(0.0), lambda acc, p: acc + p[ax]
+            )
+            s = self._slot(F.sum(coordsum))
+            n = self._slot(F.sum(F.size(pts).cast("double")))
+            return s / n
+        if name == "st_boundingbox":
+            xmin = self._slot(F.min(REG.REGISTRY["st_xmin"][0](g)))
+            ymin = self._slot(F.min(REG.REGISTRY["st_ymin"][0](g)))
+            xmax = self._slot(F.max(REG.REGISTRY["st_xmax"][0](g)))
+            ymax = self._slot(F.max(REG.REGISTRY["st_ymax"][0](g)))
+            s = lambda c: c.cast("string")  # noqa: E731
+            return F.concat(
+                F.lit("POLYGON (("),
+                s(xmin), F.lit(" "), s(ymin), F.lit(", "),
+                s(xmax), F.lit(" "), s(ymin), F.lit(", "),
+                s(xmax), F.lit(" "), s(ymax), F.lit(", "),
+                s(xmin), F.lit(" "), s(ymax), F.lit(", "),
+                s(xmin), F.lit(" "), s(ymin),
+                F.lit("))"),
+            )
+        raise KeyError(f"unknown aggregate {e.iri}")
+
+
 # ------------------------------------------------------------------ executor --
 
 
 def execute_query(spark: SparkSession, query: str, model) -> DataFrame:
     """Compile and run a SPARQL SELECT against a model backend
-    (:class:`TriplesModel` or :class:`PropertyTable`).  Returns a
-    DataFrame whose columns are the selected variable names."""
+    (:class:`TriplesModel`, :class:`PropertyTable` or
+    :class:`UnionModel`).  Returns a DataFrame whose columns are the
+    selected variable names."""
     q = parse_query(query)
     frame, binds, kinds = _GroupCompiler(spark, model).compile(q.where)
-    sel_vars = q.select if q.select is not None else sorted(binds)
-    cols = []
-    for v in sel_vars:
-        if v not in binds:
-            cols.append(F.lit(None).cast("string").alias(v))
+
+    agg_mode = bool(q.group_by) or any(
+        it[0] == "expr" and _has_agg(it[1]) for it in (q.select or [])
+    )
+    if agg_mode:
+        ec = _ExprCompiler(binds, kinds)
+        ac = _AggCompiler(ec, q.group_by)
+        post: list[F.Column] = []
+        for it in q.select or []:
+            if it[0] == "var":
+                if it[1] not in q.group_by:
+                    raise ValueError(f"?{it[1]} selected outside GROUP BY")
+                post.append(F.col(binds[it[1]]).alias(it[1]))
+            else:
+                post.append(ac.compile(it[1]).alias(it[2]))
+        gcols = [binds[v] for v in q.group_by]
+        if ac.aggs:
+            aggframe = frame.groupBy(*gcols).agg(*ac.aggs)
         else:
-            cols.append(F.col(binds[v]).alias(v))
-    out = frame.select(*cols)
+            aggframe = frame.select(*gcols).dropDuplicates()
+        out = aggframe.select(*post)
+    else:
+        sel_items = (
+            q.select
+            if q.select is not None
+            else [("var", v) for v in sorted(binds)]
+        )
+        cols = []
+        ec = _ExprCompiler(binds, kinds)
+        for it in sel_items:
+            if it[0] == "var":
+                v = it[1]
+                if v not in binds:
+                    cols.append(F.lit(None).cast("string").alias(v))
+                else:
+                    cols.append(F.col(binds[v]).alias(v))
+            else:
+                col, kind = ec.compile(it[1])
+                if kind == "geom":
+                    from pyspark.sql.types import BinaryType
+
+                    if isinstance(
+                        frame.select(col.alias("x")).schema[0].dataType, BinaryType
+                    ):
+                        col = REG.REGISTRY["st_astext"][0](col)
+                cols.append(col.alias(it[2]))
+        out = frame.select(*cols)
     if q.distinct:
         out = out.dropDuplicates()
     if q.order_by:

@@ -136,6 +136,57 @@ def test_geometry_valued_bind_rendered_as_wkt(spark, model):
     assert rows[0]["c"].startswith("POINT")
 
 
+# -------------------------------------------------------- aggregates (§2.4) --
+
+
+def test_aggregates_global(spark, model):
+    # the reference's aggregate classes are contracted in its README but
+    # never registered with ARQ (SURVEY §2.4) — queryable only here
+    q = ("SELECT (COUNT(?w) AS ?n) (geo2:ST_MaxX(?w) AS ?mx) "
+         "(geo2:ST_BoundingBox(?w) AS ?bb) WHERE { ?g geo:asWKT ?w }")
+    r = S.execute_query(spark, q, model).collect()
+    assert len(r) == 1
+    assert r[0]["n"] == 3 and r[0]["mx"] == 4.0
+    assert r[0]["bb"] == "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0))"
+
+
+def test_aggregates_group_by(spark, model):
+    # AvgX iterates every coordinate of every geometry incl. the ring
+    # closure, matching AvgX.java:71-95 (JTS getCoordinates semantics)
+    q = ("SELECT ?g (geo2:ST_MinX(?w) AS ?mnx) (geo2:ST_AvgX(?w) AS ?ax) "
+         "(COUNT(?w) AS ?n) WHERE { ?g geo:asWKT ?w } GROUP BY ?g ORDER BY ?g")
+    rows = S.execute_query(spark, q, model).collect()
+    got = {r["g"].rsplit("/", 1)[-1]: (r["mnx"], r["ax"], r["n"]) for r in rows}
+    assert got == {
+        "house_1_geom": (0.0, 1.6, 1),
+        "pt_1_geom": (1.0, 1.0, 1),
+        "small_geom": (0.0, 0.4, 1),
+    }
+
+
+def test_aggregate_arithmetic_and_count_star(spark, model):
+    q = ("SELECT (COUNT(*) AS ?n) (MAX(geo2:ST_Area(?w)) - MIN(geo2:ST_Area(?w)) AS ?spread) "
+         "WHERE { ?g geo:asWKT ?w }")
+    r = S.execute_query(spark, q, model).collect()[0]
+    assert r["n"] == 3 and r["spread"] == 16.0
+
+
+def test_select_expression_without_aggregate(spark, model):
+    q = ("SELECT ?g (geo2:ST_Area(?w) * 2 AS ?a2) WHERE { ?g geo:asWKT ?w } "
+         "ORDER BY DESC(?a2) LIMIT 1")
+    r = S.execute_query(spark, q, model).collect()[0]
+    assert r["g"].endswith("house_1_geom") and r["a2"] == 32.0
+
+
+def test_group_by_plain_var_outside_group_raises(spark, model):
+    with pytest.raises(ValueError):
+        S.execute_query(
+            spark,
+            "SELECT ?w (COUNT(?g) AS ?n) WHERE { ?g geo:asWKT ?w } GROUP BY ?g",
+            model,
+        ).collect()
+
+
 # -------------------------------------------------------- property table 1 --
 
 
