@@ -79,6 +79,30 @@ BUILTIN_PREFIXES = {
 
 RDF_TYPE = BUILTIN_PREFIXES["rdf"] + "type"
 WKT_DT = BUILTIN_PREFIXES["geo"] + "wktLiteral"
+GEO_ASWKT = BUILTIN_PREFIXES["geo"] + "asWKT"
+
+# GeoSPARQL property functions (query-rewrite predicates): the reference
+# enables these via GeoSPARQLConfig.setupMemoryIndex()
+# (PostGISConfig.java:812, TripleStoreConnection.java:42); a triple
+# ``?a geo:sfWithin ?b`` is sugar for the predicate over the two
+# features' geometries.  Mapped to the registered st_* relation names.
+GEO_PF = {
+    BUILTIN_PREFIXES["geo"] + n: n.lower()
+    for n in (
+        "sfWithin", "sfContains", "sfIntersects", "sfTouches",
+        "sfCrosses", "sfOverlaps", "sfEquals", "sfDisjoint",
+    )
+}
+_SF_FUNC = {
+    "sfwithin": "st_within",
+    "sfcontains": "st_contains",
+    "sfintersects": "st_intersects",
+    "sftouches": "st_touches",
+    "sfcrosses": "st_crosses",
+    "sfoverlaps": "st_overlaps",
+    "sfequals": "st_equals",
+    "sfdisjoint": "st_disjoint",
+}
 
 
 # ------------------------------------------------------------- turtle reader --
@@ -885,6 +909,7 @@ class _ExprCompiler:
             c, _ = self.compile(e.args[0])
             return c.cast(cast), "plain"
         name = _registry_name(e.iri)
+        name = _SF_FUNC.get(name, name)
         if e.iri.startswith(BUILTIN_PREFIXES["geof"]) and "geof_" + name in REG.REGISTRY:
             name = "geof_" + name
         if name not in REG.REGISTRY:
@@ -926,6 +951,7 @@ class _GroupCompiler:
         self.model = model
 
     def compile(self, g: Group):
+        g = self._desugar_property_functions(g)
         triples = [it for it in g.items if isinstance(it, Triple)]
         frame, binds, kinds = (None, {}, {})
         if triples:
@@ -1027,6 +1053,49 @@ class _GroupCompiler:
         if frame is None:
             raise ValueError("empty group pattern")
         return frame, binds, kinds
+
+    @staticmethod
+    def _desugar_property_functions(g: Group) -> Group:
+        """``?a geo:sfWithin ?b`` triple → FILTER(sfWithin(?a_g, ?b_g)).
+
+        Reuses an existing ``geo:asWKT`` binding for each side; if a side
+        has none, a fresh geometry pattern is added to its star (GeoSPARQL
+        features resolve to their geometries).  The resulting filter is
+        eligible for the cell-cover spatial-join rewrite, so the property
+        function executes as the re-architected join, not a nested loop
+        (the reference delegates to geosparql-jena's in-memory index)."""
+        pf = [
+            it
+            for it in g.items
+            if isinstance(it, Triple) and isinstance(it.p, Iri) and it.p.iri in GEO_PF
+        ]
+        if not pf:
+            return g
+        aswkt: dict[str, str] = {}
+        for it in g.items:
+            if (
+                isinstance(it, Triple)
+                and isinstance(it.p, Iri)
+                and it.p.iri == GEO_ASWKT
+                and isinstance(it.s, Var)
+                and isinstance(it.o, Var)
+            ):
+                aswkt.setdefault(it.s.name, it.o.name)
+        out = Group([it for it in g.items if it not in pf])
+        for t in pf:
+            if not (isinstance(t.s, Var) and isinstance(t.o, Var)):
+                raise NotImplementedError(
+                    "property-function predicates need variable subject and object"
+                )
+            args = []
+            for side in (t.s, t.o):
+                if side.name not in aswkt:
+                    fresh = f"__g_{side.name}"
+                    out.items.append(Triple(side, Iri(GEO_ASWKT), Var(fresh)))
+                    aswkt[side.name] = fresh
+                args.append(Var(aswkt[side.name]))
+            out.items.append(Filter(Func(t.p.iri, args)))
+        return out
 
     # -- basic graph pattern: star grouping + join graph + spatial rewrite
     def _bgp(self, triples: list[Triple], filters: list[Filter]):

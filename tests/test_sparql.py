@@ -279,6 +279,41 @@ def test_spatial_rewrite_matches_operator(spark, images_pt, zones_pt):
     assert got == exp and len(got) > 0
 
 
+def test_property_function_predicate(spark, images_pt, zones_pt):
+    """``?img geo:sfWithin ?zone`` triple (geosparql-jena query-rewrite
+    predicate) — desugared and executed as the cell-cover join."""
+    q = ("SELECT ?img ?zone WHERE { "
+         "?img a geo2:Image . ?zone a geo2:Zone . ?img geo:sfWithin ?zone }")
+    df = S.execute_query(spark, q, S.UnionModel([images_pt, zones_pt]))
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+    explicit = ("SELECT ?img ?zone WHERE { "
+                "?img a geo2:Image . ?img geo:asWKT ?pt . "
+                "?zone a geo2:Zone . ?zone geo:asWKT ?poly . "
+                "FILTER(geo2:ST_Within(?pt, ?poly)) }")
+    exp = {
+        (r["img"], r["zone"])
+        for r in S.execute_query(spark, explicit, S.UnionModel([images_pt, zones_pt])).collect()
+    }
+    got = {(r["img"], r["zone"]) for r in df.collect()}
+    assert got == exp and len(got) > 0
+
+
+def test_property_function_triples_backend(spark, model):
+    # no declared point kinds on the triples backend → falls back to the
+    # cross+filter shape, still correct
+    q = ("PREFIX : <http://example.org/> SELECT ?a ?b WHERE { "
+         "?a a geo2:Geometry . ?b a geo2:Geometry . ?a geo:sfWithin ?b . "
+         "FILTER(?a != ?b) }")
+    rows = S.execute_query(spark, q, model).collect()
+    got = {(r["a"].rsplit("/", 1)[-1], r["b"].rsplit("/", 1)[-1]) for r in rows}
+    # pt (1 1) and the unit square are within the 4x4 house square
+    assert ("pt_1_geom", "house_1_geom") in got
+    assert ("small_geom", "house_1_geom") in got
+    assert ("house_1_geom", "small_geom") not in got
+
+
 # -------------------------------------------------------------- service JSON --
 
 
