@@ -107,6 +107,37 @@ def run(sf_dir: str, cpus: int) -> dict:
         return refine_candidates(spark, shuffled, covers)
 
     timed("flagship_join_tile", lambda: _noop(_flagship(imgs)))
+
+    # the production SPARQL surface must not tax the plan: the same
+    # containment join expressed as a property-function triple
+    # (?img geo:sfWithin ?zone) compiles through sparql.py into the same
+    # cover join; the timed window includes SPARQL parse + compile +
+    # per-query cover construction — the whole service-path overhead
+    from jena_geo_spark import sparql as S
+
+    _GEO = "http://www.opengis.net/ont/geosparql#asWKT"
+    _G2 = "http://www.opengis.net/ont/geosparqlplus#"
+    imgs_sq = spark.read.parquet(f"{data_dir}/images.parquet").select(
+        "image_id", "geom_wkt", "lon", "lat", "cell_fine"
+    )
+    _ipt = S.PropertyTable(
+        imgs_sq, id_col="image_id", subject_prefix="i:", type_iri=_G2 + "Image",
+        props={_GEO: S.PropSpec("geom_wkt", kind="wkt_point", lon="lon", lat="lat")},
+    )
+    _zpt = S.PropertyTable(
+        spark.read.parquet(f"{data_dir}/zones.parquet"),
+        id_col="zone_id", subject_prefix="z:", type_iri=_G2 + "Zone",
+        props={_GEO: S.PropSpec("geom_wkt", kind="wkt_polygon")},
+    )
+    _sparql_q = (
+        "SELECT ?img ?zone WHERE { ?img a geo2:Image . ?zone a geo2:Zone . "
+        "?img geo:sfWithin ?zone }"
+    )
+    timed(
+        "sparql_pip_join",
+        lambda: _noop(S.execute_query(spark, _sparql_q, S.UnionModel([_ipt, _zpt]))),
+    )
+
     imgs_full = spark.read.parquet(f"{data_dir}/images.parquet").select(
         "image_id", "caption", "lon", "lat", "cell_fine", "bytes", "w", "h", "fmt", "phash"
     )

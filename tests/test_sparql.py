@@ -230,6 +230,22 @@ def zones_pt(spark):
     )
 
 
+def test_triples_parquet_partition_pruning(spark, tmp_path):
+    """Vertical partitioning (SPARQLGX/S2RDF design): a triples table
+    written partitionBy(p) prunes to one predicate directory per
+    pattern — the constant-predicate filter must reach the scan as a
+    partition filter, not a post-scan filter."""
+    df = S.triples_from_turtle(spark, TTL)
+    path = str(tmp_path / "triples")
+    df.write.partitionBy("p").parquet(path)
+    model = S.TriplesModel(spark.read.parquet(path))
+    out = S.execute_query(spark, "SELECT ?g ?w WHERE { ?g geo:asWKT ?w }", model)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    seg = plan.split("PartitionFilters", 1)
+    assert len(seg) == 2 and "asWKT" in seg[1][:300]
+    assert out.count() == 3
+
+
 def test_property_table_star_single_scan(spark, images_pt):
     q = ("PREFIX img: <http://example.org/img#> "
          "SELECT ?s ?cap ?ph WHERE { ?s img:caption ?cap . ?s img:phash ?ph . "
