@@ -804,6 +804,7 @@ def dwithin_join_points_points(
     lon: str = "lon",
     lat: str = "lat",
     max_res: int = FINE_RES,
+    right_keep: list[str] | None = None,
 ) -> DataFrame:
     """Frame-scale ST_DWithin join: every (left, right) pair with planar
     distance ≤ ``radius`` (coordinate units) — the table×table
@@ -823,7 +824,9 @@ def dwithin_join_points_points(
     Equi-join on int64 keys ⇒ broadcastable when one side is small, AQE
     skew-split otherwise.
 
-    Returns left columns + right id + ``dist``.
+    Returns left columns + right id + ``dist``; with ``right_keep``,
+    carries those right columns through instead of the aliased id (the
+    SPARQL distance-filter rewrite needs every right-side binding).
 
     Grid-edge note: out-of-range neighbor keys (ix±1 beyond the grid) can
     collide with valid keys via the ``ix*n+iy`` packing when the grid is
@@ -841,13 +844,18 @@ def dwithin_join_points_points(
             F.col(right_id).alias("_rid"),
             F.col(lon).alias("_rlon"),
             F.col(lat).alias("_rlat"),
+            *(right_keep or []),
         )
         dist_ = F.sqrt(dx_ * dx_ + dy_ * dy_)
+        out_tail = (
+            list(right_keep) if right_keep is not None
+            else [F.col("_rid").alias(right_id + "_right")]
+        )
         return (
             left.crossJoin(r_all)
             .withColumn("dist", dist_)
             .filter(F.col("dist") <= F.lit(radius))
-            .select(*left.columns, F.col("_rid").alias(right_id + "_right"), "dist")
+            .select(*left.columns, *out_tail, "dist")
         )
     res = int(np.clip(np.floor(np.log2(_LAT_SPAN_DEG / max(radius, 1e-12))), 2, max_res))
     n = 1 << res
@@ -877,6 +885,7 @@ def dwithin_join_points_points(
             F.col(right_id).alias("_rid"),
             F.col(lon).alias("_rlon"),
             F.col(lat).alias("_rlat"),
+            *(right_keep or []),
             F.explode(offsets).alias("_k"),
         )
     )
@@ -885,10 +894,14 @@ def dwithin_join_points_points(
     dy = F.col(lat) - F.col("_rlat")
     dist = F.sqrt(dx * dx + dy * dy)
     out_cols = [c for c in left.columns]
+    out_tail = (
+        list(right_keep) if right_keep is not None
+        else [F.col("_rid").alias(right_id + "_right")]
+    )
     return (
         cand.withColumn("dist", dist)
         .filter(F.col("dist") <= F.lit(radius))
-        .select(*out_cols, F.col("_rid").alias(right_id + "_right"), "dist")
+        .select(*out_cols, *out_tail, "dist")
     )
 
 

@@ -1128,6 +1128,8 @@ class _GroupCompiler:
             if not progress:
                 nxt = pending[0]
                 rewritten = self._try_spatial_rewrite(merged, nxt, filters)
+                if rewritten is None:
+                    rewritten = self._try_dwithin_rewrite(merged, nxt, filters)
                 if rewritten is not None:
                     merged = rewritten
                     pending.pop(0)
@@ -1211,6 +1213,88 @@ class _GroupCompiler:
                 "frame": out,
                 "binds": {**pt_part["binds"], **poly_part["binds"]},
                 "kinds": {**pt_part["kinds"], **poly_part["kinds"]},
+            }
+        return None
+
+
+    def _try_dwithin_rewrite(self, a, b, filters: list[Filter]):
+        """cross + FILTER(ST_Distance(?a,?b) < r / ST_DWithin(?a,?b,r)) →
+        the table×table DWithin grid join.
+
+        Applies to two declared point stars.  The join prefilters with
+        ``dist ≤ r`` (a superset of both ``<`` and ``≤``); the original
+        FILTER is left in place and re-applies exactly on the joined
+        rows, so strict-vs-inclusive comparison and the function's own
+        arithmetic stay authoritative.  Restricted to the planar
+        ``ST_Distance``/``ST_DWithin`` names — ``geof:distance`` is
+        SRID-dispatched (great-circle on geographic SRIDs) and keeps the
+        nested-loop fallback."""
+        from .operators.spatial_join import dwithin_join_points_points
+
+        for flt in filters:
+            e = flt.expr
+            cand = None
+            if (
+                isinstance(e, Func)
+                and _registry_name(e.iri) == "st_dwithin"
+                and len(e.args) == 3
+                and isinstance(e.args[2], Lit)
+                and isinstance(e.args[2].value, (int, float))
+            ):
+                cand = (e.args[0], e.args[1], float(e.args[2].value))
+            elif isinstance(e, Op2) and e.op in ("<", "<=", ">", ">="):
+                fn, rl = (
+                    (e.left, e.right) if e.op in ("<", "<=") else (e.right, e.left)
+                )
+                if (
+                    isinstance(fn, Func)
+                    and _registry_name(fn.iri) in ("st_distance", "distance")
+                    and len(fn.args) == 2
+                    and isinstance(rl, Lit)
+                    and isinstance(rl.value, (int, float))
+                ):
+                    cand = (fn.args[0], fn.args[1], float(rl.value))
+            if cand is None or not all(isinstance(x, Var) for x in cand[:2]):
+                continue
+            va, vb, radius = cand
+            sides = {}
+            for side, part in (("a", a), ("b", b)):
+                for role, var in (("l", va.name), ("r", vb.name)):
+                    if var in part["binds"]:
+                        sides[role] = (side, part, var)
+            if len(sides) != 2 or sides["l"][0] == sides["r"][0]:
+                continue
+            (_, lpart, lvar), (_, rpart, rvar) = sides["l"], sides["r"]
+            ok = True
+            for part, var in ((lpart, lvar), (rpart, rvar)):
+                if (
+                    part["kinds"].get(var) != "wkt_point"
+                    or f"__lon_{var}" not in part["frame"].columns
+                ):
+                    ok = False
+            if not ok:
+                continue
+            # the operator reads one (lon, lat) column pair on both sides
+            rf = rpart["frame"].withColumnRenamed(
+                f"__lon_{rvar}", f"__lon_{lvar}"
+            ).withColumnRenamed(f"__lat_{rvar}", f"__lat_{lvar}")
+            keep = [c for c in rf.columns if c.startswith("__v_")]
+            joined = dwithin_join_points_points(
+                self.spark,
+                lpart["frame"],
+                rf,
+                radius,
+                right_id=keep[0] if keep else rf.columns[0],
+                lon=f"__lon_{lvar}",
+                lat=f"__lat_{lvar}",
+                right_keep=keep,
+            ).drop("dist")
+            # the FILTER stays un-consumed: it re-applies exactly on the
+            # joined rows (dist ≤ r candidates ⊇ both < and ≤ semantics)
+            return {
+                "frame": joined,
+                "binds": {**lpart["binds"], **rpart["binds"]},
+                "kinds": {**lpart["kinds"], **rpart["kinds"]},
             }
         return None
 

@@ -316,6 +316,31 @@ def test_property_function_predicate(spark, images_pt, zones_pt):
     assert got == exp and len(got) > 0
 
 
+def test_distance_filter_rewrite(spark, images_pt):
+    """FILTER(ST_Distance(?pa,?pb) < r) over two point stars → the
+    table×table DWithin grid join; the filter re-applies exactly."""
+    q = ("SELECT ?a ?b WHERE { "
+         "?a a geo2:Image . ?a geo:asWKT ?pa . "
+         "?b a geo2:Image . ?b geo:asWKT ?pb . "
+         "FILTER(geo2:ST_Distance(?pa, ?pb) < 0.002) . FILTER(?a != ?b) }")
+    df = S.execute_query(spark, q, images_pt)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+    from pyspark.sql import functions as F
+
+    from jena_geo_spark.operators.spatial_join import dwithin_join_points_points
+
+    pts = images_pt.df.select(F.col("image_id").alias("id"), "lon", "lat")
+    exp = {
+        ("urn:img:" + r["id"], "urn:img:" + r["id_right"])
+        for r in dwithin_join_points_points(spark, pts, pts, 0.002).collect()
+        if r["id"] != r["id_right"] and r["dist"] < 0.002
+    }
+    got = {(r["a"], r["b"]) for r in df.collect()}
+    assert got == exp and len(got) > 0
+
+
 def test_property_function_triples_backend(spark, model):
     # no declared point kinds on the triples backend → falls back to the
     # cross+filter shape, still correct
