@@ -297,6 +297,12 @@ class Minus:
 
 
 @dataclass
+class ExistsFilter:
+    group: Group
+    negated: bool
+
+
+@dataclass
 class Union:
     groups: list
 
@@ -454,9 +460,17 @@ class _Parser:
                 return g
             if t[0] == "word" and t[1].upper() == "FILTER":
                 self.next()
-                self.expect("punct", "(")
-                g.items.append(Filter(self.expr()))
-                self.expect("punct", ")")
+                nt = self.peek()
+                if nt[0] == "word" and nt[1].upper() in ("EXISTS", "NOT"):
+                    negated = nt[1].upper() == "NOT"
+                    self.next()
+                    if negated and not self.kw("EXISTS"):
+                        raise ValueError("FILTER NOT without EXISTS")
+                    g.items.append(ExistsFilter(self.group(), negated))
+                else:
+                    self.expect("punct", "(")
+                    g.items.append(Filter(self.expr()))
+                    self.expect("punct", ")")
             elif t[0] == "word" and t[1].upper() == "BIND":
                 self.next()
                 self.expect("punct", "(")
@@ -1010,6 +1024,21 @@ class _GroupCompiler:
                 if shared:
                     right = mf.select(*[mf[mb[v]].alias(binds[v]) for v in shared])
                     frame = frame.join(right, on=[binds[v] for v in shared], how="left_anti")
+            elif isinstance(it, ExistsFilter):
+                # FILTER (NOT) EXISTS — semi/anti join on the shared
+                # variables (the correlated-subpattern semantics; unlike
+                # MINUS, EXISTS with no shared variables tests plain
+                # non-emptiness of the inner pattern)
+                ef, eb, _ = self.compile(it.group)
+                shared = [v for v in eb if v in binds]
+                how = "left_anti" if it.negated else "left_semi"
+                if shared:
+                    right = ef.select(*[ef[eb[v]].alias(binds[v]) for v in shared])
+                    frame = frame.join(right, on=[binds[v] for v in shared], how=how)
+                else:
+                    nonempty = bool(ef.limit(1).count())
+                    if nonempty == it.negated:
+                        frame = frame.filter(F.lit(False))
             elif isinstance(it, Union):
                 parts = [self.compile(b) for b in it.groups]
                 allvars: list[str] = []

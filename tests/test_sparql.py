@@ -115,6 +115,20 @@ def test_minus(spark, model):
     assert [r["g"].rsplit("/", 1)[-1] for r in rows] == ["small_geom"]
 
 
+def test_filter_not_exists(spark, model):
+    q = ("PREFIX : <http://example.org/> SELECT ?g WHERE { ?g a geo2:Geometry . "
+         "FILTER NOT EXISTS { ?g :name ?n } } ORDER BY ?g")
+    rows = S.execute_query(spark, q, model).collect()
+    assert [r["g"].rsplit("/", 1)[-1] for r in rows] == ["small_geom"]
+
+
+def test_filter_exists(spark, model):
+    q = ("PREFIX : <http://example.org/> SELECT ?g WHERE { ?g a geo2:Geometry . "
+         "FILTER EXISTS { ?g :name ?n } } ORDER BY ?g")
+    rows = S.execute_query(spark, q, model).collect()
+    assert [r["g"].rsplit("/", 1)[-1] for r in rows] == ["house_1_geom", "pt_1_geom"]
+
+
 def test_union(spark, model):
     q = ("PREFIX : <http://example.org/> SELECT ?v WHERE { "
          "{ :house_1_geom :name ?v } UNION { :bare :name ?v } } ORDER BY ?v")
