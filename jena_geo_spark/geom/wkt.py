@@ -232,6 +232,11 @@ def from_wkt(wkt: str) -> Geom:
     if kind == "linestring":
         return Geom("linestring", [seq(body)], dims)
     if kind == "polygon":
+        if "(" not in body:
+            # tolerate the single-paren form 'POLYGON(x y, x y, ...)' as a
+            # bare exterior ring — the reference's own test model uses it
+            # (owl/testdata.ttl house_1_geom)
+            return Geom("polygon", [seq(body)], dims)
         return Geom("polygon", [seq(g) for g in _split_groups(body)], dims)
     if kind == "multipoint":
         return Geom("multipoint", [seq(body.replace("(", "").replace(")", ""))], dims)

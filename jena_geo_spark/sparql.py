@@ -147,7 +147,9 @@ def parse_turtle(text: str) -> list[tuple[str, str, str, str | None]]:
             return ("lit", t[1], None), j + 1
         if t[0] == "kw" and t[1] == "a":
             return ("iri", RDF_TYPE), j + 1
-        raise ValueError(f"unexpected turtle token {t}")
+        raise ValueError(
+            f"unexpected turtle token {t} (context: {toks[max(0, j-6):j+3]})"
+        )
 
     while i < len(toks):
         t = toks[i]
@@ -190,7 +192,9 @@ def _tokenize_ttl(text: str):
     pat = re.compile(
         r"""\s+
           | (?P<kw>@prefix|@base|\ba\b)
+          | (?P<lang>@[A-Za-z][A-Za-z0-9-]*)
           | (?P<iri><[^<>\s]*>)
+          | (?P<lstr>"{3}(?:[^"\\]|\\.|"(?!"{2}))*"{3})
           | (?P<str>"(?:[^"\\]|\\.)*")
           | (?P<num>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
           | (?P<pname>[A-Za-z_][\w.-]*:[A-Za-z_][\w.-]*|[A-Za-z_][\w.-]*:|:[A-Za-z_][\w.-]*|:)
@@ -207,11 +211,16 @@ def _tokenize_ttl(text: str):
         if not m:
             raise ValueError(f"turtle tokenize error at {text[pos:pos+40]!r}")
         pos = m.end()
-        for name in ("kw", "iri", "str", "num", "pname", "dtsep", "semi", "comma", "dot"):
+        for name in ("kw", "lang", "iri", "lstr", "str", "num", "pname", "dtsep", "semi", "comma", "dot"):
             v = m.group(name)
             if v is not None:
+                if name == "lang":
+                    break  # language tag: keep the plain literal
                 if name == "iri":
                     v = v[1:-1]
+                elif name == "lstr":
+                    v = re.sub(r"\\(.)", r"\1", v[3:-3])
+                    name = "str"
                 elif name == "str":
                     v = re.sub(r"\\(.)", r"\1", v[1:-1])
                 toks.append((name, v))
