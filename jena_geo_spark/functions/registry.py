@@ -615,6 +615,8 @@ _reg("st_rastfromxyz", RT.rt_fromxyz, "xyzs")
 _reg("st_asasciigrid", RT.rt_asasciigrid, "rast")
 _reg("st_rastfromasciigrid", RT.rt_fromasciigrid, "aaigs")
 _reg("st_rastfromtiff", RT.rt_fromtiff, "tiffb")
+_reg("st_asnetcdf", RT.rt_asnetcdf, "rast")
+_reg("st_rastfromnetcdf", RT.rt_fromnetcdf, "ncb")
 _reg("st_resize", RTR.st_resize, "rast", L(2), L(2))
 _reg("st_reskew", RS.rastfn_udf(__import__("jena_geo_spark.raster.transform", fromlist=["set_skew"]).set_skew, 2, "rt_reskew"), "rast", L(0.1), L(0.1))
 _reg("st_retile", RS.rt_retile, "rast", L(2), L(2))
@@ -704,6 +706,11 @@ def sample_frame(spark):
             ).encode_tiff(WR.decode(rast(range(16))))
         ),
         "rast2": bytearray(rast(range(16, 32), ipx=2.0, ipy=6.0)),
+        "ncb": bytearray(
+            __import__(
+                "jena_geo_spark.raster.netcdf", fromlist=["raster_to_netcdf"]
+            ).raster_to_netcdf(WR.decode(rast(range(16))))
+        ),
         "rasthex": WR.encode_hex(WR.decode(rast(range(16)))),
     }
     return spark.createDataFrame([row])

@@ -779,3 +779,26 @@ def rt_astiff(b: pd.Series) -> pd.Series:
     return pd.Series(
         [enc[c] if c >= 0 else None for c in codes], dtype=object
     )
+
+
+@pandas_udf(BinaryType())
+def rt_asnetcdf(b: pd.Series) -> pd.Series:
+    """NetCDF classic (CDF-1) export (format the reference only plans,
+    README.md:412-421 "using Apache SIS"; pure-numpy writer)."""
+    from .netcdf import raster_to_netcdf
+
+    return pd.Series(
+        [raster_to_netcdf(WR.decode(x)) if x is not None else None for x in s_iter(b)],
+        dtype=object,
+    )
+
+
+@pandas_udf(BinaryType())
+def rt_fromnetcdf(s: pd.Series) -> pd.Series:
+    """NetCDF classic literal → WKB raster."""
+    from .netcdf import netcdf_to_raster
+
+    return pd.Series(
+        [WR.encode(netcdf_to_raster(x)) if x is not None else None for x in s_iter(s)],
+        dtype=object,
+    )

@@ -38,6 +38,9 @@ ALLOWED_EXTRAS = {
     "st_asasciigrid",
     "st_rastfromasciigrid",
     "st_rastfromtiff",
+    # NetCDF classic codec — the last format on that planned list
+    "st_asnetcdf",
+    "st_rastfromnetcdf",
 }
 
 
