@@ -69,7 +69,13 @@ def benchmark(
                     df = S.execute_query(spark, content, models[model_name])
                     result_size = df.count()
                     ms = (time.perf_counter() - t0) * 1000.0
-                    catarray[name] = {
+                    # keyed per (experiment, dataset) when several models
+                    # run — the reference's JSON overwrites earlier models
+                    # (BenchmarkExecutor.java:96-101, last model wins) and
+                    # only its flat TreeMap keeps all of them (:102-103);
+                    # keeping every record is strictly more informative
+                    key = name if len(targets) == 1 else f"{name};{model_name}"
+                    catarray[key] = {
                         "experiment": name,
                         "result": ms,
                         "dataset": model_name,

@@ -86,8 +86,11 @@ def raster_to_netcdf(r: Raster) -> bytes:
     """Raster → NetCDF classic (CDF-1) bytes; every band becomes one
     2-D NC_DOUBLE variable."""
     h, w = r.height, r.width
-    xs = r.ip_x + np.arange(w, dtype=np.float64) * r.scale_x
-    ys = r.ip_y + np.arange(h, dtype=np.float64) * r.scale_y
+    # pixel-CENTER coordinates (CF convention; SIS anchoring): the raster
+    # origin ip_x/ip_y is the index-0 pixel's reference, so centers sit at
+    # half-pixel offsets
+    xs = r.ip_x + (np.arange(w, dtype=np.float64) + 0.5) * r.scale_x
+    ys = r.ip_y + (np.arange(h, dtype=np.float64) + 0.5) * r.scale_y
     gt = [r.scale_x, r.scale_y, r.ip_x, r.ip_y, r.skew_x, r.skew_y]
 
     # variables: (name, dim ids, atts, nc_type, values ndarray)
@@ -241,7 +244,10 @@ def netcdf_to_raster(buf: bytes, srid: int = 0) -> Raster:
     for nm, vatts in band_meta:
         vals = np.asarray(read_var(nm), dtype=np.float64)
         fv = vatts.get("_FillValue")
-        nodata = float(np.asarray(fv).ravel()[0]) if fv is not None else 0.0
+        # no _FillValue ⇒ hasNodata stays unset (None), matching the
+        # asciigrid codec — defaulting to 0.0 would mark every legitimate
+        # zero pixel as nodata downstream
+        nodata = float(np.asarray(fv).ravel()[0]) if fv is not None else None
         bands.append(Band(11, nodata, vals))
     if not bands:
         raise ValueError("no 2-D numeric variable found")
@@ -250,11 +256,13 @@ def netcdf_to_raster(buf: bytes, srid: int = 0) -> Raster:
     if "geotransform" in gatts and np.asarray(gatts["geotransform"]).size == 6:
         sx, sy, ipx, ipy, kx, ky = (float(v) for v in np.asarray(gatts["geotransform"]))
     else:
+        # CF coordinate variables hold pixel CENTERS: origin = first
+        # center minus half a pixel
         xs, ys = read_var("x"), read_var("y")
         sx = float(xs[1] - xs[0]) if xs is not None and xs.size > 1 else 1.0
         sy = float(ys[1] - ys[0]) if ys is not None and ys.size > 1 else -1.0
-        ipx = float(xs[0]) if xs is not None and xs.size else 0.0
-        ipy = float(ys[0]) if ys is not None and ys.size else 0.0
+        ipx = float(xs[0]) - 0.5 * sx if xs is not None and xs.size else 0.0
+        ipy = float(ys[0]) - 0.5 * sy if ys is not None and ys.size else 0.0
         kx = ky = 0.0
     out_srid = srid
     if "srid" in gatts:

@@ -197,7 +197,10 @@ def _tokenize_ttl(text: str):
           | (?P<lstr>"{3}(?:[^"\\]|\\.|"(?!"{2}))*"{3})
           | (?P<str>"(?:[^"\\]|\\.)*")
           | (?P<num>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
-          | (?P<pname>[A-Za-z_][\w.-]*:[A-Za-z_][\w.-]*|[A-Za-z_][\w.-]*:|:[A-Za-z_][\w.-]*|:)
+          | (?P<pname>[A-Za-z_][\w.-]*:[A-Za-z_](?:[\w.-]*[\w-])?
+                      |[A-Za-z_][\w.-]*:
+                      |:[A-Za-z_](?:[\w.-]*[\w-])?
+                      |:)
           | (?P<dtsep>\^\^)
           | (?P<semi>;)
           | (?P<comma>,)
@@ -690,6 +693,17 @@ class PropertyTable:
         """
         df = self.df
         cols, binds, kinds = [], {}, {}
+        subj_const = next(
+            (t.s.iri for t in patterns if isinstance(t.s, Iri)), None
+        )
+        if subj_const is not None:
+            if subj_const.startswith(self.subject_prefix):
+                df = df.filter(
+                    F.col(self.id_col).cast("string")
+                    == subj_const[len(self.subject_prefix):]
+                )
+            else:
+                df = df.filter(F.lit(False))
         if subj_var is not None:
             sc = f"__v_{subj_var}"
             df = df.withColumn(
@@ -853,12 +867,16 @@ _WKT_TOKENS = {"wkt_point", "wkt_line", "wkt_poly", "wkt_mpoint", "wkt_mline", "
 
 _GEO_PREDICATES = {
     # filter functions the spatial rewrite recognizes: fn(point, polygon)
-    # (or flipped for *contains) — PIP semantics
+    # (or flipped for *contains) — PIP (interior) semantics, matching the
+    # cover join's oracle-gated refine.  Intersects is deliberately NOT
+    # here: it is boundary-inclusive (vector.py st_intersects uses
+    # distance == 0) while the PIP refine is even-odd interior, so a
+    # point exactly on a zone edge would silently differ between the
+    # rewritten and fallback paths; intersects keeps the exact
+    # cross+filter plan.
     "st_within": False,
-    "st_intersects": False,
     "st_contains": True,  # contains(polygon, point): point arg is #2
     "sfwithin": False,
-    "sfintersects": False,
     "sfcontains": True,
 }
 
@@ -896,10 +914,19 @@ class _ExprCompiler:
         if isinstance(e, Op2):
             lc, lk = self.compile(e.left)
             rc, rk = self.compile(e.right)
-            if e.op in ("<", ">", "<=", ">=", "+", "-", "*", "/"):
+            if e.op in ("+", "-", "*", "/"):
                 # SPARQL numeric operators: lexical literals promote
                 lc = lc.cast("double") if lk == "plain" and _numericish(e.left) else lc
                 rc = rc.cast("double") if rk == "plain" and _numericish(e.right) else rc
+            elif e.op in ("<", ">", "<=", ">="):
+                # comparisons promote a lexical side only when the OTHER
+                # side is numeric-forcing (numeric literal / function /
+                # arithmetic) — two string sides compare lexicographically
+                # (casting both would null out e.g. FILTER(?name < "m"))
+                if lk == "plain" and _numericish(e.left) and _numeric_forcing(e.right):
+                    lc = lc.cast("double")
+                if rk == "plain" and _numericish(e.right) and _numeric_forcing(e.left):
+                    rc = rc.cast("double")
             return {
                 "||": lambda: lc | rc,
                 "&&": lambda: lc & rc,
@@ -963,6 +990,14 @@ def _numericish(e) -> bool:
     return isinstance(e, (Var, Func, Op2, Op1)) or (
         isinstance(e, Lit) and isinstance(e.value, (int, float))
     )
+
+
+def _numeric_forcing(e) -> bool:
+    """True when the expression is unambiguously numeric (so a lexical
+    string on the other side of a comparison should promote)."""
+    if isinstance(e, Lit):
+        return isinstance(e.value, (int, float))
+    return isinstance(e, (Func, Op2, Op1))
 
 
 # --------------------------------------------------------------- BGP compile --
@@ -1227,10 +1262,17 @@ class _GroupCompiler:
                 continue
             if not (poly_part["kinds"].get(poly_e.name) or "").startswith("wkt"):
                 continue
-            # polygon side is dim-scale by declaration: collect (sid, wkt)
+            # polygon side is dim-scale by declaration: collect (sid, wkt).
+            # localCheckpoint pins the monotonically_increasing_id rows
+            # (the id must not be recomputed under a different partition
+            # layout between the collect and the broadcast join-back) and,
+            # unlike cache(), doesn't leave a session-lifetime storage pin
+            # per rewritten query.
             poly_f = poly_part["frame"]
             zid = "__zid"
-            poly_rows = poly_f.withColumn(zid, F.monotonically_increasing_id()).cache()
+            poly_rows = poly_f.withColumn(
+                zid, F.monotonically_increasing_id()
+            ).localCheckpoint(eager=True)
             zones = [
                 (str(r[zid]), r[poly_part["binds"][poly_e.name]])
                 for r in poly_rows.select(zid, poly_part["binds"][poly_e.name]).collect()
@@ -1539,9 +1581,29 @@ def execute_query(spark: SparkSession, query: str, model) -> DataFrame:
     if q.distinct:
         out = out.dropDuplicates()
     if q.order_by:
-        out = out.orderBy(
-            *[(F.col(v).asc() if asc else F.col(v).desc()) for v, asc in q.order_by]
-        )
+        # SPARQL may order by WHERE-bound variables that are not
+        # projected; sort the pre-projection frame in that case (select
+        # preserves sort order)
+        if not all(v in out.columns for v, _ in q.order_by):
+            if agg_mode or q.distinct:
+                raise ValueError(
+                    "ORDER BY variable must be projected with DISTINCT/aggregates"
+                )
+            missing = [v for v, _ in q.order_by if v not in out.columns and v not in binds]
+            if missing:
+                raise KeyError(f"unbound ORDER BY variable(s) {missing}")
+            sorted_frame = frame.orderBy(
+                *[
+                    ((F.col(binds[v]) if v in binds else F.col(v)).asc() if asc
+                     else (F.col(binds[v]) if v in binds else F.col(v)).desc())
+                    for v, asc in q.order_by
+                ]
+            )
+            out = sorted_frame.select(*cols)
+        else:
+            out = out.orderBy(
+                *[(F.col(v).asc() if asc else F.col(v).desc()) for v, asc in q.order_by]
+            )
     if q.offset:
         out = out.offset(q.offset)
     if q.limit is not None:
@@ -1562,14 +1624,15 @@ def query_service(
     ``?*_geom`` variable (converted through the GeoJSON exporter)."""
     from .operators.geojson_sink import featurecollection_json
 
-    df = execute_query(spark, query, model)
-    rows = df.limit(max_rows).collect()
+    # run the distributed plan ONCE: truncate to max_rows, pin the result
+    # (localCheckpoint materialises without a session-lifetime cache pin),
+    # then build the data rows and every *_geom FeatureCollection from it
+    df = execute_query(spark, query, model).limit(max_rows).localCheckpoint(eager=True)
+    rows = df.collect()
     geom_vars = [c for c in df.columns if c.endswith("_geom")]
     collections = []
     for gv in geom_vars:
-        sub = df.select(*df.columns).withColumn(
-            "__wkb", REG.REGISTRY["st_geomfromtext"][0](F.col(gv))
-        )
+        sub = df.withColumn("__wkb", REG.REGISTRY["st_geomfromtext"][0](F.col(gv)))
         fc = featurecollection_json(
             sub.drop(gv).withColumnRenamed("__wkb", gv), geom_col=gv, wkb=True, max_rows=max_rows
         )

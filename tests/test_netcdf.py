@@ -25,6 +25,8 @@ def test_roundtrip_bitexact_multiband():
     for a, b in zip(r.bands, out.bands):
         assert a.data.tobytes() == b.data.tobytes()  # bit-exact doubles
     assert out.bands[0].nodata == -1.0
+    # no _FillValue written ⇒ hasNodata must stay unset, not become 0.0
+    assert out.bands[1].nodata is None
 
 
 def test_header_golden_fields():

@@ -130,6 +130,23 @@ def test_filter_exists(spark, model):
     assert [r["g"].rsplit("/", 1)[-1] for r in rows] == ["house_1_geom", "pt_1_geom"]
 
 
+def test_string_comparison_is_lexicographic(spark, model):
+    # two plain string sides must NOT be numerically promoted (that would
+    # cast both to null); SPARQL compares codepoint-wise
+    q = ('PREFIX : <http://example.org/> '
+         'SELECT ?n WHERE { ?g :name ?n . FILTER(?n < "m") } ORDER BY ?n')
+    rows = S.execute_query(spark, q, model).collect()
+    assert [r["n"] for r in rows] == ["house"]
+
+
+def test_order_by_unprojected_var(spark, model):
+    # legal SPARQL: the sort key need not be projected
+    q = ("SELECT ?g WHERE { ?g geo:asWKT ?w . BIND(geo2:ST_Area(?w) AS ?a) } "
+         "ORDER BY DESC(?a) LIMIT 1")
+    rows = S.execute_query(spark, q, model).collect()
+    assert rows[0]["g"].endswith("house_1_geom")
+
+
 def test_union(spark, model):
     q = ("PREFIX : <http://example.org/> SELECT ?v WHERE { "
          "{ :house_1_geom :name ?v } UNION { :bare :name ?v } } ORDER BY ?v")
@@ -271,6 +288,26 @@ def test_property_table_star_single_scan(spark, images_pt):
     assert "Join" not in plan and "CartesianProduct" not in plan
     n_all = images_pt.df.filter(F.col("phash") > 0).count()
     assert df.count() == n_all
+
+
+def test_property_table_constant_subject(spark, images_pt):
+    some_id = images_pt.df.select("image_id").first()[0]
+    q = (f"PREFIX img: <http://example.org/img#> "
+         f"SELECT ?cap WHERE {{ <urn:img:{some_id}> img:caption ?cap }}")
+    rows = S.execute_query(spark, q, images_pt).collect()
+    assert len(rows) == 1
+    # an unknown subject (or foreign prefix) matches nothing
+    q2 = ("PREFIX img: <http://example.org/img#> "
+          "SELECT ?cap WHERE { <urn:other:x> img:caption ?cap }")
+    assert S.execute_query(spark, q2, images_pt).count() == 0
+
+
+def test_turtle_pname_trailing_dot():
+    tris = S.parse_turtle(
+        "@prefix : <http://e.org/> .\n:s :p :o.\n:s2 :p 4.5 .\n"
+    )
+    assert ("http://e.org/s", "http://e.org/p", "http://e.org/o", None) in tris
+    assert ("http://e.org/s2", "http://e.org/p", "4.5", None) in tris
 
 
 def test_property_table_rdf_type(spark, images_pt):
