@@ -2593,6 +2593,62 @@ def o_sparql_agg_group() -> str:
     )
 
 
+def q_sparql_dwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SPARQL distance-filter rewrite under the oracle gate: a
+    cross-product BGP with FILTER(ST_DWithin(?wa, ?wb, r)) over two
+    point stars compiles to the table×table DWithin grid join (the
+    original filter re-applies exactly on the joined rows)."""
+    from . import sparql as S
+
+    pts = (
+        points_from_events(spark, sf_dir)
+        .filter(F.col("event_id") % _DW_MOD == 0)
+        .select(
+            "event_id",
+            "lon",
+            "lat",
+            F.concat(
+                F.lit("POINT ("),
+                F.col("lon").cast("string"),
+                F.lit(" "),
+                F.col("lat").cast("string"),
+                F.lit(")"),
+            ).alias("wkt"),
+        )
+    )
+    EX = "http://example.org/ev#"
+    ppt = S.PropertyTable(
+        pts,
+        id_col="event_id",
+        subject_prefix="urn:ev:",
+        type_iri=EX + "P",
+        props={
+            "http://www.opengis.net/ont/geosparql#asWKT": S.PropSpec(
+                "wkt", kind="wkt_point", lon="lon", lat="lat"
+            )
+        },
+    )
+    q = (
+        "PREFIX ev: <http://example.org/ev#> "
+        "SELECT ?a ?b WHERE { "
+        "?a a ev:P . ?a geo:asWKT ?wa . ?b a ev:P . ?b geo:asWKT ?wb . "
+        f"FILTER(geo2:ST_DWithin(?wa, ?wb, {_DW_RADIUS!r})) }}"
+    )
+    return S.execute_query(spark, q, ppt)
+
+
+def o_sparql_dwithin() -> str:
+    return (
+        f"WITH {_PTS_CTE}, s AS (SELECT event_id, lon, lat FROM pts "
+        f"WHERE event_id % {_DW_MOD} = 0) "
+        f"SELECT 'urn:ev:' || CAST(a.event_id AS VARCHAR) AS a, "
+        f"'urn:ev:' || CAST(b.event_id AS VARCHAR) AS b "
+        f"FROM s a JOIN s b ON "
+        f"sqrt((a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat)) "
+        f"<= {_DW_RADIUS!r}"
+    )
+
+
 def o_sparql_bgp_join() -> str:
     return (
         "SELECT n_name AS nname, r_name AS rname, "
@@ -2678,6 +2734,7 @@ QUERIES = {
     "events_window": q_events_window,
     "orders_agg": q_orders_agg,
     "raster_grid_literals": q_raster_grid_literals,
+    "sparql_dwithin": q_sparql_dwithin,
 }
 
 ORACLES = {
@@ -2732,6 +2789,7 @@ ORACLES = {
     "geo_units": o_geo_units(),
     "sparql_bgp_join": o_sparql_bgp_join(),
     "sparql_agg_group": o_sparql_agg_group(),
+    "sparql_dwithin": o_sparql_dwithin(),
     "geo_affine": o_geo_affine(),
     "geo_dump_points": o_geo_dump_points(),
     "doc_token_stats": o_doc_token_stats(),
