@@ -97,7 +97,10 @@ def _factorized_phashes_arrow(
             continue
         try:
             arr = codec.decode(bb, int(wv[i]), int(hv[i]), f)
-        except (ValueError, AssertionError):
+        except Exception:
+            # malformed payloads raise beyond ValueError (struct.error,
+            # IndexError, StopIteration from the jpg scanner) — any decode
+            # failure must yield the NULL row, never kill the Arrow batch
             grays.append(_ZERO32)
             continue
         grays.append(codec.gray32(arr))
@@ -166,7 +169,10 @@ def decode_feature_stats(df: DataFrame) -> DataFrame:
                 bb, f = bvals[i], fv[i]
                 if bb is None:
                     continue
-                arr = codec.decode(bytes(bb), int(wv[i]), int(hv[i]), f)
+                try:
+                    arr = codec.decode(bytes(bb), int(wv[i]), int(hv[i]), f)
+                except Exception:
+                    continue  # undecodable payload → NaN stats row
                 flat = arr.reshape(-1, 3)
                 u_stats[u, :3] = flat.mean(axis=0)
                 u_stats[u, 3] = arr.std()

@@ -48,10 +48,14 @@ def _feature_expr(df: DataFrame, geom_col: str, wkb: bool):
     def feature(geom: pd.Series, props_json: pd.Series) -> pd.Series:
         out = []
         for g, p in zip(geom, props_json):
-            if g is None:
-                out.append(None)
-                continue
-            gj = W.to_geojson(W.from_wkb(bytes(g)) if wkb else W.from_wkt(g))
+            # GeoJSON allows null-geometry Features; dropping the row
+            # would silently lose bindings (the reference serializes
+            # every solution)
+            gj = (
+                "null"
+                if g is None
+                else W.to_geojson(W.from_wkb(bytes(g)) if wkb else W.from_wkt(g))
+            )
             out.append(
                 '{"type": "Feature", "geometry": %s, "properties": %s}'
                 % (gj, p if p is not None else "{}")
@@ -66,7 +70,7 @@ def write_geojsonseq(
 ) -> None:
     """Write the frame as newline-delimited GeoJSON Features (RFC 8142 /
     GDAL ``GeoJSONSeq``) — distributed text write, one Feature per line."""
-    df.select(_feature_expr(df, geom_col, wkb).alias("value")).na.drop().write.mode(
+    df.select(_feature_expr(df, geom_col, wkb).alias("value")).write.mode(
         mode
     ).text(path)
 
@@ -79,7 +83,6 @@ def featurecollection_json(
     the result exceeds ``max_rows`` (use :func:`write_geojsonseq` then)."""
     feats = (
         df.select(_feature_expr(df, geom_col, wkb).alias("f"))
-        .na.drop()
         .limit(max_rows + 1)
         .collect()
     )
@@ -101,24 +104,31 @@ def read_geojsonseq(spark, path: str, geom_col: str = "geom") -> DataFrame:
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BinaryType
 
+    from pyspark.sql.types import StructField, StructType
+
     lines = spark.read.text(path)
 
-    @pandas_udf(BinaryType())
-    def geom_of(s: pd.Series) -> pd.Series:
-        out = []
+    # ONE json.loads per line: a single UDF returns (geometry, properties)
+    @pandas_udf(
+        StructType(
+            [
+                StructField("g", BinaryType()),
+                StructField("p", StringType()),
+            ]
+        )
+    )
+    def parse(s: pd.Series) -> pd.DataFrame:
+        gs, ps = [], []
         for x in s:
             d = json.loads(x)
-            out.append(W.to_wkb(W.from_geojson(json.dumps(d["geometry"]))))
-        return pd.Series(out, dtype=object)
+            geo = d.get("geometry")
+            gs.append(
+                None if geo is None else W.to_wkb(W.from_geojson(json.dumps(geo)))
+            )
+            ps.append(json.dumps(d.get("properties") or {}))
+        return pd.DataFrame({"g": gs, "p": ps})
 
-    @pandas_udf(StringType())
-    def props_of(s: pd.Series) -> pd.Series:
-        return pd.Series(
-            [json.dumps(json.loads(x).get("properties") or {}) for x in s],
-            dtype=object,
-        )
-
-    return lines.select(
-        geom_of(F.col("value")).alias(geom_col),
-        props_of(F.col("value")).alias("properties"),
+    parsed = lines.select(parse(F.col("value")).alias("f"))
+    return parsed.select(
+        F.col("f.g").alias(geom_col), F.col("f.p").alias("properties")
     )

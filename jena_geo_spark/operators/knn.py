@@ -433,7 +433,15 @@ def knn_join_frames(
             F.col(lon).alias("_rlon"),
             F.col(lat).alias("_rlat"),
         )
-        cand = r_all.crossJoin(F.broadcast(pend))
+        if pend.count() <= 200_000:
+            cand = r_all.crossJoin(F.broadcast(pend))
+        else:
+            # a LARGE pending set only survives to the endgame when the
+            # right side is smaller than k (no left row can ever collect
+            # k neighbors) — broadcasting the pending side would then
+            # broadcast the whole left table.  Broadcast the provably
+            # tiny right side instead and stream the pending rows.
+            cand = pend.crossJoin(F.broadcast(r_all.localCheckpoint(eager=True)))
         dx = F.col(lon) - F.col("_rlon")
         dy = F.col(lat) - F.col("_rlat")
         cand = cand.withColumn("_d2", dx * dx + dy * dy)

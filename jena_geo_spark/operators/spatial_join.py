@@ -604,6 +604,14 @@ def _refine_intersect_pairs(
             idxs = order[s:e]
             pts = [verts_in[pcodes[i]] for i in idxs]
             lens = np.array([len(p) for p in pts])
+            # drop zero-vertex partners (empty geometries): a 0-length
+            # segment would make reduceat return the NEXT pair's verdict
+            # (or raise at the end) — they contribute no vertex hits
+            nz = lens > 0
+            if not nz.any():
+                continue
+            idxs, lens = idxs[nz], lens[nz]
+            pts = [p for p, keep in zip(pts, nz) if keep]
             allp = np.vstack(pts)
             inside = _points_in_polys(allp[:, 0], allp[:, 1], polys)
             seg = np.r_[0, np.cumsum(lens)[:-1]]

@@ -53,7 +53,9 @@ def covjson_to_raster(s: str | dict, srid: int = 4326) -> Raster:
     ip_x = float(xs[0]) - 0.5 * scale_x
     ip_y = float(ys[0]) - 0.5 * scale_y
     bands = []
-    for name in sorted(cov.get("ranges", {})):
+    # JSON object order (insertion) is the band order — lexicographic
+    # sort would scramble band10 before band2
+    for name in cov.get("ranges", {}):
         rng = cov["ranges"][name]
         if rng.get("type") != "NdArray":
             raise ValueError(f"range {name!r}: unsupported type {rng.get('type')!r}")

@@ -66,8 +66,16 @@ def xyz_to_raster(s: str, srid: int = 0) -> Raster:
         raise ValueError(
             f"XYZ literal: {len(arr)} points do not fill a {w}x{h} grid"
         )
-    sx = float(np.min(np.diff(xs))) if w > 1 else 1.0
-    sy = float(np.min(np.diff(ys))) if h > 1 else 1.0
+    # the GDAL driver's contract requires UNIFORM spacing — accepting an
+    # irregular lattice would assign silently wrong world coordinates
+    def _uniform(vals, axis):
+        d = np.diff(vals)
+        if d.size and not np.allclose(d, d[0], rtol=1e-9, atol=0.0):
+            raise ValueError(f"XYZ literal: non-uniform {axis} spacing {d[:4]}…")
+        return float(d[0]) if d.size else 1.0
+
+    sx = _uniform(xs, "x")
+    sy = _uniform(ys, "y")
     # world rows run top-down in the raster: highest y = row 0
     col = np.searchsorted(xs, arr[:, 0])
     row = (h - 1) - np.searchsorted(ys, arr[:, 1])

@@ -49,7 +49,15 @@ def encode_tiff(r: Raster) -> bytes:
     dtype = np.dtype("<" + np_code)
     spp = len(r.bands)
     cube = np.stack([b.data for b in r.bands], axis=-1).astype(dtype, copy=False)
-    data = cube.tobytes()
+    # GeoTIFF rows run down-image (ScaleY stored positive, tiepoint at the
+    # TOP-left); a bottom-up raster (scale_y > 0) must flip its rows and
+    # anchor the tiepoint at its maximal-y edge, or consumers mirror it
+    # vertically (same normalisation as raster_to_aaigrid)
+    ip_y = r.ip_y
+    if r.scale_y > 0:
+        cube = cube[::-1]
+        ip_y = r.ip_y + r.height * r.scale_y
+    data = np.ascontiguousarray(cube).tobytes()
 
     entries: list[tuple[int, int, int, bytes]] = []  # (tag, type, count, payload)
 
@@ -85,7 +93,7 @@ def encode_tiff(r: Raster) -> bytes:
             33922,
             _TYPE_DOUBLE,
             6,
-            struct.pack("<6d", 0.0, 0.0, 0.0, r.ip_x, r.ip_y, 0.0),
+            struct.pack("<6d", 0.0, 0.0, 0.0, r.ip_x, ip_y, 0.0),
         )
     )
 

@@ -19,7 +19,7 @@ def frame(spark):
     rows = [
         ("a", 1, bytearray(W.to_wkb(W.from_wkt("POINT (1 2)")))),
         ("b", 2, bytearray(W.to_wkb(W.from_wkt("LINESTRING (0 0, 3 4)")))),
-        ("c", 3, None),  # null geometry rows are dropped, like the reference
+        ("c", 3, None),  # null geometry → null-geometry Feature (GeoJSON allows it)
     ]
     return spark.createDataFrame(rows, "name string, score int, geom binary")
 
@@ -28,7 +28,8 @@ def test_featurecollection_shape_and_properties(frame):
     fc = json.loads(featurecollection_json(frame))
     assert fc["type"] == "FeatureCollection"
     feats = {f["properties"]["name"]: f for f in fc["features"]}
-    assert set(feats) == {"a", "b"}
+    assert set(feats) == {"a", "b", "c"}
+    assert feats["c"]["geometry"] is None  # row kept, geometry null
     assert feats["a"]["geometry"] == {"type": "Point", "coordinates": [1.0, 2.0]}
     assert feats["b"]["properties"]["score"] == 2
     assert feats["b"]["geometry"]["type"] == "LineString"
@@ -44,7 +45,8 @@ def test_geojsonseq_roundtrip(spark, frame, tmp_path):
     write_geojsonseq(frame, path)
     back = read_geojsonseq(spark, path)
     rows = back.collect()
-    assert len(rows) == 2  # null geometry dropped
+    assert len(rows) == 3  # null geometry survives as a null-geometry Feature
+    assert sum(1 for r in rows if r.geom is None) == 1
     by_name = {json.loads(r.properties)["name"]: r for r in rows}
     g = W.from_wkb(bytes(by_name["a"].geom))
     assert g.kind == "point" and tuple(g.parts[0][0][:2]) == (1.0, 2.0)

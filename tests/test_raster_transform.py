@@ -85,3 +85,49 @@ def test_raster_transform_udfs(spark):
     assert rz.width == 4 and rz.height == 2
     assert row["v"] == 0.0
     assert bytes(row["png"])[:4] == b"\x89PNG"
+
+
+def test_tiff_bottom_up_raster_georeference_equivalent():
+    """A bottom-up raster (scale_y > 0) must encode with flipped rows and a
+    top-edge tiepoint so world-coordinate sampling is preserved."""
+    import numpy as np
+
+    from jena_geo_spark.raster.tiff import encode_tiff, tiff_to_raster
+    from jena_geo_spark.raster.wkb_raster import Band, Raster
+
+    r = Raster(0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0, 4326, 2, 3, [])
+    r.bands.append(Band(11, None, np.arange(6, dtype=np.float64).reshape(3, 2)))
+    out = tiff_to_raster(encode_tiff(r))
+    assert out.scale_y < 0  # normalised to top-down
+    # same value at the same WORLD coordinate: original row j sits at
+    # world y = ip_y + j*scale_y; sample the decoded raster there
+    for j in range(3):
+        for i in range(2):
+            wx = r.ip_x + (i + 0.5) * r.scale_x  # pixel centers
+            wy = r.ip_y + (j + 0.5) * r.scale_y
+            col, row = out.world_to_raster(wx, wy)
+            assert out.bands[0].data[row, col] == r.bands[0].data[j, i]
+
+
+def test_xyz_rejects_nonuniform_spacing():
+    import pytest as _pytest
+
+    from jena_geo_spark.raster.grids import xyz_to_raster
+
+    pts = [(x, y, 1.0) for x in (0.0, 1.0, 3.0) for y in (0.0, 1.0, 2.0)]
+    s = "\n".join(f"{x} {y} {z}" for x, y, z in pts)
+    with _pytest.raises(ValueError, match="non-uniform"):
+        xyz_to_raster(s)
+
+
+def test_covjson_band_order_ten_plus_bands():
+    import numpy as np
+
+    from jena_geo_spark.raster.covjson import covjson_to_raster, raster_to_covjson
+    from jena_geo_spark.raster.wkb_raster import Band, Raster
+
+    r = Raster(0, 1.0, -1.0, 0.0, 2.0, 0.0, 0.0, 4326, 2, 2, [])
+    for i in range(12):
+        r.bands.append(Band(11, None, np.full((2, 2), float(i))))
+    out = covjson_to_raster(raster_to_covjson(r))
+    assert [b.data[0, 0] for b in out.bands] == [float(i) for i in range(12)]
