@@ -315,6 +315,12 @@ class ExistsFilter:
 
 
 @dataclass
+class Values:
+    vars: list
+    rows: list  # list of tuples, None = UNDEF
+
+
+@dataclass
 class Union:
     groups: list
 
@@ -492,6 +498,28 @@ class _Parser:
                 v = self.expect("var")[1][1:]
                 self.expect("punct", ")")
                 g.items.append(Bind(e, v))
+            elif t[0] == "word" and t[1].upper() == "VALUES":
+                self.next()
+                vs: list[str] = []
+                if self.peek()[0] == "var":
+                    vs.append(self.next()[1][1:])
+                else:
+                    self.expect("punct", "(")
+                    while self.peek()[0] == "var":
+                        vs.append(self.next()[1][1:])
+                    self.expect("punct", ")")
+                self.expect("punct", "{")
+                rows = []
+                while self.peek() != ("punct", "}"):
+                    if len(vs) == 1:
+                        rows.append((self._values_term(),))
+                    else:
+                        self.expect("punct", "(")
+                        row = tuple(self._values_term() for _ in vs)
+                        self.expect("punct", ")")
+                        rows.append(row)
+                self.next()
+                g.items.append(Values(vs, rows))
             elif t[0] == "word" and t[1].upper() == "OPTIONAL":
                 self.next()
                 g.items.append(Optional_(self.group()))
@@ -508,6 +536,18 @@ class _Parser:
             # optional '.' separators
             while self.peek() == ("punct", "."):
                 self.next()
+
+    def _values_term(self):
+        t = self.peek()
+        if t[0] == "word" and t[1].upper() == "UNDEF":
+            self.next()
+            return None
+        term = self.term()
+        if isinstance(term, Lit):
+            return term.value
+        if isinstance(term, Iri):
+            return term.iri
+        raise ValueError(f"VALUES entries must be literals/IRIs, got {term}")
 
     def term(self):
         t = self.next()
@@ -1083,6 +1123,33 @@ class _GroupCompiler:
                     nonempty = bool(ef.limit(1).count())
                     if nonempty == it.negated:
                         frame = frame.filter(F.lit(False))
+            elif isinstance(it, Values):
+                rows = [
+                    tuple(None if v is None else str(v) for v in row)
+                    for row in it.rows
+                ]
+                schema = ", ".join(f"`__v_{v}` string" for v in it.vars)
+                vf = self.spark.createDataFrame(rows, schema=schema)
+                vb = {v: f"__v_{v}" for v in it.vars}
+                if frame is None:
+                    frame, binds = vf, dict(vb)
+                    kinds = {v: "plain" for v in it.vars}
+                else:
+                    shared = [v for v in vb if v in binds]
+                    right = vf.select(
+                        *[vf[vb[v]].alias(binds.get(v, vb[v])) for v in vb]
+                    )
+                    # inline-data join on shared vars (UNDEF = NULL binding;
+                    # a NULL in a join column matches nothing, like SQL)
+                    frame = (
+                        frame.join(F.broadcast(right), on=[binds[v] for v in shared], how="inner")
+                        if shared
+                        else frame.crossJoin(F.broadcast(right))
+                    )
+                    for v in vb:
+                        if v not in binds:
+                            binds[v] = vb[v]
+                            kinds[v] = "plain"
             elif isinstance(it, Union):
                 parts = [self.compile(b) for b in it.groups]
                 allvars: list[str] = []

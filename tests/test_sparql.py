@@ -154,6 +154,22 @@ def test_union(spark, model):
     assert [r["v"] for r in rows] == ["house", "no-geometry"]
 
 
+def test_values_inline_data(spark, model):
+    q = ("PREFIX : <http://example.org/> SELECT ?g ?n WHERE { "
+         "?g :name ?n . VALUES ?n { \"house\" \"pt1\" } } ORDER BY ?n")
+    rows = S.execute_query(spark, q, model).collect()
+    assert [(r["g"].rsplit("/", 1)[-1], r["n"]) for r in rows] == [
+        ("house_1_geom", "house"), ("pt_1_geom", "pt1")]
+
+
+def test_values_multi_var_and_undef(spark, model):
+    q = ("PREFIX : <http://example.org/> SELECT ?n ?tag WHERE { "
+         "?g :name ?n . VALUES (?n ?tag) { (\"house\" \"H\") (\"pt1\" UNDEF) } } "
+         "ORDER BY ?n")
+    rows = S.execute_query(spark, q, model).collect()
+    assert [(r["n"], r["tag"]) for r in rows] == [("house", "H"), ("pt1", None)]
+
+
 def test_expression_operators(spark, model):
     q = ("SELECT ?g WHERE { ?g geo:asWKT ?w . "
          "FILTER(geo2:ST_Area(?w)*2 >= 2 && !(geo2:ST_Area(?w) > 10)) } ORDER BY ?g")
