@@ -90,11 +90,18 @@ def run(sf_dir: str, cpus: int) -> dict:
         # without this, iterative operators' localCheckpoint blocks pile up
         # across queries, squeeze execution memory, and bleed 2-4x noise
         # into UNRELATED downstream entries (observed r3)
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            # best-of-2: the shared sandbox host shows 2-4x co-tenant
+            # bursts on identical code (BENCH/BASELINE.md); interference
+            # only ever slows a run, so min is the least-biased estimate
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         gc.collect()
         spark.sparkContext._jvm.System.gc()
 
