@@ -2658,6 +2658,63 @@ def o_sparql_bgp_join() -> str:
     )
 
 
+def q_sparql_path_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 property-path closure under the oracle gate.
+
+    ARQ evaluates ``elt+`` with an in-memory graph walker (jena-arq ALP);
+    sparql.py compiles it to a distributed reachability operator
+    (pointer doubling for var–var endpoints, frontier BFS for seeded).
+    The graph is the binary tree over the nation keys (i → 2i+1, 2i+2),
+    the path is a closure over the alternation of the two child
+    predicates, and the answer — every ancestor/descendant pair — must
+    match DuckDB's recursive CTE bit-exact."""
+    from . import sparql as S
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cnt = nation.count()  # dim table (25 rows at every TPC-H sf)
+    tree = nation.select(
+        F.col("n_nationkey").alias("k"),
+        F.when(
+            F.col("n_nationkey") * 2 + 1 < cnt,
+            F.concat(F.lit("urn:n:"), (F.col("n_nationkey") * 2 + 1).cast("string")),
+        ).alias("l"),
+        F.when(
+            F.col("n_nationkey") * 2 + 2 < cnt,
+            F.concat(F.lit("urn:n:"), (F.col("n_nationkey") * 2 + 2).cast("string")),
+        ).alias("r"),
+    )
+    EX = "http://example.org/tree#"
+    pt = S.PropertyTable(
+        tree,
+        id_col="k",
+        subject_prefix="urn:n:",
+        props={EX + "l": S.PropSpec("l"), EX + "r": S.PropSpec("r")},
+    )
+    q = (
+        "PREFIX t: <http://example.org/tree#> "
+        "SELECT ?a ?b WHERE { ?a (t:l|t:r)+ ?b }"
+    )
+    return S.execute_query(spark, q, pt)
+
+
+def o_sparql_path_closure() -> str:
+    return (
+        "WITH RECURSIVE e AS ("
+        "  SELECT n_nationkey AS a, 2 * n_nationkey + 1 AS b FROM nation "
+        "  WHERE 2 * n_nationkey + 1 < (SELECT COUNT(*) FROM nation) "
+        "  UNION ALL "
+        "  SELECT n_nationkey AS a, 2 * n_nationkey + 2 AS b FROM nation "
+        "  WHERE 2 * n_nationkey + 2 < (SELECT COUNT(*) FROM nation)"
+        "), r AS ("
+        "  SELECT a, b FROM e "
+        "  UNION "
+        "  SELECT r.a, e.b FROM r JOIN e ON r.b = e.a"
+        ") "
+        "SELECT 'urn:n:' || CAST(a AS VARCHAR) AS a, "
+        "'urn:n:' || CAST(b AS VARCHAR) AS b FROM r"
+    )
+
+
 QUERIES = {
     "geo_cluster_within": q_geo_cluster_within,
     "doc_dedup_groups": q_doc_dedup_groups,
@@ -2705,17 +2762,19 @@ QUERIES = {
     "doc_langid": q_doc_langid,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_minhash_pairs": q_doc_minhash_pairs,
-    "doc_simhash_pairs": q_doc_simhash_pairs,
+    "sparql_path_closure": q_sparql_path_closure,
     "emb_topk": q_emb_topk,
     "emb_near_dup": q_emb_near_dup,
     "emb_norm": q_emb_norm,
     # ---- tail: the driver's correctness gate samples the FIRST 50 entries;
     # entries below this line are the least-informative because an operator
     # family keeps a greener representative above (attributes: triangle_area
-    # + mbc_radius; distance: hausdorff + haversine; transforms:
+    # + mbc_radius; distance: hausdorff + haversine; dedup: exact +
+    # jaccard + minhash keep simhash's family; transforms:
     # transform_merc + affine; accessors: bounds_box) and the TPC-H trio is
     # pure host-Catalyst.  They stay oracle-gated by pytest
     # (tests/test_driver_contract.py runs ALL entries, bit-exact).
+    "doc_simhash_pairs": q_doc_simhash_pairs,
     "geo_affine": q_geo_affine,
     "geo_coord_aggs": q_geo_coord_aggs,
     "geo_line_length": q_geo_line_length,
@@ -2790,6 +2849,7 @@ ORACLES = {
     "sparql_bgp_join": o_sparql_bgp_join(),
     "sparql_agg_group": o_sparql_agg_group(),
     "sparql_dwithin": o_sparql_dwithin(),
+    "sparql_path_closure": o_sparql_path_closure(),
     "geo_affine": o_geo_affine(),
     "geo_dump_points": o_geo_dump_points(),
     "doc_token_stats": o_doc_token_stats(),

@@ -16,9 +16,14 @@ This module re-creates that surface Spark-first:
   ``modelmap`` of dim-scale ``.ttl`` models
   (``TripleStoreConnection.java:56-63``);
 * a **SPARQL-subset parser** (SELECT [DISTINCT], BGP, FILTER, BIND,
-  OPTIONAL, UNION, MINUS, ORDER BY, LIMIT, OFFSET) — the grammar the
-  reference's own example/benchmark queries use
-  (``TripleStoreConnection.java:190-203``);
+  OPTIONAL, UNION, MINUS, VALUES, property paths ``^ / | ? * +``,
+  ORDER BY, LIMIT, OFFSET) — the grammar the reference's own
+  example/benchmark queries use
+  (``TripleStoreConnection.java:190-203``).  Path closures (? * +)
+  compile to a distributed reachability operator: frontier BFS when an
+  endpoint is constant, pointer doubling (O(log diameter) rounds) for
+  var–var — where ARQ walks the in-memory graph one binding at a time
+  (jena-arq ALP);
 * a **compiler to DataFrame plans**.  Two model backends:
 
   - :class:`TriplesModel` — a distributed ``(s, p, o, dt)`` frame (from
@@ -325,6 +330,40 @@ class Union:
     groups: list
 
 
+# -- property paths (SPARQL 1.1 §9).  ^ / | desugar to plain triples and
+# UNIONs at parse time; ? * + become a PathClosure group item compiled as
+# a distributed reachability operator (sparql.py:_path_closure_frame).
+@dataclass
+class PathInv:
+    path: object
+
+
+@dataclass
+class PathSeq:
+    parts: list
+
+
+@dataclass
+class PathAlt:
+    parts: list
+
+
+@dataclass
+class PathMod:
+    path: object
+    mod: str  # '?' | '*' | '+'
+
+
+@dataclass
+class PathClosure:
+    """Group item: ``s (p1|^p2|…){mod} o`` over atomic edge predicates."""
+
+    s: object
+    edges: list  # [(pred_iri, inverted)]
+    o: object
+    mod: str  # '?' | '*' | '+'
+
+
 @dataclass
 class Query:
     select: list | None  # None = SELECT *; items: ("var", name) | ("expr", ast, alias)
@@ -348,7 +387,7 @@ _SPARQL_TOK = re.compile(
       | (?P<pname>[A-Za-z_][\w.-]*:[A-Za-z_][\w-]*|[A-Za-z_][\w.-]*:|:[A-Za-z_][\w-]*|:)
       | (?P<word>[A-Za-z_][A-Za-z_0-9]*)
       | (?P<dtsep>\^\^)
-      | (?P<op>&&|\|\||!=|<=|>=|[=<>!+\-*/])
+      | (?P<op>&&|\|\||!=|<=|>=|[=<>!+\-*/|^?])
       | (?P<punct>[{}().;,])
     """,
     re.VERBOSE,
@@ -379,6 +418,11 @@ class _Parser:
         self.prefixes = dict(BUILTIN_PREFIXES)
         self.toks = _tokenize_sparql(text)
         self.i = 0
+        self._fresh = 0
+
+    def _freshvar(self) -> str:
+        self._fresh += 1
+        return f"__p{self._fresh}"
 
     # -- token helpers
     def peek(self, k=0):
@@ -574,10 +618,10 @@ class _Parser:
     def triples(self, g: Group):
         s = self.term()
         while True:
-            p = self.term()
+            p = self.path()
             while True:
                 o = self.term()
-                g.items.append(Triple(s, p, o))
+                self._expand_path(s, p, o, g)
                 if self.peek() == ("punct", ","):
                     self.next()
                     continue
@@ -588,6 +632,74 @@ class _Parser:
                     break
                 continue
             break
+
+    # -- property-path grammar (SPARQL 1.1 §9: | / ^ ? * + and grouping)
+    def path(self):
+        if self.peek()[0] == "var":  # variable predicate: whole-path only
+            return Var(self.next()[1][1:])
+        parts = [self.path_seq()]
+        while self.peek() == ("op", "|"):
+            self.next()
+            parts.append(self.path_seq())
+        return PathAlt(parts) if len(parts) > 1 else parts[0]
+
+    def path_seq(self):
+        parts = [self.path_elt()]
+        while self.peek() == ("op", "/"):
+            self.next()
+            parts.append(self.path_elt())
+        return PathSeq(parts) if len(parts) > 1 else parts[0]
+
+    def path_elt(self):
+        inv = False
+        if self.peek() == ("op", "^"):
+            self.next()
+            inv = True
+        t = self.peek()
+        if t == ("punct", "("):
+            self.next()
+            p = self.path()
+            self.expect("punct", ")")
+        elif t[0] == "iri":
+            p = Iri(self.next()[1])
+        elif t[0] == "pname":
+            p = Iri(self.expand(self.next()[1]))
+        elif t == ("word", "a"):
+            self.next()
+            p = Iri(RDF_TYPE)
+        else:
+            raise ValueError(f"unexpected path token {t}")
+        m = self.peek()
+        if m[0] == "op" and m[1] in ("?", "*", "+"):
+            self.next()
+            p = PathMod(p, m[1])
+        return PathInv(p) if inv else p
+
+    def _expand_path(self, s, p, o, g: Group):
+        """Desugar a path triple: ^ swaps endpoints, / chains through
+        fresh variables, | becomes a UNION of branches; ? * + stay as a
+        PathClosure item for the reachability compiler."""
+        if isinstance(p, (Iri, Var)):
+            g.items.append(Triple(s, p, o))
+        elif isinstance(p, PathInv):
+            self._expand_path(o, p.path, s, g)
+        elif isinstance(p, PathSeq):
+            cur = s
+            for i, part in enumerate(p.parts):
+                nxt = o if i == len(p.parts) - 1 else Var(self._freshvar())
+                self._expand_path(cur, part, nxt, g)
+                cur = nxt
+        elif isinstance(p, PathAlt):
+            branches = []
+            for part in p.parts:
+                bg = Group()
+                self._expand_path(s, part, o, bg)
+                branches.append(bg)
+            g.items.append(Union(branches))
+        elif isinstance(p, PathMod):
+            g.items.append(PathClosure(s, _atomic_edges(p.path), o, p.mod))
+        else:
+            raise ValueError(f"unsupported path {p!r}")
 
     # -- expressions (precedence climbing)
     def expr(self):
@@ -684,6 +796,28 @@ class _Parser:
             self.expect("punct", ")")
             return Func(iri, args, distinct)
         raise ValueError(f"unexpected expression token {t}")
+
+
+def _atomic_edges(p, inv: bool = False) -> list:
+    """Flatten the body of a closure mod into [(pred_iri, inverted)].
+
+    Closures are supported over single predicates, inverses, and
+    alternatives of those (the shapes with a fixed edge relation);
+    a sequence inside ? * + has no fixed edge set and is rejected."""
+    if isinstance(p, Iri):
+        return [(p.iri, inv)]
+    if isinstance(p, PathInv):
+        return _atomic_edges(p.path, not inv)
+    if isinstance(p, PathAlt):
+        out = []
+        for part in p.parts:
+            out += _atomic_edges(part, inv)
+        return out
+    raise NotImplementedError(
+        "property-path closure (? * +) supports atomic predicates, "
+        "inverses and alternatives; sequences/nested mods are not a "
+        "fixed edge relation"
+    )
 
 
 def parse_query(text: str) -> Query:
@@ -784,6 +918,23 @@ class PropertyTable:
                 df = df.filter(F.col(spec.col).cast("string") == str(val))
         return df.select(*cols), binds, kinds
 
+    def nodes_frame(self) -> DataFrame:
+        """All graph terms (subjects + declared-property objects) as one
+        string column ``n`` — the zero-length-path identity domain."""
+        parts = [
+            self.df.select(
+                F.concat(
+                    F.lit(self.subject_prefix), F.col(self.id_col).cast("string")
+                ).alias("n")
+            )
+        ]
+        for spec in self.props.values():
+            parts.append(self.df.select(F.col(spec.col).cast("string").alias("n")))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.where(F.col("n").isNotNull()).distinct()
+
 
 class TriplesModel:
     """Distributed (s, p, o, dt) frame backend (vertical partitioning).
@@ -840,6 +991,14 @@ class TriplesModel:
         cols += [c for c in df.columns if c.startswith("__v_") and c not in cols]
         return df.select(*cols), out_binds, out_kinds
 
+    def nodes_frame(self) -> DataFrame:
+        return (
+            self.df.select(F.col("s").alias("n"))
+            .unionByName(self.df.select(F.col("o").alias("n")))
+            .where(F.col("n").isNotNull())
+            .distinct()
+        )
+
 
 class UnionModel:
     """Multiple backends behaving as one RDF model.
@@ -894,6 +1053,12 @@ class UnionModel:
                     )
         return frame, binds, kinds
 
+    def nodes_frame(self) -> DataFrame:
+        out = self.backends[0].nodes_frame()
+        for b in self.backends[1:]:
+            out = out.unionByName(b.nodes_frame())
+        return out.distinct()
+
 
 # -------------------------------------------------------- expression compile --
 
@@ -919,6 +1084,12 @@ _GEO_PREDICATES = {
     "sfwithin": False,
     "sfcontains": True,
 }
+
+
+def _term_str(t) -> str:
+    """Lexical form of a constant term (the s/p/o string representation
+    the triple frames store)."""
+    return str(t.value) if isinstance(t, Lit) else t.iri
 
 
 def _registry_name(iri: str) -> str:
@@ -1150,6 +1321,40 @@ class _GroupCompiler:
                         if v not in binds:
                             binds[v] = vb[v]
                             kinds[v] = "plain"
+            elif isinstance(it, PathClosure):
+                pf, pb = self._path_closure_frame(it)
+                if pb is None:
+                    # both endpoints constant: plain reachability test
+                    if pf.limit(1).count() == 0:
+                        if frame is None:
+                            raise ValueError("unsatisfiable constant path")
+                        frame = frame.filter(F.lit(False))
+                    elif frame is None:
+                        raise ValueError(
+                            "a group of only constant paths binds nothing"
+                        )
+                    continue
+                if frame is None:
+                    frame = pf
+                    binds = dict(pb)
+                    kinds = {v: "plain" for v in pb}
+                else:
+                    shared = [v for v in pb if v in binds]
+                    right = pf.select(
+                        *[
+                            pf[pb[v]].alias(binds[v] if v in shared else pb[v])
+                            for v in pb
+                        ]
+                    )
+                    frame = (
+                        frame.join(right, on=[binds[v] for v in shared], how="inner")
+                        if shared
+                        else frame.crossJoin(right)
+                    )
+                    for v in pb:
+                        if v not in binds:
+                            binds[v] = pb[v]
+                            kinds[v] = "plain"
             elif isinstance(it, Union):
                 parts = [self.compile(b) for b in it.groups]
                 allvars: list[str] = []
@@ -1193,6 +1398,162 @@ class _GroupCompiler:
         if frame is None:
             raise ValueError("empty group pattern")
         return frame, binds, kinds
+
+    # -- property-path closure: a distributed reachability operator ------
+    _PATH_BFS_ROUNDS = 512  # O(diameter) frontier rounds
+    _PATH_SQUARE_ROUNDS = 40  # pointer doubling: paths up to 2^40 edges
+
+    def _path_edge_frame(self, pc: PathClosure) -> DataFrame:
+        parts = []
+        for pred, inv in pc.edges:
+            f, b, _ = self.model.star_frame(
+                [Triple(Var("__ps"), Iri(pred), Var("__po"))], "__ps"
+            )
+            src, dst = (b["__po"], b["__ps"]) if inv else (b["__ps"], b["__po"])
+            parts.append(f.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+        e = parts[0]
+        for p in parts[1:]:
+            e = e.unionByName(p)
+        return e.where(F.col("src").isNotNull() & F.col("dst").isNotNull()).distinct()
+
+    def _path_closure_frame(self, pc: PathClosure):
+        """``s path{mod} o`` → (pairs frame, binds) — or (pairs, None)
+        for the both-constant reachability test.
+
+        Physical strategy by binding shape (the part that matters at
+        100 TB — ARQ walks these as an in-memory graph iterator,
+        P292/ALP in jena-arq):
+
+        * endpoint constant → **frontier BFS**: the frontier semi-joins
+          the edge relation each round, work proportional to the
+          reachable set, O(diameter) rounds, per-round
+          ``localCheckpoint`` lineage truncation (the components
+          operator's pattern, operators/components.py).
+        * both endpoints variables → **pointer doubling** on the pair
+          relation (R ∪ R∘R per round): O(log diameter) rounds; the
+          output is the full reachability relation, which is the
+          query's answer anyway, so the quadratic worst case is the
+          result size, not overhead.
+        * zero-length (``?``/``*``) adds the identity over the model's
+          term domain (``nodes_frame``), per SPARQL 1.1 §9.3.
+        """
+        s_const = None if isinstance(pc.s, Var) else _term_str(pc.s)
+        o_const = None if isinstance(pc.o, Var) else _term_str(pc.o)
+        # Spark's LogicalRDD constraint rewrite throws NoSuchElementException
+        # on the iterative checkpoint-union-checkpoint lineage these loops
+        # build (union children sharing a checkpoint's attribute ids); scope
+        # constraint propagation off for the closure computation only.
+        conf_key = "spark.sql.constraintPropagation.enabled"
+        prev_conf = self.spark.conf.get(conf_key, "true")
+        self.spark.conf.set(conf_key, "false")
+        try:
+            return self._path_closure_pairs(pc, s_const, o_const)
+        finally:
+            self.spark.conf.set(conf_key, prev_conf)
+
+    def _path_closure_pairs(self, pc: PathClosure, s_const, o_const):
+        edges = self._path_edge_frame(pc)
+
+        def bfs(seed: str, forward: bool) -> DataFrame:
+            e = (
+                edges
+                if forward
+                else edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            ).localCheckpoint(eager=True)
+            frontier = (
+                e.where(F.col("src") == seed).select("dst").distinct()
+            ).localCheckpoint(eager=True)
+            acc = frontier
+            for _ in range(self._PATH_BFS_ROUNDS):
+                if frontier.limit(1).count() == 0:
+                    return acc
+                step = (
+                    frontier.alias("f")
+                    .join(e.alias("e"), F.col("f.dst") == F.col("e.src"))
+                    .select(F.col("e.dst").alias("dst"))
+                    .distinct()
+                    .join(acc, on="dst", how="left_anti")
+                ).localCheckpoint(eager=True)
+                acc = acc.unionByName(step).localCheckpoint(eager=True)
+                frontier = step
+            raise RuntimeError(
+                f"path closure exceeded {self._PATH_BFS_ROUNDS} BFS rounds"
+            )
+
+        spark = self.spark
+        if pc.mod in ("+", "*") and (s_const is not None or o_const is not None):
+            if s_const is not None:
+                reach = bfs(s_const, forward=True)  # column dst
+                pairs = reach.select(
+                    F.lit(s_const).alias("src"), F.col("dst")
+                )
+            else:
+                reach = bfs(o_const, forward=False)
+                pairs = reach.select(
+                    F.col("dst").alias("src"), F.lit(o_const).alias("dst")
+                )
+        elif pc.mod in ("+", "*"):
+            pairs = edges.localCheckpoint(eager=True)
+            n = pairs.count()
+            for _ in range(self._PATH_SQUARE_ROUNDS):
+                a, b = pairs.alias("a"), pairs.alias("b")
+                step = a.join(b, F.col("a.dst") == F.col("b.src")).select(
+                    F.col("a.src").alias("src"), F.col("b.dst").alias("dst")
+                )
+                grown = pairs.unionByName(step).distinct().localCheckpoint(eager=True)
+                n2 = grown.count()
+                if n2 == n:
+                    break
+                pairs, n = grown, n2
+            else:
+                raise RuntimeError(
+                    f"path closure exceeded {self._PATH_SQUARE_ROUNDS} doubling rounds"
+                )
+        else:  # '?': just the edges
+            pairs = edges
+
+        if pc.mod in ("?", "*"):
+            if s_const is not None:
+                ident = spark.createDataFrame(
+                    [(s_const, s_const)], schema="src string, dst string"
+                )
+            elif o_const is not None:
+                ident = spark.createDataFrame(
+                    [(o_const, o_const)], schema="src string, dst string"
+                )
+            else:
+                nodes = self.model.nodes_frame()
+                ident = nodes.select(
+                    F.col("n").alias("src"), F.col("n").alias("dst")
+                )
+            pairs = pairs.unionByName(ident).distinct()
+
+        if s_const is not None:
+            pairs = pairs.where(F.col("src") == s_const)
+        if o_const is not None:
+            pairs = pairs.where(F.col("dst") == o_const)
+        if s_const is not None and o_const is not None:
+            return pairs, None
+        if s_const is not None:
+            ov = pc.o.name
+            return pairs.select(F.col("dst").alias(f"__v_{ov}")), {ov: f"__v_{ov}"}
+        if o_const is not None:
+            sv = pc.s.name
+            return pairs.select(F.col("src").alias(f"__v_{sv}")), {sv: f"__v_{sv}"}
+        sv, ov = pc.s.name, pc.o.name
+        if sv == ov:
+            return (
+                pairs.where(F.col("src") == F.col("dst")).select(
+                    F.col("src").alias(f"__v_{sv}")
+                ),
+                {sv: f"__v_{sv}"},
+            )
+        return (
+            pairs.select(
+                F.col("src").alias(f"__v_{sv}"), F.col("dst").alias(f"__v_{ov}")
+            ),
+            {sv: f"__v_{sv}", ov: f"__v_{ov}"},
+        )
 
     @staticmethod
     def _desugar_property_functions(g: Group) -> Group:

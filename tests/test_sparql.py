@@ -473,3 +473,121 @@ def test_query_service_response_shape(spark, model):
     fc = out["geojson"][0]
     assert fc["type"] == "FeatureCollection" and fc["name"] == "w_geom"
     assert fc["features"][0]["geometry"]["type"] == "Polygon"
+
+
+# ---------------------------------------------------------- property paths --
+
+CHAIN_TTL = """
+@prefix ex: <http://ex.org/> .
+ex:a ex:next ex:b .
+ex:b ex:next ex:c .
+ex:c ex:next ex:d .
+ex:a ex:alt ex:x .
+ex:x ex:name "xname" .
+ex:d ex:name "dname" .
+"""
+
+
+@pytest.fixture(scope="module")
+def chain(spark):
+    return S.TriplesModel(S.triples_from_turtle(spark, CHAIN_TTL))
+
+
+def _rows(spark, model, q):
+    df = S.execute_query(spark, "PREFIX ex: <http://ex.org/> " + q, model)
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _n(*locals_):
+    return [tuple(f"http://ex.org/{x}" for x in t) for t in locals_]
+
+
+def test_path_desugar_inverse_and_sequence():
+    q = S.parse_query(
+        "PREFIX ex: <http://ex.org/> SELECT ?n WHERE { ?a ^ex:p/ex:q ?n }"
+    )
+    tris = [it for it in q.where.items if isinstance(it, S.Triple)]
+    # ^ex:p swaps endpoints; / chains through one fresh variable
+    assert len(tris) == 2
+    assert isinstance(tris[0].o, S.Var) and tris[0].o.name == "a"
+    assert tris[0].s.name == tris[1].s.name  # fresh middle var
+
+
+def test_path_alternative_desugars_to_union():
+    q = S.parse_query(
+        "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ex:a (ex:p|ex:q) ?o }"
+    )
+    assert any(isinstance(it, S.Union) for it in q.where.items)
+
+
+def test_path_closure_over_sequence_rejected():
+    with pytest.raises(NotImplementedError):
+        S.parse_query(
+            "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ex:a (ex:p/ex:q)+ ?o }"
+        )
+
+
+def test_path_plus_var_var(spark, chain):
+    got = _rows(spark, chain, "SELECT ?a ?b WHERE { ?a ex:next+ ?b }")
+    assert got == _n(
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")
+    )
+
+
+def test_path_star_constant_includes_self(spark, chain):
+    got = _rows(spark, chain, "SELECT ?b WHERE { ex:b ex:next* ?b }")
+    assert got == _n(("b",), ("c",), ("d",))
+
+
+def test_path_optional_step(spark, chain):
+    got = _rows(spark, chain, "SELECT ?b WHERE { ex:a ex:next? ?b }")
+    assert got == _n(("a",), ("b",))
+
+
+def test_path_inverse_constant(spark, chain):
+    # ?a ^ex:next ex:c  ⇔  ex:c ex:next ?a
+    got = _rows(spark, chain, "SELECT ?a WHERE { ?a ^ex:next ex:c }")
+    assert got == _n(("d",))
+
+
+def test_path_sequence_closure_then_name(spark, chain):
+    got = _rows(spark, chain, "SELECT ?n WHERE { ex:a ex:next+/ex:name ?n }")
+    assert got == [("dname",)]
+
+
+def test_path_alternation_closure(spark, chain):
+    got = _rows(spark, chain, "SELECT ?o WHERE { ex:a (ex:next|ex:alt)+ ?o }")
+    assert got == _n(("b",), ("c",), ("d",), ("x",))
+
+
+def test_path_backward_seeded(spark, chain):
+    got = _rows(spark, chain, "SELECT ?a WHERE { ?a ex:next+ ex:d }")
+    assert got == _n(("a",), ("b",), ("c",))
+
+
+def test_path_both_constant_reachability(spark, chain):
+    hit = _rows(spark, chain,
+                'SELECT ?n WHERE { ex:a ex:next+ ex:d . ex:d ex:name ?n }')
+    assert hit == [("dname",)]
+    miss = _rows(spark, chain,
+                 'SELECT ?n WHERE { ex:d ex:next+ ex:a . ex:a ex:name ?n }')
+    assert miss == []
+
+
+def test_path_star_same_var_is_node_domain(spark, chain):
+    got = _rows(spark, chain, "SELECT ?x WHERE { ?x ex:next* ?x }")
+    # zero-length path relates every graph term to itself
+    nodes = {r[0] for r in chain.nodes_frame().collect()}
+    assert {t[0] for t in got} == nodes
+
+
+def test_path_closure_on_property_table(spark):
+    df = spark.createDataFrame(
+        [(1, "urn:row:2"), (2, "urn:row:3"), (3, None)],
+        "id long, nxt string",
+    )
+    pt = S.PropertyTable(
+        df, id_col="id", props={"http://ex.org/next": S.PropSpec("nxt")}
+    )
+    got = _rows(spark, pt, "SELECT ?b WHERE { <urn:row:1> ex:next+ ?b }")
+    assert got == [("urn:row:2",), ("urn:row:3",)]
