@@ -2658,6 +2658,46 @@ def o_sparql_bgp_join() -> str:
     )
 
 
+def q_sparql_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GROUP_CONCAT + HAVING under the oracle gate.
+
+    GROUP_CONCAT's element order is implementation-defined (§18.5.1.7);
+    the engine sorts elements (collect_list → sort_array → array_join),
+    which makes the result deterministic under any partitioning and lets
+    DuckDB mirror it exactly with string_agg(... ORDER BY ...).  HAVING
+    filters groups post-aggregation (nations-per-region > 4)."""
+    from . import sparql as S
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    EX = "http://example.org/tpch#"
+    npt = S.PropertyTable(
+        nation,
+        id_col="n_nationkey",
+        subject_prefix="urn:nation:",
+        props={
+            EX + "name": S.PropSpec("n_name"),
+            EX + "region": S.PropSpec("n_regionkey"),
+        },
+    )
+    q = (
+        "PREFIX t: <http://example.org/tpch#> "
+        "SELECT ?ini (COUNT(*) AS ?n) (GROUP_CONCAT(?nm; SEPARATOR=\"|\") AS ?names) "
+        "WHERE { ?x t:region ?rk . ?x t:name ?nm . BIND(SUBSTR(?nm, 1, 1) AS ?ini) } "
+        "GROUP BY ?ini HAVING(COUNT(*) > 1) ORDER BY ?ini"
+    )
+    return S.execute_query(spark, q, npt)
+
+
+def o_sparql_group_concat() -> str:
+    # nations-per-initial is non-uniform, so HAVING really filters
+    return (
+        "SELECT substr(n_name, 1, 1) AS ini, COUNT(*) AS n, "
+        "string_agg(n_name, '|' ORDER BY n_name) AS names "
+        "FROM nation GROUP BY ini HAVING COUNT(*) > 1 "
+        "ORDER BY ini"
+    )
+
+
 def q_sparql_path_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL 1.1 property-path closure under the oracle gate.
 
@@ -2794,6 +2834,7 @@ QUERIES = {
     "orders_agg": q_orders_agg,
     "raster_grid_literals": q_raster_grid_literals,
     "sparql_dwithin": q_sparql_dwithin,
+    "sparql_group_concat": q_sparql_group_concat,
 }
 
 ORACLES = {
@@ -2850,6 +2891,7 @@ ORACLES = {
     "sparql_agg_group": o_sparql_agg_group(),
     "sparql_dwithin": o_sparql_dwithin(),
     "sparql_path_closure": o_sparql_path_closure(),
+    "sparql_group_concat": o_sparql_group_concat(),
     "geo_affine": o_geo_affine(),
     "geo_dump_points": o_geo_dump_points(),
     "doc_token_stats": o_doc_token_stats(),

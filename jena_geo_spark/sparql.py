@@ -16,14 +16,15 @@ This module re-creates that surface Spark-first:
   ``modelmap`` of dim-scale ``.ttl`` models
   (``TripleStoreConnection.java:56-63``);
 * a **SPARQL-subset parser** (SELECT [DISTINCT], BGP, FILTER, BIND,
-  OPTIONAL, UNION, MINUS, VALUES, property paths ``^ / | ? * +``,
-  ORDER BY, LIMIT, OFFSET) — the grammar the reference's own
-  example/benchmark queries use
-  (``TripleStoreConnection.java:190-203``).  Path closures (? * +)
-  compile to a distributed reachability operator: frontier BFS when an
-  endpoint is constant, pointer doubling (O(log diameter) rounds) for
-  var–var — where ARQ walks the in-memory graph one binding at a time
-  (jena-arq ALP);
+  OPTIONAL, UNION, MINUS, VALUES, subqueries, property paths
+  ``^ / | ? * +``, GROUP BY + HAVING, ORDER BY, LIMIT, OFFSET, the
+  §17.4 builtin function library, GROUP_CONCAT/SAMPLE set functions) —
+  the grammar the reference's own example/benchmark queries use
+  (``TripleStoreConnection.java:190-203``) plus the ARQ-inherited
+  surface around it.  Path closures (? * +) compile to a distributed
+  reachability operator: frontier BFS when an endpoint is constant,
+  pointer doubling (O(log diameter) rounds) for var–var — where ARQ
+  walks the in-memory graph one binding at a time (jena-arq ALP);
 * a **compiler to DataFrame plans**.  Two model backends:
 
   - :class:`TriplesModel` — a distributed ``(s, p, o, dt)`` frame (from
@@ -365,6 +366,13 @@ class PathClosure:
 
 
 @dataclass
+class SubSelect:
+    """Group item: ``{ SELECT … WHERE { … } }`` — SPARQL 1.1 §12."""
+
+    query: object  # Query
+
+
+@dataclass
 class Query:
     select: list | None  # None = SELECT *; items: ("var", name) | ("expr", ast, alias)
     distinct: bool
@@ -373,6 +381,7 @@ class Query:
     limit: int | None
     offset: int | None
     group_by: list = field(default_factory=list)
+    having: object | None = None  # expression AST (constraints AND-ed)
 
 
 # ------------------------------------------------------------ SPARQL parsing --
@@ -459,6 +468,9 @@ class _Parser:
             pn = self.expect("pname")[1]
             iri = self.expect("iri")[1]
             self.prefixes[pn.rstrip(":")] = iri
+        return self.select_query()
+
+    def select_query(self) -> Query:
         if not self.kw("SELECT"):
             raise ValueError("only SELECT queries are supported")
         distinct = self.kw("DISTINCT")
@@ -483,13 +495,20 @@ class _Parser:
                     break
         self.kw("WHERE")
         where = self.group()
-        order, limit, offset, group_by = [], None, None, []
+        order, limit, offset, group_by, having = [], None, None, [], None
         while True:
             if self.kw("GROUP"):
                 if not self.kw("BY"):
                     raise ValueError("GROUP without BY")
                 while self.peek()[0] == "var":
                     group_by.append(self.next()[1][1:])
+            elif self.kw("HAVING"):
+                # one or more parenthesized constraints, AND-ed (§11.4.9)
+                while self.peek() == ("punct", "("):
+                    self.next()
+                    e = self.expr()
+                    self.expect("punct", ")")
+                    having = e if having is None else Op2("&&", having, e)
             elif self.kw("ORDER"):
                 if not self.kw("BY"):
                     raise ValueError("ORDER without BY")
@@ -510,7 +529,7 @@ class _Parser:
                 offset = int(self.expect("num")[1])
             else:
                 break
-        return Query(select, distinct, where, order, limit, offset, group_by)
+        return Query(select, distinct, where, order, limit, offset, group_by, having)
 
     def group(self) -> Group:
         self.expect("punct", "{")
@@ -571,10 +590,19 @@ class _Parser:
                 self.next()
                 g.items.append(Minus(self.group()))
             elif t == ("punct", "{"):
-                branches = [self.group()]
-                while self.kw("UNION"):
-                    branches.append(self.group())
-                g.items.append(Union(branches) if len(branches) > 1 else branches[0])
+                if self.peek(1)[0] == "word" and self.peek(1)[1].upper() == "SELECT":
+                    self.next()
+                    sub = self.select_query()
+                    self.expect("punct", "}")
+                    g.items.append(SubSelect(sub))
+                else:
+                    branches = [self.group()]
+                    while self.kw("UNION"):
+                        branches.append(self.group())
+                    # single-branch Union == plain group-graph-pattern join
+                    # (a bare Group item would be silently skipped by the
+                    # compiler's isinstance chain)
+                    g.items.append(Union(branches))
             else:
                 self.triples(g)
             # optional '.' separators
@@ -793,6 +821,13 @@ class _Parser:
                 while self.peek() == ("punct", ","):
                     self.next()
                     args.append(self.expr())
+                if self.peek() == ("punct", ";"):  # GROUP_CONCAT(?x; SEPARATOR="…")
+                    self.next()
+                    w = self.expect("word")
+                    if w[1].upper() != "SEPARATOR":
+                        raise ValueError(f"expected SEPARATOR, got {w}")
+                    self.expect("op", "=")
+                    args.append(Lit(self.expect("str")[1]))
             self.expect("punct", ")")
             return Func(iri, args, distinct)
         raise ValueError(f"unexpected expression token {t}")
@@ -886,7 +921,49 @@ class PropertyTable:
             cols.append(sc)
             binds[subj_var] = sc
             kinds[subj_var] = "plain"
+        seen_pred_var = False
         for t in patterns:
+            if isinstance(t.p, Var):
+                # variable predicate over a wide table: explode the row to
+                # its (predicate, object) pairs (vertical view of the star)
+                if seen_pred_var:
+                    raise NotImplementedError(
+                        "one predicate variable per subject star on a "
+                        "PropertyTable"
+                    )
+                seen_pred_var = True
+                pairs = [
+                    F.struct(
+                        F.lit(p).alias("p"), F.col(spec.col).cast("string").alias("o")
+                    )
+                    for p, spec in self.props.items()
+                ]
+                if self.type_iri is not None:
+                    pairs.append(
+                        F.struct(
+                            F.lit(RDF_TYPE).alias("p"),
+                            F.lit(self.type_iri).alias("o"),
+                        )
+                    )
+                pair = F.explode(F.array(*pairs))
+                df = df.withColumn("__pair", pair).where(
+                    F.col("__pair.o").isNotNull()
+                )
+                pc = f"__v_{t.p.name}"
+                df = df.withColumn(pc, F.col("__pair.p"))
+                cols.append(pc)
+                binds[t.p.name] = pc
+                kinds[t.p.name] = "plain"
+                if isinstance(t.o, Var):
+                    oc = f"__v_{t.o.name}"
+                    df = df.withColumn(oc, F.col("__pair.o"))
+                    cols.append(oc)
+                    binds[t.o.name] = oc
+                    kinds[t.o.name] = "plain"
+                else:
+                    val = t.o.value if isinstance(t.o, Lit) else t.o.iri
+                    df = df.where(F.col("__pair.o") == str(val))
+                continue
             pred = t.p.iri
             if pred == RDF_TYPE:
                 if isinstance(t.o, Iri):
@@ -962,16 +1039,32 @@ class TriplesModel:
                 subj_const = t.s.iri
         out_binds, out_kinds = {}, {}
         for idx, t in enumerate(patterns):
-            pred = t.p.iri
-            sc = self.df.filter(F.col("p") == pred)
+            if isinstance(t.p, Var):
+                # variable predicate: unfiltered scan, bind p
+                if t.p.name in out_binds:
+                    raise NotImplementedError(
+                        f"predicate variable ?{t.p.name} repeated in one "
+                        "subject star"
+                    )
+                sc = self.df
+                pc = f"__v_{t.p.name}"
+                out_binds[t.p.name] = pc
+                out_kinds[t.p.name] = "plain"
+                pred = None
+            else:
+                pred = t.p.iri
+                sc = self.df.filter(F.col("p") == pred)
+                pc = None
             if subj_const is not None:
                 sc = sc.filter(F.col("s") == subj_const)
             sel = [F.col("s").alias("__s")]
+            if pc is not None:
+                sel.append(F.col("p").alias(pc))
             if isinstance(t.o, Var):
                 oc = f"__v_{t.o.name}"
                 sel.append(F.col("o").alias(oc))
                 out_binds[t.o.name] = oc
-                dt = self.predicate_dt(pred)
+                dt = self.predicate_dt(pred) if pred is not None else None
                 out_kinds[t.o.name] = (
                     "wkt" if dt is not None and dt.lower().endswith("wktliteral") else "plain"
                 )
@@ -1020,6 +1113,8 @@ class UnionModel:
         if isinstance(b, TriplesModel):
             return True
         for t in patterns:
+            if isinstance(t.p, Var):
+                continue  # a wide table can enumerate its predicates
             if t.p.iri == RDF_TYPE:
                 if isinstance(t.o, Iri) and b.type_iri is not None and t.o.iri != b.type_iri:
                     return False
@@ -1163,6 +1258,10 @@ class _ExprCompiler:
         if e.iri == "builtin:STR":
             c, _ = self.compile(e.args[0])
             return c.cast("string"), "plain"
+        if e.iri.startswith("builtin:"):
+            got = self._builtin(e.iri[len("builtin:"):], e)
+            if got is not None:
+                return got
         if e.iri.startswith(BUILTIN_PREFIXES["xsd"]):
             cast = {"double": "double", "float": "double", "integer": "long",
                     "long": "long", "int": "int", "string": "string",
@@ -1195,6 +1294,125 @@ class _ExprCompiler:
         out = fn(*cols)
         # geometry-returning functions yield WKB binary columns
         return out, "geom"
+
+    @staticmethod
+    def _regex_pattern(pat_arg, flags_arg) -> str:
+        """Literal regex pattern with SPARQL flags folded in as (?ism)."""
+        if not isinstance(pat_arg, Lit):
+            raise NotImplementedError("regex pattern must be a literal")
+        pat = str(pat_arg.value)
+        if flags_arg is not None:
+            if not isinstance(flags_arg, Lit):
+                raise NotImplementedError("regex flags must be a literal")
+            fl = "".join(ch for ch in str(flags_arg.value) if ch in "ismx")
+            if fl:
+                pat = f"(?{fl}){pat}"
+        return pat
+
+    def _builtin(self, name: str, e: Func):
+        """SPARQL 1.1 §17.4 builtin functions (the ARQ-inherited surface
+        the reference gets for free from jena-arq).  Returns None for
+        names this compiler does not implement (the caller then falls
+        through to the registry and raises a precise KeyError)."""
+        args = e.args
+
+        def c(i):
+            return self.compile(args[i])[0]
+
+        def s(i):
+            return self.compile(args[i])[0].cast("string")
+
+        def num(i):
+            col = c(i)
+            return col.cast("double") if _numericish(args[i]) else col
+
+        if name == "IF":
+            a, ak = self.compile(args[1])
+            b, bk = self.compile(args[2])
+            kind = ak if ak == bk else "plain"
+            return F.when(c(0), a).otherwise(b), kind
+        if name == "COALESCE":
+            # an unbound variable is an evaluation error for its branch,
+            # which COALESCE skips (§17.4.1.5) — compile it as NULL
+            cols = []
+            for a in args:
+                try:
+                    cols.append(self.compile(a)[0])
+                except KeyError:
+                    cols.append(F.lit(None))
+            return F.coalesce(*cols), "plain"
+        if name == "STRLEN":
+            return F.length(s(0)), "plain"
+        if name == "UCASE":
+            return F.upper(s(0)), "plain"
+        if name == "LCASE":
+            return F.lower(s(0)), "plain"
+        if name == "CONTAINS":
+            return s(0).contains(s(1)), "plain"
+        if name == "STRSTARTS":
+            return s(0).startswith(s(1)), "plain"
+        if name == "STRENDS":
+            return s(0).endswith(s(1)), "plain"
+        if name == "SUBSTR":
+            start = num(1).cast("int")
+            if len(args) > 2:
+                return s(0).substr(start, num(2).cast("int")), "plain"
+            return s(0).substr(start, F.length(s(0))), "plain"
+        if name == "CONCAT":
+            return F.concat(*[self.compile(a)[0].cast("string") for a in args]), "plain"
+        if name == "STRBEFORE":
+            t0, t1 = s(0), s(1)
+            pos = F.instr(t0, t1)
+            return (
+                F.when(t1 == "", F.lit(""))
+                .when(pos > 0, t0.substr(F.lit(1), pos - 1))
+                .otherwise(F.lit("")),
+                "plain",
+            )
+        if name == "STRAFTER":
+            t0, t1 = s(0), s(1)
+            pos = F.instr(t0, t1)
+            return (
+                F.when(t1 == "", t0)
+                .when(pos > 0, t0.substr(pos + F.length(t1), F.length(t0)))
+                .otherwise(F.lit("")),
+                "plain",
+            )
+        if name == "REGEX":
+            pat = self._regex_pattern(args[1], args[2] if len(args) > 2 else None)
+            return s(0).rlike(pat), "plain"
+        if name == "REPLACE":
+            pat = self._regex_pattern(args[1], args[3] if len(args) > 3 else None)
+            if not isinstance(args[2], Lit):
+                raise NotImplementedError("REPLACE replacement must be a literal")
+            return F.regexp_replace(s(0), pat, str(args[2].value)), "plain"
+        if name == "ABS":
+            return F.abs(num(0)), "plain"
+        if name == "CEIL":
+            return F.ceil(num(0)).cast("double"), "plain"
+        if name == "FLOOR":
+            return F.floor(num(0)).cast("double"), "plain"
+        if name == "ROUND":
+            return F.round(num(0), 0), "plain"
+        if name == "ISNUMERIC":
+            return c(0).cast("double").isNotNull(), "plain"
+        if name == "MD5":
+            return F.md5(s(0).cast("binary")), "plain"
+        if name == "SHA1":
+            return F.sha1(s(0).cast("binary")), "plain"
+        if name in ("SHA256", "SHA384", "SHA512"):
+            return F.sha2(s(0).cast("binary"), int(name[3:])), "plain"
+        if name == "ENCODE_FOR_URI":
+            # url_encode is form-encoding; §17.4.2.8 wants %20 for space
+            return F.regexp_replace(F.url_encode(s(0)), r"\+", "%20"), "plain"
+        if name in ("YEAR", "MONTH", "DAY"):
+            fn = {"YEAR": F.year, "MONTH": F.month, "DAY": F.dayofmonth}[name]
+            return fn(s(0).cast("timestamp")), "plain"
+        if name in ("HOURS", "MINUTES", "SECONDS"):
+            fn = {"HOURS": F.hour, "MINUTES": F.minute, "SECONDS": F.second}[name]
+            col = fn(s(0).cast("timestamp"))
+            return (col.cast("double") if name == "SECONDS" else col), "plain"
+        return None
 
 
 def _numericish(e) -> bool:
@@ -1321,6 +1539,31 @@ class _GroupCompiler:
                         if v not in binds:
                             binds[v] = vb[v]
                             kinds[v] = "plain"
+            elif isinstance(it, SubSelect):
+                # SPARQL 1.1 §12: evaluate innermost-first, join on the
+                # projected variables shared with the enclosing group
+                sf, sk = _run_select(self.spark, it.query, self.model)
+                if frame is None:
+                    frame = sf
+                    binds = {v: v for v in sf.columns}
+                    kinds = {v: sk.get(v, "plain") for v in sf.columns}
+                else:
+                    shared = [v for v in sf.columns if v in binds]
+                    right = sf.select(
+                        *[
+                            sf[v].alias(binds[v] if v in shared else v)
+                            for v in sf.columns
+                        ]
+                    )
+                    frame = (
+                        frame.join(right, on=[binds[v] for v in shared], how="inner")
+                        if shared
+                        else frame.crossJoin(right)
+                    )
+                    for v in sf.columns:
+                        if v not in binds:
+                            binds[v] = v
+                            kinds[v] = sk.get(v, "plain")
             elif isinstance(it, PathClosure):
                 pf, pb = self._path_closure_frame(it)
                 if pb is None:
@@ -1810,7 +2053,7 @@ class _GroupCompiler:
 # ---------------------------------------------------------------- aggregates --
 
 # SPARQL builtin set-functions → Catalyst aggregates
-_PLAIN_AGGS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
+_PLAIN_AGGS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE"}
 # the reference's §2.4 aggregate surface (aggregate/*.java — contracted in
 # its README but never registered with ARQ, so *only queryable here*)
 _GEO_AGGS = {"st_boundingbox", "st_avgx", "st_avgy", "st_minx", "st_maxx",
@@ -1898,6 +2141,23 @@ class _AggCompiler:
                     return self._slot(F.count(F.lit(1)))
                 c, _ = self.ec.compile(e.args[0])
                 return self._slot(F.count_distinct(c) if e.distinct else F.count(c))
+            if name == "GROUP_CONCAT":
+                # §18.5.1.7 leaves element order implementation-defined;
+                # sorting makes the result deterministic under any
+                # partitioning (and SQL-mirrorable: string_agg ORDER BY)
+                c, _ = self.ec.compile(e.args[0])
+                sep = str(e.args[1].value) if len(e.args) > 1 else " "
+                coll = (
+                    F.collect_set(c.cast("string"))
+                    if e.distinct
+                    else F.collect_list(c.cast("string"))
+                )
+                return self._slot(F.array_join(F.sort_array(coll), sep))
+            if name == "SAMPLE":
+                # any value is a valid sample (§18.5.1.8); MIN is the
+                # deterministic choice
+                c, _ = self.ec.compile(e.args[0])
+                return self._slot(F.min(c))
             if e.distinct:
                 raise NotImplementedError(f"{name}(DISTINCT) not supported")
             c, _ = self.ec.compile(e.args[0])
@@ -1952,17 +2212,21 @@ class _AggCompiler:
 # ------------------------------------------------------------------ executor --
 
 
-def execute_query(spark: SparkSession, query: str, model) -> DataFrame:
-    """Compile and run a SPARQL SELECT against a model backend
-    (:class:`TriplesModel`, :class:`PropertyTable` or
-    :class:`UnionModel`).  Returns a DataFrame whose columns are the
-    selected variable names."""
-    q = parse_query(query)
+def _run_select(spark: SparkSession, q: Query, model):
+    """Compile one (sub)SELECT to a projected DataFrame.
+
+    Returns ``(frame, kinds)`` where the frame's columns are the
+    selected variable names and kinds maps them to
+    'plain'/'wkt'/'wkt_*' (what a surrounding scope needs to keep
+    geometry coercion working across a subquery boundary)."""
     frame, binds, kinds = _GroupCompiler(spark, model).compile(q.where)
 
-    agg_mode = bool(q.group_by) or any(
-        it[0] == "expr" and _has_agg(it[1]) for it in (q.select or [])
+    agg_mode = (
+        bool(q.group_by)
+        or q.having is not None
+        or any(it[0] == "expr" and _has_agg(it[1]) for it in (q.select or []))
     )
+    okinds: dict[str, str] = {}
     if agg_mode:
         ec = _ExprCompiler(binds, kinds)
         ac = _AggCompiler(ec, q.group_by)
@@ -1972,13 +2236,18 @@ def execute_query(spark: SparkSession, query: str, model) -> DataFrame:
                 if it[1] not in q.group_by:
                     raise ValueError(f"?{it[1]} selected outside GROUP BY")
                 post.append(F.col(binds[it[1]]).alias(it[1]))
+                okinds[it[1]] = kinds.get(it[1], "plain")
             else:
                 post.append(ac.compile(it[1]).alias(it[2]))
+                okinds[it[2]] = "plain"
+        having_col = ac.compile(q.having) if q.having is not None else None
         gcols = [binds[v] for v in q.group_by]
         if ac.aggs:
             aggframe = frame.groupBy(*gcols).agg(*ac.aggs)
         else:
             aggframe = frame.select(*gcols).dropDuplicates()
+        if having_col is not None:
+            aggframe = aggframe.filter(having_col)
         out = aggframe.select(*post)
     else:
         sel_items = (
@@ -1993,8 +2262,10 @@ def execute_query(spark: SparkSession, query: str, model) -> DataFrame:
                 v = it[1]
                 if v not in binds:
                     cols.append(F.lit(None).cast("string").alias(v))
+                    okinds[v] = "plain"
                 else:
                     cols.append(F.col(binds[v]).alias(v))
+                    okinds[v] = kinds.get(v, "plain")
             else:
                 col, kind = ec.compile(it[1])
                 if kind == "geom":
@@ -2004,7 +2275,11 @@ def execute_query(spark: SparkSession, query: str, model) -> DataFrame:
                         frame.select(col.alias("x")).schema[0].dataType, BinaryType
                     ):
                         col = REG.REGISTRY["st_astext"][0](col)
+                        kind = "wkt"
+                    else:
+                        kind = "plain"
                 cols.append(col.alias(it[2]))
+                okinds[it[2]] = kind
         out = frame.select(*cols)
     if q.distinct:
         out = out.dropDuplicates()
@@ -2036,7 +2311,15 @@ def execute_query(spark: SparkSession, query: str, model) -> DataFrame:
         out = out.offset(q.offset)
     if q.limit is not None:
         out = out.limit(q.limit)
-    return out
+    return out, okinds
+
+
+def execute_query(spark: SparkSession, query: str, model) -> DataFrame:
+    """Compile and run a SPARQL SELECT against a model backend
+    (:class:`TriplesModel`, :class:`PropertyTable` or
+    :class:`UnionModel`).  Returns a DataFrame whose columns are the
+    selected variable names."""
+    return _run_select(spark, parse_query(query), model)[0]
 
 
 def query_service(

@@ -591,3 +591,118 @@ def test_path_closure_on_property_table(spark):
     )
     got = _rows(spark, pt, "SELECT ?b WHERE { <urn:row:1> ex:next+ ?b }")
     assert got == [("urn:row:2",), ("urn:row:3",)]
+
+
+# ------------------------------------- builtins / HAVING / subqueries (§17) --
+
+
+def test_builtin_string_functions(spark, chain):
+    got = _rows(spark, chain, (
+        'SELECT ?n ?u ?l ?sub WHERE { ?x ex:name ?n . '
+        'BIND(UCASE(?n) AS ?u) . BIND(STRLEN(?n) AS ?l) . '
+        'BIND(SUBSTR(?n, 2, 3) AS ?sub) . '
+        'FILTER(CONTAINS(?n, "name") && STRENDS(?n, "ame") && STRSTARTS(?n, "d")) }'
+    ))
+    assert got == [("dname", "DNAME", 5, "nam")]
+
+
+def test_builtin_regex_replace_strbefore_after(spark, chain):
+    got = _rows(spark, chain, (
+        'SELECT ?b ?a ?r WHERE { ?x ex:name ?n . FILTER(REGEX(?n, "^D", "i")) . '
+        'BIND(STRBEFORE(?n, "nam") AS ?b) . BIND(STRAFTER(?n, "d") AS ?a) . '
+        'BIND(REPLACE(?n, "n.m", "X") AS ?r) }'
+    ))
+    assert got == [("d", "name", "dXe")]
+
+
+def test_builtin_numeric_and_conditional(spark, chain):
+    got = _rows(spark, chain, (
+        'SELECT ?c ?f ?i ?co WHERE { ?x ex:name ?n . FILTER(?n = "dname") . '
+        'BIND(CEIL(2.1) AS ?c) . BIND(FLOOR(-1.5) AS ?f) . '
+        'BIND(IF(STRLEN(?n) > 3, "long", "short") AS ?i) . '
+        'BIND(COALESCE(?missing, ?n) AS ?co) }'
+    ))
+    assert got == [(3.0, -2.0, "long", "dname")]
+
+
+def test_builtin_hashes(spark, chain):
+    import hashlib
+    got = _rows(spark, chain, (
+        'SELECT ?m ?s WHERE { ?x ex:name ?n . FILTER(?n = "dname") . '
+        'BIND(MD5(?n) AS ?m) . BIND(SHA256(?n) AS ?s) }'
+    ))
+    assert got == [(hashlib.md5(b"dname").hexdigest(),
+                    hashlib.sha256(b"dname").hexdigest())]
+
+
+def test_group_concat_and_sample(spark, chain):
+    got = _rows(spark, chain, (
+        'SELECT (GROUP_CONCAT(?n; SEPARATOR="|") AS ?all) (SAMPLE(?n) AS ?one) '
+        "WHERE { ?x ex:name ?n }"
+    ))
+    assert got == [("dname|xname", "dname")]
+
+
+def test_having(spark, chain):
+    # group by source node over (next|alt) edges: only ex:a has 2 out-edges
+    got = _rows(spark, chain, (
+        "SELECT ?s (COUNT(*) AS ?n) WHERE { ?s (ex:next|ex:alt) ?o } "
+        "GROUP BY ?s HAVING(COUNT(*) > 1)"
+    ))
+    assert got == [("http://ex.org/a", 2)]
+
+
+def test_subquery_join(spark, chain):
+    # inner: nodes reachable from ex:a; outer: their names
+    got = _rows(spark, chain, (
+        "SELECT ?n WHERE { { SELECT ?x WHERE { ex:a (ex:next|ex:alt)+ ?x } } "
+        "?x ex:name ?n }"
+    ))
+    assert got == [("dname",), ("xname",)]
+
+
+def test_subquery_with_limit_and_order(spark, chain):
+    got = _rows(spark, chain, (
+        "SELECT ?n WHERE { { SELECT ?n WHERE { ?x ex:name ?n } "
+        "ORDER BY ?n LIMIT 1 } }"
+    ))
+    assert got == [("dname",)]
+
+
+def test_nested_plain_group_joins(spark, chain):
+    # a bare nested group must join, not be silently dropped
+    got = _rows(spark, chain, (
+        'SELECT ?n WHERE { { ?x ex:name ?n } FILTER(STRSTARTS(?n, "x")) }'
+    ))
+    assert got == [("xname",)]
+
+
+def test_variable_predicate_triples_model(spark, chain):
+    got = _rows(spark, chain, "SELECT ?p ?o WHERE { ex:a ?p ?o }")
+    assert got == [
+        ("http://ex.org/alt", "http://ex.org/x"),
+        ("http://ex.org/next", "http://ex.org/b"),
+    ]
+
+
+def test_variable_predicate_join(spark, chain):
+    # ?s ?p ex:c — find all (subject, predicate) pointing at c
+    got = _rows(spark, chain, "SELECT ?s ?p WHERE { ?s ?p ex:c }")
+    assert got == [("http://ex.org/b", "http://ex.org/next")]
+
+
+def test_variable_predicate_property_table(spark):
+    df = spark.createDataFrame([(1, "alice", None), (2, "bob", "x")],
+                               "id long, name string, extra string")
+    pt = S.PropertyTable(
+        df, id_col="id",
+        props={"http://ex.org/name": S.PropSpec("name"),
+               "http://ex.org/extra": S.PropSpec("extra")},
+        type_iri="http://ex.org/Row",
+    )
+    got = _rows(spark, pt, "SELECT ?p ?o WHERE { <urn:row:1> ?p ?o }")
+    # NULL column -> no triple; rdf:type row is enumerated
+    assert got == [
+        ("http://ex.org/name", "alice"),
+        (S.RDF_TYPE, "http://ex.org/Row"),
+    ]
