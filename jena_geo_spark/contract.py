@@ -2665,7 +2665,7 @@ def q_sparql_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine sorts elements (collect_list → sort_array → array_join),
     which makes the result deterministic under any partitioning and lets
     DuckDB mirror it exactly with string_agg(... ORDER BY ...).  HAVING
-    filters groups post-aggregation (nations-per-region > 4)."""
+    filters groups post-aggregation (name initials shared by >1 nation)."""
     from . import sparql as S
 
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")

@@ -468,7 +468,11 @@ class _Parser:
             pn = self.expect("pname")[1]
             iri = self.expect("iri")[1]
             self.prefixes[pn.rstrip(":")] = iri
-        return self.select_query()
+        q = self.select_query()
+        t = self.peek()
+        if t[0] != "eof":
+            raise ValueError(f"unparsed tokens at end of query, starting at {t}")
+        return q
 
     def select_query(self) -> Query:
         if not self.kw("SELECT"):
@@ -503,11 +507,22 @@ class _Parser:
                 while self.peek()[0] == "var":
                     group_by.append(self.next()[1][1:])
             elif self.kw("HAVING"):
-                # one or more parenthesized constraints, AND-ed (§11.4.9)
-                while self.peek() == ("punct", "("):
-                    self.next()
-                    e = self.expr()
-                    self.expect("punct", ")")
+                # one or more constraints, AND-ed (§11.4.9): each is a
+                # bracketted expression or a bare builtin/function call
+                # (lenient: a bare call may carry a trailing comparison)
+                while True:
+                    t = self.peek()
+                    if t == ("punct", "("):
+                        self.next()
+                        e = self.expr()
+                        self.expect("punct", ")")
+                    elif t[0] in ("word", "pname", "iri") and self.peek(1) == (
+                        "punct",
+                        "(",
+                    ):
+                        e = self._cmp()
+                    else:
+                        break
                     having = e if having is None else Op2("&&", having, e)
             elif self.kw("ORDER"):
                 if not self.kw("BY"):
@@ -902,6 +917,21 @@ class PropertyTable:
         """
         df = self.df
         cols, binds, kinds = [], {}, {}
+
+        def bind_or_equate(var: str, colexpr, kind: str) -> None:
+            # a variable repeated within one star is an implicit equality
+            # constraint, not a rebinding (SPARQL join semantics) — the
+            # first occurrence binds, later ones filter
+            nonlocal df
+            if var in binds:
+                df = df.filter(F.col(binds[var]) == colexpr)
+                return
+            cname = f"__v_{var}"
+            df = df.withColumn(cname, colexpr)
+            cols.append(cname)
+            binds[var] = cname
+            kinds[var] = kind
+
         subj_const = next(
             (t.s.iri for t in patterns if isinstance(t.s, Iri)), None
         )
@@ -914,13 +944,11 @@ class PropertyTable:
             else:
                 df = df.filter(F.lit(False))
         if subj_var is not None:
-            sc = f"__v_{subj_var}"
-            df = df.withColumn(
-                sc, F.concat(F.lit(self.subject_prefix), F.col(self.id_col).cast("string"))
+            bind_or_equate(
+                subj_var,
+                F.concat(F.lit(self.subject_prefix), F.col(self.id_col).cast("string")),
+                "plain",
             )
-            cols.append(sc)
-            binds[subj_var] = sc
-            kinds[subj_var] = "plain"
         seen_pred_var = False
         for t in patterns:
             if isinstance(t.p, Var):
@@ -949,17 +977,9 @@ class PropertyTable:
                 df = df.withColumn("__pair", pair).where(
                     F.col("__pair.o").isNotNull()
                 )
-                pc = f"__v_{t.p.name}"
-                df = df.withColumn(pc, F.col("__pair.p"))
-                cols.append(pc)
-                binds[t.p.name] = pc
-                kinds[t.p.name] = "plain"
+                bind_or_equate(t.p.name, F.col("__pair.p"), "plain")
                 if isinstance(t.o, Var):
-                    oc = f"__v_{t.o.name}"
-                    df = df.withColumn(oc, F.col("__pair.o"))
-                    cols.append(oc)
-                    binds[t.o.name] = oc
-                    kinds[t.o.name] = "plain"
+                    bind_or_equate(t.o.name, F.col("__pair.o"), "plain")
                 else:
                     val = t.o.value if isinstance(t.o, Lit) else t.o.iri
                     df = df.where(F.col("__pair.o") == str(val))
@@ -970,21 +990,16 @@ class PropertyTable:
                     if self.type_iri is not None and t.o.iri != self.type_iri:
                         df = df.filter(F.lit(False))
                 elif isinstance(t.o, Var):
-                    oc = f"__v_{t.o.name}"
-                    df = df.withColumn(oc, F.lit(self.type_iri))
-                    cols.append(oc)
-                    binds[t.o.name] = oc
-                    kinds[t.o.name] = "plain"
+                    bind_or_equate(t.o.name, F.lit(self.type_iri), "plain")
                 continue
             if pred not in self.props:
                 raise KeyError(f"predicate {pred} not declared on this PropertyTable")
             spec = self.props[pred]
             if isinstance(t.o, Var):
-                oc = f"__v_{t.o.name}"
-                df = df.withColumn(oc, F.col(spec.col).cast("string"))
-                cols.append(oc)
-                binds[t.o.name] = oc
-                kinds[t.o.name] = spec.kind
+                already = t.o.name in binds
+                bind_or_equate(t.o.name, F.col(spec.col).cast("string"), spec.kind)
+                if already:
+                    continue
                 if spec.kind == "wkt_point" and spec.lon and spec.lat:
                     df = df.withColumn(f"__lon_{t.o.name}", F.col(spec.lon)).withColumn(
                         f"__lat_{t.o.name}", F.col(spec.lat)
@@ -1038,36 +1053,40 @@ class TriplesModel:
             if isinstance(t.s, Iri):
                 subj_const = t.s.iri
         out_binds, out_kinds = {}, {}
+        equalities: list[tuple[str, str]] = []  # (var, per-pattern column)
+
+        def out_col(name: str, idx: int, kind: str) -> str:
+            # a variable repeated across (or within) the star's patterns
+            # is an implicit equality join, not a rebinding: later
+            # occurrences land in a per-pattern column equated (and
+            # dropped) after the subject join
+            if name in out_binds:
+                c = f"__eq{idx}_{name}"
+                equalities.append((name, c))
+                return c
+            c = f"__v_{name}"
+            out_binds[name] = c
+            out_kinds[name] = kind
+            return c
+
         for idx, t in enumerate(patterns):
+            sel = [F.col("s").alias("__s")]
             if isinstance(t.p, Var):
                 # variable predicate: unfiltered scan, bind p
-                if t.p.name in out_binds:
-                    raise NotImplementedError(
-                        f"predicate variable ?{t.p.name} repeated in one "
-                        "subject star"
-                    )
                 sc = self.df
-                pc = f"__v_{t.p.name}"
-                out_binds[t.p.name] = pc
-                out_kinds[t.p.name] = "plain"
+                sel.append(F.col("p").alias(out_col(t.p.name, idx, "plain")))
                 pred = None
             else:
                 pred = t.p.iri
                 sc = self.df.filter(F.col("p") == pred)
-                pc = None
             if subj_const is not None:
                 sc = sc.filter(F.col("s") == subj_const)
-            sel = [F.col("s").alias("__s")]
-            if pc is not None:
-                sel.append(F.col("p").alias(pc))
             if isinstance(t.o, Var):
-                oc = f"__v_{t.o.name}"
-                sel.append(F.col("o").alias(oc))
-                out_binds[t.o.name] = oc
                 dt = self.predicate_dt(pred) if pred is not None else None
-                out_kinds[t.o.name] = (
+                kind = (
                     "wkt" if dt is not None and dt.lower().endswith("wktliteral") else "plain"
                 )
+                sel.append(F.col("o").alias(out_col(t.o.name, idx, kind)))
             else:
                 val = t.o.value if isinstance(t.o, Lit) else t.o.iri
                 sc = sc.filter(F.col("o") == str(val))
@@ -1075,8 +1094,13 @@ class TriplesModel:
         df = frames[0]
         for f in frames[1:]:
             df = df.join(f, on="__s", how="inner")
+        if subj_var is not None and subj_var in out_binds:
+            # subject variable also bound as a predicate/object: equality
+            equalities.append((subj_var, "__s"))
+        for var, c in equalities:
+            df = df.filter(F.col(out_binds[var]) == F.col(c)).drop(c)
         cols = []
-        if subj_var is not None:
+        if subj_var is not None and subj_var not in out_binds:
             df = df.withColumnRenamed("__s", f"__v_{subj_var}")
             out_binds[subj_var] = f"__v_{subj_var}"
             out_kinds[subj_var] = "plain"
@@ -1126,7 +1150,9 @@ class UnionModel:
     def star_frame(self, patterns: list[Triple], subj_var: str | None):
         cands = [b for b in self.backends if self._qualifies(b, patterns)]
         if not cands:
-            preds = [t.p.iri for t in patterns]
+            preds = [
+                t.p.iri if isinstance(t.p, Iri) else f"?{t.p.name}" for t in patterns
+            ]
             raise KeyError(f"no backend satisfies star predicates {preds}")
         if len(cands) == 1:
             return cands[0].star_frame(patterns, subj_var)
@@ -1393,7 +1419,9 @@ class _ExprCompiler:
         if name == "FLOOR":
             return F.floor(num(0)).cast("double"), "plain"
         if name == "ROUND":
-            return F.round(num(0), 0), "plain"
+            # fn:round ties go toward +inf (round(-2.5) = -2), unlike
+            # Spark's HALF_UP (away from zero)
+            return F.floor(num(0) + F.lit(0.5)).cast("double"), "plain"
         if name == "ISNUMERIC":
             return c(0).cast("double").isNotNull(), "plain"
         if name == "MD5":
@@ -1437,10 +1465,35 @@ class _GroupCompiler:
         self.spark = spark
         self.model = model
 
+    @staticmethod
+    def _merge(frame, binds, kinds, f2, b2, k2, bcast: bool = False):
+        """Join a compiled group-item frame into the running group frame
+        on the shared variables (inner; cross join when none are shared);
+        new variables keep their source columns.  Mutates binds/kinds and
+        returns the joined frame (callers handle the frame-is-None seed
+        case themselves)."""
+        shared = [v for v in b2 if v in binds]
+        right = f2.select(
+            *[f2[b2[v]].alias(binds[v] if v in shared else b2[v]) for v in b2]
+        )
+        if bcast:
+            right = F.broadcast(right)
+        out = (
+            frame.join(right, on=[binds[v] for v in shared], how="inner")
+            if shared
+            else frame.crossJoin(right)
+        )
+        for v in b2:
+            if v not in binds:
+                binds[v] = b2[v]
+                kinds[v] = k2.get(v, "plain")
+        return out
+
     def compile(self, g: Group):
         g = self._desugar_property_functions(g)
         triples = [it for it in g.items if isinstance(it, Triple)]
         frame, binds, kinds = (None, {}, {})
+        unsat_const_path = False
         if triples:
             frame, binds, kinds = self._bgp(
                 triples, [it for it in g.items if isinstance(it, Filter)]
@@ -1520,25 +1573,40 @@ class _GroupCompiler:
                 schema = ", ".join(f"`__v_{v}` string" for v in it.vars)
                 vf = self.spark.createDataFrame(rows, schema=schema)
                 vb = {v: f"__v_{v}" for v in it.vars}
+                vk = {v: "plain" for v in it.vars}
                 if frame is None:
-                    frame, binds = vf, dict(vb)
-                    kinds = {v: "plain" for v in it.vars}
-                else:
-                    shared = [v for v in vb if v in binds]
-                    right = vf.select(
-                        *[vf[vb[v]].alias(binds.get(v, vb[v])) for v in vb]
-                    )
-                    # inline-data join on shared vars (UNDEF = NULL binding;
-                    # a NULL in a join column matches nothing, like SQL)
-                    frame = (
-                        frame.join(F.broadcast(right), on=[binds[v] for v in shared], how="inner")
-                        if shared
-                        else frame.crossJoin(F.broadcast(right))
-                    )
-                    for v in vb:
-                        if v not in binds:
-                            binds[v] = vb[v]
-                            kinds[v] = "plain"
+                    frame, binds, kinds = vf, dict(vb), vk
+                    continue
+                shared = [v for v in vb if v in binds]
+                undef_shared = [
+                    v
+                    for v in shared
+                    if any(row[it.vars.index(v)] is None for row in rows)
+                ]
+                if not undef_shared:
+                    # no UNDEF in any shared column: plain broadcast
+                    # equi-join on the shared vars
+                    frame = self._merge(frame, binds, kinds, vf, vb, vk, bcast=True)
+                    continue
+                # UNDEF is compatible with ANY binding (§10.2), so a NULL
+                # inline value must match every group solution — a
+                # condition join against the (tiny, broadcast) VALUES
+                # frame, merging each shared binding with COALESCE
+                right = vf.select(*[vf[vb[v]].alias(f"__vv_{v}") for v in vb])
+                cond = F.lit(True)
+                for v in shared:
+                    rcol = F.col(f"__vv_{v}")
+                    cond = cond & (rcol.isNull() | (F.col(binds[v]) == rcol))
+                frame = frame.join(F.broadcast(right), on=cond, how="inner")
+                for v in vb:
+                    if v in shared:
+                        frame = frame.withColumn(
+                            binds[v], F.coalesce(F.col(binds[v]), F.col(f"__vv_{v}"))
+                        ).drop(f"__vv_{v}")
+                    else:
+                        frame = frame.withColumnRenamed(f"__vv_{v}", vb[v])
+                        binds[v] = vb[v]
+                        kinds[v] = "plain"
             elif isinstance(it, SubSelect):
                 # SPARQL 1.1 §12: evaluate innermost-first, join on the
                 # projected variables shared with the enclosing group
@@ -1548,56 +1616,26 @@ class _GroupCompiler:
                     binds = {v: v for v in sf.columns}
                     kinds = {v: sk.get(v, "plain") for v in sf.columns}
                 else:
-                    shared = [v for v in sf.columns if v in binds]
-                    right = sf.select(
-                        *[
-                            sf[v].alias(binds[v] if v in shared else v)
-                            for v in sf.columns
-                        ]
+                    frame = self._merge(
+                        frame, binds, kinds, sf, {v: v for v in sf.columns}, sk
                     )
-                    frame = (
-                        frame.join(right, on=[binds[v] for v in shared], how="inner")
-                        if shared
-                        else frame.crossJoin(right)
-                    )
-                    for v in sf.columns:
-                        if v not in binds:
-                            binds[v] = v
-                            kinds[v] = sk.get(v, "plain")
             elif isinstance(it, PathClosure):
                 pf, pb = self._path_closure_frame(it)
                 if pb is None:
-                    # both endpoints constant: plain reachability test
+                    # both endpoints constant: plain reachability test —
+                    # deferred to the end of the group so a satisfied test
+                    # is order-independent of whichever item binds frame
                     if pf.limit(1).count() == 0:
-                        if frame is None:
-                            raise ValueError("unsatisfiable constant path")
-                        frame = frame.filter(F.lit(False))
-                    elif frame is None:
-                        raise ValueError(
-                            "a group of only constant paths binds nothing"
-                        )
+                        unsat_const_path = True
                     continue
                 if frame is None:
                     frame = pf
                     binds = dict(pb)
                     kinds = {v: "plain" for v in pb}
                 else:
-                    shared = [v for v in pb if v in binds]
-                    right = pf.select(
-                        *[
-                            pf[pb[v]].alias(binds[v] if v in shared else pb[v])
-                            for v in pb
-                        ]
+                    frame = self._merge(
+                        frame, binds, kinds, pf, pb, {v: "plain" for v in pb}
                     )
-                    frame = (
-                        frame.join(right, on=[binds[v] for v in shared], how="inner")
-                        if shared
-                        else frame.crossJoin(right)
-                    )
-                    for v in pb:
-                        if v not in binds:
-                            binds[v] = pb[v]
-                            kinds[v] = "plain"
             elif isinstance(it, Union):
                 parts = [self.compile(b) for b in it.groups]
                 allvars: list[str] = []
@@ -1622,24 +1660,14 @@ class _GroupCompiler:
                 if frame is None:
                     frame, binds, kinds = uf, ub, dict(uk)
                 else:
-                    shared = [v for v in ub if v in binds]
-                    right = uf.select(
-                        *[
-                            uf[ub[v]].alias(binds[v] if v in shared else ub[v])
-                            for v in ub
-                        ]
-                    )
-                    frame = (
-                        frame.join(right, on=[binds[v] for v in shared], how="inner")
-                        if shared
-                        else frame.crossJoin(right)
-                    )
-                    for v in ub:
-                        if v not in binds:
-                            binds[v] = ub[v]
-                            kinds[v] = uk[v]
+                    frame = self._merge(frame, binds, kinds, uf, ub, uk)
         if frame is None:
-            raise ValueError("empty group pattern")
+            raise ValueError(
+                "group pattern binds no variables"
+                + (" (only constant path tests)" if g.items else "")
+            )
+        if unsat_const_path:
+            frame = frame.filter(F.lit(False))
         return frame, binds, kinds
 
     # -- property-path closure: a distributed reachability operator ------

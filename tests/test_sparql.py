@@ -706,3 +706,85 @@ def test_variable_predicate_property_table(spark):
         ("http://ex.org/name", "alice"),
         (S.RDF_TYPE, "http://ex.org/Row"),
     ]
+
+
+# --------------------------------------- review fixes (r3 follow-through) --
+
+
+def test_values_undef_shared_var_matches_everything(spark, chain):
+    # §10.2: UNDEF is compatible with ANY binding — an inline NULL in a
+    # shared column must not drop solutions like a SQL NULL join key
+    got = _rows(spark, chain, (
+        'SELECT ?n ?tag WHERE { ?x ex:name ?n . '
+        'VALUES (?n ?tag) { (UNDEF "T") ("xname" "onlyX") } }'
+    ))
+    assert got == [("dname", "T"), ("xname", "T"), ("xname", "onlyX")]
+
+
+def test_repeated_variable_is_equality_triples(spark, chain):
+    # ?x ?p ?x — only true self-loops qualify (none in the chain data)
+    assert _rows(spark, chain, "SELECT ?x ?p WHERE { ?x ?p ?x }") == []
+    # two patterns sharing an object var: implicit equality, not rebind
+    assert _rows(
+        spark, chain, "SELECT ?s WHERE { ?s ex:next ?v . ?s ex:name ?v }"
+    ) == []
+
+
+def test_repeated_variable_is_equality_property_table(spark):
+    df = spark.createDataFrame(
+        [(1, "urn:row:1", "q"), (2, "urn:row:1", "r"), (3, "s", "s")],
+        "id int, ref string, nm string",
+    )
+    pt = S.PropertyTable(
+        df, id_col="id",
+        props={"http://ex.org/ref": S.PropSpec("ref"),
+               "http://ex.org/nm": S.PropSpec("nm")},
+    )
+    # subject==object self-loop: row 2's ref points at row 1, not itself
+    got = _rows(spark, pt, "SELECT ?x ?p WHERE { ?x ?p ?x }")
+    assert got == [("urn:row:1", "http://ex.org/ref")]
+    # repeated object var across two predicates
+    got = _rows(spark, pt, "SELECT ?x ?v WHERE { ?x ex:ref ?v . ?x ex:nm ?v }")
+    assert got == [("urn:row:3", "s")]
+
+
+def test_having_bare_constraint_and_trailing_modifiers(spark, chain):
+    # HavingCondition may be a bare call (no brackets); ORDER/LIMIT after
+    # it must be honored, not silently discarded
+    q = S.parse_query(
+        "PREFIX ex: <http://ex.org/> SELECT ?s (COUNT(*) AS ?n) "
+        "WHERE { ?s (ex:next|ex:alt) ?o } "
+        "GROUP BY ?s HAVING COUNT(*) > 1 ORDER BY ?s LIMIT 5"
+    )
+    assert q.having is not None and q.limit == 5 and q.order_by
+    got = _rows(spark, chain, (
+        "SELECT ?s (COUNT(*) AS ?n) WHERE { ?s (ex:next|ex:alt) ?o } "
+        "GROUP BY ?s HAVING COUNT(*) > 1 ORDER BY ?s LIMIT 5"
+    ))
+    assert got == [("http://ex.org/a", 2)]
+
+
+def test_trailing_tokens_rejected():
+    with pytest.raises(ValueError, match="unparsed tokens"):
+        S.parse_query("SELECT ?x WHERE { ?x <urn:p> ?n } bogus")
+
+
+def test_constant_path_is_order_independent(spark, chain):
+    # satisfied constant path processed BEFORE the item that binds frame
+    got = _rows(spark, chain, (
+        'SELECT ?z WHERE { ex:a ex:next+ ex:c . VALUES ?z { "ok" } }'
+    ))
+    assert got == [("ok",)]
+    # unsatisfied constant path empties the group, whatever the order
+    got = _rows(spark, chain, (
+        'SELECT ?z WHERE { ex:c ex:next+ ex:a . VALUES ?z { "ok" } }'
+    ))
+    assert got == []
+
+
+def test_round_ties_toward_positive_infinity(spark, chain):
+    got = _rows(spark, chain, (
+        "SELECT ?r ?r2 WHERE { ex:d ex:name ?n . "
+        "BIND(ROUND(-2.5) AS ?r) BIND(ROUND(2.5) AS ?r2) }"
+    ))
+    assert got == [(-2.0, 3.0)]
