@@ -68,6 +68,13 @@ def test_wkb4_rgb_image():
     assert r.bands[0].data[0, 0] == 0xFD and r.bands[2].data[4, 4] == 0x65
 
 
+def test_wkb4_min_max_value_goldens():
+    # MinValueTest.java / MaxValueTest.java: band 0 of the 5x5 RGB fixture
+    r = WR.decode_hex(WKB4)
+    assert float(r.bands[0].data.min()) == 249.0
+    assert float(r.bands[0].data.max()) == 254.0
+
+
 def test_wkb5_16bsi_values():
     r = WR.decode_hex(WKB5)
     assert r.bands[0].data.ravel().tolist() == [1, 436, 431]

@@ -245,3 +245,143 @@ def test_relate_degenerate_divergence():
     interior — entry [0] of the matrix must be F, not the reference's 2."""
     got = R.relate(g("POLYGON((8 2, 11 13, 2 6, 8 2))"), g("POLYGON((1 2, 3 4, 5 6, 1 2))"))
     assert got[0] == "F"
+
+
+# ----------------------------- r3 batch 2: attribute / relation / envelope --
+
+
+AREA_POLY = (
+    "POLYGON((743238 2967416,743238 2967450,743265 2967450,"
+    "743265.625 2967416,743238 2967416))"
+)
+LEN_LINE = (
+    "LINESTRING(743238 2967416,743238 2967450,743265 2967450,"
+    " 743265.625 2967416,743238 2967416)"
+)
+TRI_LINE = "LINESTRING(77.29 29.07,77.42 29.26,77.27 29.31,77.29 29.07)"
+SEG_LINE = "LINESTRING(5 5 ,10 10)"
+
+
+def test_area_golden():  # AreaTest.java — 928.625
+    assert u1(FV.st_area, wkb(AREA_POLY)) == 928.625
+
+
+def test_length_golden():  # LengthTest.java
+    assert u1(FV.st_length, wkb(LEN_LINE)) == 122.63074400009504
+
+
+def test_perimeter_golden():  # PerimeterTest.java — same ring as a polygon
+    assert u1(FV.st_perimeter, wkb(AREA_POLY)) == 122.63074400009504
+
+
+def test_centroid_golden():  # CentroidTest.java
+    got = u1(FV.st_centroid, wkb("POLYGON ((0 0, 1 0, 1 1, 0.5 3.2e-4, 0 0))"))
+    assert got["x"] == pytest.approx(0.8331201364460079, abs=1e-15)
+    assert got["y"] == pytest.approx(0.33322680311267455, abs=1e-15)
+
+
+def test_azimuth_reverse_golden():  # AzimuthTest.java testAzimuth2
+    got = u1(FT.st_azimuth, 75.0, 100.0, 25.0, 45.0)
+    assert got == pytest.approx(3.9011648233916847, abs=1e-12)
+
+
+def test_num_points_golden():  # NumPointsTest.java — 4
+    from jena_geo_spark.functions.registry import REGISTRY
+
+    npts = REGISTRY["st_numpoints"][0]
+    assert u1(npts, wkb(TRI_LINE)) == 4
+
+
+def test_num_geometries_goldens():  # NumGeometriesTest.java — 1 and 3
+    assert u1(A.st_numgeometries, wkb(TRI_LINE)) == 1
+    coll = (
+        "GEOMETRYCOLLECTION(MULTIPOINT(-2 3 , -2 2),LINESTRING(5 5 ,10 10),"
+        "POLYGON((-7 4.2,-7.1 5,-7.1 4.3,-7 4.2)))"
+    )
+    assert u1(A.st_numgeometries, wkb(coll)) == 3
+
+
+def test_envelope_xmax_ymax_goldens():  # envelope/XMaxTest.java, YMaxTest.java
+    line3d = wkb("LINESTRING Z(1 3 4, 5 6 7)")
+    assert u1(A.st_xmax, line3d) == 5.0
+    assert u1(A.st_ymax, line3d) == 6.0
+
+
+def test_longest_line_golden():  # LongestLineTest.java
+    got = W.from_wkb(u1(FV.st_longestline, wkb(TRI_LINE), wkb(SEG_LINE)))
+    assert got.parts[0].tolist() == [[77.42, 29.26], [5.0, 5.0]]
+
+
+def test_furthest_coordinate_golden():  # FurthestCoordinateTest.java
+    from jena_geo_spark.functions import relations2 as R2
+
+    got = W.from_wkb(u1(R2.st_furthestcoordinate, wkb(SEG_LINE), wkb(TRI_LINE)))
+    assert got.parts[0].tolist() == [[5.0, 5.0]]
+
+
+def test_closest_point_golden():  # ClosestPointTest.java — the point itself
+    got = u1(
+        FV.st_closestpoint,
+        wkb("POINT(100 100)"),
+        wkb("LINESTRING (20 80, 98 190, 110 180, 50 75)"),
+    )
+    assert (got["x"], got["y"]) == (100.0, 100.0)
+
+
+def test_area_similarity_golden():  # AreaSimilarityTest.java — identical → 1
+    from jena_geo_spark.functions import relations2 as R2
+
+    tri = wkb("POLYGON((8 2, 11 13, 2 6, 8 2))")
+    assert u1(R2.st_areasimilarity, tri, tri) == 1.0
+
+
+def test_make_point_goldens():  # MakePointTest.java
+    from jena_geo_spark.functions import registry_support as RS
+
+    got = W.from_wkb(u1(RS.st_makepoint, -71.1043443253471, 42.3150676015829))
+    assert got.parts[0].tolist() == [[-71.1043443253471, 42.3150676015829]]
+
+
+# --------------------------------------------- unit conversions (unit/*.java) --
+#
+# The reference hardcodes ROUNDED inverse factors (e.g. foot→m is
+# value/3.2808, mile→m value/0.00062137) and its chain/link conversions
+# multiply by the INVERSE factor (ChainToMeter.java: value*0.04971 — a
+# chain is 20.1168 m, so that is chains-per-meter applied backwards).  We
+# use the exact international definitions (vector.py UNIT_FACTORS_TO_M)
+# and document the divergences instead of replicating them:
+#   foot   ours 0.3048            ref 1/3.2808      = 0.30480370641307
+#   yard   ours 0.9144            ref 1/1.0936      = 0.91441111923921
+#   mile   ours 1609.344          ref 1/0.00062137  = 1609.3470878864446
+#   usmile ours 6336000/3937      ref 1/0.0006213699= 1609.3473468862912
+#   chain  ours 20.1168           ref 0.04971 (inverted)
+#   link   ours 0.201168          ref (inverted like chain)
+
+
+def test_unit_factor_goldens_exact_matches():
+    # conversions where the reference's constant IS the exact definition
+    from jena_geo_spark.functions.vector import UNIT_FACTORS_TO_M as U
+
+    assert U["cm"] == 0.01 and U["dm"] == 0.1  # CentimeterToMeterTest etc.
+    assert U["km"] == 1000.0 and U["mm"] == 0.001
+    assert U["nauticalmile"] == 1852.0  # NauticalMileToMeterTest.java
+    assert U["fathom"] == pytest.approx(1.8287999998958315, rel=1e-10)
+    assert U["usfoot"] == pytest.approx(0.30480060991089725, rel=1e-8)
+    assert U["usinch"] == pytest.approx(0.0254000508, rel=1e-9)
+
+
+def test_unit_factor_documented_divergences():
+    # the rounded reference factors differ from the exact definitions in
+    # the 5th-7th significant digit; assert we are within 0.1% (so a typo
+    # in OUR table would still be caught) but intentionally NOT equal
+    from jena_geo_spark.functions.vector import UNIT_FACTORS_TO_M as U
+
+    assert U["foot"] == 0.3048 != pytest.approx(1 / 3.2808, rel=1e-9)
+    assert U["foot"] == pytest.approx(1 / 3.2808, rel=1e-3)
+    assert U["yard"] == 0.9144 and U["yard"] == pytest.approx(1 / 1.0936, rel=1e-3)
+    assert U["mile"] == 1609.344 == pytest.approx(1 / 0.00062137, rel=1e-4)
+    assert U["chain"] == 20.1168 == pytest.approx(1 / 0.049710, rel=1e-4)
+    assert U["link"] == 0.201168  # ref LinkToMeter is inverted, see above
+    # USYardToMeter.java divides by 1.094 (a 4-digit rounding of
+    # 1.0936132983 yd/m); exact factor is 3600/3937
+    assert U["usyard"] == 3600.0 / 3937.0 == pytest.approx(1 / 1.094, rel=1e-3)
