@@ -75,23 +75,28 @@ def geohash_decode(gh: str) -> tuple[float, float]:
 
 
 def polyline_encode(coords) -> str:
-    """Google encoded polyline (1e-5 precision) from (lon, lat) pairs."""
+    """Encoded polyline (Google varint scheme, 1e-5 precision) from
+    (x, y) pairs, written in x,y ORDER — the reference's AsEncodedPolyline
+    emits the raw coordinate order with no lat-first swap
+    (AsEncodedPolylineTest.java golden ``~ps|U_p~iF…`` starts with
+    x = -120.2; Google's convention would start with the latitude)."""
     out = []
-    prev_lat = prev_lon = 0
-    for lon, lat in coords:
-        ilat, ilon = round(lat * 1e5), round(lon * 1e5)
-        for v in (ilat - prev_lat, ilon - prev_lon):
+    prev_x = prev_y = 0
+    for x, y in coords:
+        ix, iy = round(x * 1e5), round(y * 1e5)
+        for v in (ix - prev_x, iy - prev_y):
             v = ~(v << 1) if v < 0 else v << 1
             while v >= 0x20:
                 out.append(chr((0x20 | (v & 0x1F)) + 63))
                 v >>= 5
             out.append(chr(v + 63))
-        prev_lat, prev_lon = ilat, ilon
+        prev_x, prev_y = ix, iy
     return "".join(out)
 
 
 def polyline_decode(s: str) -> list[tuple[float, float]]:
-    coords, i, lat, lon = [], 0, 0, 0
+    """Inverse of :func:`polyline_encode` — (x, y) pairs in stream order."""
+    coords, i, x, y = [], 0, 0, 0
     while i < len(s):
         for which in (0, 1):
             shift = result = 0
@@ -104,10 +109,10 @@ def polyline_decode(s: str) -> list[tuple[float, float]]:
                     break
             d = ~(result >> 1) if result & 1 else result >> 1
             if which == 0:
-                lat += d
+                x += d
             else:
-                lon += d
-        coords.append((lon / 1e5, lat / 1e5))
+                y += d
+        coords.append((x / 1e5, y / 1e5))
     return coords
 
 

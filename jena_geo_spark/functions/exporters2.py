@@ -121,7 +121,10 @@ _PS_KEY = {
 
 def _polyshape_of(g: Geom) -> str | None:
     def enc(a):
-        return polyline_encode([(float(y), float(x)) for x, y in np.asarray(a)[:, :2]])
+        # polyshape's varint pairs are written x-then-y of the raw
+        # coordinate order (AsPolyshapeTest.java golden); polyline_encode
+        # preserves pair order since the r3 x,y alignment
+        return polyline_encode([(float(x), float(y)) for x, y in np.asarray(a)[:, :2]])
 
     if g.kind in ("point", "linestring", "multipoint"):
         return _PS_KEY[g.kind] + enc(g.parts[0]) if g.parts else None

@@ -286,7 +286,7 @@ _reg("st_longestLine", V.st_longestline, "g", "g2")
 _reg("st_maxDistance", V.st_maxdistance, "g", "g2")
 _reg("st_orderingEquals", R2.st_orderingequals, "g", "g2")
 _reg("st_relate", R.st_relate, "g", "g2")
-_reg("st_relateMatch", R.st_relate_match, "g", "g2", L("T********"))
+_reg("st_relateMatch", R.st_relate_match_strings, L("212101212"), L("212101212"))
 _reg("st_shortestLine", V.st_shortestline, "g", "g2")
 _reg("st_lineCrossingDirection", R2.st_linecrossingdirection, "gline", "gline2")
 _reg("st_unaryUnion", T2.st_unaryunion, "gmpoly")

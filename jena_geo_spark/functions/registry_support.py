@@ -158,7 +158,9 @@ def st_linefromencodedpolyline(s: pd.Series) -> pd.Series:
             out.append(None)
             continue
         pts = C.polyline_decode(x)
-        out.append(W.to_wkb(Geom("linestring", [np.array([(b, a) for a, b in pts])])))
+        # decode already yields stream-order (x, y) pairs — the same raw
+        # order the reference's exporter writes (codecs.polyline_encode)
+        out.append(W.to_wkb(Geom("linestring", [np.array(pts, dtype=np.float64)])))
     return pd.Series(out, dtype=object)
 
 
@@ -345,15 +347,22 @@ rt_not = rast1_udf("not")
 
 
 def st_asgeouri(g) -> Column:
-    """geo:lat,lon URI of a point geometry (AsGeoURI.java) — Catalyst."""
+    """geo URI of a point geometry (AsGeoURI.java) — Catalyst.
+
+    The reference emits the raw x,y pair with no axis swap plus a
+    ``;crs=EPSG:<srid>`` suffix (AsGeoURITest.java golden
+    ``geo:49.9928617,8.2472526;crs=EPSG:0``); a bare geometry literal
+    parses with srid 0, and per-column SRIDs live outside the literal in
+    this engine, so the suffix is the parse default."""
     from .vector import st_x, st_y
 
     col = F.col(g) if isinstance(g, str) else g
     return F.concat(
         F.lit("geo:"),
-        st_y(col).cast("string"),
-        F.lit(","),
         st_x(col).cast("string"),
+        F.lit(","),
+        st_y(col).cast("string"),
+        F.lit(";crs=EPSG:0"),
     )
 
 

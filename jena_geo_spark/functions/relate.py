@@ -34,6 +34,16 @@ def st_relate_match(a: pd.Series, b: pd.Series, pattern: pd.Series) -> pd.Series
     )
 
 
+@pandas_udf(BooleanType())
+def st_relate_match_strings(matrix: pd.Series, pattern: pd.Series) -> pd.Series:
+    """PostGIS ST_RelateMatch(matrix, pattern) over two DE-9IM strings —
+    the reference's registered signature (RelateMatch.java is a
+    FunctionBase2 over two strings; its body is plain equality, we
+    implement the documented OGC pattern match, which agrees on the
+    reference's test vectors — RelateMatchTest.java)."""
+    return pd.Series([R.relate_match(m, p) for m, p in zip(matrix, pattern)])
+
+
 def _pred_udf(fn):
     def wrapped(a: pd.Series, b: pd.Series) -> pd.Series:
         return pd.Series([fn(W.from_wkb(x), W.from_wkb(y)) for x, y in zip(a, b)])

@@ -700,6 +700,11 @@ def st_ensureclosed(b: pd.Series) -> pd.Series:
             return W.Geom(g.kind, [cl(r) for r in g.parts])
         if g.kind == "multipolygon":
             return W.Geom(g.kind, [[cl(r) for r in rings] for rings in g.parts])
+        if g.kind in ("linestring", "multilinestring"):
+            # the reference closes ANY open coordinate sequence by
+            # appending the first point (EnsureClosed.java, golden
+            # EnsureClosedTest.java closes a bare linestring)
+            return W.Geom(g.kind, [cl(p) for p in g.parts], g.dims)
         return g
 
     return b.map(lambda x: W.to_wkb(close(W.from_wkb(x))))

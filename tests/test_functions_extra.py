@@ -80,7 +80,10 @@ def test_geohash_roundtrip():
 def test_polyline_roundtrip():
     coords = [(-120.2, 38.5), (-120.95, 40.7), (-126.453, 43.252)]
     enc = C.polyline_encode(coords)
-    assert enc == "_p~iF~ps|U_ulLnnqC_mqNvxq`@"  # canonical example from the spec
+    # the reference's AsEncodedPolyline writes raw x,y order, so this is
+    # the spec's canonical example with the pair order flipped
+    # (AsEncodedPolylineTest.java golden; see polyline_encode docstring)
+    assert enc == "~ps|U_p~iFnnqC_ulLvxq`@_mqN"
     dec = C.polyline_decode(enc)
     assert all(abs(a[0] - b[0]) < 1e-5 and abs(a[1] - b[1]) < 1e-5 for a, b in zip(coords, dec))
 

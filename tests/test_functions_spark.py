@@ -168,3 +168,75 @@ def test_distance_sphere(spark):
         V.st_distance_sphere(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("m")
     ).first()
     assert r.m == pytest.approx(np.pi / 2 * 6371008.7714, rel=1e-12)
+
+
+def test_reference_goldens_via_registry(spark):
+    """Batch of reference unit-test goldens that need the registered
+    Catalyst/UDF surface (see tests/test_reference_goldens.py for the
+    kernel-level batch):
+
+    * ShortestLineTest.java     → LINESTRING(77.29 29.07, 10 10)
+    * OffsetCurveTest.java      → LINESTRING(-9 2, -9 10)
+    * MinimumBoundingCircleCenterTest.java
+                                → POINT(26284.841802713276 65267.11450908256)
+    * BoundaryTest.java         → the polygon's exterior ring
+    * AsTextTest.java           → 'LINESTRING (1 2, 4 5)'
+    * AsGeoJSONTest.java        → JSON-equal to the quoted literal
+    * AsGeoURITest.java         → 'geo:49.9928617,8.2472526;crs=EPSG:0'
+    * RelateMatchTest.java      → equal matrices true, differing false
+    * AsEncodedPolylineTest.java→ '~ps|U_p~iFnnqC_ulLvxq`@_mqN'
+    * PointFromTextTest.java    → coordinate-exact parse
+    """
+    import json
+
+    from jena_geo_spark.functions.registry import REGISTRY as R
+    from jena_geo_spark.geom import wkt as W
+
+    def wkb(s):
+        return W.to_wkb(W.from_wkt(s))
+
+    rows = [(
+        wkb(LINE_A),
+        wkb(LINE_B),
+        wkb("POLYGON ((0 0, 1 0, 1 1, 0.5 3.2e-4, 0 0))"),
+        wkb("POLYGON((26426 65078,26531 65242,26075 65136,26096 65427,26426 65078))"),
+        wkb("LINESTRING(1 2,1 10)"),
+        wkb("LINESTRING (1 2, 4 5)"),
+        wkb("POINT(49.9928617 8.2472526)"),
+        wkb("LINESTRING(-120.2 38.5,-120.95 40.7,-126.453 43.252)"),
+    )]
+    df = spark.createDataFrame(
+        rows,
+        "tri binary, seg binary, poly binary, mbc binary, off binary,"
+        " line binary, pt binary, gpoly binary",
+    )
+    r = df.select(
+        R["st_astext"][0](R["st_shortestline"][0](F.col("tri"), F.col("seg"))).alias("shortest"),
+        R["st_astext"][0](R["st_offsetcurve"][0](F.col("off"), F.lit(10.0))).alias("offset"),
+        R["st_astext"][0](R["st_minimumboundingcirclecenter"][0](F.col("mbc"))).alias("mbcc"),
+        R["st_astext"][0](R["st_boundary"][0](F.col("poly"))).alias("boundary"),
+        R["st_astext"][0](F.col("line")).alias("astext"),
+        R["st_asgeojson"][0](F.col("line")).alias("geojson"),
+        R["st_asgeouri"][0](F.col("pt")).alias("geouri"),
+        R["st_relatematch"][0](F.lit("212101212"), F.lit("212101212")).alias("rm_t"),
+        R["st_relatematch"][0](F.lit("212FF1212"), F.lit("212101212")).alias("rm_f"),
+        R["st_asencodedpolyline"][0](F.col("gpoly")).alias("encpoly"),
+        R["st_astext"][0](
+            R["st_pointfromtext"][0](F.lit("POINT(-71.1043443253471 42.3150676015829)"))
+        ).alias("ptwkt"),
+    ).collect()[0]
+    assert r.shortest == "LINESTRING (77.29 29.07, 10 10)"
+    assert r.offset == "LINESTRING (-9 2, -9 10)"
+    mx, my = r.mbcc.replace("POINT (", "").rstrip(")").split()
+    assert float(mx) == pytest.approx(26284.841802713276, rel=1e-12)
+    assert float(my) == pytest.approx(65267.11450908256, rel=1e-12)
+    assert r.boundary == "LINESTRING (0 0, 1 0, 1 1, 0.5 0.00032, 0 0)"
+    assert r.astext == "LINESTRING (1 2, 4 5)"
+    assert json.loads(r.geojson) == {
+        "type": "LineString",
+        "coordinates": [[1.0, 2.0], [4.0, 5.0]],
+    }
+    assert r.geouri == "geo:49.9928617,8.2472526;crs=EPSG:0"
+    assert (r.rm_t, r.rm_f) == (True, False)
+    assert r.encpoly == "~ps|U_p~iFnnqC_ulLvxq`@_mqN"
+    assert r.ptwkt == "POINT (-71.1043443253471 42.3150676015829)"

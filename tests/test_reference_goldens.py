@@ -385,3 +385,59 @@ def test_unit_factor_documented_divergences():
     # USYardToMeter.java divides by 1.094 (a 4-digit rounding of
     # 1.0936132983 yd/m); exact factor is 3600/3937
     assert U["usyard"] == 3600.0 / 3937.0 == pytest.approx(1 / 1.094, rel=1e-3)
+
+
+# ------------------------------------------ collection editors (editor/*) --
+
+
+COLL = (
+    "GEOMETRYCOLLECTION(MULTIPOINT(-2 3 , -2 2),LINESTRING(5 5 ,10 10),"
+    "POLYGON((-7 4.2,-7.1 5,-7.1 4.3,-7 4.2)))"
+)
+COLL_PLUS = (
+    "GEOMETRYCOLLECTION(MULTIPOINT(-2 3 , -2 2),LINESTRING(5 5 ,10 10),"
+    "POLYGON((-7 4.2,-7.1 5,-7.1 4.3,-7 4.2)),"
+    "LINESTRING(77.29 29.07,77.42 29.26,77.27 29.31,77.29 29.07))"
+)
+
+
+def _geq(wkb_bytes, wkt):
+    """Structural equality of a WKB result against an expected WKT
+    (to_wkb is deterministic, so byte equality == structural equality,
+    collections included)."""
+    return wkb_bytes == W.to_wkb(W.from_wkt(wkt))
+
+
+def test_add_geometry_golden():  # AddGeometryTest.java
+    from jena_geo_spark.functions.registry import REGISTRY
+
+    fn = REGISTRY["st_addgeometry"][0]
+    assert _geq(u1(fn, wkb(COLL), wkb(TRI_LINE)), COLL_PLUS)
+
+
+def test_remove_geometry_golden():  # RemoveGeometryTest.java
+    from jena_geo_spark.functions.registry import REGISTRY
+
+    fn = REGISTRY["st_removegeometry"][0]
+    assert _geq(u1(fn, wkb(COLL_PLUS), 3), COLL)
+
+
+def test_set_geometry_golden():  # SetGeometryTest.java
+    from jena_geo_spark.functions.registry import REGISTRY
+
+    fn = REGISTRY["st_setgeometry"][0]
+    exp = (
+        "GEOMETRYCOLLECTION("
+        "LINESTRING(77.29 29.07,77.42 29.26,77.27 29.31,77.29 29.07),"
+        "LINESTRING(5 5 ,10 10),POLYGON((-7 4.2,-7.1 5,-7.1 4.3,-7 4.2)))"
+    )
+    assert _geq(u1(fn, wkb(COLL), wkb(TRI_LINE), 0), exp)
+
+
+def test_ensure_closed_goldens():  # EnsureClosedTest.java
+    from jena_geo_spark.functions.registry import REGISTRY
+
+    fn = REGISTRY["st_ensureclosed"][0]
+    closed = "LINESTRING(8 2, 11 13, 2 6, 8 2)"
+    assert _geq(u1(fn, wkb("LINESTRING(8 2, 11 13, 2 6)")), closed)
+    assert _geq(u1(fn, wkb(closed)), closed)
