@@ -116,10 +116,6 @@ def polyline_decode(s: str) -> list[tuple[float, float]]:
     return coords
 
 
-def geouri(lon: float, lat: float) -> str:
-    return f"geo:{lat!r},{lon!r}"
-
-
 # --------------------------------------------------------- Spark bindings --
 
 

@@ -8,7 +8,7 @@ mirror), ``AsTextRound.java`` (precision-reduce then WKT),
 ``AsTextRaw.java`` (floating precision WKT = our canonical WKT),
 ``AsGeoJSONLD.java`` (GeoJSON + the geojson-ld @context),
 ``AsPolyshape.java`` → ``util/PolyshapeWriter.java`` (Lucene spatial
-polyshape: type-key char + Google-polyline-encoded (y, x) deltas; golden
+polyshape: type-key char + polyline-varint-encoded (x, y) deltas; golden
 ``AsPolyshapeTest.java``: POINT(49.9928617 8.2472526) → ``0kfcpHixiq@``),
 ``AsTopoJSON.java`` / ``AsMVTGeom.java`` (registered stubs throwing
 ``UnsupportedOperationException``; we implement the PostGIS-documented

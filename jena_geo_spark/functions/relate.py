@@ -41,7 +41,13 @@ def st_relate_match_strings(matrix: pd.Series, pattern: pd.Series) -> pd.Series:
     FunctionBase2 over two strings; its body is plain equality, we
     implement the documented OGC pattern match, which agrees on the
     reference's test vectors — RelateMatchTest.java)."""
-    return pd.Series([R.relate_match(m, p) for m, p in zip(matrix, pattern)])
+    return pd.Series(
+        [
+            None if m is None or p is None else R.relate_match(m, p)
+            for m, p in zip(matrix, pattern)
+        ],
+        dtype=object,
+    )
 
 
 def _pred_udf(fn):

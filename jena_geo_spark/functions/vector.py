@@ -694,12 +694,14 @@ def st_removerepeatedpoints(b: pd.Series) -> pd.Series:
 def st_ensureclosed(b: pd.Series) -> pd.Series:
     def close(g: W.Geom) -> W.Geom:
         def cl(c: np.ndarray) -> np.ndarray:
-            return c if (c[0] == c[-1]).all() else np.vstack([c, c[:1]])
+            if len(c) == 0 or (c[0] == c[-1]).all():
+                return c
+            return np.vstack([c, c[:1]])
 
         if g.kind == "polygon":
-            return W.Geom(g.kind, [cl(r) for r in g.parts])
+            return W.Geom(g.kind, [cl(r) for r in g.parts], g.dims)
         if g.kind == "multipolygon":
-            return W.Geom(g.kind, [[cl(r) for r in rings] for rings in g.parts])
+            return W.Geom(g.kind, [[cl(r) for r in rings] for rings in g.parts], g.dims)
         if g.kind in ("linestring", "multilinestring"):
             # the reference closes ANY open coordinate sequence by
             # appending the first point (EnsureClosed.java, golden

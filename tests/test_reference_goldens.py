@@ -441,3 +441,31 @@ def test_ensure_closed_goldens():  # EnsureClosedTest.java
     closed = "LINESTRING(8 2, 11 13, 2 6, 8 2)"
     assert _geq(u1(fn, wkb("LINESTRING(8 2, 11 13, 2 6)")), closed)
     assert _geq(u1(fn, wkb(closed)), closed)
+
+
+def test_area_similarity_edge_cases():  # review r3.2 findings 1/5
+    from jena_geo_spark.functions import relations2 as R2
+
+    # identity shortcut must survive nested part layouts
+    mp = wkb("MULTIPOLYGON(((0 0,4 0,4 4,0 0)),((10 10,14 10,14 14,10 10)))")
+    assert u1(R2.st_areasimilarity, mp, mp) == 1.0
+    # ...but a zero-area degenerate pair keeps the overlay path's None
+    deg = wkb("POLYGON((0 0,1 1,2 2,0 0))")
+    assert u1(R2.st_areasimilarity, deg, deg) is None
+
+
+def test_ensure_closed_edge_cases():  # review r3.2 findings 2/3
+    from jena_geo_spark.functions.registry import REGISTRY
+
+    fn = REGISTRY["st_ensureclosed"][0]
+    # empty linestring passes through unchanged (no [0] on a 0-row array)
+    assert W.from_wkb(u1(fn, wkb("LINESTRING EMPTY"))).kind == "linestring"
+    # Z polygons keep their dims through the close
+    gz = W.from_wkb(u1(fn, wkb("POLYGON Z((0 0 1,4 0 1,4 4 1,0 0 1))")))
+    assert gz.dims == "XYZ" and gz.parts[0].shape[1] == 3
+
+
+def test_relate_match_null_safe():  # review r3.2 finding 4
+    from jena_geo_spark.functions import relate as FR
+
+    assert u1(FR.st_relate_match_strings, None, "212101212") is None
