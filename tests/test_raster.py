@@ -68,6 +68,17 @@ def test_wkb4_rgb_image():
     assert r.bands[0].data[0, 0] == 0xFD and r.bands[2].data[4, 4] == 0x65
 
 
+def test_as_hex_rast_wkb_golden():
+    # AsHexRastWKBTest.java: re-encoding the big-endian 2x2 fixture emits
+    # this exact little-endian hex string
+    golden = (
+        "0100000100000000000000F03F000000000000F03F"
+        + "00" * 32
+        + "E610000002000200040000010100"
+    )
+    assert WR.encode_hex(WR.decode_hex(WKB1)).upper() == golden
+
+
 def test_wkb4_min_max_value_goldens():
     # MinValueTest.java / MaxValueTest.java: band 0 of the 5x5 RGB fixture
     r = WR.decode_hex(WKB4)
