@@ -548,13 +548,27 @@ def st_intersection_convex(a: pd.Series, b: pd.Series) -> pd.Series:
 # (VERDICT "What's missing" #2)
 
 
+_LINE_KINDS = ("linestring", "multilinestring")
+
+
 def _overlay_udf(op: str):
     def wrapped(a: pd.Series, b: pd.Series) -> pd.Series:
+        from ..geom import linework as L
         from ..geom import overlay as O
 
         out = []
         for x, y in zip(a, b):
-            g = O.overlay_geoms(W.from_wkb(x), W.from_wkb(y), op)
+            ga, gb = W.from_wkb(x), W.from_wkb(y)
+            if ga.kind in _LINE_KINDS and gb.kind in _LINE_KINDS:
+                # 1D overlay (DifferenceTest.java golden) — the polygon
+                # kernel would misread the chains as rings
+                chains = L.line_overlay(ga.parts, gb.parts, op)
+                if len(chains) == 1:
+                    g = W.Geom("linestring", chains)
+                else:
+                    g = W.Geom("multilinestring", chains)
+            else:
+                g = O.overlay_geoms(ga, gb, op)
             out.append(W.to_wkb(g))
         return pd.Series(out)
 

@@ -227,3 +227,122 @@ def normalize(g):
         order = np.lexsort((a[:, 1], a[:, 0]))
         return W.Geom("multipoint", [a[order].copy()], g.dims)
     return g
+
+
+# ---------------------------------------------------------- 1D overlay --
+
+
+def _pts_on_chains(pts: np.ndarray, chains: list, eps: float) -> np.ndarray:
+    """Boolean mask: which of ``pts`` lie on any segment of ``chains``."""
+    pts = np.asarray(pts, dtype=np.float64)[:, :2]
+    on = np.zeros(len(pts), dtype=bool)
+    for ch in chains:
+        c = np.asarray(ch, dtype=np.float64)[:, :2]
+        for j in range(len(c) - 1):
+            rem = ~on
+            if not rem.any():
+                return on
+            d2 = point_segment_dist_sq(
+                pts[rem, 0], pts[rem, 1], c[j, 0], c[j, 1], c[j + 1, 0], c[j + 1, 1]
+            )
+            idx = np.flatnonzero(rem)
+            on[idx[d2 <= eps * eps]] = True
+    return on
+
+
+def _insert_blade_vertices(piece: np.ndarray, bverts: np.ndarray, eps: float):
+    """Insert blade vertices that lie in a segment's INTERIOR as new
+    vertices (collinear-overlap noding: a crossing-only split never cuts
+    there).  The inserted coordinates are the blade vertex doubles
+    themselves, keeping golden splits bit-exact."""
+    out = [piece[0]]
+    for i in range(len(piece) - 1):
+        a, b = piece[i], piece[i + 1]
+        d = b - a
+        ll = float(d @ d)
+        if ll > 0 and len(bverts):
+            t = ((bverts - a) @ d) / ll
+            proj = a + t[:, None] * d
+            dist2 = ((bverts - proj) ** 2).sum(axis=1)
+            tol = eps / np.sqrt(ll)
+            sel = (dist2 <= eps * eps) & (t > tol) & (t < 1 - tol)
+            for j in np.argsort(t):
+                if sel[j]:
+                    out.append(bverts[j])
+        out.append(b)
+    return np.array(out)
+
+
+def _node_chain(chain: np.ndarray, blades: list, eps: float) -> list:
+    """Split one chain at every intersection with the blade chains —
+    interior crossings (via :func:`split_line_by_line`), blade vertices
+    inside a segment (collinear overlaps), and interior vertices that lie
+    on a blade (JTS noding splits there too, e.g. a blade endpoint
+    touching a vertex: DifferenceTest.java's golden has a piece boundary
+    at the shared vertex)."""
+    pieces = [np.asarray(chain, dtype=np.float64)[:, :2]]
+    for blade in blades:
+        pieces = [q for p in pieces for q in split_line_by_line(p, blade)]
+    bverts = (
+        np.vstack([np.asarray(b, dtype=np.float64)[:, :2] for b in blades])
+        if blades
+        else np.empty((0, 2))
+    )
+    out = []
+    for p in pieces:
+        if len(p) < 2:
+            continue
+        p = _insert_blade_vertices(p, bverts, eps)
+        cut = np.zeros(len(p), dtype=bool)
+        if len(p) > 2:
+            cut[1:-1] = _pts_on_chains(p[1:-1], blades, eps)
+        cur = [p[0]]
+        for i in range(1, len(p)):
+            cur.append(p[i])
+            if cut[i]:
+                out.append(np.array(cur))
+                cur = [p[i]]
+        if len(cur) >= 2:
+            out.append(np.array(cur))
+    return [p for p in out if len(p) >= 2 and not (p[0] == p).all()]
+
+
+def _on_blades(piece: np.ndarray, blades: list, eps: float) -> bool:
+    """A noded piece lies ON the blade linework iff every segment midpoint
+    does (pieces are noded, so a segment is entirely on or off)."""
+    mids = (piece[:-1] + piece[1:]) / 2.0
+    return bool(_pts_on_chains(mids, blades, eps).all())
+
+
+def line_overlay(chains_a: list, chains_b: list, op: str) -> list:
+    """1D boolean overlay over linestring chains (JTS OverlayOp semantics
+    restricted to lineal output — reference geof:difference /
+    symDifference / union / intersection on line inputs,
+    ``GeometryWrapper.java:715-808``; golden ``DifferenceTest.java``).
+
+    difference      → pieces of A not on B
+    intersection    → shared 1D portions (0-dimensional crossings are
+                      nodes, not output — a point result is out of scope)
+    union           → A-not-on-B plus all of B (noded; shared linework
+                      appears once, contributed by B)
+    symdifference   → A-not-on-B plus B-not-on-A
+    """
+    scale = 1.0
+    for ch in list(chains_a) + list(chains_b):
+        c = np.asarray(ch, dtype=np.float64)
+        if c.size:
+            scale = max(scale, float(np.abs(c[:, :2]).max()))
+    eps = 1e-9 * scale
+    a_pieces = [q for ch in chains_a for q in _node_chain(ch, chains_b, eps)]
+    if op == "difference":
+        return [p for p in a_pieces if not _on_blades(p, chains_b, eps)]
+    if op == "intersection":
+        return [p for p in a_pieces if _on_blades(p, chains_b, eps)]
+    b_pieces = [q for ch in chains_b for q in _node_chain(ch, chains_a, eps)]
+    if op == "union":
+        return [p for p in a_pieces if not _on_blades(p, chains_b, eps)] + b_pieces
+    if op == "symdifference":
+        return [p for p in a_pieces if not _on_blades(p, chains_b, eps)] + [
+            p for p in b_pieces if not _on_blades(p, chains_a, eps)
+        ]
+    raise ValueError(f"unknown line overlay op {op!r}")

@@ -240,3 +240,19 @@ def test_reference_goldens_via_registry(spark):
     assert (r.rm_t, r.rm_f) == (True, False)
     assert r.encpoly == "~ps|U_p~iFnnqC_ulLvxq`@_mqN"
     assert r.ptwkt == "POINT (-71.1043443253471 42.3150676015829)"
+
+
+def test_line_difference_udf(spark):
+    # DifferenceTest.java through the registered overlay UDF: line inputs
+    # dispatch to the 1D overlay instead of the polygon kernel
+    from jena_geo_spark.geom import wkt as W
+
+    a = W.to_wkb(W.from_wkt(LINE_A))
+    b = W.to_wkb(W.from_wkt("LINESTRING(77.42 29.26, 10 10)"))
+    df = spark.createDataFrame([(a, b)], "a binary, b binary")
+    r = df.select(V.st_astext(V.st_difference(F.col("a"), F.col("b"))).alias("d")).first()
+    assert r.d == (
+        "MULTILINESTRING ((77.29 29.07, 77.42 29.26), "
+        "(77.42 29.26, 77.27 29.31, 77.2775576481951 29.21930822165882), "
+        "(77.2775576481951 29.21930822165882, 77.29 29.07))"
+    )

@@ -469,3 +469,35 @@ def test_relate_match_null_safe():  # review r3.2 finding 4
     from jena_geo_spark.functions import relate as FR
 
     assert u1(FR.st_relate_match_strings, None, "212101212") is None
+
+
+def test_line_difference_golden():  # DifferenceTest.java (line x line)
+    from jena_geo_spark.geom import linework as L
+
+    A = g("LINESTRING(77.29 29.07,77.42 29.26,77.27 29.31,77.29 29.07)")
+    B = g("LINESTRING(77.42 29.26, 10 10)")
+    out = L.line_overlay(A.parts, B.parts, "difference")
+    # the golden MULTILINESTRING, split-point doubles bit-exact
+    assert [p.tolist() for p in out] == [
+        [[77.29, 29.07], [77.42, 29.26]],
+        [[77.42, 29.26], [77.27, 29.31], [77.2775576481951, 29.21930822165882]],
+        [[77.2775576481951, 29.21930822165882], [77.29, 29.07]],
+    ]
+
+
+def test_line_overlay_ops():
+    from jena_geo_spark.geom import linework as L
+
+    A = g("LINESTRING(0 0, 10 0)")
+    B = g("LINESTRING(4 0, 6 0)")  # collinear middle overlap
+    diff = L.line_overlay(A.parts, B.parts, "difference")
+    assert sorted(p[[0, -1], 0].tolist() for p in diff) == [[0, 4], [6, 10]]
+    inter = L.line_overlay(A.parts, B.parts, "intersection")
+    assert [p[[0, -1], 0].tolist() for p in inter] == [[4, 6]]
+    sym = L.line_overlay(A.parts, B.parts, "symdifference")
+    assert sorted(p[[0, -1], 0].tolist() for p in sym) == [[0, 4], [6, 10]]
+    uni = L.line_overlay(A.parts, B.parts, "union")
+    # total union length is the full 10 (shared part counted once)
+    assert sum(abs(p[-1, 0] - p[0, 0]) for p in uni) == 10.0
+    # identical lines: difference is empty
+    assert L.line_overlay(A.parts, A.parts, "difference") == []
