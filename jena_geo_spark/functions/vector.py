@@ -501,10 +501,19 @@ def st_translate(b: pd.Series, dx: pd.Series, dy: pd.Series) -> pd.Series:
 
 @pandas_udf(BinaryType())
 def st_flipcoordinates(b: pd.Series) -> pd.Series:
+    def swap_xy(c: np.ndarray) -> np.ndarray:
+        # swap ONLY x and y; Z/M ordinates stay in place (a full column
+        # reverse turned (x,y,z) into (z,y,x) — FlipCoordinatesTest.java)
+        out = c.copy()
+        out[:, 0], out[:, 1] = c[:, 1], c[:, 0]
+        return out
+
     def flip(g: W.Geom) -> W.Geom:
         if g.kind == "multipolygon":
-            return W.Geom(g.kind, [[r[:, ::-1].copy() for r in rings] for rings in g.parts])
-        return W.Geom(g.kind, [p[:, ::-1].copy() for p in g.parts])
+            return W.Geom(
+                g.kind, [[swap_xy(r) for r in rings] for rings in g.parts], g.dims
+            )
+        return W.Geom(g.kind, [swap_xy(p) for p in g.parts], g.dims)
 
     return _geom_map(flip)(b)
 

@@ -501,3 +501,38 @@ def test_line_overlay_ops():
     assert sum(abs(p[-1, 0] - p[0, 0]) for p in uni) == 10.0
     # identical lines: difference is empty
     assert L.line_overlay(A.parts, A.parts, "difference") == []
+
+
+def test_geom_from_geojson_golden():  # GeomFromGeoJSONTest.java
+    from jena_geo_spark.functions.registry import REGISTRY
+
+    fn = REGISTRY["st_geomfromgeojson"][0]
+    got = u1(fn, '{"type":"Point","coordinates":[-48.23456,20.12345]}')
+    assert _geq(got, "POINT(-48.23456 20.12345)")
+
+
+def test_transform_goldens():  # geometry/transform/*Test.java (enabled ones)
+    from jena_geo_spark.functions.registry import REGISTRY as REG
+
+    def xy(wkb_bytes):
+        gg = W.from_wkb(wkb_bytes)
+        rings = gg.parts if gg.kind != "multipolygon" else gg.parts[0]
+        return [r[:, :2].tolist() for r in rings]
+
+    p3 = wkb("POLYGON Z((0 0 2,0 5 2,5 0 2,0 0 2))")
+    # FlipCoordinatesTest.java: swap x and y, Z stays in place
+    flipped = W.from_wkb(u1(REG["st_flipcoordinates"][0], p3))
+    assert flipped.parts[0].tolist() == [
+        [0, 0, 2], [5, 0, 2], [0, 5, 2], [0, 0, 2]
+    ]
+    # Force2DTest.java: drop Z
+    assert xy(u1(REG["st_force2d"][0], p3)) == [[[0, 0], [0, 5], [5, 0], [0, 0]]]
+    # TransScaleTest.java: (x+tx)*sx — LINESTRING(1 2,1 10) -> (6 8, 6 24)
+    ts = u1(REG["st_transscale"][0], wkb("LINESTRING(1 2,1 10)"), 2.0, 2.0, 2.0, 2.0)
+    assert xy(ts) == [[[6, 8], [6, 24]]]
+    # ShiftLongitudeTest.java: -340 -> 20, in-range x unchanged
+    sh = u1(REG["st_shiftlongitude"][0], wkb("POLYGON((-340 0,0 5,5 0,-340 0))"))
+    assert xy(sh) == [[[20, 0], [0, 5], [5, 0], [20, 0]]]
+    # SwapOrdinatesTest.java: swap "xy" — same values as flip
+    sw = W.from_wkb(u1(REG["st_swapordinates"][0], p3, "xy"))
+    assert sw.parts[0][:, :2].tolist() == [[0, 0], [5, 0], [0, 5], [0, 0]]
