@@ -15,6 +15,11 @@ Documented divergences (reference value NOT matched on purpose):
 * IsMorePreciseTest.java expects ±1 but the implementation compares a
   geometry with itself (copy-paste bug) and JTS FLOATING precision models
   are always equal — the reference test cannot pass against its own code.
+* IsConvexTest.java expects FALSE for a zero-area collinear polygon, but
+  the reference's isConvex contains a typo (``dy2 = c2.y - c2.y`` — always
+  zero), so its orientation term is not a cross product; ours returns
+  TRUE (all cross products zero → vacuously convex).  See
+  test_triangle_predicate_goldens.
 """
 
 import math
@@ -536,3 +541,23 @@ def test_transform_goldens():  # geometry/transform/*Test.java (enabled ones)
     # SwapOrdinatesTest.java: swap "xy" — same values as flip
     sw = W.from_wkb(u1(REG["st_swapordinates"][0], p3, "xy"))
     assert sw.parts[0][:, :2].tolist() == [[0, 0], [5, 0], [0, 5], [0, 0]]
+
+
+def test_triangle_predicate_goldens():  # polygon/attribute/Is*Test.java
+    from jena_geo_spark.functions.registry import REGISTRY as REG
+
+    iso = wkb("POLYGON((8 2, 11 13, 2 6, 8 2))")
+    deg = wkb("POLYGON((1 2, 3 4, 5 6, 1 2))")  # collinear, zero area
+    noniso = wkb("POLYGON((8 2, 11 56, 2 6, 8 2))")
+    # IsAcuteTest.java
+    assert u1(REG["st_isacute"][0], iso) is True
+    assert u1(REG["st_isacute"][0], deg) is False
+    # IsIsocelesTriangleTest.java (the collinear one has two equal sides)
+    assert u1(REG["st_isisocelestriangle"][0], noniso) is False
+    assert u1(REG["st_isisocelestriangle"][0], deg) is True
+    # IsConvexTest.java divergence: the reference's isConvex contains a
+    # typo (`dy2 = c2.y - c2.y` — always 0), so its z is -dy1*dx2, not a
+    # cross product; its FALSE for the degenerate collinear polygon is an
+    # artifact.  Ours: all cross products 0 → convex (vacuously) → TRUE.
+    assert u1(REG["st_isconvex"][0], iso) is True
+    assert u1(REG["st_isconvex"][0], deg) is True
