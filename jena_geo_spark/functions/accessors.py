@@ -154,26 +154,30 @@ st_patchn = _ug2(_geometry_n)
 
 
 def _point_n(g: Geom, n: int):
+    """ZERO-based vertex accessor — the reference's PointN.java indexes
+    ``coords[n]`` directly (PointNTest.java golden: index 2 of a 3-point
+    line is the LAST point), unlike PostGIS's 1-based ST_PointN.
+    Negative indices count from the end."""
     if g.kind != "linestring" or not g.parts:
         return None
     a = g.parts[0]
     i = int(n)
-    if i < 0:  # negative index counts from the end (PostGIS ≥ 3.x)
-        i = len(a) + i + 1
-    if not 1 <= i <= len(a):
+    if i < 0:
+        i = len(a) + i
+    if not 0 <= i < len(a):
         return None
-    return Geom("point", [a[i - 1 : i]], g.dims)
+    return Geom("point", [a[i : i + 1]], g.dims)
 
 
 st_pointn = _ug2(_point_n)
 
 
 def _startpoint(g):
-    return _point_n(g, 1)
+    return _point_n(g, 0)
 
 
 def _endpoint(g):
-    return _point_n(g, len(g.parts[0])) if g.kind == "linestring" and g.parts else None
+    return _point_n(g, -1) if g.kind == "linestring" and g.parts else None
 
 
 st_startpoint = _ug(_startpoint)
@@ -1026,7 +1030,29 @@ def st_isvalidtrajectory(g):
 
 
 def _self_intersections(g: Geom):
-    """Proper self-intersection points of the linework."""
+    """Self-intersection points per the reference's semantics
+    (SelfIntersections.java): coordinates REVISITED in traversal order —
+    a duplicate-scan over the coordinate sequence, not a geometric
+    segment-crossing test (golden SelfIntersectionsTest.java:
+    a ring revisiting (1 1) and closing at (0 0) yields
+    MULTIPOINT((1 1), (0 0)); proper crossings at non-vertex positions
+    are NOT reported).  Each revisit appends one point, in order."""
+    seen: set = set()
+    rep = []
+    for c in g.all_coords():
+        key = (float(c[0]), float(c[1]))
+        if key in seen:
+            rep.append(key)
+        seen.add(key)
+    if not rep:
+        return Geom("multipoint", [])
+    return Geom("multipoint", [np.array([list(k) for k in rep])])
+
+
+def _proper_self_intersections(g: Geom):
+    """Proper self-intersection points of the linework (geometric
+    segment-crossing test — kept for validity checks; the registered
+    st_selfIntersections uses the reference's duplicate-scan above)."""
     pts = []
     chains = [np.asarray(c[:, :2]) for c in g.chains() if len(c) >= 2]
     segs = []

@@ -491,10 +491,16 @@ def st_buffer_point(lon: pd.Series, lat: pd.Series, radius: pd.Series, segs: pd.
 @pandas_udf(BinaryType())
 def st_translate(b: pd.Series, dx: pd.Series, dy: pd.Series) -> pd.Series:
     def tr(g: W.Geom, ddx: float, ddy: float) -> W.Geom:
-        off = np.array([ddx, ddy])
+        ncol = g.parts[0].shape[1] if g.parts and g.kind != "multipolygon" else (
+            g.parts[0][0].shape[1] if g.parts else 2
+        )
+        off = np.zeros(ncol)
+        off[0], off[1] = ddx, ddy  # Z/M ordinates untouched
         if g.kind == "multipolygon":
-            return W.Geom(g.kind, [[r + off for r in rings] for rings in g.parts])
-        return W.Geom(g.kind, [p + off for p in g.parts])
+            return W.Geom(
+                g.kind, [[r + off for r in rings] for rings in g.parts], g.dims
+            )
+        return W.Geom(g.kind, [p + off for p in g.parts], g.dims)
 
     return _geom_map(tr)(b, dx, dy)
 
@@ -662,7 +668,9 @@ def st_addpoint(b: pd.Series, px: pd.Series, py: pd.Series, pos: pd.Series) -> p
         g = W.from_wkb(x)
         c = g.parts[0]
         i = len(c) if int(p) < 0 else int(p)
-        g2 = W.Geom(g.kind, [np.insert(c, i, [xx, yy], axis=0)] + list(g.parts[1:]))
+        row = np.zeros(c.shape[1])
+        row[0], row[1] = xx, yy  # extra ordinates of the new vertex are 0
+        g2 = W.Geom(g.kind, [np.insert(c, i, row, axis=0)] + list(g.parts[1:]), g.dims)
         out.append(W.to_wkb(g2))
     return pd.Series(out)
 
@@ -672,7 +680,11 @@ def st_removepoint(b: pd.Series, pos: pd.Series) -> pd.Series:
     out = []
     for x, p in zip(b, pos):
         g = W.from_wkb(x)
-        g2 = W.Geom(g.kind, [np.delete(g.parts[0], int(p), axis=0)] + list(g.parts[1:]))
+        g2 = W.Geom(
+            g.kind,
+            [np.delete(g.parts[0], int(p), axis=0)] + list(g.parts[1:]),
+            g.dims,
+        )
         out.append(W.to_wkb(g2))
     return pd.Series(out)
 
@@ -683,8 +695,8 @@ def st_setpoint(b: pd.Series, pos: pd.Series, px: pd.Series, py: pd.Series) -> p
     for x, p, xx, yy in zip(b, pos, px, py):
         g = W.from_wkb(x)
         c = g.parts[0].copy()
-        c[int(p)] = (xx, yy)
-        out.append(W.to_wkb(W.Geom(g.kind, [c] + list(g.parts[1:]))))
+        c[int(p), 0], c[int(p), 1] = xx, yy  # Z/M of the vertex kept
+        out.append(W.to_wkb(W.Geom(g.kind, [c] + list(g.parts[1:]), g.dims)))
     return pd.Series(out)
 
 
@@ -692,8 +704,10 @@ def st_setpoint(b: pd.Series, pos: pd.Series, px: pd.Series, py: pd.Series) -> p
 def st_reverse(b: pd.Series) -> pd.Series:
     def rev(g: W.Geom) -> W.Geom:
         if g.kind == "multipolygon":
-            return W.Geom(g.kind, [[r[::-1].copy() for r in rings] for rings in g.parts])
-        return W.Geom(g.kind, [p[::-1].copy() for p in g.parts])
+            return W.Geom(
+                g.kind, [[r[::-1].copy() for r in rings] for rings in g.parts], g.dims
+            )
+        return W.Geom(g.kind, [p[::-1].copy() for p in g.parts], g.dims)
 
     return b.map(lambda x: W.to_wkb(rev(W.from_wkb(x))))
 
@@ -707,8 +721,10 @@ def st_removerepeatedpoints(b: pd.Series) -> pd.Series:
             return c[keep]
 
         if g.kind == "multipolygon":
-            return W.Geom(g.kind, [[dr(r) for r in rings] for rings in g.parts])
-        return W.Geom(g.kind, [dr(p) for p in g.parts])
+            return W.Geom(
+                g.kind, [[dr(r) for r in rings] for rings in g.parts], g.dims
+            )
+        return W.Geom(g.kind, [dr(p) for p in g.parts], g.dims)
 
     return b.map(lambda x: W.to_wkb(dedup(W.from_wkb(x))))
 

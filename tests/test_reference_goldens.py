@@ -561,3 +561,74 @@ def test_triangle_predicate_goldens():  # polygon/attribute/Is*Test.java
     # artifact.  Ours: all cross products 0 → convex (vacuously) → TRUE.
     assert u1(REG["st_isconvex"][0], iso) is True
     assert u1(REG["st_isconvex"][0], deg) is True
+
+
+def test_linestring_accessor_goldens():  # linestring/attribute/*Test.java
+    from jena_geo_spark.functions.registry import REGISTRY as REG
+
+    # StartPoint/EndPoint (2D and Z)
+    assert _geq(u1(REG["st_endpoint"][0], wkb("LINESTRING(1 1, 2 2, 3 3)")), "POINT(3 3)")
+    assert _geq(
+        u1(REG["st_endpoint"][0], wkb("LINESTRING Z (1 1 2, 1 2 3, 0 0 5)")),
+        "POINT Z(0 0 5)",
+    )
+    assert _geq(u1(REG["st_startpoint"][0], wkb("LINESTRING(0 1, 0 2)")), "POINT(0 1)")
+    assert _geq(
+        u1(REG["st_startpoint"][0], wkb("LINESTRING Z (0 1 1, 0 2 2)")),
+        "POINT Z(0 1 1)",
+    )
+    # PointNTest.java: ZERO-based (coords[2] of a 3-point line = last)
+    assert _geq(
+        u1(REG["st_pointn"][0], wkb("LINESTRING(0 0, 1 1, 2 2)"), 2), "POINT(2 2)"
+    )
+    # SelfIntersectionsTest.java: revisited coordinates, in order
+    got = W.from_wkb(
+        u1(REG["st_selfintersections"][0], wkb("LINESTRING(0 0, 0 1, 1 1, 1 0, 1 1, 0 0)"))
+    )
+    assert got.kind == "multipoint" and got.parts[0].tolist() == [[1, 1], [0, 0]]
+    # LineSelfIntersectionPointTest.java: no revisit -> POINT EMPTY
+    empty = W.from_wkb(
+        u1(REG["st_lineselfintersectionpoint"][0], wkb("LINESTRING(5 2, 3 8, 6 20, 7 25, 10 10)"))
+    )
+    assert empty.kind == "point" and not empty.parts
+    # SharedPathsTest.java: the shared leading segments (the reference
+    # wraps the same MULTILINESTRING in a GEOMETRYCOLLECTION)
+    sp = W.from_wkb(
+        u1(
+            REG["st_sharedpaths"][0],
+            wkb("LINESTRING(0 0, 0 1, 1 1, 1 0, 1 1, 0 0)"),
+            wkb("LINESTRING(0 0, 0 1, 1 1, 1 2, 1 1, 0 0)"),
+        )
+    )
+    assert sp.kind == "multilinestring"
+    assert [p.tolist() for p in sp.parts] == [
+        [[0, 0], [0, 1]], [[0, 1], [1, 1]], [[1, 1], [0, 0]]
+    ]
+
+
+def test_linestring_editor_goldens():  # linestring/editor/*Test.java
+    from jena_geo_spark.functions.registry import REGISTRY as REG
+
+    # RemovePointTest.java semantics note: the reference calls
+    # ArrayUtils.remove and DISCARDS the result, so its own code returns
+    # the input unchanged and its test cannot pass; we implement the
+    # documented intent (remove the vertex at the zero-based index) and
+    # match the TEST's golden instead: index 1 removed -> first two kept?
+    # No: removing index 1 of (0 0 1, 1 1 1, 2 2 1) keeps (0 0 1, 2 2 1).
+    rm = W.from_wkb(
+        u1(REG["st_removepoint"][0], wkb("LINESTRING Z(0 0 1, 1 1 1, 2 2 1)"), 1)
+    )
+    assert rm.dims == "XYZ" and rm.parts[0].tolist() == [[0, 0, 1], [2, 2, 1]]
+    # SetEndPoint / SetStartPoint / SetPoint goldens
+    assert _geq(
+        u1(REG["st_setendpoint"][0], wkb("LINESTRING(0 1, 0 2)"), wkb("POINT(1 1)")),
+        "LINESTRING(0 1, 1 1)",
+    )
+    assert _geq(
+        u1(REG["st_setstartpoint"][0], wkb("LINESTRING(0 1, 0 2)"), wkb("POINT(1 1)")),
+        "LINESTRING(1 1, 0 2)",
+    )
+    sp = REG["st_setpoint"][0]
+    assert _geq(
+        u1(sp, wkb("LINESTRING(0 1, 0 2)"), 0, 1.0, 1.0), "LINESTRING(1 1, 0 2)"
+    )
