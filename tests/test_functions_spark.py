@@ -256,3 +256,32 @@ def test_line_difference_udf(spark):
         "(77.42 29.26, 77.27 29.31, 77.2775576481951 29.21930822165882), "
         "(77.2775576481951 29.21930822165882, 77.29 29.07))"
     )
+
+
+def test_bbox_relation_goldens(spark):
+    """envelope/relation/BBOX{Above,Below,LeftOf,RightOf}Test.java."""
+    from jena_geo_spark.functions.registry import REGISTRY as R
+    from jena_geo_spark.geom import wkt as W
+
+    def wkb(s):
+        return W.to_wkb(W.from_wkt(s))
+
+    above1 = wkb("LINESTRING (1 4, 1 7)")
+    above2 = wkb("LINESTRING (0 0, 4 2)")
+    lr1 = wkb("LINESTRING (2 3, 5 6)")
+    lr2 = wkb("LINESTRING (1 4, 1 7)")
+    df = spark.createDataFrame(
+        [(above1, above2, lr1, lr2)], "a1 binary, a2 binary, l1 binary, l2 binary"
+    )
+    r = df.select(
+        R["st_bboxabove"][0](F.col("a1"), F.col("a2")).alias("ab_t"),
+        R["st_bboxabove"][0](F.col("a2"), F.col("a1")).alias("ab_f"),
+        R["st_bboxbelow"][0](F.col("a1"), F.col("a2")).alias("be_f"),
+        R["st_bboxbelow"][0](F.col("a2"), F.col("a1")).alias("be_t"),
+        R["st_bboxleftof"][0](F.col("l1"), F.col("l2")).alias("lo_f"),
+        R["st_bboxleftof"][0](F.col("l2"), F.col("l1")).alias("lo_t"),
+        R["st_bboxrightof"][0](F.col("l1"), F.col("l2")).alias("ro_t"),
+        R["st_bboxrightof"][0](F.col("l2"), F.col("l1")).alias("ro_f"),
+    ).first()
+    assert (r.ab_t, r.ab_f, r.be_f, r.be_t) == (True, False, False, True)
+    assert (r.lo_f, r.lo_t, r.ro_t, r.ro_f) == (False, True, True, False)
