@@ -461,3 +461,32 @@ def test_grid_literals_spark_roundtrip(spark):
         assert (back.width, back.height) == (4, 3), name
         assert (back.ip_x, back.ip_y, back.scale_x, back.scale_y) == (10.0, 20.0, 0.5, -0.5), name
         assert (back.bands[0].data == _grid_raster().bands[0].data).all(), name
+
+
+def test_raster_attribute_goldens():
+    """raster/attribute/*Test.java goldens on the 2x2 big-endian fixture
+    (Width/Height/NumBands/ScaleX/ScaleY/SkewX/UpperLeftX/UpperLeftY/
+    MemSize/NumXTiles/TileWidth/TileGridXOffset/RasterToWorldCoordX/
+    WorldToRasterCoordX/IsEmpty/HasNoBand)."""
+    import pandas as pd
+
+    from jena_geo_spark.functions.registry import REGISTRY as R
+
+    raw = bytes.fromhex(WKB1)
+
+    def u1(name, *args):
+        fn = R[name][0]
+        return fn.func(*[pd.Series([a]) for a in (raw,) + args]).iloc[0]
+
+    assert u1("st_width") == 2 and u1("st_height") == 2
+    assert u1("st_numbands") == 1
+    assert u1("st_scalex") == 1.0 and u1("st_scaley") == 1.0
+    assert u1("st_skewx") == 0.0
+    assert u1("st_upperleftx") == 0.0 and u1("st_upperlefty") == 0.0
+    assert u1("st_memsize") == 4  # 2x2 x one 8BUI band
+    assert u1("st_numxtiles") == 1 and u1("st_tilewidth") == 2
+    assert u1("st_tilegridxoffset") == 0
+    assert u1("st_rastertoworldcoordx", 1, 1) == 1.0
+    assert u1("st_worldtorastercoordx", 1.0, 1.0) == 1
+    assert u1("st_isempty") is False
+    assert u1("st_hasnoband", 10) is True
