@@ -632,3 +632,18 @@ def test_linestring_editor_goldens():  # linestring/editor/*Test.java
     assert _geq(
         u1(sp, wkb("LINESTRING(0 1, 0 2)"), 0, 1.0, 1.0), "LINESTRING(1 1, 0 2)"
     )
+
+
+def test_constructor_goldens():  # MakePointMTest.java, GeomFromTextTest.java
+    from jena_geo_spark.functions import registry_support as RS
+    from jena_geo_spark.functions.registry import REGISTRY as REG
+
+    pm = W.from_wkb(
+        u1(RS.st_makepointm, -71.1043443253471, 42.3150676015829, 10.0)
+    )
+    assert pm.kind == "point" and pm.dims == "XYM"
+    assert pm.parts[0].tolist() == [[-71.1043443253471, 42.3150676015829, 10.0]]
+    assert _geq(
+        u1(REG["st_geomfromtext"][0], "POINT(48.23456 20.12345)"),
+        "POINT(48.23456 20.12345)",
+    )
