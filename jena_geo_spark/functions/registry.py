@@ -387,7 +387,7 @@ _reg("st_setEndPoint", T2.st_setendpoint, "gline", "gpt")
 _reg("st_setPoint", V.st_setpoint, "gline", L(0), L(9.0), L(9.0))
 _reg("st_setStartPoint", T2.st_setstartpoint, "gline", "gpt")
 _reg("st_addRing", V.st_addring, "g", "gring")
-_reg("st_removeRing", V.st_removering, "ghole", L(1))
+_reg("st_removeRing", V.st_removering, "ghole", L(0))
 _reg("st_setRing", T2.st_setring, "ghole", L(0), "gring")
 
 # ------------------------------------------------------------- constructors --

@@ -765,19 +765,22 @@ def st_addring(b: pd.Series, ring_wkb: pd.Series) -> pd.Series:
 
 @pandas_udf(BinaryType())
 def st_removering(b: pd.Series, idx: pd.Series) -> pd.Series:
-    """ST_RemoveRing: drop interior ring ``idx`` (1-based over holes).
-    PostGIS semantics: the exterior ring (idx 0) can never be removed and an
-    out-of-range index is an error (ADVICE r1 — previously idx=0 silently
-    dropped the exterior and idx>holes silently no-opped)."""
+    """ST_RemoveRing: drop INTERIOR ring ``idx`` — ZERO-based over the
+    holes, the reference's convention (RemoveRing.java skips
+    ``getInteriorRingN(i)`` with ``i == index``; RemoveRingTest.java
+    removes the only hole with index 0).  The exterior ring can never be
+    removed and an out-of-range index is an error (ADVICE r1 —
+    previously out-of-range silently no-opped)."""
     out = []
     for x, i in zip(b, idx):
         g = W.from_wkb(x)
         i = int(i)
-        if i < 1 or i > len(g.parts) - 1:
+        if i < 0 or i >= len(g.parts) - 1:
             raise ValueError(
-                f"ST_RemoveRing: ring index {i} out of range 1..{len(g.parts) - 1}"
+                f"ST_RemoveRing: interior ring index {i} out of range "
+                f"0..{len(g.parts) - 2}"
             )
-        parts = [p for j, p in enumerate(g.parts) if j != i]
+        parts = [p for j, p in enumerate(g.parts) if j != i + 1]
         out.append(W.to_wkb(W.Geom("polygon", parts)))
     return pd.Series(out)
 

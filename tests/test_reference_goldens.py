@@ -647,3 +647,14 @@ def test_constructor_goldens():  # MakePointMTest.java, GeomFromTextTest.java
         u1(REG["st_geomfromtext"][0], "POINT(48.23456 20.12345)"),
         "POINT(48.23456 20.12345)",
     )
+
+
+def test_ring_editor_goldens():  # polygon/editor/{Add,Remove}RingTest.java
+    from jena_geo_spark.functions.registry import REGISTRY as REG
+
+    one = "POLYGON ((8 2, 11 13, 2 6, 8 2))"
+    two = "POLYGON((8 2, 11 13, 2 6, 8 2), (8 2, 11 13, 2 6, 8 2))"
+    ring = "LINESTRING (8 2, 11 13, 2 6, 8 2)"
+    assert _geq(u1(REG["st_addring"][0], wkb(one), wkb(ring)), two)
+    # interior index 0 removes the (only) hole — reference convention
+    assert _geq(u1(REG["st_removering"][0], wkb(two), 0), one)

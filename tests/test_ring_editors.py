@@ -22,8 +22,9 @@ def test_ring_editors(spark):
     r = with_hole.select(
         st_numinteriorrings(F.col("g")).alias("n"),
         st_area(F.col("g")).alias("a"),
-        st_area(st_removering(F.col("g"), F.lit(1))).alias("a2"),
-        st_numinteriorrings(st_removering(F.col("g"), F.lit(1))).alias("n2"),
+        # interior-ring index is ZERO-based (reference RemoveRing.java)
+        st_area(st_removering(F.col("g"), F.lit(0))).alias("a2"),
+        st_numinteriorrings(st_removering(F.col("g"), F.lit(0))).alias("n2"),
     ).first()
     assert r.n == 1 and r.a == 100.0 - 4.0
     assert r.n2 == 0 and r.a2 == 100.0
