@@ -1049,38 +1049,6 @@ def _self_intersections(g: Geom):
     return Geom("multipoint", [np.array([list(k) for k in rep])])
 
 
-def _proper_self_intersections(g: Geom):
-    """Proper self-intersection points of the linework (geometric
-    segment-crossing test — kept for validity checks; the registered
-    st_selfIntersections uses the reference's duplicate-scan above)."""
-    pts = []
-    chains = [np.asarray(c[:, :2]) for c in g.chains() if len(c) >= 2]
-    segs = []
-    for ch in chains:
-        for i in range(len(ch) - 1):
-            segs.append((ch[i], ch[i + 1]))
-    for i in range(len(segs)):
-        for j in range(i + 1, len(segs)):
-            p1, p2 = segs[i]
-            q1, q2 = segs[j]
-            shared = any((a == b).all() for a in (p1, p2) for b in (q1, q2))
-            if shared:
-                continue
-            d1 = p2 - p1
-            d2 = q2 - q1
-            den = d1[0] * d2[1] - d1[1] * d2[0]
-            if abs(den) < 1e-300:
-                continue
-            t = ((q1[0] - p1[0]) * d2[1] - (q1[1] - p1[1]) * d2[0]) / den
-            u = ((q1[0] - p1[0]) * d1[1] - (q1[1] - p1[1]) * d1[0]) / den
-            if 0 <= t <= 1 and 0 <= u <= 1:
-                pts.append(p1 + t * d1)
-    if not pts:
-        return Geom("multipoint", [])
-    uniq = np.unique(np.round(np.array(pts), 12), axis=0)
-    return Geom("multipoint", [uniq])
-
-
 st_selfintersections = _ug(_self_intersections)
 
 

@@ -294,12 +294,19 @@ def st_areasimilarity(ga, gb):
     """JTS AreaSimilarityMeasure: area(A∩B) / area(A∪B) (spatial Jaccard)."""
     from ..geom import overlay as O
 
-    if _area_of(ga) > 0 and W.to_wkb(ga) == W.to_wkb(gb):
+    if (
+        ga.kind == gb.kind
+        and len(ga.parts) == len(gb.parts)
+        and np.array_equal(ga.all_coords(), gb.all_coords())  # cheap gate
+        and _area_of(ga) > 0
+        and W.to_wkb(ga) == W.to_wkb(gb)  # settles ring-boundary layout
+    ):
         # structurally identical non-degenerate inputs: Jaccard is
         # exactly 1 — the general clip kernel's coincident-edge handling
         # perturbs the ring by last ulps (AreaSimilarityTest.java golden
-        # is 1.0).  WKB bytes compare any nesting (multis, collections);
-        # zero-area pairs keep the overlay path's None (0/0).
+        # is 1.0).  The coordinate comparison rejects nearly all distinct
+        # pairs without re-encoding; zero-area pairs keep the overlay
+        # path's None (0/0).
         return 1.0
     inter = O.overlay_geoms(ga, gb, "intersection")
     ia = _area_of(inter)

@@ -491,10 +491,8 @@ def st_buffer_point(lon: pd.Series, lat: pd.Series, radius: pd.Series, segs: pd.
 @pandas_udf(BinaryType())
 def st_translate(b: pd.Series, dx: pd.Series, dy: pd.Series) -> pd.Series:
     def tr(g: W.Geom, ddx: float, ddy: float) -> W.Geom:
-        ncol = g.parts[0].shape[1] if g.parts and g.kind != "multipolygon" else (
-            g.parts[0][0].shape[1] if g.parts else 2
-        )
-        off = np.zeros(ncol)
+        # coordinate arrays carry len(dims) columns (wkt.Geom contract)
+        off = np.zeros(len(g.dims))
         off[0], off[1] = ddx, ddy  # Z/M ordinates untouched
         if g.kind == "multipolygon":
             return W.Geom(
@@ -578,7 +576,15 @@ def _overlay_udf(op: str):
                 # 1D overlay (DifferenceTest.java golden) — the polygon
                 # kernel would misread the chains as rings
                 chains = L.line_overlay(ga.parts, gb.parts, op)
-                if len(chains) == 1:
+                if op == "intersection" and not chains:
+                    # no shared 1D linework: crossing points (JTS returns
+                    # (MULTI)POINT for lines meeting only at points)
+                    pts = L.line_crossing_points(ga.parts, gb.parts)
+                    if len(pts) == 1:
+                        g = W.Geom("point", [pts])
+                    else:
+                        g = W.Geom("multipoint", [pts])
+                elif len(chains) == 1:
                     g = W.Geom("linestring", chains)
                 else:
                     g = W.Geom("multilinestring", chains)
@@ -759,7 +765,12 @@ def st_addring(b: pd.Series, ring_wkb: pd.Series) -> pd.Series:
     for x, rw in zip(b, ring_wkb):
         g = W.from_wkb(x)
         hole = W.from_wkb(rw).exterior()
-        out.append(W.to_wkb(W.Geom("polygon", list(g.parts) + [hole])))
+        w = len(g.dims)  # conform the ring to the polygon's ordinate width
+        if hole.shape[1] < w:
+            hole = np.hstack([hole, np.zeros((len(hole), w - hole.shape[1]))])
+        else:
+            hole = hole[:, :w]
+        out.append(W.to_wkb(W.Geom("polygon", list(g.parts) + [hole], g.dims)))
     return pd.Series(out)
 
 
@@ -781,7 +792,7 @@ def st_removering(b: pd.Series, idx: pd.Series) -> pd.Series:
                 f"0..{len(g.parts) - 2}"
             )
         parts = [p for j, p in enumerate(g.parts) if j != i + 1]
-        out.append(W.to_wkb(W.Geom("polygon", parts)))
+        out.append(W.to_wkb(W.Geom("polygon", parts, g.dims)))
     return pd.Series(out)
 
 

@@ -327,22 +327,47 @@ def line_overlay(chains_a: list, chains_b: list, op: str) -> list:
                       appears once, contributed by B)
     symdifference   → A-not-on-B plus B-not-on-A
     """
-    scale = 1.0
-    for ch in list(chains_a) + list(chains_b):
-        c = np.asarray(ch, dtype=np.float64)
-        if c.size:
-            scale = max(scale, float(np.abs(c[:, :2]).max()))
-    eps = 1e-9 * scale
+    eps = _overlay_eps(chains_a, chains_b)
     a_pieces = [q for ch in chains_a for q in _node_chain(ch, chains_b, eps)]
     if op == "difference":
+        # kept noded, NOT merged: the reference golden
+        # (DifferenceTest.java) pins the node-split MULTILINESTRING
         return [p for p in a_pieces if not _on_blades(p, chains_b, eps)]
     if op == "intersection":
-        return [p for p in a_pieces if _on_blades(p, chains_b, eps)]
+        # shared linework merged back to maximal chains
+        return line_merge([p for p in a_pieces if _on_blades(p, chains_b, eps)])
     b_pieces = [q for ch in chains_b for q in _node_chain(ch, chains_a, eps)]
     if op == "union":
-        return [p for p in a_pieces if not _on_blades(p, chains_b, eps)] + b_pieces
+        return line_merge(
+            [p for p in a_pieces if not _on_blades(p, chains_b, eps)] + b_pieces
+        )
     if op == "symdifference":
         return [p for p in a_pieces if not _on_blades(p, chains_b, eps)] + [
             p for p in b_pieces if not _on_blades(p, chains_a, eps)
         ]
     raise ValueError(f"unknown line overlay op {op!r}")
+
+
+def _overlay_eps(chains_a: list, chains_b: list) -> float:
+    scale = 1.0
+    for ch in list(chains_a) + list(chains_b):
+        c = np.asarray(ch, dtype=np.float64)
+        if c.size:
+            scale = max(scale, float(np.abs(c[:, :2]).max()))
+    return 1e-9 * scale
+
+
+def line_crossing_points(chains_a: list, chains_b: list) -> np.ndarray:
+    """0-dimensional intersection of two sets of line chains: the noding
+    cut points of A against B that lie on B (JTS line x line intersection
+    returns these as (MULTI)POINT when there is no 1D overlap)."""
+    eps = _overlay_eps(chains_a, chains_b)
+    pts = []
+    for ch in chains_a:
+        for p in _node_chain(ch, chains_b, eps):
+            for v in (p[0], p[-1]):
+                if _pts_on_chains(v[None, :], chains_b, eps)[0]:
+                    pts.append((float(v[0]), float(v[1])))
+    if not pts:
+        return np.empty((0, 2))
+    return np.array(sorted(set(pts)))

@@ -114,9 +114,10 @@ def test_removering_bounds_validation(spark):
         W.from_wkt("POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
     )
     df = spark.createDataFrame([(1, bytearray(holey))], "id int, g binary")
-    ok = df.select(st_removering(F.col("g"), F.lit(1)).alias("g")).collect()
+    # interior index is ZERO-based (reference RemoveRing.java)
+    ok = df.select(st_removering(F.col("g"), F.lit(0)).alias("g")).collect()
     assert len(W.from_wkb(bytes(ok[0]["g"])).parts) == 1
-    for bad in (0, 2):
+    for bad in (-1, 1):
         with pytest.raises(Exception):
             df.select(st_removering(F.col("g"), F.lit(bad)).alias("g")).collect()
 

@@ -658,3 +658,37 @@ def test_ring_editor_goldens():  # polygon/editor/{Add,Remove}RingTest.java
     assert _geq(u1(REG["st_addring"][0], wkb(one), wkb(ring)), two)
     # interior index 0 removes the (only) hole — reference convention
     assert _geq(u1(REG["st_removering"][0], wkb(two), 0), one)
+
+
+def test_line_overlay_edge_cases():  # review r3.3 findings
+    from jena_geo_spark.functions import vector as FV2
+    from jena_geo_spark.geom import linework as L
+
+    # crossing-only intersection yields the crossing POINT (JTS semantics)
+    got = W.from_wkb(
+        u1(FV2.st_intersection, wkb("LINESTRING(0 0,2 2)"), wkb("LINESTRING(0 2,2 0)"))
+    )
+    assert got.kind == "point" and got.parts[0].tolist() == [[1.0, 1.0]]
+    # intersection/union re-merge noded pieces to maximal chains
+    a = g("LINESTRING(0 0,1 0,2 0)")
+    assert [
+        p[[0, -1], 0].tolist() for p in L.line_overlay(a.parts, a.parts, "intersection")
+    ] == [[0.0, 2.0]]
+
+
+def test_ring_editors_preserve_dims():  # review r3.3 finding 1
+    from jena_geo_spark.functions import vector as FV2
+
+    zp = wkb("POLYGON Z((0 0 1,10 0 1,10 10 1,0 0 1),(4 4 1,6 4 1,6 6 1,4 4 1))")
+    out = W.from_wkb(u1(FV2.st_removering, zp, 0))
+    assert out.dims == "XYZ" and len(out.parts) == 1
+    out2 = W.from_wkb(
+        u1(
+            FV2.st_addring,
+            wkb("POLYGON Z((0 0 1,10 0 1,10 10 1,0 0 1))"),
+            wkb("LINESTRING(4 4,6 4,6 6,4 4)"),  # 2D ring padded to width
+        )
+    )
+    assert out2.dims == "XYZ" and all(p.shape[1] == 3 for p in out2.parts)
+    tr = W.from_wkb(u1(FV2.st_translate, wkb("LINESTRING Z(0 0 1,1 1 1)"), 10.0, 20.0))
+    assert tr.parts[0].tolist() == [[10, 20, 1], [11, 21, 1]]
