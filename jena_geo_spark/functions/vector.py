@@ -575,15 +575,26 @@ def _overlay_udf(op: str):
             if ga.kind in _LINE_KINDS and gb.kind in _LINE_KINDS:
                 # 1D overlay (DifferenceTest.java golden) — the polygon
                 # kernel would misread the chains as rings
-                chains = L.line_overlay(ga.parts, gb.parts, op)
+                if op == "intersection":
+                    chains, pts = L.line_intersection_mixed(ga.parts, gb.parts)
+                else:
+                    chains, pts = L.line_overlay(ga.parts, gb.parts, op), ()
                 if op == "intersection" and not chains:
                     # no shared 1D linework: crossing points (JTS returns
                     # (MULTI)POINT for lines meeting only at points)
-                    pts = L.line_crossing_points(ga.parts, gb.parts)
                     if len(pts) == 1:
                         g = W.Geom("point", [pts])
-                    else:
+                    elif len(pts):
                         g = W.Geom("multipoint", [pts])
+                    else:
+                        g = W.Geom("multipoint", [])
+                elif op == "intersection" and len(pts):
+                    # mixed-dimension result: shared linework AND isolated
+                    # crossings — JTS OverlayOp returns
+                    # GEOMETRYCOLLECTION(POINT…, LINESTRING…), points first
+                    members = [W.Geom("point", [p[None, :]]) for p in pts]
+                    members += [W.Geom("linestring", [c]) for c in chains]
+                    g = W.Geom("geometrycollection", members)
                 elif len(chains) == 1:
                     g = W.Geom("linestring", chains)
                 else:

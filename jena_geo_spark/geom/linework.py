@@ -357,6 +357,21 @@ def _overlay_eps(chains_a: list, chains_b: list) -> float:
     return 1e-9 * scale
 
 
+def line_intersection_mixed(chains_a: list, chains_b: list):
+    """Line×line intersection with mixed-dimension output: the shared 1D
+    linework plus any isolated 0D crossings NOT on it.  JTS OverlayOp
+    returns GEOMETRYCOLLECTION(POINT, LINESTRING) when a pair both shares
+    a segment and crosses transversally elsewhere (reference
+    ``GeometryWrapper.java:715-808`` delegates to it); plain
+    ``line_overlay`` reports only the 1D part."""
+    chains = line_overlay(chains_a, chains_b, "intersection")
+    pts = line_crossing_points(chains_a, chains_b)
+    if len(pts) and chains:
+        eps = _overlay_eps(chains_a, chains_b)
+        pts = pts[~_pts_on_chains(pts, chains, eps)]
+    return chains, pts
+
+
 def line_crossing_points(chains_a: list, chains_b: list) -> np.ndarray:
     """0-dimensional intersection of two sets of line chains: the noding
     cut points of A against B that lie on B (JTS line x line intersection

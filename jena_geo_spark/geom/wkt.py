@@ -389,7 +389,9 @@ def _read_wkb(mv: memoryview, off: int) -> tuple[Geom, int]:
             g, off = _read_wkb(mv, off)
             sub_dims = g.dims
             pts.append(g.parts[0][0])
-        return Geom("multipoint", [np.array(pts)], sub_dims), off
+        # n == 0 → canonical empty ([], printing MULTIPOINT EMPTY), not a
+        # 1-D zero-length part that breaks parts[0][:, :2] downstream
+        return Geom("multipoint", [np.array(pts)] if pts else [], sub_dims), off
     if kind in ("multilinestring", "multipolygon"):
         n = struct.unpack_from(endian + "I", mv, off)[0]
         off += 4

@@ -802,6 +802,127 @@ def polygon_join_frames(
     )
 
 
+def pip_join_points_polygons_frames(
+    spark,
+    points: DataFrame,
+    polys: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    poly_id: str = "id",
+    wkt_col: str = "wkt",
+    cells_target: int = 64,
+    max_cells: int = 512,
+    level_stride: int = 2,
+    fine_res: int = FINE_RES,
+) -> DataFrame:
+    """Frame-scale point-in-polygon join — the distributed generalisation
+    of ``spatial_join_points_zones`` for polygon sides too large to
+    collect/broadcast (the reference's nested-loop FILTER path has no such
+    distinction; SURVEY §2.5).
+
+    Nothing touches the driver except the (≤ fine_res/stride + 1)-element
+    distinct-level list.  Per-polygon covers (cells + ``full`` flags, holes
+    subtracted — the same ``build_zone_covers`` construction as the
+    broadcast path, so results are bit-exact across routes) are built
+    inside a ``mapInPandas`` over the polygon frame; points explode one
+    pure-Catalyst ancestor per distinct cover level and equi-join on cell.
+    Covers are per-zone antichains, so a (point, polygon) pair matches at
+    most once — no dedup shuffle.  ``full``-cell candidates skip the exact
+    refine; partial candidates join the polygon WKT back in and ray-cast
+    in a factorized pandas UDF (one parse + one numpy sweep per distinct
+    polygon per Arrow batch, ``kernel.points_in_polygon`` — term-for-term
+    the broadcast refine and the DuckDB oracle).
+
+    Returns ``points.columns + [poly_id]``.  Scale shape: shuffle volume is
+    O(cover cells) + O(points × |levels|); hot cells (dense point regions)
+    are split by AQE skew-join; per-polygon fan-out is bounded by
+    ``max_cells`` by construction."""
+    cell_c, full_c, fine_c = "__pjf_cell", "__pjf_full", "__pjf_fine"
+    id_type = dict(polys.dtypes)[poly_id]
+    cover_schema = f"`{poly_id}` {id_type}, `{cell_c}` long, `{full_c}` boolean"
+
+    def cover_gen(batches):
+        for pdf in batches:
+            covs = build_zone_covers(
+                list(zip(pdf[poly_id], pdf[wkt_col])),
+                cells_target=cells_target,
+                max_cells=max_cells,
+                level_stride=level_stride,
+            )
+            ids: list = []
+            cells: list[np.ndarray] = []
+            fulls: list[np.ndarray] = []
+            for zc in covs:
+                ids += [zc.zone_id] * len(zc.cells)
+                cells.append(zc.cells)
+                fulls.append(zc.full)
+            yield pd.DataFrame(
+                {
+                    poly_id: pd.Series(ids, dtype=pdf[poly_id].dtype),
+                    cell_c: np.concatenate(cells) if cells else np.empty(0, np.int64),
+                    full_c: np.concatenate(fulls) if fulls else np.empty(0, bool),
+                }
+            )
+
+    src = polys.select(poly_id, wkt_col)
+    # widen a narrow source so the CPU-heavy cover stage parallelises
+    # (no-op at real scale where the input has thousands of partitions)
+    par = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    cov = src.mapInPandas(cover_gen, cover_schema).localCheckpoint(eager=True)
+    levels = sorted(
+        r.l
+        for r in cov.select(F.shiftrightunsigned(cell_c, 56).alias("l"))
+        .distinct()
+        .collect()
+    )
+    if not levels:
+        return points.limit(0).withColumn(
+            poly_id, F.lit(None).cast(id_type)
+        ).select(*points.columns, poly_id)
+
+    pts = with_point_cells(points, lon=lon, lat=lat, fine_res=fine_res, out_col=fine_c)
+    ancs = F.array(*[ancestor_col(F.col(fine_c), fine_res, l) for l in levels])
+    cand = pts.withColumn(cell_c, F.explode(ancs)).join(cov, cell_c)
+
+    out_cols = [*points.columns, poly_id]
+    full_hits = cand.filter(F.col(full_c)).select(*out_cols)
+    partial = (
+        cand.filter(~F.col(full_c))
+        .select(*out_cols)
+        .join(polys.select(poly_id, wkt_col), poly_id)
+    )
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    from ..geom import kernel as K
+
+    @pandas_udf(BooleanType())
+    def pip(lon_s: pd.Series, lat_s: pd.Series, wkt_s: pd.Series) -> pd.Series:
+        px = lon_s.to_numpy(dtype=np.float64)
+        py = lat_s.to_numpy(dtype=np.float64)
+        out = np.zeros(len(px), dtype=bool)
+        codes, uniq = pd.factorize(wkt_s)
+        for u, wkt_str in enumerate(uniq):
+            m = codes == u
+            g = W.from_wkt(wkt_str)
+            ins_any = np.zeros(int(m.sum()), dtype=bool)
+            for rings in g.polygons() or [[g.exterior()]]:
+                ins = K.points_in_polygon(px[m], py[m], rings[0])
+                for hole in rings[1:]:
+                    ins &= ~K.points_in_polygon(px[m], py[m], hole)
+                ins_any |= ins
+            out[m] = ins_any
+        return pd.Series(out)
+
+    refined = partial.filter(pip(F.col(lon), F.col(lat), F.col(wkt_col))).select(
+        *out_cols
+    )
+    return full_hits.unionByName(refined)
+
+
 def dwithin_join_points_points(
     spark,
     left: DataFrame,

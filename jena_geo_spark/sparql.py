@@ -1670,6 +1670,13 @@ class _GroupCompiler:
             frame = frame.filter(F.lit(False))
         return frame, binds, kinds
 
+    # -- spatial FILTER rewrite sizing ------------------------------------
+    # Polygon sides at or under this row count take the collect/broadcast
+    # cover path (dimension-table shape: zones, admin boundaries); larger
+    # sides route to the frame-scale mapInPandas cover join with NO
+    # driver-side collect (pip_join_points_polygons_frames).
+    _SPATIAL_DIM_MAX = 10_000
+
     # -- property-path closure: a distributed reachability operator ------
     _PATH_BFS_ROUNDS = 512  # O(diameter) frontier rounds
     _PATH_SQUARE_ROUNDS = 40  # pointer doubling: paths up to 2^40 edges
@@ -1804,27 +1811,32 @@ class _GroupCompiler:
         if o_const is not None:
             pairs = pairs.where(F.col("dst") == o_const)
         if s_const is not None and o_const is not None:
-            return pairs, None
-        if s_const is not None:
+            out, mapping = pairs, None
+        elif s_const is not None:
             ov = pc.o.name
-            return pairs.select(F.col("dst").alias(f"__v_{ov}")), {ov: f"__v_{ov}"}
-        if o_const is not None:
+            out = pairs.select(F.col("dst").alias(f"__v_{ov}"))
+            mapping = {ov: f"__v_{ov}"}
+        elif o_const is not None:
             sv = pc.s.name
-            return pairs.select(F.col("src").alias(f"__v_{sv}")), {sv: f"__v_{sv}"}
-        sv, ov = pc.s.name, pc.o.name
-        if sv == ov:
-            return (
-                pairs.where(F.col("src") == F.col("dst")).select(
+            out = pairs.select(F.col("src").alias(f"__v_{sv}"))
+            mapping = {sv: f"__v_{sv}"}
+        else:
+            sv, ov = pc.s.name, pc.o.name
+            if sv == ov:
+                out = pairs.where(F.col("src") == F.col("dst")).select(
                     F.col("src").alias(f"__v_{sv}")
-                ),
-                {sv: f"__v_{sv}"},
-            )
-        return (
-            pairs.select(
-                F.col("src").alias(f"__v_{sv}"), F.col("dst").alias(f"__v_{ov}")
-            ),
-            {sv: f"__v_{sv}", ov: f"__v_{ov}"},
-        )
+                )
+                mapping = {sv: f"__v_{sv}"}
+            else:
+                out = pairs.select(
+                    F.col("src").alias(f"__v_{sv}"), F.col("dst").alias(f"__v_{ov}")
+                )
+                mapping = {sv: f"__v_{sv}", ov: f"__v_{ov}"}
+        # Materialize INSIDE the caller's constraint-propagation-off window:
+        # the returned frame would otherwise execute lazily after the conf
+        # is restored (and the '?' branch returns un-checkpointed edges),
+        # racing concurrent queries on the session-global flag.
+        return out.localCheckpoint(eager=True), mapping
 
     @staticmethod
     def _desugar_property_functions(g: Group) -> Group:
@@ -1961,32 +1973,53 @@ class _GroupCompiler:
                 continue
             if not (poly_part["kinds"].get(poly_e.name) or "").startswith("wkt"):
                 continue
-            # polygon side is dim-scale by declaration: collect (sid, wkt).
             # localCheckpoint pins the monotonically_increasing_id rows
             # (the id must not be recomputed under a different partition
-            # layout between the collect and the broadcast join-back) and,
+            # layout between the checkpoint and the join-back) and,
             # unlike cache(), doesn't leave a session-lifetime storage pin
             # per rewritten query.
             poly_f = poly_part["frame"]
             zid = "__zid"
+            wkt_bind = poly_part["binds"][poly_e.name]
             poly_rows = poly_f.withColumn(
                 zid, F.monotonically_increasing_id()
             ).localCheckpoint(eager=True)
-            zones = [
-                (str(r[zid]), r[poly_part["binds"][poly_e.name]])
-                for r in poly_rows.select(zid, poly_part["binds"][poly_e.name]).collect()
-            ]
-            covers = build_zone_covers(zones)
-            joined = spatial_join_points_zones(
-                self.spark,
-                pt_part["frame"],
-                covers,
-                lon=f"__lon_{pt_e.name}",
-                lat=f"__lat_{pt_e.name}",
-            )
-            out = joined.withColumn(zid, F.col("zone_id").cast("long")).drop("zone_id").join(
-                F.broadcast(poly_rows), on=zid, how="inner"
-            ).drop(zid)
+            # size guard (counted on the checkpointed blocks — cheap): at
+            # or under _SPATIAL_DIM_MAX the polygon side is dimension-table
+            # shaped → collect + broadcast covers; above it, NOTHING is
+            # collected — covers build in mapInPandas and the join-back is
+            # a shuffle join (the r3 verdict's last scale-killer shape).
+            if poly_rows.count() <= self._SPATIAL_DIM_MAX:
+                zones = [
+                    (str(r[zid]), r[wkt_bind])
+                    for r in poly_rows.select(zid, wkt_bind).collect()
+                ]
+                covers = build_zone_covers(zones)
+                joined = spatial_join_points_zones(
+                    self.spark,
+                    pt_part["frame"],
+                    covers,
+                    lon=f"__lon_{pt_e.name}",
+                    lat=f"__lat_{pt_e.name}",
+                )
+                out = joined.withColumn(
+                    zid, F.col("zone_id").cast("long")
+                ).drop("zone_id").join(
+                    F.broadcast(poly_rows), on=zid, how="inner"
+                ).drop(zid)
+            else:
+                from .operators.spatial_join import pip_join_points_polygons_frames
+
+                joined = pip_join_points_polygons_frames(
+                    self.spark,
+                    pt_part["frame"],
+                    poly_rows.select(zid, wkt_bind),
+                    lon=f"__lon_{pt_e.name}",
+                    lat=f"__lat_{pt_e.name}",
+                    poly_id=zid,
+                    wkt_col=wkt_bind,
+                )
+                out = joined.join(poly_rows, on=zid, how="inner").drop(zid)
             flt._consumed = True  # noqa: SLF001 — mark applied
             return {
                 "frame": out,

@@ -676,6 +676,39 @@ def test_line_overlay_edge_cases():  # review r3.3 findings
     ] == [[0.0, 2.0]]
 
 
+def test_line_intersection_advice_r3():  # ADVICE r3 items 1+2
+    from jena_geo_spark.functions import vector as FV2
+    from jena_geo_spark.geom import linework as L
+
+    # disjoint lines → canonical MULTIPOINT EMPTY (not a 1-D empty part
+    # whose WKB round-trip breaks parts[0][:, :2] downstream)
+    got = W.from_wkb(
+        u1(FV2.st_intersection, wkb("LINESTRING(0 0,1 0)"), wkb("LINESTRING(0 5,1 5)"))
+    )
+    assert got.kind == "multipoint" and got.parts == []
+    assert W.to_wkt(got) == "MULTIPOINT EMPTY"
+    # shared segment AND transversal crossing → GEOMETRYCOLLECTION(POINT,
+    # LINESTRING) like JTS OverlayOp, points first
+    got = W.from_wkb(
+        u1(
+            FV2.st_intersection,
+            wkb("LINESTRING(0 0,10 0)"),
+            wkb("MULTILINESTRING((2 0,4 0),(6 -1,6 1))"),
+        )
+    )
+    assert got.kind == "geometrycollection"
+    kinds = [m.kind for m in got.parts]
+    assert kinds == ["point", "linestring"]
+    assert got.parts[0].parts[0].tolist() == [[6.0, 0.0]]
+    assert got.parts[1].parts[0].tolist() == [[2.0, 0.0], [4.0, 0.0]]
+    # crossing point coincident with shared linework is NOT duplicated
+    chains, pts = L.line_intersection_mixed(
+        g("LINESTRING(0 0,10 0)").parts,
+        g("MULTILINESTRING((2 0,4 0),(3 -1,3 1))").parts,
+    )
+    assert len(chains) == 1 and len(pts) == 0
+
+
 def test_ring_editors_preserve_dims():  # review r3.3 finding 1
     from jena_geo_spark.functions import vector as FV2
 

@@ -363,6 +363,40 @@ def test_spatial_rewrite_matches_operator(spark, images_pt, zones_pt):
     assert got == exp and len(got) > 0
 
 
+def test_spatial_rewrite_frame_scale_route(spark, images_pt, zones_pt, monkeypatch):
+    """Polygon sides above _SPATIAL_DIM_MAX route through the frame-scale
+    mapInPandas cover join (pip_join_points_polygons_frames): NO driver
+    collect of the polygon side, no broadcast-cover call, rows identical
+    to the dim-scale route (VERDICT r3 'What's wrong' #1)."""
+    import jena_geo_spark.operators.spatial_join as SJ
+
+    q = ("SELECT ?img ?zone WHERE { "
+         "?img a geo2:Image . ?img geo:asWKT ?pt . "
+         "?zone a geo2:Zone . ?zone geo:asWKT ?poly . "
+         "FILTER(geo2:ST_Within(?pt, ?poly)) }")
+    model = S.UnionModel([images_pt, zones_pt])
+    base = {(r["img"], r["zone"]) for r in S.execute_query(spark, q, model).collect()}
+    assert len(base) > 0
+
+    # force every polygon side onto the frame route; the dim-scale
+    # operator and the driver-side collect must never run
+    monkeypatch.setattr(S._GroupCompiler, "_SPATIAL_DIM_MAX", -1)
+
+    def _boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("dim-scale collect path used on frame route")
+
+    monkeypatch.setattr(SJ, "spatial_join_points_zones", _boom)
+    monkeypatch.setattr(SJ, "build_zone_covers_driver_guard", _boom, raising=False)
+    df = S.execute_query(spark, q, model)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # Arrow-batched Python only (WKT-point parse + factorized exact-PIP
+    # refine), never row-at-a-time
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+    got = {(r["img"], r["zone"]) for r in df.collect()}
+    assert got == base
+
+
 def test_property_function_predicate(spark, images_pt, zones_pt):
     """``?img geo:sfWithin ?zone`` triple (geosparql-jena query-rewrite
     predicate) — desugared and executed as the cell-cover join."""

@@ -179,3 +179,55 @@ def test_knn_join_frames_matches_bruteforce(spark):
         order = sorted(range(nr), key=lambda j: (d2[i, j], f"r{j:04d}"))[:k]
         exp = [(rk + 1, f"r{j:04d}") for rk, j in enumerate(order)]
         assert sorted(got[f"l{i:04d}"]) == exp
+
+
+def test_pip_join_frames_matches_broadcast_path(spark):
+    """pip_join_points_polygons_frames (nothing driver-side) must agree
+    pair-for-pair with the broadcast zone-cover path — same cover
+    construction, same exact-PIP kernel, different distribution shape."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from jena_geo_spark.operators.spatial_join import (
+        build_zone_covers,
+        pip_join_points_polygons_frames,
+        spatial_join_points_zones,
+    )
+
+    rng = np.random.default_rng(7)
+    polys = []
+    for i in range(40):
+        cx, cy = rng.uniform(-170, 170), rng.uniform(-80, 80)
+        r = rng.uniform(0.5, 4.0)
+        n = int(rng.integers(3, 7))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        xs, ys = cx + r * np.cos(ang), cy + r * np.sin(ang)
+        ring = ", ".join(f"{x} {y}" for x, y in zip(xs, ys)) + f", {xs[0]} {ys[0]}"
+        polys.append((i, f"POLYGON(({ring}))"))
+    # a polygon with a hole and a multipolygon — both refine paths must
+    # subtract holes / OR members identically
+    polys.append((98, "MULTIPOLYGON(((30 30, 36 30, 36 36, 30 30)),"
+                      "((-30 -30, -24 -30, -24 -24, -30 -30)))"))
+    polys.append((99, "POLYGON((0 0, 20 0, 20 20, 0 20, 0 0),"
+                      "(5 5, 15 5, 15 15, 5 15, 5 5))"))
+    poly_df = spark.createDataFrame(polys, "pid long, zwkt string")
+    pt_df = spark.createDataFrame(
+        pd.DataFrame({
+            "ptid": np.arange(5000),
+            "lon": rng.uniform(-175, 175, 5000),
+            "lat": rng.uniform(-85, 85, 5000),
+        })
+    )
+    covers = build_zone_covers([(str(p), w) for p, w in polys])
+    exp = {
+        (r.ptid, int(r.zone_id))
+        for r in spatial_join_points_zones(spark, pt_df, covers).collect()
+    }
+    out = pip_join_points_polygons_frames(
+        spark, pt_df, poly_df, poly_id="pid", wkt_col="zwkt"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+    got = {(r.ptid, r.pid) for r in out.collect()}
+    assert got == exp and len(got) > 0
