@@ -99,6 +99,22 @@ GEO_PF = {
         "sfCrosses", "sfOverlaps", "sfEquals", "sfDisjoint",
     )
 }
+# jena-spatial property functions (geosparql-jena 1.1.2's second PF
+# namespace — the reference enables it with the same setupMemoryIndex()):
+# ``?s spatial:nearby (lat lon radius [units [limit]])``.
+SPATIAL_NS = "http://jena.apache.org/spatial#"
+SPATIAL_PF = {
+    SPATIAL_NS + n: n.lower()
+    for n in ("nearby", "withinCircle", "withinBox", "intersectBox")
+}
+# unit IRI/string → (name, metres-per-unit); degree is the planar mode
+_SPATIAL_UNITS = {
+    "metre": ("m", 1.0), "meter": ("m", 1.0), "m": ("m", 1.0),
+    "kilometre": ("km", 1000.0), "kilometer": ("km", 1000.0), "km": ("km", 1000.0),
+    "mile": ("mi", 1609.344), "statutemile": ("mi", 1609.344), "mi": ("mi", 1609.344),
+    "degree": ("degree", None), "degrees": ("degree", None), "deg": ("degree", None),
+}
+
 _SF_FUNC = {
     "sfwithin": "st_within",
     "sfcontains": "st_contains",
@@ -373,6 +389,29 @@ class SubSelect:
 
 
 @dataclass
+class Coll:
+    """RDF collection in object position — ``?s spatial:nearby (49.9 8.2
+    0.5)``.  Only consumed by the spatial property functions; generic
+    rdf:first/rest expansion is out of scope (explicit boundary)."""
+
+    items: list
+
+
+@dataclass
+class SpatialPF:
+    """Group item: a jena-spatial property function over a subject star
+    (``spatial:nearby`` / ``withinCircle`` / ``withinBox`` /
+    ``intersectBox`` — the reference's geosparql-jena 1.1.2 surface,
+    SURVEY §2.3 kNN).  ``geom_var`` is the subject's geo:asWKT variable;
+    the compiler applies the constraint to that star's frame."""
+
+    s: object  # subject Var
+    name: str  # 'nearby' | 'withincircle' | 'withinbox' | 'intersectbox'
+    args: list  # parsed collection terms
+    geom_var: str = ""
+
+
+@dataclass
 class Query:
     select: list | None  # None = SELECT *; items: ("var", name) | ("expr", ast, alias)
     distinct: bool
@@ -382,6 +421,8 @@ class Query:
     offset: int | None
     group_by: list = field(default_factory=list)
     having: object | None = None  # expression AST (constraints AND-ed)
+    form: str = "select"  # 'select' | 'ask' | 'construct'
+    template: list = field(default_factory=list)  # CONSTRUCT triples
 
 
 # ------------------------------------------------------------ SPARQL parsing --
@@ -468,15 +509,52 @@ class _Parser:
             pn = self.expect("pname")[1]
             iri = self.expect("iri")[1]
             self.prefixes[pn.rstrip(":")] = iri
-        q = self.select_query()
+        if self.kw("ASK"):
+            q = self.ask_query()
+        elif self.kw("CONSTRUCT"):
+            q = self.construct_query()
+        else:
+            q = self.select_query()
         t = self.peek()
         if t[0] != "eof":
             raise ValueError(f"unparsed tokens at end of query, starting at {t}")
         return q
 
+    def ask_query(self) -> Query:
+        """``ASK [WHERE] { … }`` — SPARQL 1.1 §16.3."""
+        self.kw("WHERE")
+        return Query([], False, self.group(), [], None, None, form="ask")
+
+    def construct_query(self) -> Query:
+        """``CONSTRUCT { template } WHERE { … } [LIMIT/OFFSET]`` —
+        SPARQL 1.1 §16.2.  The template is a plain triple block."""
+        tg = self.group()
+        template = [it for it in tg.items if isinstance(it, Triple)]
+        if len(template) != len(tg.items) or any(
+            isinstance(t.o, Coll) for t in template
+        ):
+            raise NotImplementedError(
+                "CONSTRUCT template must be plain triples"
+            )
+        if not self.kw("WHERE"):
+            raise ValueError("CONSTRUCT without WHERE")
+        where = self.group()
+        limit = offset = None
+        while True:
+            if self.kw("LIMIT"):
+                limit = int(self.expect("num")[1])
+            elif self.kw("OFFSET"):
+                offset = int(self.expect("num")[1])
+            else:
+                break
+        return Query(
+            None, False, where, [], limit, offset,
+            form="construct", template=template,
+        )
+
     def select_query(self) -> Query:
         if not self.kw("SELECT"):
-            raise ValueError("only SELECT queries are supported")
+            raise ValueError("only SELECT/ASK/CONSTRUCT queries are supported")
         distinct = self.kw("DISTINCT")
         select: list | None = []
         if self.peek() == ("op", "*"):
@@ -663,7 +741,16 @@ class _Parser:
         while True:
             p = self.path()
             while True:
-                o = self.term()
+                if self.peek() == ("punct", "("):
+                    # RDF collection object — spatial PF argument list
+                    self.next()
+                    items = []
+                    while self.peek() != ("punct", ")"):
+                        items.append(self.term())
+                    self.next()
+                    o = Coll(items)
+                else:
+                    o = self.term()
                 self._expand_path(s, p, o, g)
                 if self.peek() == ("punct", ","):
                     self.next()
@@ -823,6 +910,8 @@ class _Parser:
                 if t[0] == "iri"
                 else (self.expand(t[1]) if t[0] == "pname" else "builtin:" + t[1].upper())
             )
+            if t[0] in ("pname", "iri") and self.peek() != ("punct", "("):
+                return Iri(iri)  # bare IRI term, e.g. FILTER(?x = ex:d)
             self.expect("punct", "(")
             distinct = False
             if self.peek()[0] == "word" and self.peek()[1].upper() == "DISTINCT":
@@ -848,26 +937,38 @@ class _Parser:
         raise ValueError(f"unexpected expression token {t}")
 
 
-def _atomic_edges(p, inv: bool = False) -> list:
-    """Flatten the body of a closure mod into [(pred_iri, inverted)].
+def _invert_steps(steps: list) -> list:
+    """Inverse of a step sequence: reverse the order, invert each step."""
+    return [(pred, not iv) for pred, iv in reversed(steps)]
 
-    Closures are supported over single predicates, inverses, and
-    alternatives of those (the shapes with a fixed edge relation);
-    a sequence inside ? * + has no fixed edge set and is rejected."""
+
+def _atomic_edges(p, inv: bool = False) -> list:
+    """Flatten the body of a closure mod into a list of ALTERNATIVES,
+    each a sequence of (pred_iri, inverted) steps.
+
+    Closures are supported over predicates, inverses, alternatives and
+    sequences of those — every shape with a fixed edge relation (a
+    sequence's edge relation is the relational composition of its
+    steps).  Nested mods inside ? * + have no fixed edge set and are
+    rejected."""
     if isinstance(p, Iri):
-        return [(p.iri, inv)]
-    if isinstance(p, PathInv):
-        return _atomic_edges(p.path, not inv)
-    if isinstance(p, PathAlt):
-        out = []
+        alts = [[(p.iri, False)]]
+    elif isinstance(p, PathInv):
+        alts = [_invert_steps(s) for s in _atomic_edges(p.path)]
+    elif isinstance(p, PathAlt):
+        alts = [s for part in p.parts for s in _atomic_edges(part)]
+    elif isinstance(p, PathSeq):
+        alts = [[]]
         for part in p.parts:
-            out += _atomic_edges(part, inv)
-        return out
-    raise NotImplementedError(
-        "property-path closure (? * +) supports atomic predicates, "
-        "inverses and alternatives; sequences/nested mods are not a "
-        "fixed edge relation"
-    )
+            palts = _atomic_edges(part)
+            alts = [a + b for a in alts for b in palts]
+    else:
+        raise NotImplementedError(
+            "property-path closure (? * +) supports predicates, inverses, "
+            "alternatives and sequences of those; nested mods are not a "
+            "fixed edge relation"
+        )
+    return [_invert_steps(s) for s in alts] if inv else alts
 
 
 def parse_query(text: str) -> Query:
@@ -1496,10 +1597,12 @@ class _GroupCompiler:
         unsat_const_path = False
         if triples:
             frame, binds, kinds = self._bgp(
-                triples, [it for it in g.items if isinstance(it, Filter)]
+                triples,
+                [it for it in g.items if isinstance(it, Filter)],
+                [it for it in g.items if isinstance(it, SpatialPF)],
             )
         for it in g.items:
-            if isinstance(it, Triple):
+            if isinstance(it, (Triple, SpatialPF)):
                 continue
             if isinstance(it, Bind):
                 ec = _ExprCompiler(binds, kinds)
@@ -1662,10 +1765,11 @@ class _GroupCompiler:
                 else:
                     frame = self._merge(frame, binds, kinds, uf, ub, uk)
         if frame is None:
-            raise ValueError(
-                "group pattern binds no variables"
-                + (" (only constant path tests)" if g.items else "")
-            )
+            # a group of only constant tests (e.g. ASK { :a :p+ :d }) binds
+            # nothing but still has a truth value: one unit row, killed by
+            # the unsat flag below when a constant test failed
+            frame = self.spark.range(1).select(F.lit(0).alias("__unit"))
+            binds, kinds = {}, {}
         if unsat_const_path:
             frame = frame.filter(F.lit(False))
         return frame, binds, kinds
@@ -1681,18 +1785,36 @@ class _GroupCompiler:
     _PATH_BFS_ROUNDS = 512  # O(diameter) frontier rounds
     _PATH_SQUARE_ROUNDS = 40  # pointer doubling: paths up to 2^40 edges
 
+    def _step_frame(self, pred: str, inv: bool) -> DataFrame:
+        f, b, _ = self.model.star_frame(
+            [Triple(Var("__ps"), Iri(pred), Var("__po"))], "__ps"
+        )
+        src, dst = (b["__po"], b["__ps"]) if inv else (b["__ps"], b["__po"])
+        return f.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
+            F.col("src").isNotNull() & F.col("dst").isNotNull()
+        )
+
     def _path_edge_frame(self, pc: PathClosure) -> DataFrame:
+        """Edge relation of the closure body: alternatives union, a
+        sequence alternative composes its steps with equi-joins
+        (src→mid₁→…→dst) — still a fixed relation, so the closure loops
+        (BFS / pointer doubling) are unchanged."""
         parts = []
-        for pred, inv in pc.edges:
-            f, b, _ = self.model.star_frame(
-                [Triple(Var("__ps"), Iri(pred), Var("__po"))], "__ps"
-            )
-            src, dst = (b["__po"], b["__ps"]) if inv else (b["__ps"], b["__po"])
-            parts.append(f.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+        for steps in pc.edges:
+            e = self._step_frame(*steps[0])
+            for pred, inv in steps[1:]:
+                nxt = self._step_frame(pred, inv).withColumnsRenamed(
+                    {"src": "__mid", "dst": "__nxt"}
+                )
+                e = (
+                    e.join(nxt, e["dst"] == nxt["__mid"])
+                    .select("src", F.col("__nxt").alias("dst"))
+                )
+            parts.append(e)
         e = parts[0]
         for p in parts[1:]:
             e = e.unionByName(p)
-        return e.where(F.col("src").isNotNull() & F.col("dst").isNotNull()).distinct()
+        return e.distinct()
 
     def _path_closure_frame(self, pc: PathClosure):
         """``s path{mod} o`` → (pairs frame, binds) — or (pairs, None)
@@ -1853,7 +1975,14 @@ class _GroupCompiler:
             for it in g.items
             if isinstance(it, Triple) and isinstance(it.p, Iri) and it.p.iri in GEO_PF
         ]
-        if not pf:
+        spf = [
+            it
+            for it in g.items
+            if isinstance(it, Triple)
+            and isinstance(it.p, Iri)
+            and it.p.iri in SPATIAL_PF
+        ]
+        if not pf and not spf:
             return g
         aswkt: dict[str, str] = {}
         for it in g.items:
@@ -1865,24 +1994,137 @@ class _GroupCompiler:
                 and isinstance(it.o, Var)
             ):
                 aswkt.setdefault(it.s.name, it.o.name)
-        out = Group([it for it in g.items if it not in pf])
+        out = Group([it for it in g.items if it not in pf and it not in spf])
+
+        def geom_of(side) -> str:
+            if side.name not in aswkt:
+                fresh = f"__g_{side.name}"
+                out.items.append(Triple(side, Iri(GEO_ASWKT), Var(fresh)))
+                aswkt[side.name] = fresh
+            return aswkt[side.name]
+
         for t in pf:
             if not (isinstance(t.s, Var) and isinstance(t.o, Var)):
                 raise NotImplementedError(
                     "property-function predicates need variable subject and object"
                 )
-            args = []
-            for side in (t.s, t.o):
-                if side.name not in aswkt:
-                    fresh = f"__g_{side.name}"
-                    out.items.append(Triple(side, Iri(GEO_ASWKT), Var(fresh)))
-                    aswkt[side.name] = fresh
-                args.append(Var(aswkt[side.name]))
+            args = [Var(geom_of(t.s)), Var(geom_of(t.o))]
             out.items.append(Filter(Func(t.p.iri, args)))
+        for t in spf:
+            if not isinstance(t.s, Var) or not isinstance(t.o, Coll):
+                raise NotImplementedError(
+                    "spatial:* property functions need a variable subject and a "
+                    "constant argument list"
+                )
+            out.items.append(
+                SpatialPF(t.s, SPATIAL_PF[t.p.iri], t.o.items, geom_of(t.s))
+            )
+        return out
+
+    def _apply_spatial_pf(self, st, pf: SpatialPF):
+        """Compile one jena-spatial property function onto its subject star.
+
+        ``nearby``/``withinCircle (lat lon radius [units [limit]])``:
+        radius filter in the given units — metre-family units use the
+        great-circle ``st_distance_sphere`` (geof:distance's geographic
+        dispatch; geosparql-jena's default unit is kilometres), the OGC
+        degree unit is planar.  A ``limit`` means the *k nearest* inside
+        the radius: the degree unit routes to the grid-pruned distributed
+        kNN operator (operators/knn.py — the BASELINE north-rule
+        re-architecture of the reference's single-JVM spatial index),
+        metre units take a Catalyst TakeOrderedAndProject top-k; either
+        way the data side is never shuffled.
+        ``withinBox``/``intersectBox (latMin lonMin latMax lonMax)``:
+        pure-Catalyst range filter (identical predicates for points)."""
+        frame = st["frame"]
+        gv = pf.geom_var
+        lon_c, lat_c = f"__lon_{gv}", f"__lat_{gv}"
+        if st["kinds"].get(gv) != "wkt_point" or lon_c not in frame.columns:
+            raise NotImplementedError(
+                f"spatial:{pf.name} needs a declared point geometry with "
+                "lon/lat columns"
+            )
+        vals = pf.args
+        if pf.name in ("withinbox", "intersectbox"):
+            if len(vals) != 4:
+                raise NotImplementedError(
+                    f"spatial:{pf.name} takes (latMin lonMin latMax lonMax); "
+                    "a result limit on box functions is unordered in the "
+                    "reference and not supported"
+                )
+            lat_min, lon_min, lat_max, lon_max = (float(v.value) for v in vals)
+            return frame.filter(
+                (F.col(lat_c) >= F.lit(lat_min))
+                & (F.col(lat_c) <= F.lit(lat_max))
+                & (F.col(lon_c) >= F.lit(lon_min))
+                & (F.col(lon_c) <= F.lit(lon_max))
+            )
+        if not 3 <= len(vals) <= 5:
+            raise ValueError(
+                f"spatial:{pf.name} takes (lat lon radius [units [limit]])"
+            )
+        qlat, qlon, radius = (float(vals[i].value) for i in range(3))
+        unit, limit = "km", None
+        for extra in vals[3:]:
+            if isinstance(extra, Lit) and isinstance(extra.value, (int, float)):
+                limit = int(extra.value)
+            else:
+                key = (
+                    extra.iri if isinstance(extra, Iri) else str(extra.value)
+                )
+                key = re.split(r"[/#]", key)[-1].lower()
+                if key not in _SPATIAL_UNITS:
+                    raise NotImplementedError(f"spatial unit {key!r}")
+                unit = _SPATIAL_UNITS[key][0]
+        sv = pf.s.name if isinstance(pf.s, Var) else None
+        tie_c = st["binds"].get(sv) or st["binds"][gv]
+        if unit == "degree":
+            dx = F.col(lon_c) - F.lit(qlon)
+            dy = F.col(lat_c) - F.lit(qlat)
+            dist = F.sqrt(dx * dx + dy * dy)
+            if limit is None:
+                return frame.filter(dist <= F.lit(radius))
+            from .operators.knn import knn_join
+
+            rid = "__spf_rid"
+            pinned = frame.withColumn(
+                rid, F.monotonically_increasing_id()
+            ).localCheckpoint(eager=True)
+            hits = knn_join(
+                self.spark,
+                pinned.select(rid, lon_c, lat_c),
+                [("q", qlon, qlat)],
+                k=limit,
+                lon=lon_c,
+                lat=lat_c,
+                id_col=rid,
+            )
+            hits = hits.filter(F.col("dist") <= F.lit(radius)).select(rid)
+            return pinned.join(F.broadcast(hits), rid).drop(rid)
+        from .functions.vector import st_distance_sphere
+
+        m_per = _SPATIAL_UNITS[unit][1]
+        dist_m = st_distance_sphere(
+            F.col(lon_c), F.col(lat_c), F.lit(qlon), F.lit(qlat)
+        )
+        out = frame.filter(dist_m <= F.lit(radius * m_per))
+        if limit is not None:
+            d_c = "__spf_d"
+            out = (
+                out.withColumn(d_c, dist_m)
+                .orderBy(F.col(d_c).asc(), F.col(tie_c).asc())
+                .limit(limit)
+                .drop(d_c)
+            )
         return out
 
     # -- basic graph pattern: star grouping + join graph + spatial rewrite
-    def _bgp(self, triples: list[Triple], filters: list[Filter]):
+    def _bgp(
+        self,
+        triples: list[Triple],
+        filters: list[Filter],
+        spatial_pfs: list[SpatialPF] = (),
+    ):
         stars: dict[object, list[Triple]] = {}
         order: list[object] = []
         for t in triples:
@@ -1897,6 +2139,16 @@ class _GroupCompiler:
             subj_var = key if isinstance(key, str) else None
             f, b, k = self.model.star_frame(stars[key], subj_var)
             built.append({"frame": f, "binds": b, "kinds": k})
+
+        for pf in spatial_pfs:
+            for st in built:
+                if pf.geom_var in st["binds"]:
+                    st["frame"] = self._apply_spatial_pf(st, pf)
+                    break
+            else:  # pragma: no cover - desugar always adds the star
+                raise NotImplementedError(
+                    f"spatial:{pf.name} subject has no geometry star"
+                )
 
         # connected components over shared variables
         merged = built[0]
@@ -2219,11 +2471,17 @@ class _AggCompiler:
                 # deterministic choice
                 c, _ = self.ec.compile(e.args[0])
                 return self._slot(F.min(c))
-            if e.distinct:
-                raise NotImplementedError(f"{name}(DISTINCT) not supported")
             c, _ = self.ec.compile(e.args[0])
             if _numericish(e.args[0]):
                 c = c.cast("double")
+            if e.distinct:
+                # MIN/MAX are distinct-invariant; SUM(DISTINCT) is native;
+                # AVG(DISTINCT) = sum_distinct / count_distinct (Spark's
+                # Average is sum/count anyway, so semantics are identical)
+                if name == "SUM":
+                    return self._slot(F.sum_distinct(c))
+                if name == "AVG":
+                    return self._slot(F.sum_distinct(c) / F.count_distinct(c))
             fn = {"SUM": F.sum, "AVG": F.avg, "MIN": F.min, "MAX": F.max}[name]
             return self._slot(fn(c))
         name = _registry_name(e.iri)
@@ -2376,11 +2634,67 @@ def _run_select(spark: SparkSession, q: Query, model):
 
 
 def execute_query(spark: SparkSession, query: str, model) -> DataFrame:
-    """Compile and run a SPARQL SELECT against a model backend
+    """Compile and run a SPARQL query against a model backend
     (:class:`TriplesModel`, :class:`PropertyTable` or
-    :class:`UnionModel`).  Returns a DataFrame whose columns are the
-    selected variable names."""
-    return _run_select(spark, parse_query(query), model)[0]
+    :class:`UnionModel`).
+
+    SELECT returns a DataFrame whose columns are the selected variable
+    names; ASK returns a one-row ``ask boolean`` DataFrame; CONSTRUCT
+    returns the instantiated-template graph as a distinct ``s p o``
+    triples DataFrame."""
+    q = parse_query(query)
+    if q.form == "ask":
+        return spark.createDataFrame([(execute_ask(spark, query, model),)], "ask boolean")
+    if q.form == "construct":
+        return _run_construct(spark, q, model)
+    return _run_select(spark, q, model)[0]
+
+
+def execute_ask(spark: SparkSession, query: str, model) -> bool:
+    """``ASK`` — does the pattern have ≥1 solution?  Evaluates as
+    ``limit(1)`` over the compiled pattern: the scan short-circuits on
+    the first produced row, never materialising the full result."""
+    q = parse_query(query)
+    if q.form != "ask":
+        raise ValueError("execute_ask needs an ASK query")
+    sel = Query(None, False, q.where, [], 1, None)
+    return _run_select(spark, sel, model)[0].limit(1).count() > 0
+
+
+def _run_construct(spark: SparkSession, q: Query, model) -> DataFrame:
+    """CONSTRUCT: run the WHERE pattern as SELECT *, instantiate every
+    template triple per solution, drop triples with unbound terms
+    (§16.2), and ``distinct`` — a graph is a set of triples."""
+    frame, _ = _run_select(
+        spark, Query(None, False, q.where, [], q.limit, q.offset), model
+    )
+    outs = []
+    for t in q.template:
+        cols = []
+        for term in (t.s, t.p, t.o):
+            if isinstance(term, Var):
+                if term.name not in frame.columns:
+                    cols = None  # variable never bound: pattern yields nothing
+                    break
+                cols.append(F.col(term.name).cast("string"))
+            elif isinstance(term, Iri):
+                cols.append(F.lit(term.iri))
+            else:
+                cols.append(F.lit(_term_str(term)))
+        if cols is None:
+            continue
+        tri = frame.select(
+            cols[0].alias("s"), cols[1].alias("p"), cols[2].alias("o")
+        ).where(
+            F.col("s").isNotNull() & F.col("p").isNotNull() & F.col("o").isNotNull()
+        )
+        outs.append(tri)
+    if not outs:
+        return spark.createDataFrame([], "s string, p string, o string")
+    out = outs[0]
+    for tri in outs[1:]:
+        out = out.unionByName(tri)
+    return out.distinct()
 
 
 def query_service(

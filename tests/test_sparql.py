@@ -554,10 +554,30 @@ def test_path_alternative_desugars_to_union():
     assert any(isinstance(it, S.Union) for it in q.where.items)
 
 
-def test_path_closure_over_sequence_rejected():
+def test_path_closure_over_sequence(spark, chain):
+    """(p/q)+ closures: the edge relation is the composition p∘q —
+    SPARQL 1.1 §9.1 (an r3 explicit boundary, closed in r4)."""
+    # (next/next)+ from a: 2 hops → c; 4 hops overruns the chain
+    got = _rows(spark, chain, "SELECT ?o WHERE { ex:a (ex:next/ex:next)+ ?o }")
+    assert got == _n(("c",))
+    # both-variable pointer doubling over the composed relation
+    got = _rows(spark, chain, "SELECT ?a ?b WHERE { ?a (ex:next/ex:next)+ ?b }")
+    assert got == _n(("a", "c"), ("b", "d"))
+    # inverse of a sequence reverses AND inverts the steps
+    got = _rows(spark, chain, "SELECT ?x WHERE { ?x (^(ex:next/ex:next))+ ex:a }")
+    assert got == _n(("c",))
+    # '*' adds the identity over the node domain
+    got = _rows(spark, chain, "SELECT ?o WHERE { ex:b (ex:next/ex:next)* ?o }")
+    assert got == _n(("b",), ("d",))
+    # sequences of alternatives distribute into the alternative set
+    got = _rows(spark, chain, "SELECT ?o WHERE { ex:a ((ex:next|ex:alt)/ex:name)+ ?o }")
+    assert sorted(got) == [("xname",)]
+
+
+def test_path_closure_nested_mod_rejected():
     with pytest.raises(NotImplementedError):
         S.parse_query(
-            "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ex:a (ex:p/ex:q)+ ?o }"
+            "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ex:a (ex:p+/ex:q)+ ?o }"
         )
 
 
@@ -822,3 +842,51 @@ def test_round_ties_toward_positive_infinity(spark, chain):
         "BIND(ROUND(-2.5) AS ?r) BIND(ROUND(2.5) AS ?r2) }"
     ))
     assert got == [(-2.0, 3.0)]
+
+
+# ------------------------------------- r4: DISTINCT aggs, ASK, CONSTRUCT  --
+
+
+def test_distinct_aggregates(spark, spark_or_none=None):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("a", 3.0), ("b", 2.0), ("b", 2.0)],
+        "k string, v double",
+    )
+    pt = S.PropertyTable(
+        df, id_col="k",
+        props={"http://ex.org/k": S.PropSpec("k"), "http://ex.org/v": S.PropSpec("v")},
+    )
+    q = ("PREFIX ex: <http://ex.org/> "
+         "SELECT ?k (SUM(DISTINCT ?v) AS ?sd) (AVG(DISTINCT ?v) AS ?ad) "
+         "(COUNT(DISTINCT ?v) AS ?cd) (SUM(?v) AS ?s) "
+         "WHERE { ?x ex:k ?k . ?x ex:v ?v } GROUP BY ?k ORDER BY ?k")
+    rows = [tuple(r) for r in S.execute_query(spark, q, pt).collect()]
+    assert rows == [("a", 4.0, 2.0, 2, 5.0), ("b", 2.0, 2.0, 1, 4.0)]
+
+
+def test_ask_query(spark, chain):
+    q = "PREFIX ex: <http://ex.org/> ASK { ex:a ex:next+ ex:d }"
+    assert S.execute_ask(spark, q, chain) is True
+    q2 = "PREFIX ex: <http://ex.org/> ASK WHERE { ex:d ex:next ?o }"
+    assert S.execute_ask(spark, q2, chain) is False
+    # execute_query surfaces the same result as a one-row frame
+    rows = S.execute_query(spark, q, chain).collect()
+    assert [tuple(r) for r in rows] == [(True,)]
+
+
+def test_construct_query(spark, chain):
+    q = ("PREFIX ex: <http://ex.org/> "
+         "CONSTRUCT { ?a ex:reaches ?b . ?b ex:reachedBy ?a } "
+         "WHERE { ?a ex:next+ ?b . FILTER(?b = ex:d) }")
+    got = sorted(tuple(r) for r in S.execute_query(spark, q, chain).collect())
+    E = "http://ex.org/"
+    exp = sorted(
+        [(E + s, E + "reaches", E + "d") for s in ("a", "b", "c")]
+        + [(E + "d", E + "reachedBy", E + s) for s in ("a", "b", "c")]
+    )
+    assert got == exp
+    # constant-only template + duplicate solutions → ONE triple (set graph)
+    q2 = ("PREFIX ex: <http://ex.org/> "
+          "CONSTRUCT { ex:g ex:hasEdge ex:yes } WHERE { ?a ex:next ?b }")
+    got2 = [tuple(r) for r in S.execute_query(spark, q2, chain).collect()]
+    assert got2 == [(E + "g", E + "hasEdge", E + "yes")]
