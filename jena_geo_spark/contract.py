@@ -880,7 +880,7 @@ def o_geo_mbc_radius() -> str:
 def q_geo_densify_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Densify (1 midpoint per edge) of the derived 4-point line, dumped
     to one row per vertex — exact interpolation arithmetic."""
-    from .functions.shapes import st_densify
+    from .functions.shapes import st_densify_n
     from .functions.vector import st_dumppoints
 
     pts = _with_tri_coords(points_from_events(spark, sf_dir))
@@ -888,7 +888,7 @@ def q_geo_densify_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g",
         _make_line4(*[F.col(c) for c in ("x1", "y1", "x2", "y2", "x3", "y3", "x4", "y4")]),
     )
-    dense = st_densify(F.col("g"), F.lit(1))
+    dense = st_densify_n(F.col("g"), F.lit(1))
     dumped = line.select(
         "event_id", F.posexplode(st_dumppoints(dense)).alias("idx", "pt")
     )

@@ -197,7 +197,25 @@ def st_segmentize(b: pd.Series, max_len: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
-def st_densify(b: pd.Series, n_per_edge: pd.Series) -> pd.Series:
+def st_densify(b: pd.Series, tol: pd.Series) -> pd.Series:
+    """Reference ``geometry/transform/Densify.java`` = JTS
+    ``Densifier.densify(geom, distanceTolerance)`` — the argument is a
+    MAX SEGMENT LENGTH, not a point count (r4 golden: DensifyTest.java)."""
+    def dn(x, t):
+        g = W.from_wkb(x)
+        if g.kind == "multipolygon":
+            parts = [[L.densify_tol(r, float(t)) for r in rings] for rings in g.parts]
+        else:
+            parts = [L.densify_tol(p, float(t)) for p in g.parts]
+        return W.to_wkb(W.Geom(g.kind, parts, g.dims))
+
+    return pd.Series([dn(x, t) for x, t in zip(b, tol)])
+
+
+@pandas_udf(BinaryType())
+def st_densify_n(b: pd.Series, n_per_edge: pd.Series) -> pd.Series:
+    """Fixed-count variant (n extra points per segment, fractions
+    k/(n+1)) — kept for the SQL-oracle contract query."""
     def dn(x, n):
         g = W.from_wkb(x)
         if g.kind == "multipolygon":
@@ -210,16 +228,22 @@ def st_densify(b: pd.Series, n_per_edge: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
-def st_simplifyvw(b: pd.Series, area_tol: pd.Series) -> pd.Series:
+def st_simplifyvw(b: pd.Series, dist_tol: pd.Series) -> pd.Series:
+    """JTS ``VWSimplifier`` convention (the reference delegates to it):
+    the argument is a DISTANCE tolerance, squared into the effective-area
+    threshold — not a raw area like PostGIS ST_SimplifyVW (r4 golden:
+    SimplifyVWTest.java, tol 30 collapses the 5-point line to its
+    endpoints)."""
     def sv(x, t):
+        area = float(t) * float(t)
         g = W.from_wkb(x)
         if g.kind == "linestring":
-            return W.to_wkb(W.Geom("linestring", [L.simplify_vw(g.parts[0], float(t))]))
+            return W.to_wkb(W.Geom("linestring", [L.simplify_vw(g.parts[0], area)]))
         if g.kind == "polygon":
-            return W.to_wkb(W.Geom("polygon", [L.simplify_vw(r, float(t)) for r in g.parts]))
+            return W.to_wkb(W.Geom("polygon", [L.simplify_vw(r, area) for r in g.parts]))
         return x
 
-    return pd.Series([sv(x, t) for x, t in zip(b, area_tol)])
+    return pd.Series([sv(x, t) for x, t in zip(b, dist_tol)])
 
 
 @pandas_udf(BinaryType())

@@ -101,9 +101,23 @@ def st_y(b: pd.Series) -> pd.Series:
     return b.map(y_of)
 
 
+# JTS Geometry.getGeometryType() capitalization — the reference's
+# GeometryType.java returns these verbatim (golden: GeometryTypeTest.java
+# expects "LineString", not "LINESTRING")
+_JTS_TYPE_NAMES = {
+    "point": "Point",
+    "linestring": "LineString",
+    "polygon": "Polygon",
+    "multipoint": "MultiPoint",
+    "multilinestring": "MultiLineString",
+    "multipolygon": "MultiPolygon",
+    "geometrycollection": "GeometryCollection",
+}
+
+
 @pandas_udf(StringType())
 def st_geometrytype(b: pd.Series) -> pd.Series:
-    return b.map(lambda x: W.from_wkb(x).kind.upper())
+    return b.map(lambda x: _JTS_TYPE_NAMES[W.from_wkb(x).kind])
 
 
 @pandas_udf(IntegerType())

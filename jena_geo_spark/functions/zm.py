@@ -90,17 +90,22 @@ def st_force3dz(b: pd.Series, z: pd.Series) -> pd.Series:
 
 @pandas_udf(BinaryType())
 def st_force3dm(b: pd.Series, mval: pd.Series) -> pd.Series:
+    """Force XYM: Z is DROPPED, existing M kept, missing M defaulted —
+    PostGIS ST_Force3DM and the reference's Force3DM.java agree (r4
+    golden Force3DMTest.java: POLYGON Z → XYM with M = 0; our pre-r4
+    XYZ → XYZM widening was a bug)."""
     def f3(x, mv):
         g = W.from_wkb(x)
-        if "M" in g.dims:
+        if g.dims == "XYM":
             return x
 
-        def widen(a):
+        def tom(a):
+            if "M" in g.dims:  # XYZM: keep the trailing M column
+                return np.hstack([a[:, :2], a[:, -1:]])
             mc = np.full((len(a), 1), float(mv))
-            return np.hstack([a, mc])
+            return np.hstack([a[:, :2], mc])
 
-        dims = "XYZM" if g.dims == "XYZ" else "XYM"
-        return W.to_wkb(W.Geom(g.kind, _map_parts(g, widen), dims))
+        return W.to_wkb(W.Geom(g.kind, _map_parts(g, tom), "XYM"))
 
     return pd.Series([f3(x, mv) for x, mv in zip(b, mval)])
 

@@ -150,6 +150,24 @@ def segmentize(coords: np.ndarray, max_len: float) -> np.ndarray:
     return np.array(out)
 
 
+def densify_tol(coords: np.ndarray, tol: float) -> np.ndarray:
+    """JTS ``Densifier.densify`` arithmetic (the reference's
+    ``geometry/transform/Densify.java`` delegates to it): each segment
+    splits into ``floor(len/tol) + 1`` equal pieces, so every densified
+    segment is strictly shorter than ``tol``.  Golden: DensifyTest.java's
+    exact fraction list."""
+    c = np.asarray(coords, dtype=np.float64)
+    out = [c[0]]
+    for i in range(len(c) - 1):
+        a, b = c[i], c[i + 1]
+        seg_len = float(np.hypot(*(b[:2] - a[:2])))
+        count = int(seg_len / tol) + 1 if tol > 0 else 1
+        for k in range(1, count):
+            out.append(a + (b - a) * (k / count))
+        out.append(b)
+    return np.array(out)
+
+
 def densify(coords: np.ndarray, n_per_edge: int) -> np.ndarray:
     """Fixed-count densify: n_per_edge extra points per segment (the
     SQL-oracle-friendly variant: split fractions are k/(n+1))."""

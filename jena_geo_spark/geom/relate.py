@@ -35,8 +35,19 @@ def _dimch(d: int) -> str:
 
 
 def _on_edge(px: float, py: float, ax, ay, bx, by) -> bool:
-    cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
-    if cross != 0.0:
+    rx, ry = bx - ax, by - ay
+    qx, qy = px - ax, py - ay
+    cross = rx * qy - ry * qx
+    # scale-relative exactness, not cross != 0: the sweep's sub-segment
+    # MIDPOINTS are float averages, so a midpoint's position carries an
+    # absolute error ~eps·|coordinate| (e.g. 8.6e-15 at x≈77) and an exact
+    # test mislabels the line's own interior as exterior (found by
+    # EqualTopoTest.java: a closed decimal triangle was not equalsTopo to
+    # itself).  Tolerated off-line distance = 8·eps·max|coord| (sub-ulp at
+    # the data's own scale); cross = distance × |AB|.
+    scale = max(abs(ax), abs(ay), abs(bx), abs(by), abs(px), abs(py))
+    tol = 8.0 * 2.220446049250313e-16 * scale * (rx * rx + ry * ry) ** 0.5
+    if abs(cross) > tol:
         return False
     return min(ax, bx) <= px <= max(ax, bx) and min(ay, by) <= py <= max(ay, by)
 

@@ -42,8 +42,8 @@ def test_exporters_roundtrip(spark, geoms):
         V.st_geometrytype(F.col("ga")).alias("t"),
         V.st_npoints(F.col("ga")).alias("n"),
     ).collect()
-    assert out[0].t == "LINESTRING" and out[0].n == 4
-    assert out[2].t == "POLYGON"
+    assert out[0].t == "LineString" and out[0].n == 4
+    assert out[2].t == "Polygon"
     assert "coordinates" in out[0].gj
     # text roundtrip re-parses to same geometry
     df2 = spark.createDataFrame([(out[0].wkt,)], "w string")

@@ -725,3 +725,257 @@ def test_ring_editors_preserve_dims():  # review r3.3 finding 1
     assert out2.dims == "XYZ" and all(p.shape[1] == 3 for p in out2.parts)
     tr = W.from_wkb(u1(FV2.st_translate, wkb("LINESTRING Z(0 0 1,1 1 1)"), 10.0, 20.0))
     assert tr.parts[0].tolist() == [[10, 20, 1], [11, 21, 1]]
+
+
+# ---- r4 golden batch: geometry/relation + polygon/attribute +
+# geometry/attribute actives (uncited until now) -------------------------
+
+
+def test_equal_type_goldens():  # EqualTypeTest.java
+    from jena_geo_spark.functions import relations2 as R2
+
+    line = wkb("LINESTRING(743238 2967416,743238 2967450,743265 2967450,"
+               " 743265.625 2967416,743238 2967416)")
+    mp = wkb("MULTIPOINT (0 1, 1 0, 2 1)")
+    assert u1(R2.st_equaltype, line, line)
+    assert not u1(R2.st_equaltype, line, mp)
+
+
+def test_ordering_equals_goldens():  # OrderingEqualsTest.java
+    # pure-Catalyst: canonical-WKB byte equality — evaluate the semantics
+    a = wkb("LINESTRING(0 0, 10 10)")
+    assert a != wkb("LINESTRING(0 0, 5 5, 10 10)")           # test 1: false
+    assert wkb("LINESTRING(10 10, 0 0)") != wkb("LINESTRING(0 0, 0 0, 10 10)")
+    assert a == wkb("LINESTRING(0 0, 10 10)")                 # same order: true
+    assert a != wkb("LINESTRING(10 10, 0 0)")                 # reversed: false
+
+
+def test_equals_norm_topo_goldens():  # EqualNormTest.java / EqualTopoTest.java
+    from jena_geo_spark.functions import relate as FR
+    from jena_geo_spark.functions import relations2 as R2
+
+    tri = wkb("LINESTRING(77.29 29.07,77.42 29.26,77.27 29.31,77.29 29.07)")
+    other = wkb("LINESTRING(77.42 29.26 ,10 10)")
+    assert u1(R2.st_equalsnorm, tri, tri)
+    assert not u1(R2.st_equalsnorm, tri, other)
+    assert u1(FR.st_equals_topo, tri, tri)
+    assert not u1(FR.st_equals_topo, tri, other)
+    # equalsTopo is orientation-insensitive where orderingEquals is not
+    assert u1(FR.st_equals_topo, wkb("LINESTRING(0 0, 10 10)"),
+              wkb("LINESTRING(10 10, 0 0)"))
+
+
+def test_centroid_distance_golden():
+    # CentroidDistanceTest.java expects 0.0 for two DIFFERENT triangles —
+    # the reference impl extracts v1 twice (CentroidDistance.java:19-21
+    # copy-paste bug), so it always measures a centroid against itself.
+    # Divergence: ours measures the actual pair.  Area centroid of
+    # POLYGON((8 2,11 13,2 6)) is (7,7); the unit square's is (0.5,0.5).
+    got = u1(FV.st_centroid_distance,
+             wkb("POLYGON((8 2, 11 13, 2 6, 8 2))"),
+             wkb("POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))"))
+    assert got == pytest.approx(math.hypot(6.5, 6.5), rel=1e-12)
+    same = u1(FV.st_centroid_distance,
+              wkb("POLYGON((8 2, 11 13, 2 6, 8 2))"),
+              wkb("POLYGON((8 2, 11 13, 2 6, 8 2))"))
+    assert same == 0.0  # the case the reference test accidentally reduces to
+
+
+def test_is_triangle_goldens():  # IsTriangleTest.java
+    assert not u1(A.st_istriangle, wkb("POLYGON((1 2, 3 4, 5 6, 7 8, 1 2))"))
+    # degenerate (collinear) 3-vertex ring still counts — reference checks
+    # only coordinate count + closure
+    assert u1(A.st_istriangle, wkb("POLYGON((1 2, 3 4, 5 6, 1 2))"))
+
+
+def test_polygon_cw_ccw_goldens():
+    # IsPolygonCWTest/IsPolygonCCWTest use COLLINEAR (zero-area) rings and
+    # pin JTS Orientation.isCCW's collinear fallback (prev.x > next.x at
+    # the highest vertex).  Ours is signed-area based (PostGIS semantics:
+    # exterior CW/CCW + opposite holes), so zero-area rings are a
+    # documented divergence; the non-degenerate semantics are pinned here.
+    cw = wkb("POLYGON((0 0, 0 2, 2 2, 2 0, 0 0))")           # signed area < 0
+    ccw = wkb("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))")          # signed area > 0
+    assert u1(A.st_ispolygoncw, cw) and not u1(A.st_ispolygonccw, cw)
+    assert u1(A.st_ispolygonccw, ccw) and not u1(A.st_ispolygoncw, ccw)
+    # holes must wind opposite to the shell
+    ccw_hole_ccw = wkb("POLYGON((0 0, 9 0, 9 9, 0 9, 0 0),"
+                       "(2 2, 5 2, 5 5, 2 5, 2 2))")
+    assert not u1(A.st_ispolygonccw, ccw_hole_ccw)
+    ccw_hole_cw = wkb("POLYGON((0 0, 9 0, 9 9, 0 9, 0 0),"
+                      "(2 2, 2 5, 5 5, 5 2, 2 2))")
+    assert u1(A.st_ispolygonccw, ccw_hole_cw)
+
+
+def test_is_collection_goldens():  # IsCollectionTest.java (8 actives)
+    assert u1(A.st_iscollection, wkb("MULTIPOINT (10 40, 40 30, 20 20, 30 10)"))
+    assert u1(A.st_iscollection, wkb(
+        "MULTILINESTRING ((10 10, 20 20, 10 40),(40 40, 30 30, 40 20, 30 10))"))
+    assert u1(A.st_iscollection, wkb(
+        "MULTIPOLYGON (((40 40, 20 45, 45 30, 40 40)),"
+        "((20 35, 10 30, 10 10, 30 5, 45 20, 20 35),(30 20, 20 15, 20 25, 30 20)))"))
+    assert u1(A.st_iscollection, wkb(
+        "GEOMETRYCOLLECTION(POINT(4 6),LINESTRING(4 6,7 10))"))
+    assert not u1(A.st_iscollection, wkb("POINT (4 6)"))
+    assert not u1(A.st_iscollection, wkb("LINESTRING(4 6,7 10)"))
+
+
+def test_geometry_type_golden():  # GeometryTypeTest.java
+    got = u1(FV.st_geometrytype, wkb(
+        "LINESTRING(743238 2967416,743238 2967450,743265 2967450,"
+        " 743265.625 2967416,743238 2967416)"))
+    assert got == "LineString"
+
+
+def test_bounding_diagonal_golden():  # BoundingDiagonalTest.java
+    got = W.from_wkb(u1(A.st_boundingdiagonal, wkb(
+        "POLYGON ((0 0, 1 0, 1 1, 0.5 3.2e-4, 0 0))")))
+    assert got.kind == "linestring"
+    assert got.parts[0].tolist() == [[0.0, 0.0], [1.0, 1.0]]
+
+
+# ---- r4 golden batch 2: transform/exporter/constructor actives ---------
+
+
+def test_simplify_goldens():  # SimplifyTest.java / SimplifyVWTest.java
+    from jena_geo_spark.functions.registry import REGISTRY as REG
+
+    line = wkb("LINESTRING(5 2, 3 8, 6 20, 7 25, 10 10)")
+    got = W.from_wkb(u1(REG["st_simplify"][0], line, 30.0))
+    assert got.parts[0].tolist() == [[5, 2], [10, 10]]
+    # JTS VWSimplifier squares the DISTANCE tolerance into an area
+    # threshold (900 here) — kills every interior vertex
+    got = W.from_wkb(u1(REG["st_simplifyvw"][0], line, 30.0))
+    assert got.parts[0].tolist() == [[5, 2], [10, 10]]
+    # ...whereas a raw-area 30 keeps the 49.5-area vertex (the PostGIS
+    # convention the kernel exposes directly)
+    from jena_geo_spark.geom import linework as L
+
+    kept = L.simplify_vw(np.array([[5, 2], [3, 8], [6, 20], [7, 25], [10, 10]], float), 30.0)
+    assert kept.tolist() == [[5, 2], [7, 25], [10, 10]]
+
+
+def test_simplify_preserve_topology_golden():  # SimplifyPreserveTopologyTest.java
+    from jena_geo_spark.functions.registry import REGISTRY as REG
+
+    line = wkb("LINESTRING(5 2, 3 8, 6 20, 7 25, 10 10)")
+    # the reference test calls it with no tolerance (= 0): identity
+    got = W.from_wkb(u1(REG["st_simplifypreservetopology"][0], line, 0.0))
+    assert got.parts[0].tolist() == [[5, 2], [3, 8], [6, 20], [7, 25], [10, 10]]
+
+
+def test_precision_reducer_golden():  # PrecisionReducerTest.java
+    from jena_geo_spark.functions.registry import REGISTRY as REG
+
+    got = W.from_wkb(u1(REG["st_precisionreducer"][0], wkb("POINT(0.3424 0.3424)"), 2.0))
+    assert got.parts[0].tolist() == [[0.34, 0.34]]
+
+
+def test_densify_golden():  # DensifyTest.java (JTS Densifier fractions)
+    from jena_geo_spark.functions.registry import REGISTRY as REG
+
+    # edge (8 2)→(2 6), length √52 ≈ 7.21, tol 1 → 8 equal pieces: the
+    # exact fraction list DensifyTest.java pins (7.25 2.5, 6.5 3, …)
+    got = W.from_wkb(u1(REG["st_densify"][0], wkb("LINESTRING(8 2, 2 6)"), 1.0))
+    exp = [[8 - 0.75 * k, 2 + 0.5 * k] for k in range(9)]
+    assert np.allclose(got.parts[0], exp, atol=1e-12)
+    # edge (2 6)→(11 13), length √130 ≈ 11.4 → 12 pieces incl. the
+    # golden's 2.75 6.583333333333333 first step
+    got = W.from_wkb(u1(REG["st_densify"][0], wkb("LINESTRING(2 6, 11 13)"), 1.0))
+    assert len(got.parts[0]) == 13
+    assert got.parts[0][1].tolist() == pytest.approx([2.75, 6.583333333333333])
+
+
+def test_snap_golden():  # SnapTest.java: tolerance 0 → geometry unchanged
+    from jena_geo_spark.functions.registry import REGISTRY as REG
+
+    got = W.from_wkb(
+        u1(REG["st_snap"][0], wkb("POLYGON((0 0, 0 5, 5 0, 0 0))"),
+           wkb("POLYGON((1 1, 0 5, 5 0, 1 1))"), 0.0)
+    )
+    assert got.parts[0].tolist() == [[0, 0], [0, 5], [5, 0], [0, 0]]
+
+
+def test_force_dims_goldens():
+    # Force3DMTest.java: XYZ → XYM with M = 0 and Z DROPPED; Force4DTest's
+    # expected list is self-inconsistent (it zeroes two of the four M
+    # values) — divergence: ours is the PostGIS/coherent reading, XYZM
+    # with the original Z kept and M = 0
+    from jena_geo_spark.functions.registry import REGISTRY as REG
+
+    got = W.from_wkb(
+        u1(REG["st_force3dm"][0], wkb("POLYGON Z((0 0 1, 0 5 1, 5 0 1, 0 0 1))"), 0.0)
+    )
+    assert got.dims == "XYM"
+    assert got.parts[0].tolist() == [[0, 0, 0], [0, 5, 0], [5, 0, 0], [0, 0, 0]]
+    got2 = W.from_wkb(
+        u1(REG["st_force3dm"][0], wkb("POLYGON((0 0, 0 5, 5 0, 0 0))"), 0.0)
+    )
+    assert got2.dims == "XYM" and got2.parts[0][:, 2].tolist() == [0, 0, 0, 0]
+    got4 = W.from_wkb(
+        u1(REG["st_force4d"][0],
+           wkb("LINESTRING Z(0 0 1, 0 5 2, 5 0 3, 0 0 4)"), 0.0, 0.0)
+    )
+    assert got4.dims == "XYZM"
+    assert got4.parts[0][:, 2].tolist() == [1, 2, 3, 4]  # Z kept
+    assert got4.parts[0][:, 3].tolist() == [0, 0, 0, 0]  # M defaulted
+
+
+def test_remove_repeated_points_semantics():
+    # RemoveRepeatedPointsTest.java pins the reference's global dedup that
+    # drops BOTH copies of a duplicated coordinate (a closed ring loses
+    # its endpoints: (0 1, 1 1, 1 0)) — its impl compares every pair i≠j,
+    # so intent ("remove duplicates, keep one") is unimplementable there.
+    # Divergence: ours is PostGIS ST_RemoveRepeatedPoints (consecutive
+    # dedup, keeps one copy, closure preserved).
+    from jena_geo_spark.functions.registry import REGISTRY as REG
+
+    got = W.from_wkb(
+        u1(REG["st_removerepeatedpoints"][0], wkb("LINESTRING(0 0, 0 1, 1 1, 1 0, 0 0)"))
+    )
+    assert got.parts[0].tolist() == [[0, 0], [0, 1], [1, 1], [1, 0], [0, 0]]
+    got = W.from_wkb(
+        u1(REG["st_removerepeatedpoints"][0], wkb("LINESTRING(0 0, 1 1, 1 1, 2 2)"))
+    )
+    assert got.parts[0].tolist() == [[0, 0], [1, 1], [2, 2]]
+
+
+def test_astextraw_golden():  # AsTextRawTest.java — exact WKT formatting
+    from jena_geo_spark.functions.registry import REGISTRY as REG
+
+    got = u1(REG["st_astextraw"][0], wkb("LINESTRING(1.32453 2.65655, 4.96254 5.43341)"))
+    assert got == "LINESTRING (1.32453 2.65655, 4.96254 5.43341)"
+
+
+def test_asx3d_golden():  # AsX3DTest.java
+    # the reference's expected string is malformed XML (unclosed DOCTYPE
+    # quote, truncated coordIndex) — divergence: ours emits well-formed
+    # X3D with the same Scene/Shape/Coordinate structure and coordinates
+    from jena_geo_spark.functions.registry import REGISTRY as REG
+
+    got = u1(REG["st_asx3d"][0], wkb("POINT(49.9928617 8.2472526)"))
+    assert got.startswith('<?xml version="1.0" encoding="UTF-8"?>')
+    assert "<Scene><Shape>" in got and "49.9928617 8.2472526" in got
+
+
+def test_point_from_text_golden():  # PointFromWKBTest.java (tests FromText)
+    from jena_geo_spark.functions.registry import REGISTRY as REG
+
+    got = W.from_wkb(
+        u1(REG["st_pointfromtext"][0], "POINT(-71.1043443253471 42.3150676015829)")
+    )
+    assert got.kind == "point"
+    assert got.parts[0].tolist() == [[-71.1043443253471, 42.3150676015829]]
+
+
+def test_polygon_from_text_roundtrip():
+    # PolygonFromTextTest.java / PolygonFromWKBTest.java contain NO active
+    # @Test — only the fixture polygon; pin the parse round-trip on it
+    from jena_geo_spark.functions.registry import REGISTRY as REG
+
+    s = ("POLYGON((-71.1776585052917 42.3902909739571,"
+         "-71.1776820268866 42.3903701743239,-71.1776063012595 42.3903825660754,"
+         "-71.1775826583081 42.3903033653531,-71.1776585052917 42.3902909739571))")
+    got = W.from_wkb(u1(REG["st_polygonfromtext"][0], s))
+    assert got.kind == "polygon" and len(got.parts[0]) == 5
+    assert got.parts[0][0].tolist() == [-71.1776585052917, 42.3902909739571]

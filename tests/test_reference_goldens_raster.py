@@ -1,0 +1,167 @@
+"""Raster map-algebra goldens ported from the reference's
+``src/test/.../test/raster/algebra/*Test.java`` (r3 verdict ask #3).
+
+The reference tests there are weak — every one asserts only
+``assertNotEquals(input, result)`` — but they pin three things worth
+porting: the INPUT fixtures (SampleRasters.java's annotated byte layouts),
+the ARGUMENT ORDER of each operator, and which operator family each name
+dispatches to (JAI descriptors, ``raster/algebra/*.java``).  Here each
+port is upgraded to an exact VALUE assert computed by hand from the
+annotated fixture pixels.
+
+Divergences (reference impls that are dead or broken, documented rather
+than replicated):
+
+* ``Clamp``/``Binarize``/``Threshold`` take a band index in the reference
+  (applied to one band); ours apply to every band — the reference's own
+  JAI delegates operate on all bands anyway, the band argument is unused
+  past validation.
+* ``raster/relation/{Greater,Smaller,Median}Intersects`` and
+  ``RasterEquals`` are NOT registered in PostGISConfig.java (dead code);
+  their tests are inconsistent with their own impls (SmallerIntersects'
+  same-bbox branch returns a raster literal where the test expects a
+  boolean; GreaterIntersectsTest expects FALSE for min(0) > -1).  Only
+  the registered ``ValueIntersects`` semantics are ported.
+"""
+
+import numpy as np
+import pytest
+
+from jena_geo_spark.raster import algebra as A
+from jena_geo_spark.raster import wkb_raster as WR
+
+# SampleRasters.java fixtures (annotated byte layout there is the spec)
+WKB1 = (
+    "00000000013FF00000000000003FF0000000000000000000000000000000000000000000"
+    "0000000000000000000000000000000000000010E600020002040000010100"
+)
+WKB3 = (
+    "00000000013FF000000000000040000000000000004008000000000000401000000000000040140000000000004018000000000000000010E6"
+    "0003" "0002" "05" "FFFF" "FFFF" "0000" "FFF0" "007F" "000A" "0002"
+)
+WKB4 = (
+    "01" "0000" "0300"
+    "9A9999999999A93F" "9A9999999999A9BF" "000000E02B274A41" "0000000077195641"
+    "0000000000000000" "0000000000000000" "E6100000" "0500" "0500"
+    "44" "00" "FDFEFDFEFEFDFEFEFDF9FAFEFEFCF9FBFDFEFEFDFCFAFEFEFE"
+    "44" "00" "4E627AADD16076B4F9FE6370A9F5FE59637AB0E54F58617087"
+    "44" "00" "46566487A1506CA2E3FA5A6CAFFBFE4D566DA4CB3E454C5665"
+)
+
+R1 = lambda: WR.decode_hex(WKB1)  # noqa: E731 — 2x2 8BUI [[0,1],[1,0]]
+R3 = lambda: WR.decode_hex(WKB3)  # noqa: E731 — 3x2 16BSI [[-1,0,-16],[127,10,2]]
+R4 = lambda: WR.decode_hex(WKB4)  # noqa: E731 — 5x5 RGB 8BUI
+
+
+def px(r, band=0):
+    return r.bands[band].data.ravel().tolist()
+
+
+def test_algebra_two_raster_ops():
+    # AddTest.java: Add(wkb1, wkb1)
+    assert px(A.map_algebra2(R1(), R1(), "add")) == [0, 2, 2, 0]
+    # SubtractTest.java: Subtract(a, b) = a - b
+    assert px(A.map_algebra2(R3(), R3(), "subtract")) == [0] * 6
+    # MultTest / DivTest (0/0 -> 0, the JAI divide-by-zero convention)
+    assert px(A.map_algebra2(R1(), R1(), "multiply")) == [0, 1, 1, 0]
+    assert px(A.map_algebra2(R1(), R1(), "divide")) == [0, 1, 1, 0]
+    # MinTest / MaxTest / MeanTest are idempotent on equal inputs
+    assert px(A.map_algebra2(R3(), R3(), "min")) == [-1, 0, -16, 127, 10, 2]
+    assert px(A.map_algebra2(R3(), R3(), "max")) == [-1, 0, -16, 127, 10, 2]
+    assert px(A.map_algebra2(R3(), R3(), "mean")) == [-1, 0, -16, 127, 10, 2]
+    # AndTest / OrTest / XorTest: bitwise on integer pixel values
+    assert px(A.map_algebra2(R3(), R3(), "and")) == [-1, 0, -16, 127, 10, 2]
+    assert px(A.map_algebra2(R3(), R3(), "xor")) == [0] * 6
+    a, b = R1(), R3()
+    # mixed shapes are rejected (reference requires SameAlignment)
+    with pytest.raises(AssertionError):
+        A.map_algebra2(a, b, "add")
+
+
+def test_algebra_const_ops():
+    # AddConstTest.java: AddConst(raster, band, 10)
+    assert px(A.map_algebra_const(R3(), "add", 10)) == [9, 10, -6, 137, 20, 12]
+    # SubtractConstTest: pixel - k
+    assert px(A.map_algebra_const(R3(), "subtract", 10)) == [-11, -10, -26, 117, 0, -8]
+    # SubtractFromConstTest: k - pixel (operand order is the test's point)
+    assert px(A.map_algebra_const(R3(), "subtractfromconst", 10)) == [11, 10, 26, -117, 0, 8]
+    # MultConst / DivConst
+    assert px(A.map_algebra_const(R3(), "multiply", 10)) == [-10, 0, -160, 1270, 100, 20]
+    assert px(A.map_algebra_const(R1(), "divide", 2)) == [0, 0.5, 0.5, 0]
+    # AndConst / OrConst / XorConst: bitwise with the integer constant
+    assert px(A.map_algebra_const(R3(), "and", 2)) == [2, 0, 0, 2, 2, 2]
+    assert px(A.map_algebra_const(R3(), "or", 2)) == [-1, 2, -14, 127, 10, 2]
+    assert px(A.map_algebra_const(R3(), "xor", 2)) == [-3, 2, -14, 125, 8, 0]
+
+
+def test_algebra_unary_ops():
+    # AbsTest / ExpTest / LogTest / NotTest
+    assert px(A.map_algebra1(R3(), "abs")) == [1, 0, 16, 127, 10, 2]
+    got = px(A.map_algebra1(R1(), "exp"))
+    assert got[0] == 1.0 and abs(got[1] - np.e) < 1e-12
+    # log: non-positive pixels -> 0 (JAI convention), log(1) = 0
+    assert px(A.map_algebra1(R1(), "log")) == [0, 0, 0, 0]
+    assert px(A.map_algebra1(R1(), "not")) == [1, 0, 0, 1]
+
+
+def test_algebra_binarize_clamp_threshold_constant():
+    # BinarizeTest.java: Binarize(wkb3, band, 31) — >= threshold -> 1
+    assert px(A.binarize(R3(), 31)) == [0, 0, 0, 1, 0, 0]
+    # ClampTest.java shape: Clamp(raster, band, lo, hi)
+    assert px(A.clamp(R3(), 0.0, 100.0)) == [0, 0, 0, 100, 10, 2]
+    # ThresholdTest.java: pixels inside [lo, hi] -> mapval, others pass
+    assert px(A.threshold(R3(), 5.0, 100.0, 0.0)) == [-1, 0, -16, 127, 0, 2]
+    # ConstantTest.java: Constant(wkb3, 1)
+    assert px(A.constant(R3(), 1.0)) == [1] * 6
+    # geometry metadata (grid, srid) must survive every local op
+    out = A.constant(R3(), 1.0)
+    r = R3()
+    assert (out.scale_x, out.scale_y, out.ip_x, out.ip_y, out.srid) == (
+        r.scale_x, r.scale_y, r.ip_x, r.ip_y, r.srid,
+    )
+
+
+def test_algebra_crop():
+    # CropTest.java: Crop(wkb1, 0, 0, 2, 2) — the full window round-trips
+    assert px(A.crop_pixels(R1(), 0, 0, 2, 2)) == [0, 1, 1, 0]
+    sub = A.crop_pixels(R4(), 1, 1, 2, 2)
+    r4 = R4()
+    assert sub.width == 2 and sub.height == 2
+    assert np.array_equal(sub.bands[0].data, r4.bands[0].data[1:3, 1:3])
+    # origin shifts by the crop offset times the scale
+    assert sub.ip_x == r4.ip_x + 1 * r4.scale_x
+    assert sub.ip_y == r4.ip_y + 1 * r4.scale_y
+
+
+def test_algebra_focal_filters():
+    # MinFilterTest / MaxFilterTest on the 2x2 fixture: the 3x3 window
+    # always sees both values regardless of edge padding
+    assert px(A.focal(R1(), "min")) == [0, 0, 0, 0]
+    assert px(A.focal(R1(), "max")) == [1, 1, 1, 1]
+    # MedianFilterTest on the RGB fixture: interior pixel (2,2) of band 0
+    r4 = R4()
+    med = A.focal(r4, "median")
+    win = r4.bands[0].data[1:4, 1:4].astype(np.float64)
+    assert med.bands[0].data[2, 2] == np.median(win)
+
+
+def test_algebra_dct_idct():
+    # DCTTest / IDCTTest: IDCT inverts DCT exactly (orthonormal matmul);
+    # the DCT of a constant raster concentrates in the DC coefficient
+    r4 = R4()
+    back = A.idct2(A.dct2(R4()))
+    for bi in range(3):
+        assert np.allclose(back.bands[bi].data, r4.bands[bi].data, atol=1e-9)
+    flat = A.dct2(A.constant(R1(), 3.0))
+    d = flat.bands[0].data
+    assert abs(d[0, 0] - 6.0) < 1e-12  # DC = k * sqrt(w*h)
+    assert np.allclose(d.ravel()[1:], 0.0, atol=1e-12)
+
+
+def test_value_intersects_goldens():
+    # ValueIntersectsTest.java (the registered relation): wkb1 contains
+    # value 1 in band 0 -> TRUE, contains -1 -> FALSE; envelope-disjoint
+    # rasters -> FALSE
+    assert A.value_intersects(R1(), R1(), 1.0) is True
+    assert A.value_intersects(R1(), R1(), -1.0) is False
+    assert A.value_intersects(R4(), R1(), 1.0) is False
