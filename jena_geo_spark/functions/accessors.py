@@ -270,9 +270,10 @@ def st_isplanar(g):
 
 @_u(BooleanType())
 def st_issolid(g):
-    # 2D geometry model: nothing is a solid (reference IsSolid: checks
-    # polyhedral closed-ness; our WKB model has no polyhedral surfaces)
-    return False
+    # IsSolid.java despite its name tests "every coordinate has a Z"
+    # (its loop flags is3D=false on any NaN Z); IsSolidTest.java pins
+    # TRUE for MULTIPOINT Z — match that registered behavior
+    return "Z" in g.dims
 
 
 @_u(BooleanType())
