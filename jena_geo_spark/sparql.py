@@ -1050,17 +1050,17 @@ class PropertyTable:
                 F.concat(F.lit(self.subject_prefix), F.col(self.id_col).cast("string")),
                 "plain",
             )
-        seen_pred_var = False
+        n_pred_vars = 0
         for t in patterns:
             if isinstance(t.p, Var):
                 # variable predicate over a wide table: explode the row to
-                # its (predicate, object) pairs (vertical view of the star)
-                if seen_pred_var:
-                    raise NotImplementedError(
-                        "one predicate variable per subject star on a "
-                        "PropertyTable"
-                    )
-                seen_pred_var = True
+                # its (predicate, object) pairs (vertical view of the star).
+                # Each variable-predicate triple gets its OWN explode column
+                # (SPARQL semantics: `?s ?p1 ?o1 ; ?p2 ?o2` is the cross
+                # product of property pairs per subject; a REPEATED predicate
+                # variable still collapses to equality via bind_or_equate).
+                pair_col = f"__pair_{n_pred_vars}"
+                n_pred_vars += 1
                 pairs = [
                     F.struct(
                         F.lit(p).alias("p"), F.col(spec.col).cast("string").alias("o")
@@ -1075,15 +1075,15 @@ class PropertyTable:
                         )
                     )
                 pair = F.explode(F.array(*pairs))
-                df = df.withColumn("__pair", pair).where(
-                    F.col("__pair.o").isNotNull()
+                df = df.withColumn(pair_col, pair).where(
+                    F.col(f"{pair_col}.o").isNotNull()
                 )
-                bind_or_equate(t.p.name, F.col("__pair.p"), "plain")
+                bind_or_equate(t.p.name, F.col(f"{pair_col}.p"), "plain")
                 if isinstance(t.o, Var):
-                    bind_or_equate(t.o.name, F.col("__pair.o"), "plain")
+                    bind_or_equate(t.o.name, F.col(f"{pair_col}.o"), "plain")
                 else:
                     val = t.o.value if isinstance(t.o, Lit) else t.o.iri
-                    df = df.where(F.col("__pair.o") == str(val))
+                    df = df.where(F.col(f"{pair_col}.o") == str(val))
                 continue
             pred = t.p.iri
             if pred == RDF_TYPE:

@@ -285,3 +285,18 @@ def test_bbox_relation_goldens(spark):
     ).first()
     assert (r.ab_t, r.ab_f, r.be_f, r.be_t) == (True, False, False, True)
     assert (r.lo_f, r.lo_t, r.ro_t, r.ro_f) == (False, True, True, False)
+
+
+def test_equal_srs_goldens(spark):
+    """EqualSRSTest.java: same declared SRS -> TRUE; two literals with no
+    SRS prefix (both default 4326) -> TRUE.  Our engine carries SRID as a
+    column (FIXTURES.md §1), so 'no prefix' is the default-SRID value."""
+    from jena_geo_spark.functions.relations2 import st_equalsrs
+
+    df = spark.createDataFrame([(27700, 27700, 4326, 4326)], "a int, b int, c int, d int")
+    r = df.select(
+        st_equalsrs(F.col("a"), F.col("b")).alias("same"),
+        st_equalsrs(F.col("c"), F.col("d")).alias("default"),
+        st_equalsrs(F.col("a"), F.col("c")).alias("diff"),
+    ).first()
+    assert (r.same, r.default, r.diff) == (True, True, False)

@@ -890,3 +890,29 @@ def test_construct_query(spark, chain):
           "CONSTRUCT { ex:g ex:hasEdge ex:yes } WHERE { ?a ex:next ?b }")
     got2 = [tuple(r) for r in S.execute_query(spark, q2, chain).collect()]
     assert got2 == [(E + "g", E + "hasEdge", E + "yes")]
+
+
+def test_two_predicate_variables_per_star_property_table(spark):
+    # r3 boundary removed: two DIFFERENT predicate variables on one subject
+    # star enumerate the cross product of property pairs (ARQ semantics);
+    # a REPEATED predicate variable still collapses to equality.
+    df = spark.createDataFrame([(1, "alice", "x")], "id long, a string, b string")
+    pt = S.PropertyTable(
+        df, id_col="id",
+        props={"http://ex.org/a": S.PropSpec("a"),
+               "http://ex.org/b": S.PropSpec("b")},
+    )
+    got = _rows(
+        spark, pt,
+        "SELECT ?p1 ?o1 ?p2 ?o2 WHERE { <urn:row:1> ?p1 ?o1 ; ?p2 ?o2 }",
+    )
+    assert len(got) == 4  # {a,b} x {a,b}
+    assert ("http://ex.org/a", "alice", "http://ex.org/b", "x") in got
+    # repeated pred var: diagonal only
+    got = _rows(
+        spark, pt, "SELECT ?p ?o1 ?o2 WHERE { <urn:row:1> ?p ?o1 ; ?p ?o2 }"
+    )
+    assert got == [
+        ("http://ex.org/a", "alice", "alice"),
+        ("http://ex.org/b", "x", "x"),
+    ]
