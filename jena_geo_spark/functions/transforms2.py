@@ -1247,9 +1247,14 @@ st_simplifypreservetopology = _ug2(_simplify_preserve_topology)
 
 
 def _points(g: Geom) -> Geom:
-    """All vertices as a MULTIPOINT (geometry/transform/Points.java)."""
+    """All vertices as a MULTIPOINT (geometry/transform/Points.java).
+
+    The reference builds the multipoint from ``geom.getCoordinates()``
+    verbatim (PointsTest.java expects Z preserved and the duplicate
+    closing ring vertex kept), so Z/M pass through and no dedup happens.
+    """
     c = g.all_coords()
-    return Geom("multipoint", [c[:, :2]] if len(c) else [])
+    return Geom("multipoint", [c] if len(c) else [], g.dims)
 
 
 st_points = _ug(_points)

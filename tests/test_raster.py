@@ -490,3 +490,24 @@ def test_raster_attribute_goldens():
     assert u1("st_worldtorastercoordx", 1.0, 1.0) == 1
     assert u1("st_isempty") is False
     assert u1("st_hasnoband", 10) is True
+
+
+def test_raster_tile_and_hexwkb_goldens():
+    """MinTileXTest.java / MinTileYTest.java (both 0 on the untiled
+    wkbString1 fixture), plus RastFromHexWKBTest.java upgraded: the
+    reference only asserts lexical-form identity of the literal; we decode
+    the big-endian fixture and re-encode it byte-exactly (which also
+    upgrades AsRastWKBTest.java's weak assertNotEquals)."""
+    import pandas as pd
+
+    from jena_geo_spark.functions.registry import REGISTRY as R
+
+    raw = bytes.fromhex(WKB1)
+
+    def u1(name, *args):
+        fn = R[name][0]
+        return fn.func(*[pd.Series([a]) for a in (raw,) + args]).iloc[0]
+
+    assert u1("st_mintilex") == 0 and u1("st_mintiley") == 0
+    r = WR.decode_hex(WKB1)
+    assert WR.encode_hex(r, little=False).upper() == WKB1.upper()

@@ -1153,3 +1153,71 @@ def test_dimension_flag_goldens():
     assert u1(A.st_isplanar, mp3d) is False
     assert u1(A.st_issolid, mp3d) is True
     assert u1(A.st_issolid, mp2d) is False
+
+
+def test_points_golden():  # geometry/PointsTest.java
+    """POLYGON Z -> MULTIPOINT of its vertices: Z preserved, duplicate
+    closing vertex kept (the reference feeds geom.getCoordinates()
+    verbatim into createMultiPoint)."""
+    from jena_geo_spark.functions import transforms2 as T2
+
+    got = u1(T2.st_points, wkb("POLYGON Z ((30 10 4,10 30 5,40 40 6, 30 10 4))"))
+    assert W.to_wkt(W.from_wkb(got)) == (
+        "MULTIPOINT Z (30 10 4, 10 30 5, 40 40 6, 30 10 4)"
+    )
+
+
+def test_polygon_from_ring_golden():  # polygon/PolygonTest.java
+    """Polygon(lineStringLiteral, srid): the geometry half is a closed-ring
+    LINESTRING -> POLYGON with identical coordinates.  The reference's
+    second argument (4326) becomes a CRS URI prefix on the literal; our
+    engine carries SRID as a separate column (FIXTURES.md §1), so the
+    golden pins the shell coordinates bit-exactly."""
+    from jena_geo_spark.functions import transforms2 as T2
+
+    ring = (
+        "LINESTRING (-71.1776585052917 42.3902909739571,"
+        "-71.1776820268866 42.3903701743239,"
+        "-71.1776063012595 42.3903825660754,"
+        "-71.1775826583081 42.3903033653531,"
+        "-71.1776585052917 42.3902909739571)"
+    )
+    got = W.from_wkb(u1(T2.st_makepolygon, wkb(ring)))
+    assert got.kind == "polygon" and len(got.parts) == 1
+    assert np.array_equal(got.parts[0], W.from_wkt(ring).parts[0])
+
+
+def test_makeline_golden():  # linestring/constructor/MakeLineTest.java
+    """MakeLine(p1, p2) -> LINESTRING(p1, p2).  The reference TEST is
+    broken (it asserts the result equals a POINT literal of the first
+    input); MakeLine.java itself concatenates the input coordinates, which
+    is what we pin here."""
+    from jena_geo_spark.functions import transforms2 as T2
+
+    got = u1(
+        T2.st_makeline,
+        wkb("POINT(-71.1043443253471 42.3150676015829)"),
+        wkb("POINT(1 2)"),
+    )
+    assert W.to_wkt(W.from_wkb(got)) == (
+        "LINESTRING (-71.1043443253471 42.3150676015829, 1 2)"
+    )
+
+
+def test_force4d_golden():  # geometry/transform/Force4DTest.java
+    """Force4D.java keeps existing Z (NaN -> 0) and fills missing M with 0.
+    The reference TEST's expected coordinates are internally inconsistent
+    (z moved to m for two points, dropped for the rest, on a WKT literal
+    with doubled parens its own parser rejects) — the IMPL's semantics are
+    what we pin: XYZM, original Z, M=0."""
+    from jena_geo_spark.functions import transforms2 as T2
+
+    got = u1(
+        T2.st_force4d,
+        wkb("LINESTRING Z (0 0 1, 0 5 2, 5 0 3, 0 0 4)"),
+        0.0,
+        0.0,
+    )
+    assert W.to_wkt(W.from_wkb(got)) == (
+        "LINESTRING ZM (0 0 1 0, 0 5 2 0, 5 0 3 0, 0 0 4 0)"
+    )
