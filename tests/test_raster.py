@@ -511,3 +511,55 @@ def test_raster_tile_and_hexwkb_goldens():
     assert u1("st_mintilex") == 0 and u1("st_mintiley") == 0
     r = WR.decode_hex(WKB1)
     assert WR.encode_hex(r, little=False).upper() == WKB1.upper()
+
+
+def test_raster_relation_equals_goldens():
+    """raster/relation/EqualsTest.java: Equals(r, r) -> TRUE and
+    Equals(wkbString4, wkbString1) -> FALSE.  The reference's polymorphic
+    st_equals compares grid ENVELOPES for raster x raster (Equals.java);
+    its RasterEquals variant additionally compares content — pinned here
+    as full decode equality (geotransform + band data)."""
+    import pandas as pd
+
+    from jena_geo_spark.raster import attributes as RT
+
+    r1, r4 = bytes.fromhex(WKB1), bytes.fromhex(WKB4)
+    eq = RT.rt_equals.func
+    assert eq(pd.Series([r1]), pd.Series([r1])).iloc[0] is True
+    assert eq(pd.Series([r4]), pd.Series([r1])).iloc[0] is False
+
+    def raster_equals(x, y):
+        a, b = WR.decode(x), WR.decode(y)
+        if (a.width, a.height, a.ip_x, a.ip_y, a.scale_x, a.scale_y) != (
+            b.width, b.height, b.ip_x, b.ip_y, b.scale_x, b.scale_y
+        ) or len(a.bands) != len(b.bands):
+            return False
+        return all((p.data == q.data).all() for p, q in zip(a.bands, b.bands))
+
+    assert raster_equals(r1, r1) is True
+    assert raster_equals(r4, r1) is False
+
+
+def test_raster_summary_and_bandmetadata_goldens():
+    """SummaryTest.java only asserts the summary is non-empty (it prints);
+    upgraded to the exact string for wkbString1 (cell-center fixture:
+    ip (0,0) with scale 1 -> pixel-aligned envelope [-0.5,-0.5,1.5,1.5]).
+    BandMetadataTest.java expects "" for an out-of-range band — and passes
+    only because BandMetaData.java's in-range path is an
+    UnsupportedOperationException stub; ours returns NULL out-of-range
+    (SQL convention) and a real metadata string in range (divergence)."""
+    import pandas as pd
+
+    from jena_geo_spark.raster import attributes as RT
+
+    raw = bytes.fromhex(WKB1)
+    got = RT.rt_summary.func(pd.Series([raw])).iloc[0]
+    assert got == (
+        "Raster of 2x2 MemSize: 4 has 1 bands and extent of "
+        "[-0.5, -0.5, 1.5, 1.5] Tiles: 1/1[2/2] Offset: [0/0]"
+    )
+    bm = RT.rt_bandmetadata.func
+    assert bm(pd.Series([raw]), pd.Series([10])).iloc[0] is None
+    assert bm(pd.Series([raw]), pd.Series([0])).iloc[0] == (
+        "band=0 pixeltype=8BUI nodatavalue=None isoutdb=false path="
+    )

@@ -31,6 +31,21 @@ Documented divergences (reference value NOT matched on purpose):
   ported: Circumcentre, HasDuplicateRings, HasConnectedInterior,
   IsScaleneTriangle (its test also expects TRUE for an isoceles fixture),
   CompactnessRatioTest's disabled body (it expects a POINT from a ratio).
+* MakeLineTest.java asserts the result equals a POINT literal of its first
+  input; MakeLine.java concatenates coordinates — the impl's semantics are
+  pinned (test_makeline_golden).
+* Force4DTest.java's expected coordinates are internally inconsistent
+  (z moved to m for two vertices, dropped for the rest); Force4D.java
+  keeps Z and fills M with 0, which is what we pin (test_force4d_golden).
+* 17 of the 32 unit/*Test.java goldens assert rounded 4-10-significant-
+  digit factors (both Chain tests inverted outright); ours are the exact
+  international factors (test_unit_conversion_goldens pins the full
+  match/divergence table).
+* BandMetadataTest.java expects "" for an out-of-range band and passes only
+  because BandMetaData.java's in-range path is an
+  UnsupportedOperationException stub; ours returns NULL out-of-range and a
+  real metadata string in range (test_raster_summary_and_bandmetadata_
+  goldens in test_raster.py).
 """
 
 import math
@@ -1221,3 +1236,65 @@ def test_force4d_golden():  # geometry/transform/Force4DTest.java
     assert W.to_wkt(W.from_wkb(got)) == (
         "LINESTRING ZM (0 0 1 0, 0 5 2 0, 5 0 3 0, 0 0 4 0)"
     )
+
+
+# unit/*Test.java — all 32 active reference unit-conversion tests.
+# (file, from, to, input, reference expected, reference matches exact factor)
+_UNIT_GOLDENS = [
+    ("CentimeterToMeterTest.java", "cm", "m", 100.0, 1.0, True),
+    ("ChainToMeterTest.java", "chain", "m", 1.0, 0.04971, False),  # inverted+rounded
+    ("DecimeterToMeterTest.java", "dm", "m", 1.0, 0.1, True),
+    ("FathomToMeterTest.java", "fathom", "m", 1.0, 1.8287999998958315, False),
+    ("FootToMeterTest.java", "foot", "m", 1.0, 0.30480370641307, False),
+    ("InchToMeterTest.java", "inch", "m", 1.0, 0.0254, True),
+    ("KilometerToMeterTest.java", "km", "m", 1.0, 1000.0, True),
+    ("LinkToMeterTest.java", "link", "m", 1.0, 0.201168, True),
+    ("MeterToCentimeterTest.java", "m", "cm", 1.0, 100.0, True),
+    ("MeterToChainTest.java", "m", "chain", 1.0, 20.116676725005032, False),  # inverted
+    ("MeterToDecimeterTest.java", "m", "dm", 0.1, 1.0, True),
+    ("MeterToFathomTest.java", "m", "fathom", 1.0, 0.5468066492, False),  # rounded
+    ("MeterToFootTest.java", "m", "foot", 1.0, 3.2808, False),  # rounded
+    ("MeterToInchTest.java", "m", "inch", 0.0254, 1.0, True),
+    ("MeterToKilometerTest.java", "m", "km", 1000.0, 1.0, True),
+    ("MeterToLinkTest.java", "m", "link", 1.0, 4.970969537898672, True),
+    ("MeterToMileTest.java", "m", "mile", 1000.0, 0.62137, False),  # rounded
+    ("MeterToMillimeterTest.java", "m", "mm", 1.0, 1000.0, True),
+    ("MeterToNauticalMileTest.java", "m", "nauticalmile", 1852.0, 1.0, True),
+    ("MeterToUSFootTest.java", "m", "usfoot", 1.0, 3.28083333, False),  # rounded
+    ("MeterToUSInchTest.java", "m", "usinch", 1.0, 39.37, True),
+    ("MeterToUSMileTest.java", "m", "usmile", 1.0, 6.213699e-4, False),  # rounded
+    ("MeterToUSYardTest.java", "m", "usyard", 1000.0, 1094.0, False),  # rounded
+    ("MeterToYardTest.java", "m", "yard", 1000.0, 1093.6, False),  # rounded
+    ("MileToMeterTest.java", "mile", "m", 1.0, 1609.3470878864446, False),
+    ("MillimeterToMeterTest.java", "mm", "m", 1000.0, 1.0, True),
+    ("NauticalMileToMeterTest.java", "nauticalmile", "m", 1.0, 1852.0, True),
+    ("USFootToMeterTest.java", "usfoot", "m", 1.0, 0.30480060991089725, False),
+    ("USInchToMeterTest.java", "usinch", "m", 1.0, 0.0254000508, False),  # rounded
+    ("USMileToMeterTest.java", "usmile", "m", 1.0, 1609.3473468862912, False),
+    ("USYardToMeterTest.java", "usyard", "m", 1000.0, 914.0767824497257, False),
+    ("YardToMeterTest.java", "yard", "m", 1000.0, 914.41111923921, False),
+]
+
+
+def test_unit_conversion_goldens():
+    """All 32 unit/*Test.java goldens.  Where the reference's expected value
+    IS the exact international factor (15 of 32) we match it bit-for-bit;
+    the other 17 use rounded 4-10-significant-digit factors — two of them
+    (Chain) inverted outright — and are pinned as divergences against the
+    exact factors (0.9144 m/yd, 1200/3937 m/usft, 20.1168 m/chain, ...),
+    so any factor edit that silently "fixes" one direction gets caught."""
+    from jena_geo_spark.functions.vector import UNIT_FACTORS_TO_M as U
+
+    diverged = set()
+    for fname, a, b, x, ref, matches in _UNIT_GOLDENS:
+        ours = x * U[a] / U[b]
+        if matches:
+            assert ours == ref, f"{fname}: {ours!r} != reference {ref!r}"
+        else:
+            assert ours != ref, f"{fname}: unexpectedly equals rounded ref"
+            if "Chain" in fname:  # reference factor inverted outright
+                assert ours == pytest.approx(1.0 / ref, rel=2e-3), fname
+            else:
+                assert ours == pytest.approx(ref, rel=2e-3), fname  # rounded
+            diverged.add(fname)
+    assert len(diverged) == 17
