@@ -490,6 +490,19 @@ def test_raster_attribute_goldens():
     assert u1("st_worldtorastercoordx", 1.0, 1.0) == 1
     assert u1("st_isempty") is False
     assert u1("st_hasnoband", 10) is True
+    # Y twins (SkewYTest/TileHeightTest/NumYTilesTest/TileGridYOffsetTest/
+    # RasterToWorldCoordYTest/WorldToRasterCoordYTest.java) plus the
+    # struct-returning pair functions (RasterToWorldCoordTest/
+    # WorldToRasterCoordTest.java)
+    assert u1("st_skewy") == 0.0
+    assert u1("st_tileheight") == 2 and u1("st_numytiles") == 1
+    assert u1("st_tilegridyoffset") == 0
+    assert u1("st_rastertoworldcoordy", 1, 1) == 1.0
+    assert u1("st_worldtorastercoordy", 1.0, 1.0) == 1
+    pair = u1("st_rastertoworldcoord", 1, 1)
+    assert (pair["x"], pair["y"]) == (1.0, 1.0)
+    cell = u1("st_worldtorastercoord", 1.0, 1.0)
+    assert (cell["col"], cell["row"]) == (1, 1)
 
 
 def test_raster_tile_and_hexwkb_goldens():
@@ -563,3 +576,28 @@ def test_raster_summary_and_bandmetadata_goldens():
     assert bm(pd.Series([raw]), pd.Series([0])).iloc[0] == (
         "band=0 pixeltype=8BUI nodatavalue=None isoutdb=false path="
     )
+
+
+def test_raster_intersection_goldens():
+    """raster/relation/IntersectionTest.java.  The reference's
+    RasterIntersection returns THE_EMPTY_RASTER for disjoint inputs and
+    its two other cases are weak assertNotEquals; ours returns the
+    envelope-intersection POLYGON (empty for disjoint — wkbString4 sits at
+    EPSG:3857-scale coordinates, and wkbString3's envelope [2.5,3,5.5,7]
+    misses wkbString1's [-0.5,-0.5,1.5,1.5])."""
+    import pandas as pd
+
+    from jena_geo_spark.geom import wkt as W
+    from jena_geo_spark.raster import attributes as RT
+
+    f = RT.rt_intersection_geom.func
+    r1, r3, r4 = (bytes.fromhex(h) for h in (WKB1, WKB3, WKB4))
+
+    def wkt(a, b):
+        return W.to_wkt(W.from_wkb(f(pd.Series([a]), pd.Series([b])).iloc[0]))
+
+    assert wkt(r1, r1) == (
+        "POLYGON ((-0.5 -0.5, 1.5 -0.5, 1.5 1.5, -0.5 1.5, -0.5 -0.5))"
+    )
+    assert wkt(r4, r1) == "POLYGON EMPTY"
+    assert wkt(r1, r3) == "POLYGON EMPTY"
