@@ -104,9 +104,13 @@ def knn_join(
         cell_w = 360.0 / (1 << ring_res)
         safe_r = ring * min(cell_w, cell_h)
         whole_world = ring_res == 0 and ring >= 1  # ring spans every cell
+        # A ring proves completeness only when it yielded ALL k neighbors
+        # with the kth inside the inscribed radius; n < k means the ring was
+        # too small for a locally sparse region (fewer-than-k-total datasets
+        # terminate through the whole_world branch instead).
         ok = whole_world or (
             len(stats) == len(queries)
-            and all(r["n"] >= min(k, 1) and r["dmax"] <= safe_r for r in stats)
+            and all(r["n"] >= k and r["dmax"] <= safe_r for r in stats)
         )
         if ok:
             return topk

@@ -376,7 +376,7 @@ class PathClosure:
     """Group item: ``s (p1|^p2|…){mod} o`` over atomic edge predicates."""
 
     s: object
-    edges: list  # [(pred_iri, inverted)]
+    edges: list  # alternatives, each a sequence of (pred_iri, inverted) steps
     o: object
     mod: str  # '?' | '*' | '+'
 
@@ -536,6 +536,17 @@ class _Parser:
             raise NotImplementedError(
                 "CONSTRUCT template must be plain triples"
             )
+        # group() expands property paths into chains over fresh __pN
+        # variables; a path in a CONSTRUCT template is invalid SPARQL and
+        # would otherwise silently emit zero triples (fresh vars are never
+        # bound by the WHERE frame).
+        for t in template:
+            for side in (t.s, t.p, t.o):
+                if isinstance(side, Var) and side.name.startswith("__p"):
+                    raise ValueError(
+                        "property paths are not allowed in a CONSTRUCT "
+                        "template"
+                    )
         if not self.kw("WHERE"):
             raise ValueError("CONSTRUCT without WHERE")
         where = self.group()
@@ -942,7 +953,7 @@ def _invert_steps(steps: list) -> list:
     return [(pred, not iv) for pred, iv in reversed(steps)]
 
 
-def _atomic_edges(p, inv: bool = False) -> list:
+def _atomic_edges(p) -> list:
     """Flatten the body of a closure mod into a list of ALTERNATIVES,
     each a sequence of (pred_iri, inverted) steps.
 
@@ -968,7 +979,7 @@ def _atomic_edges(p, inv: bool = False) -> list:
             "alternatives and sequences of those; nested mods are not a "
             "fixed edge relation"
         )
-    return [_invert_steps(s) for s in alts] if inv else alts
+    return alts
 
 
 def parse_query(text: str) -> Query:
@@ -1097,6 +1108,11 @@ class PropertyTable:
                 raise KeyError(f"predicate {pred} not declared on this PropertyTable")
             spec = self.props[pred]
             if isinstance(t.o, Var):
+                # a triple pattern only matches when the property EXISTS on
+                # the row (SPARQL semantics): a NULL cell is an absent
+                # triple, not a bindable value (OPTIONAL re-admits misses
+                # via the left join one level up)
+                df = df.where(F.col(spec.col).isNotNull())
                 already = t.o.name in binds
                 bind_or_equate(t.o.name, F.col(spec.col).cast("string"), spec.kind)
                 if already:
@@ -1982,6 +1998,16 @@ class _GroupCompiler:
             and isinstance(it.p, Iri)
             and it.p.iri in SPATIAL_PF
         ]
+        for it in g.items:
+            if (
+                isinstance(it, Triple)
+                and isinstance(it.o, Coll)
+                and not (isinstance(it.p, Iri) and it.p.iri in SPATIAL_PF)
+            ):
+                raise NotImplementedError(
+                    "RDF collection objects are only supported as spatial:* "
+                    "property-function argument lists"
+                )
         if not pf and not spf:
             return g
         aswkt: dict[str, str] = {}
@@ -2086,10 +2112,15 @@ class _GroupCompiler:
                 return frame.filter(dist <= F.lit(radius))
             from .operators.knn import knn_join
 
+            # Tie-break on the subject bind (deterministic, unique per star
+            # row) — monotonically_increasing_id would make equidistant
+            # k-boundary rows partition-layout-dependent.  The checkpoint
+            # pins the (possibly expensive) star subplan so knn_join's ring
+            # rounds don't recompute it.
             rid = "__spf_rid"
-            pinned = frame.withColumn(
-                rid, F.monotonically_increasing_id()
-            ).localCheckpoint(eager=True)
+            pinned = frame.withColumn(rid, F.col(tie_c)).localCheckpoint(
+                eager=True
+            )
             hits = knn_join(
                 self.spark,
                 pinned.select(rid, lon_c, lat_c),
@@ -2644,7 +2675,7 @@ def execute_query(spark: SparkSession, query: str, model) -> DataFrame:
     triples DataFrame."""
     q = parse_query(query)
     if q.form == "ask":
-        return spark.createDataFrame([(execute_ask(spark, query, model),)], "ask boolean")
+        return spark.createDataFrame([(_run_ask(spark, q, model),)], "ask boolean")
     if q.form == "construct":
         return _run_construct(spark, q, model)
     return _run_select(spark, q, model)[0]
@@ -2657,6 +2688,10 @@ def execute_ask(spark: SparkSession, query: str, model) -> bool:
     q = parse_query(query)
     if q.form != "ask":
         raise ValueError("execute_ask needs an ASK query")
+    return _run_ask(spark, q, model)
+
+
+def _run_ask(spark: SparkSession, q: Query, model) -> bool:
     sel = Query(None, False, q.where, [], 1, None)
     return _run_select(spark, sel, model)[0].limit(1).count() > 0
 
