@@ -286,6 +286,19 @@ def test_bbox_relation_goldens(spark):
     assert (r.ab_t, r.ab_f, r.be_f, r.be_t) == (True, False, False, True)
     assert (r.lo_f, r.lo_t, r.ro_t, r.ro_f) == (False, True, True, False)
 
+    # Documented divergence: reference BBOXAbove.java tests
+    # maxY(A) > minY(B) (typo — loose), ours is the strict minY(A) > maxY(B)
+    # its doc comment and siblings describe.  Overlapping-in-Y fixtures
+    # separate the two: strict says False both ways.
+    ov1 = wkb("LINESTRING (0 0, 1 5)")  # y in [0,5]
+    ov2 = wkb("LINESTRING (2 3, 3 8)")  # y in [3,8] — overlaps [0,5]
+    df2 = spark.createDataFrame([(ov1, ov2)], "o1 binary, o2 binary")
+    r2 = df2.select(
+        R["st_bboxabove"][0](F.col("o1"), F.col("o2")).alias("a12"),
+        R["st_bboxabove"][0](F.col("o2"), F.col("o1")).alias("a21"),
+    ).first()
+    assert (r2.a12, r2.a21) == (False, False)
+
 
 def test_equal_srs_goldens(spark):
     """EqualSRSTest.java: same declared SRS -> TRUE; two literals with no

@@ -46,6 +46,13 @@ Documented divergences (reference value NOT matched on purpose):
   UnsupportedOperationException stub; ours returns NULL out-of-range and a
   real metadata string in range (test_raster_summary_and_bandmetadata_
   goldens in test_raster.py).
+* BBOXAbove.java computes ``maxY(A) > minY(B)`` — a typo: its own doc
+  comment says "strictly above", its three siblings (Below/LeftOf/RightOf)
+  are all strict comparisons of the facing edges, and the loose variant
+  already exists as BBOXOverlapsAbove.java.  Ours is the strict
+  ``minY(A) > maxY(B)``; BBOXAboveTest.java's fixtures pass under both
+  formulas (test_bbox_relation_goldens in test_functions_spark.py pins the
+  distinguishing overlap case).
 """
 
 import math
@@ -336,6 +343,30 @@ def test_envelope_xmax_ymax_goldens():  # envelope/XMaxTest.java, YMaxTest.java
     line3d = wkb("LINESTRING Z(1 3 4, 5 6 7)")
     assert u1(A.st_xmax, line3d) == 5.0
     assert u1(A.st_ymax, line3d) == 6.0
+
+
+def test_num_distinct_goldens():
+    # NumDistinctGeometriesTest.java: a simple geometry counts 1; a
+    # collection with a duplicated LINESTRING member counts distinct
+    # top-level members (4 members, 3 distinct).
+    closed = wkb("LINESTRING(77.29 29.07,77.42 29.26,77.27 29.31,77.29 29.07)")
+    assert u1(A.st_numdistinctgeometries, closed) == 1
+    gc = wkb(
+        "GEOMETRYCOLLECTION(MULTIPOINT(-2 3 , -2 2),"
+        "LINESTRING(5 5 ,10 10),LINESTRING(5 5 ,10 10),"
+        "POLYGON((-7 4.2,-7.1 5,-7.1 4.3,-7 4.2)))"
+    )
+    assert u1(A.st_numdistinctgeometries, gc) == 3
+    # NumDistinctPointsTest.java: closed ring repeats its start — 3 distinct
+    assert u1(A.st_numdistinctpoints, closed) == 3
+
+
+def test_remove_ring_golden():
+    # RemoveRingTest.java: interior index 0 (zero-based) on a polygon whose
+    # hole duplicates its shell leaves just the shell.
+    dup = wkb("POLYGON ((8 2, 11 13, 2 6, 8 2), (8 2, 11 13, 2 6, 8 2))")
+    got = W.to_wkt(W.from_wkb(u1(FV.st_removering, dup, 0)))
+    assert got == "POLYGON ((8 2, 11 13, 2 6, 8 2))"
 
 
 def test_longest_line_golden():  # LongestLineTest.java
