@@ -361,6 +361,68 @@ def test_num_distinct_goldens():
     assert u1(A.st_numdistinctpoints, closed) == 3
 
 
+def test_collection_transform_semantics():
+    """geometry/transform/{ForceCollection,CollectionExtract,
+    CollectionHomogenize}Test.java and point/constructor/
+    GeneratePointsTest.java are disabled in the reference; these pin the
+    registered implementations' semantics instead.
+
+    Divergences from the reference impl bodies (not their tests):
+    CollectionExtract.java type 1 concatenates EVERY member's coordinates
+    (line/polygon vertices become points) and types 2/3 blind-cast every
+    member (ClassCastException on mixed collections); ours follows the
+    PostGIS contract both mirror — keep only the members of the requested
+    type.  CollectionHomogenize.java likewise blind-casts on the first
+    member's type; ours returns the collection unchanged when mixed."""
+    from jena_geo_spark.functions import transforms2 as T2
+
+    def wk(b):
+        return W.to_wkt(W.from_wkb(b))
+
+    # ForceCollection.java: wrap any geometry in a GEOMETRYCOLLECTION
+    assert wk(u1(T2.st_forcecollection, wkb("POINT (1 2)"))) == (
+        "GEOMETRYCOLLECTION (POINT (1 2))"
+    )
+    gc = wkb(
+        "GEOMETRYCOLLECTION(POINT(1 1),MULTIPOINT(2 2, 3 3),"
+        "LINESTRING(0 0, 4 4),POLYGON((0 0,1 0,0 1,0 0)))"
+    )
+    assert wk(u1(T2.st_collectionextract, gc, 1.0)) == "MULTIPOINT (1 1, 2 2, 3 3)"
+    assert wk(u1(T2.st_collectionextract, gc, 2.0)) == "MULTILINESTRING ((0 0, 4 4))"
+    assert wk(u1(T2.st_collectionextract, gc, 3.0)) == (
+        "MULTIPOLYGON (((0 0, 1 0, 0 1, 0 0)))"
+    )
+    # CollectionHomogenize.java: single member unwraps; homogeneous
+    # members merge into the multi-type; mixed stays a collection
+    assert wk(u1(T2.st_collectionhomogenize, wkb("GEOMETRYCOLLECTION(POINT(0 0))"))) == "POINT (0 0)"
+    assert wk(
+        u1(T2.st_collectionhomogenize, wkb("GEOMETRYCOLLECTION(POINT(0 0),POINT(1 1))"))
+    ) == "MULTIPOINT (0 0, 1 1)"
+    assert wk(
+        u1(
+            T2.st_collectionhomogenize,
+            wkb("GEOMETRYCOLLECTION(POINT(0 0),LINESTRING(0 0,1 1))"),
+        )
+    ) == "GEOMETRYCOLLECTION (POINT (0 0), LINESTRING (0 0, 1 1))"
+
+
+def test_generate_points_semantics():
+    # GeneratePoints.java: n uniform points inside the polygon (convex
+    # hull for non-areal input).  Ours seeds the RNG from the geometry
+    # bytes, so results are deterministic (plans replay / resume safely).
+    from jena_geo_spark.functions import transforms2 as T2
+
+    poly = wkb("POLYGON((0 0,10 0,10 10,0 10,0 0))")
+    a = u1(T2.st_generatepoints, poly, 5.0)
+    assert a == u1(T2.st_generatepoints, poly, 5.0)  # deterministic
+    pts = W.from_wkb(a).parts[0]
+    assert len(pts) == 5
+    assert ((pts >= 0) & (pts <= 10)).all()
+    # non-areal input samples the convex hull (reference line 14-21)
+    line = wkb("LINESTRING(0 0, 4 0, 4 4)")
+    assert len(W.from_wkb(u1(T2.st_generatepoints, line, 3.0)).parts[0]) == 3
+
+
 def test_remove_ring_golden():
     # RemoveRingTest.java: interior index 0 (zero-based) on a polygon whose
     # hole duplicates its shell leaves just the shell.
