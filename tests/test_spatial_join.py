@@ -107,6 +107,51 @@ def test_knn_matches_oracle(spark, small_data):
         assert gotk == exp, qid
 
 
+def test_knn_sparse_region_expands_ring(spark):
+    """Regression: the ring-acceptance guard must require all k neighbors
+    in-ring (n >= k), not just one.  A dense far-away cluster sets the
+    density-derived start resolution; the query sits in a sparse corner
+    where the first ring holds only 5 points — the old ``n >= min(k, 1)``
+    guard returned those 5 and stopped (dmax was well inside the inscribed
+    radius), silently dropping the other 15 true neighbors."""
+    rng = np.random.default_rng(7)
+    dense = pd.DataFrame(
+        {
+            "image_id": [f"d{i}" for i in range(5000)],
+            "lon": rng.uniform(0.0, 1.0, 5000),
+            "lat": rng.uniform(0.0, 1.0, 5000),
+        }
+    )
+    near = pd.DataFrame(  # 5 points within ~2 deg of the query
+        {
+            "image_id": [f"n{i}" for i in range(5)],
+            "lon": 120.0 + np.linspace(-2.0, 2.0, 5),
+            "lat": 60.0 + np.linspace(-1.0, 1.0, 5),
+        }
+    )
+    far = pd.DataFrame(  # 30 points 30-40 deg away, still the true 6..20th
+        {
+            "image_id": [f"f{i}" for i in range(30)],
+            "lon": 120.0 + rng.uniform(30.0, 40.0, 30),
+            "lat": 60.0 - rng.uniform(30.0, 40.0, 30),
+        }
+    )
+    allp = pd.concat([dense, near, far], ignore_index=True)
+    df = spark.createDataFrame(allp)
+    k = 20
+    got = knn_join(spark, df, [("q", 120.0, 60.0)], k=k, id_col="image_id")
+    rows = sorted(got.collect(), key=lambda r: r.rank)
+    assert len(rows) == k  # not 5
+    d2 = (allp.lon - 120.0) ** 2 + (allp.lat - 60.0) ** 2
+    exp = [iid for _, iid in sorted(zip(d2, allp.image_id))[:k]]
+    assert [r.image_id for r in rows] == exp
+
+    # fewer-than-k-total datasets terminate through the whole-world branch
+    tiny = spark.createDataFrame(allp.tail(35))
+    got_all = knn_join(spark, tiny, [("q", 120.0, 60.0)], k=50, id_col="image_id")
+    assert got_all.count() == 35
+
+
 def test_tiling_partitions_and_histogram(spark, small_data):
     pts_df, imgs, zones = small_data
     tiled = assign_tiles(pts_df, tile_res=4)
