@@ -892,6 +892,49 @@ def test_construct_query(spark, chain):
     assert got2 == [(E + "g", E + "hasEdge", E + "yes")]
 
 
+def test_null_cell_is_absent_triple_property_table(spark):
+    # SPARQL semantics: a triple pattern matches only EXISTING triples — a
+    # NULL property cell must not bind the object variable; OPTIONAL
+    # re-admits the subject with an unbound object via the left join.
+    df = spark.createDataFrame(
+        [(1, "alice", None), (2, "bob", "x")], "id long, name string, extra string"
+    )
+    pt = S.PropertyTable(
+        df, id_col="id",
+        props={"http://ex.org/name": S.PropSpec("name"),
+               "http://ex.org/extra": S.PropSpec("extra")},
+    )
+    got = _rows(spark, pt, "SELECT ?n WHERE { ?s ex:name ?n ; ex:extra ?e }")
+    assert got == [("bob",)]  # alice's NULL extra is an absent triple
+    got = _rows(
+        spark, pt,
+        "SELECT ?n ?e WHERE { ?s ex:name ?n OPTIONAL { ?s ex:extra ?e } }",
+    )
+    assert got == [("alice", None), ("bob", "x")]
+
+
+def test_collection_object_on_plain_predicate_rejected(spark):
+    # RDF collection objects are consumed only by the spatial:* property
+    # functions; on any other predicate the documented boundary error must
+    # surface at compile time, not an AttributeError deep in a backend.
+    df = spark.createDataFrame([(1, "alice")], "id long, name string")
+    pt = S.PropertyTable(df, id_col="id", props={"http://ex.org/name": S.PropSpec("name")})
+    with pytest.raises(NotImplementedError, match="collection objects"):
+        _rows(spark, pt, "SELECT ?s WHERE { ?s ex:name (1 2) }")
+
+
+def test_construct_template_path_rejected(spark, chain):
+    # A property path in a CONSTRUCT template is invalid SPARQL; without
+    # the guard the expanded fresh variables silently emit zero triples.
+    with pytest.raises(ValueError, match="property paths"):
+        S.execute_query(
+            spark,
+            "PREFIX ex: <http://ex.org/> "
+            "CONSTRUCT { ?a ex:p/ex:q ?b } WHERE { ?a ex:next ?b }",
+            chain,
+        )
+
+
 def test_two_predicate_variables_per_star_property_table(spark):
     # r3 boundary removed: two DIFFERENT predicate variables on one subject
     # star enumerate the cross product of property pairs (ARQ semantics);
