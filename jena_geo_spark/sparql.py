@@ -2516,11 +2516,16 @@ class _AggCompiler:
             fn = {"SUM": F.sum, "AVG": F.avg, "MIN": F.min, "MAX": F.max}[name]
             return self._slot(fn(c))
         name = _registry_name(e.iri)
+        distinct = False
         if name.endswith("distinct") and name.replace("distinct", "") in _GEO_AGGS:
-            raise NotImplementedError(
-                f"{name}: Distinct coordinate aggregates need the exploded "
-                "path — use functions.aggregates.agg_coord_stats(distinct=True)"
-            )
+            # ARQ DISTINCT semantics: the aggregate sees each distinct
+            # geometry VALUE once per group.  Min/Max/BoundingBox are
+            # distinct-invariant; only the averages change.  (The
+            # reference's *Distinct classes discard the flag — AvgX's
+            # protected constructor drops isDistinct, AvgXDistinct.java:7
+            # — so there they behave as non-distinct; we implement the
+            # declared semantics.)
+            distinct, name = True, name.replace("distinct", "")
         g = self._geom_arg(e.args[0])
         from .functions.vector import st_dumppoints
 
@@ -2538,8 +2543,23 @@ class _AggCompiler:
             coordsum = F.aggregate(
                 pts, F.lit(0.0), lambda acc, p: acc + p[ax]
             )
+            npts = F.size(pts).cast("double")
+            if distinct:
+                # per-row (geom, coordsum, n) structs; collect_set dedupes
+                # on the geometry value (s and n are functions of it), then
+                # the sums run over the distinct set only
+                uniq = self._slot(
+                    F.collect_set(
+                        F.struct(
+                            g.alias("g"), coordsum.alias("s"), npts.alias("n")
+                        )
+                    )
+                )
+                s = F.aggregate(uniq, F.lit(0.0), lambda a, r: a + r["s"])
+                n = F.aggregate(uniq, F.lit(0.0), lambda a, r: a + r["n"])
+                return s / n
             s = self._slot(F.sum(coordsum))
-            n = self._slot(F.sum(F.size(pts).cast("double")))
+            n = self._slot(F.sum(npts))
             return s / n
         if name == "st_boundingbox":
             xmin = self._slot(F.min(REG.REGISTRY["st_xmin"][0](g)))

@@ -212,6 +212,33 @@ def test_aggregates_group_by(spark, model):
     }
 
 
+def test_distinct_coordinate_aggregates(spark):
+    # ARQ DISTINCT semantics: the aggregate sees each distinct geometry
+    # VALUE once.  Two of three group members share a WKT — AvgXDistinct
+    # averages over the two distinct geometries.  (Reference divergence:
+    # AvgXDistinct.java passes isDistinct into a constructor that drops
+    # it, so the reference's Distinct aggregates are silently
+    # non-distinct; we implement the declared semantics.)
+    ttl = """
+    @prefix geo: <http://www.opengis.net/ont/geosparql#> .
+    @prefix : <http://example.org/> .
+    :a geo:asWKT "POINT (1 1)"^^geo:wktLiteral .
+    :b geo:asWKT "POINT (1 1)"^^geo:wktLiteral .
+    :c geo:asWKT "POINT (4 7)"^^geo:wktLiteral .
+    """
+    m = S.TriplesModel(S.triples_from_turtle(spark, ttl))
+    q = (
+        "SELECT (geo2:ST_AvgX(?w) AS ?ax) (geo2:ST_AvgXDistinct(?w) AS ?axd) "
+        "(geo2:ST_AvgYDistinct(?w) AS ?ayd) (geo2:ST_MaxXDistinct(?w) AS ?mxd) "
+        "WHERE { ?g geo:asWKT ?w }"
+    )
+    r = S.execute_query(spark, q, m).collect()[0]
+    assert r["ax"] == pytest.approx(2.0)  # (1+1+4)/3
+    assert r["axd"] == pytest.approx(2.5)  # (1+4)/2
+    assert r["ayd"] == pytest.approx(4.0)  # (1+7)/2
+    assert r["mxd"] == 4.0  # distinct-invariant
+
+
 def test_aggregate_arithmetic_and_count_star(spark, model):
     q = ("SELECT (COUNT(*) AS ?n) (MAX(geo2:ST_Area(?w)) - MIN(geo2:ST_Area(?w)) AS ?spread) "
          "WHERE { ?g geo:asWKT ?w }")
