@@ -2593,6 +2593,59 @@ def o_sparql_agg_group() -> str:
     )
 
 
+def q_sparql_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT coordinate aggregates through the SPARQL surface (ARQ
+    semantics: each distinct geometry VALUE seen once per group; the
+    reference's AvgXDistinct.java drops its isDistinct flag — divergence
+    documented in tests/test_sparql.py).  Coordinates are small whole
+    numbers (event_id mod 50/30), so duplicates are plentiful and fp sums
+    are exact integers — bit-stable across engines and summation orders."""
+    from . import sparql as S
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        "event_id",
+        "event_type",
+        F.concat(
+            F.lit("POINT ("),
+            (F.col("event_id") % F.lit(50)).cast("double").cast("string"),
+            F.lit(" "),
+            (F.col("event_id") % F.lit(30)).cast("double").cast("string"),
+            F.lit(")"),
+        ).alias("wkt"),
+    )
+    EX = "http://example.org/ev#"
+    ppt = S.PropertyTable(
+        pts,
+        id_col="event_id",
+        subject_prefix="urn:ev:",
+        type_iri=EX + "Event",
+        props={
+            EX + "type": S.PropSpec("event_type"),
+            "http://www.opengis.net/ont/geosparql#asWKT": S.PropSpec("wkt", kind="wkt"),
+        },
+    )
+    q = (
+        "PREFIX ev: <http://example.org/ev#> "
+        "SELECT ?et (COUNT(*) AS ?n) (geo2:ST_AvgXDistinct(?w) AS ?axd) "
+        "(geo2:ST_AvgYDistinct(?w) AS ?ayd) (geo2:ST_MaxXDistinct(?w) AS ?mxd) "
+        "WHERE { ?e a ev:Event . ?e ev:type ?et . ?e geo:asWKT ?w } GROUP BY ?et"
+    )
+    return S.execute_query(spark, q, ppt)
+
+
+def o_sparql_agg_distinct() -> str:
+    return (
+        "WITH pts AS (SELECT event_type, (event_id % 50)::DOUBLE AS x, "
+        "(event_id % 30)::DOUBLE AS y FROM events), "
+        "d AS (SELECT DISTINCT event_type, x, y FROM pts) "
+        "SELECT p.et, p.n, dd.axd, dd.ayd, dd.mxd FROM "
+        "(SELECT event_type AS et, COUNT(*) AS n FROM pts GROUP BY 1) p "
+        "JOIN (SELECT event_type AS et, AVG(x) AS axd, AVG(y) AS ayd, "
+        "MAX(x) AS mxd FROM d GROUP BY 1) dd USING (et)"
+    )
+
+
 def q_sparql_dwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SPARQL distance-filter rewrite under the oracle gate: a
     cross-product BGP with FILTER(ST_DWithin(?wa, ?wb, r)) over two
@@ -3067,6 +3120,7 @@ QUERIES = {
     "geo_azimuth": q_geo_azimuth,
     "geo_angle": q_geo_angle,
     "geo_perimeter": q_geo_perimeter,
+    "sparql_agg_distinct": q_sparql_agg_distinct,
 }
 
 ORACLES = {
@@ -3121,6 +3175,7 @@ ORACLES = {
     "geo_units": o_geo_units(),
     "sparql_bgp_join": o_sparql_bgp_join(),
     "sparql_agg_group": o_sparql_agg_group(),
+    "sparql_agg_distinct": o_sparql_agg_distinct(),
     "sparql_dwithin": o_sparql_dwithin(),
     "sparql_path_closure": o_sparql_path_closure(),
     "sparql_knn": o_sparql_knn(),
