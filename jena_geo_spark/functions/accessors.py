@@ -145,8 +145,15 @@ def st_numpatches(g):
 
 
 def _geometry_n(g: Geom, n: int):
+    """ZERO-based member accessor — GeometryN.java calls JTS
+    ``getGeometryN(n)`` directly (0-based, unlike PostGIS's 1-based
+    ST_GeometryN); PatchN.java's commented-out body indexes
+    ``getPatches().get(n)`` the same way.  For an atomic geometry JTS's
+    base-class ``getGeometryN`` returns ``this`` whatever ``n`` is."""
+    if g.kind not in ("geometrycollection", "multipoint", "multilinestring", "multipolygon"):
+        return g
     ms = g.members()
-    return ms[int(n) - 1] if 1 <= int(n) <= len(ms) else None
+    return ms[int(n)] if 0 <= int(n) < len(ms) else None
 
 
 st_geometryn = _ug2(_geometry_n)

@@ -94,8 +94,13 @@ def polyline_encode(coords) -> str:
     return "".join(out)
 
 
-def polyline_decode(s: str) -> list[tuple[float, float]]:
-    """Inverse of :func:`polyline_encode` — (x, y) pairs in stream order."""
+def polyline_decode(s: str, precision: int = 5) -> list[tuple[float, float]]:
+    """Inverse of :func:`polyline_encode` — (x, y) pairs in stream order.
+
+    ``precision`` is the decimal-digit factor exponent
+    (EncodedPolylineDatatype.decodePolyline's second argument; 5 for
+    Google-style polylines, 6 for OSRM — LineFromEncodedPolyline.java)."""
+    factor = 10.0 ** int(precision)
     coords, i, x, y = [], 0, 0, 0
     while i < len(s):
         for which in (0, 1):
@@ -112,7 +117,7 @@ def polyline_decode(s: str) -> list[tuple[float, float]]:
                 x += d
             else:
                 y += d
-        coords.append((x / 1e5, y / 1e5))
+        coords.append((x / factor, y / factor))
     return coords
 
 

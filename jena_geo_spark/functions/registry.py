@@ -368,7 +368,7 @@ _reg("st_segmentize", SH.st_segmentize, "gline", L(1.0))
 
 _reg("st_forcePolygonCCW", T2.st_forcepolygonccw, "g")
 _reg("st_forcePolygonCW", T2.st_forcepolygoncw, "g")
-_reg("st_reverseRing", T2.st_reversering, "g")
+_reg("st_reverseRing", T2.st_reversering, "ghole", L(0))
 _reg("st_shearTransformation", TR.st_shear, "g", L(0.5), L(0.0))
 
 # ---------------------------------------------------------------- editors --
@@ -410,7 +410,7 @@ _reg("st_makePointM", RS.st_makepointm, L(1.0), L(2.0), L(3.0))
 _reg("st_pointFromGeoHash", RS.st_pointfromgeohash_geom, "ghs")
 _reg("st_pointFromText", RS.st_pointfromtext, "wkt_point")
 _reg("st_pointFromWKB", RS.st_pointfromwkb, "gpt")
-_reg("st_lineFromEncodedPolyline", RS.st_linefromencodedpolyline, "plstr")
+_reg("st_lineFromEncodedPolyline", RS.st_linefromencodedpolyline, "plstr", L(5))
 _reg("st_lineFromMultiPoint", T2.st_linefrommultipoint, "gmp")
 _reg("st_lineFromText", RS.st_linefromtext, "wkt_line")
 _reg("st_lineFromWKT", RS.st_linefromtext, "wkt_line")

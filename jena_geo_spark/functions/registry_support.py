@@ -151,13 +151,15 @@ def st_pointfromgeohash_geom(gh: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
-def st_linefromencodedpolyline(s: pd.Series) -> pd.Series:
+def st_linefromencodedpolyline(s: pd.Series, precision: pd.Series) -> pd.Series:
+    """LineFromEncodedPolyline.java — FunctionBase2 (polyline, precision);
+    precision is the 10^k divisor (5 = Google, 6 = OSRM)."""
     out = []
-    for x in s:
+    for x, p in zip(s, precision):
         if x is None:
             out.append(None)
             continue
-        pts = C.polyline_decode(x)
+        pts = C.polyline_decode(x, 5 if p is None else int(p))
         # decode already yields stream-order (x, y) pairs — the same raw
         # order the reference's exporter writes (codecs.polyline_encode)
         out.append(W.to_wkb(Geom("linestring", [np.array(pts, dtype=np.float64)])))

@@ -153,11 +153,38 @@ def st_snap(b: pd.Series, target: pd.Series, tol: pd.Series) -> pd.Series:
 
 @pandas_udf(BinaryType())
 def st_split(b: pd.Series, blade: pd.Series) -> pd.Series:
+    """Split.java: the reference's only working branch is polygon ×
+    linestring — node the polygon boundary with the blade, polygonize,
+    and keep the faces whose interior point lies inside the input
+    (``splitPolygon``/``polygonize``, returned as a GEOMETRYCOLLECTION of
+    polygons).  Line × line (a PostGIS ST_Split case the reference
+    rejects) keeps the noded-pieces MULTILINESTRING semantics."""
+    from ..geom import arrangement as AR
+
     out = []
     for x, y in zip(b, blade):
         g, gb = W.from_wkb(x), W.from_wkb(y)
-        pieces = L.split_line_by_line(g.parts[0], gb.parts[0])
-        out.append(W.to_wkb(W.Geom("multilinestring", pieces)))
+        if g.kind in ("polygon", "multipolygon") and gb.kind in (
+            "linestring",
+            "multilinestring",
+        ):
+            rings = (
+                [r for poly in g.parts for r in poly]
+                if g.kind == "multipolygon"
+                else list(g.parts)
+            )
+            chains = [np.asarray(r)[:, :2] for r in rings] + [
+                np.asarray(c)[:, :2] for c in gb.chains()
+            ]
+            kept = []
+            for face in AR.polygonize_chains(chains):
+                ip = AR._face_interior_point(face.parts[0], face.parts[1:])
+                if ip is not None and AR._geom_covers_point(g, ip[0], ip[1]):
+                    kept.append(face)
+            out.append(W.to_wkb(W.Geom("geometrycollection", kept)))
+        else:
+            pieces = L.split_line_by_line(g.parts[0], gb.parts[0])
+            out.append(W.to_wkb(W.Geom("multilinestring", pieces)))
     return pd.Series(out)
 
 

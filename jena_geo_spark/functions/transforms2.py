@@ -607,15 +607,29 @@ st_forcepolygonccw = _ug(_force_polygon_ccw)
 st_forcepolygoncw = _ug(_force_polygon_cw)
 
 
-def _reverse_ring(g: Geom) -> Geom:
-    """ReverseRing: reverse the exterior ring orientation."""
-    if g.kind != "polygon" or not g.parts:
-        return g
-    parts = [np.asarray(g.parts[0])[::-1]] + list(g.parts[1:])
-    return Geom("polygon", parts, g.dims)
-
-
-st_reversering = _ug(_reverse_ring)
+@pandas_udf(BinaryType())
+def st_reversering(b: pd.Series, idx: pd.Series) -> pd.Series:
+    """ReverseRing.java — FunctionBase2(polygon, index): reverse the
+    INTERIOR ring at the ZERO-based index (``poly.getInteriorRingN(i)``
+    with ``i == index`` is the reversed one); the exterior ring is never
+    touched and non-polygons are an error.  Same interior-ring/zero-based
+    convention as RemoveRing (vector.st_removering)."""
+    out = []
+    for x, i in zip(b, idx):
+        g = W.from_wkb(x)
+        if g.kind != "polygon" or not g.parts:
+            raise ValueError("ST_ReverseRing: given geometry is not a Polygon")
+        i = int(i)
+        if i < 0 or i >= len(g.parts) - 1:
+            raise ValueError(
+                f"ST_ReverseRing: interior ring index {i} out of range "
+                f"0..{len(g.parts) - 2}"
+            )
+        parts = [
+            np.asarray(p)[::-1] if j == i + 1 else p for j, p in enumerate(g.parts)
+        ]
+        out.append(W.to_wkb(Geom("polygon", parts, g.dims)))
+    return pd.Series(out)
 
 
 def _identity_cast(g: Geom) -> Geom:

@@ -80,12 +80,45 @@ def node_chains(chains: list, quantum: float | None = None) -> list:
                 seen_pairs.add(key)
                 _cut_pair(segs[i], segs[j], cut_ts[i], cut_ts[j], quantum)
 
+    # Node registry: cluster points within one quantum and snap each cluster
+    # to a single representative, PREFERRING exact original endpoints (so
+    # un-cut input coordinates pass through bit-identical — quantizing
+    # everything used to turn 1.0 into 0.9999999999999999 because the
+    # quantum itself isn't binary-representable).  Computed cut points from
+    # different segments still unify: same cluster → same representative.
+    reps: dict = {}
+
+    def _register(pt) -> None:
+        key = (round(pt[0] / quantum), round(pt[1] / quantum))
+        if key not in reps:
+            reps[key] = pt
+
+    for p, q in segs:
+        _register(p)
+        _register(q)
+
+    def _snap(pt):
+        kx, ky = round(pt[0] / quantum), round(pt[1] / quantum)
+        for dx in (0, -1, 1):
+            for dy in (0, -1, 1):
+                r = reps.get((kx + dx, ky + dy))
+                if (
+                    r is not None
+                    and abs(r[0] - pt[0]) <= quantum
+                    and abs(r[1] - pt[1]) <= quantum
+                ):
+                    return r
+        # first point seen in this cluster becomes its representative —
+        # no rounding at all (the quantum is only the cluster radius)
+        reps[(kx, ky)] = pt
+        return pt
+
     out = []
     seen_edges = set()
     for idx, (p, q) in enumerate(segs):
         ts = sorted(t for t in cut_ts[idx] if 1e-12 < t < 1 - 1e-12)
-        pts = [p] + [p + t * (q - p) for t in ts] + [q]
-        pts = _quantize(np.array(pts), quantum)
+        pts = [_snap(p)] + [_snap(p + t * (q - p)) for t in ts] + [_snap(q)]
+        pts = np.array(pts)
         for k in range(len(pts) - 1):
             a, b = pts[k], pts[k + 1]
             if (a == b).all():

@@ -115,3 +115,23 @@ def test_interior_point_and_depths():
     assert points_in_polygon(np.array([p[0]]), np.array([p[1]]), U)[0]
     rings = [SQ, INNER, FAR]
     assert O.ring_depths(rings) == [0, 1, 0]
+
+
+def test_node_chains_preserves_input_coordinates_bit_exact():
+    """Noding snaps each coordinate cluster to ONE representative, preferring
+    exact original endpoints — quantizing everything used to turn 1.0 into
+    0.9999999999999999 (the snap quantum is not binary-representable).
+    Computed cut points from different segments must still unify."""
+    from jena_geo_spark.geom import arrangement as AR
+
+    chains = [
+        np.array([[0.0, 0.0], [1.0, 0.0]]),
+        np.array([[0.3, -0.5], [0.3, 0.5]]),
+    ]
+    segs = AR.node_chains(chains)
+    pts = {(float(p[0]), float(p[1])) for s in segs for p in s}
+    # original endpoints pass through bit-identical
+    assert {(0.0, 0.0), (1.0, 0.0), (0.3, -0.5), (0.3, 0.5)} <= pts
+    # the crossing is cut into both segments, with ONE shared representative
+    cut = [p for p in pts if p not in {(0.0, 0.0), (1.0, 0.0), (0.3, -0.5), (0.3, 0.5)}]
+    assert len(cut) == 1 and cut[0] == (0.3, 0.0)

@@ -1391,3 +1391,88 @@ def test_unit_conversion_goldens():
                 assert ours == pytest.approx(ref, rel=2e-3), fname  # rounded
             diverged.add(fname)
     assert len(diverged) == 17
+
+
+# ---------------------------------------------------------------------------
+# geometry/transform + polygon/transform + linestring/constructor batch
+# (GeometryN.java, ReverseRing.java, Split.java, LineFromEncodedPolyline.java)
+
+
+def test_geometry_n_golden():
+    """GeometryN.java calls JTS ``getGeometryN(n)`` directly — ZERO-based,
+    unlike PostGIS's 1-based ST_GeometryN (GeometryNTest.java is an empty
+    shell, so the source is the spec).  JTS's base-class getGeometryN
+    returns ``this`` for any index on an atomic geometry."""
+    mp = wkb("MULTIPOINT (1 2, 3 4, 5 6)")
+    assert W.to_wkt(W.from_wkb(u1(A.st_geometryn, mp, 0))) == "POINT (1 2)"
+    assert W.to_wkt(W.from_wkb(u1(A.st_geometryn, mp, 2))) == "POINT (5 6)"
+    assert u1(A.st_geometryn, mp, 3) is None
+    # atomic: index ignored, geometry returned unchanged
+    pt = wkb("POINT (9 9)")
+    assert W.to_wkt(W.from_wkb(u1(A.st_geometryn, pt, 5))) == "POINT (9 9)"
+
+
+def test_reverse_ring_golden():
+    """ReverseRingTest.java fixture (commented out in the reference but
+    consistent with ReverseRing.java): index selects the INTERIOR ring,
+    zero-based; the exterior ring is never touched; non-polygons raise."""
+    from jena_geo_spark.functions import transforms2 as T2
+
+    poly = wkb("POLYGON ((8 2, 11 13, 2 6, 8 2), (8 2, 2 6, 11 13, 8 2))")
+    got = W.to_wkt(W.from_wkb(u1(T2.st_reversering, poly, 0)))
+    assert got == "POLYGON ((8 2, 11 13, 2 6, 8 2), (8 2, 11 13, 2 6, 8 2))"
+    with pytest.raises(ValueError):
+        u1(T2.st_reversering, poly, 1)  # only one interior ring
+    with pytest.raises(ValueError):
+        u1(T2.st_reversering, wkb("POINT (0 0)"), 0)
+
+
+def test_split_polygon_by_line_golden():
+    """Split.java's only working branch: polygon × linestring → node the
+    boundary with the blade, polygonize, keep faces inside the input
+    (``splitPolygon``), returned as a collection of polygons.  SplitTest
+    .java is commented out (and its polygon blade would throw in the
+    reference); the square/vertical-blade case pins the semantics, the
+    holed case pins that hole faces are dropped."""
+    sq = wkb("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    blade = wkb("LINESTRING (5 -1, 5 11)")
+    res = W.from_wkb(u1(FS.st_split, sq, blade))
+    assert res.kind == "geometrycollection"
+    faces = sorted(W.to_wkt(m) for m in res.members())
+    assert faces == [
+        "POLYGON ((0 0, 5 0, 5 10, 0 10, 0 0))",
+        "POLYGON ((5 0, 10 0, 10 10, 5 10, 5 0))",
+    ]
+    # holed polygon: the hole's face is not inside the input → excluded
+    holed = wkb("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+    res2 = W.from_wkb(u1(FS.st_split, holed, blade))
+    assert len(res2.members()) == 2
+
+    def _net_area(m):
+        def ring_area(r):
+            r = np.asarray(r)
+            return 0.5 * abs(np.sum(r[:-1, 0] * r[1:, 1] - r[1:, 0] * r[:-1, 1]))
+
+        return ring_area(m.parts[0]) - sum(ring_area(h) for h in m.parts[1:])
+
+    assert sum(_net_area(m) for m in res2.members()) == 96.0
+
+
+def test_line_from_encoded_polyline_precision_golden():
+    """LineFromEncodedPolyline.java is FunctionBase2(polyline, precision) —
+    precision is the 10^k divisor handed to EncodedPolylineDatatype
+    .decodePolyline (5 = Google, 6 = OSRM).  LineFromEncodedPolylineTest
+    .java's expected coordinates (-1232.00015…) are garbage from a stray
+    leading '|' in its input string; the standard Google test vector is
+    pinned instead, in our exporter's stream (x, y) order."""
+    from jena_geo_spark.functions import codecs as C
+    from jena_geo_spark.functions import registry_support as RS
+
+    coords = [(-120.2, 38.5), (-120.95, 40.7), (-126.453, 43.252)]
+    enc = C.polyline_encode(coords)
+    assert C.polyline_decode(enc, 5) == coords
+    # precision mismatch scales by 10 — the second argument is live
+    dec6 = np.array(C.polyline_decode(enc, 6))
+    np.testing.assert_allclose(dec6, np.array(coords) / 10, rtol=0, atol=1e-12)
+    got = W.from_wkb(u1(RS.st_linefromencodedpolyline, enc, 5))
+    assert np.array_equal(got.parts[0], np.array(coords))
