@@ -118,18 +118,14 @@ def st_delaunaytriangles(b: pd.Series) -> pd.Series:
 
 @pandas_udf(BinaryType())
 def st_voronoipolygons(b: pd.Series) -> pd.Series:
-    """Finite Voronoi cell fans (circumcenter polygons per site; unbounded
-    cells return their circumcenter chain — clip against an envelope
-    downstream, reference VoronoiDiagram.java semantics approximated)."""
+    """Bounded Voronoi cells — VoronoiPolygons.java delegates to JTS
+    ``VoronoiDiagramBuilder`` (cells clipped to the site envelope expanded
+    by max(width, height)); exact for any site count via half-plane
+    clipping (geom.shapes.voronoi_diagram)."""
 
     def vor(x):
-        cells = S.voronoi_cells(W.from_wkb(x).all_coords())
-        polys = []
-        for _site, verts in cells:
-            if len(verts) >= 3:
-                ring = np.array(list(verts) + [verts[0]], dtype=np.float64)
-                polys.append([ring])
-        return W.to_wkb(W.Geom("multipolygon", polys))
+        cells = S.voronoi_diagram(W.from_wkb(x).all_coords())
+        return W.to_wkb(W.Geom("multipolygon", [[ring] for _site, ring in cells]))
 
     return b.map(vor)
 

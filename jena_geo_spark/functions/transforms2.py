@@ -309,8 +309,10 @@ def st_transscale(b: pd.Series, dx: pd.Series, dy: pd.Series, sx: pd.Series, sy:
 
 @pandas_udf(BinaryType())
 def st_reflect(b: pd.Series, mirror: pd.Series) -> pd.Series:
-    """Reflect about a point (central inversion) or the line through the
-    mirror geometry's first and last coordinates (Reflect.java)."""
+    """Reflect.java: a POINT mirror means JTS ``setToReflection(x, y)`` —
+    reflection about the line through the ORIGIN and that point (not a
+    central inversion); a LINESTRING mirror reflects about the line through
+    its first and last coordinates."""
     out = []
     for x, m in zip(b, mirror):
         if x is None or m is None:
@@ -320,12 +322,17 @@ def st_reflect(b: pd.Series, mirror: pd.Series) -> pd.Series:
         gm = W.from_wkb(m)
         mc = gm.all_coords()[:, :2]
         if gm.kind == "point":
-            x0, y0 = mc[0]
+            dx, dy = mc[0]
+            L2 = dx * dx + dy * dy
+            if L2 == 0:
+                out.append(None)
+                continue
 
-            def fn(a, x0=x0, y0=y0):
+            def fn(a, dx=dx, dy=dy, L2=L2):
                 c = a.copy()
-                c[:, 0] = 2 * x0 - c[:, 0]
-                c[:, 1] = 2 * y0 - c[:, 1]
+                t = (c[:, 0] * dx + c[:, 1] * dy) / L2
+                c[:, 0] = 2 * t * dx - c[:, 0]
+                c[:, 1] = 2 * t * dy - c[:, 1]
                 return c
 
         elif gm.kind == "linestring" and len(mc) >= 2:
@@ -925,30 +932,29 @@ st_straightskeleton = _ug(_straight_skeleton)
 
 
 def _voronoi_lines(g: Geom) -> Geom:
-    """Edges of the Voronoi diagram of the geometry's vertices
-    (VoronoiLines.java is a registered stub; PostGIS ST_VoronoiLines)."""
-    from ..geom import shapes as S
-
-    c = np.unique(g.all_coords()[:, :2], axis=0)
-    if len(c) < 3:
-        return Geom("multilinestring", [])
-    tris, pts = S.delaunay(c)
-    from ..geom.shapes import circle_from_3
+    """Cell-boundary edges of the bounded Voronoi diagram (PostGIS
+    ST_VoronoiLines semantics; VoronoiLines.java itself is an
+    UnsupportedOperationException stub, so the PostGIS contract is the
+    spec).  Edges shared by two cells are the bisector segments; clip-
+    envelope border segments belong to one cell only and are dropped."""
     from collections import defaultdict
 
-    centers = {
-        t: circle_from_3(pts[t[0]], pts[t[1]], pts[t[2]])[:2] for t in tris
-    }
-    edge_map = defaultdict(list)
-    for t in tris:
-        for e in ((t[0], t[1]), (t[0], t[2]), (t[1], t[2])):
-            edge_map[e].append(t)
-    lines = []
-    for e, ts in edge_map.items():
-        if len(ts) == 2:
-            p, q = centers[ts[0]], centers[ts[1]]
-            if p != q:
-                lines.append(np.array([p, q]))
+    from ..geom import shapes as S
+
+    cells = S.voronoi_diagram(g.all_coords())
+    counts: dict = defaultdict(int)
+    segs: dict = {}
+    for _site, ring in cells:
+        for k in range(len(ring) - 1):
+            a, b = ring[k], ring[k + 1]
+            ka = (round(a[0], 9), round(a[1], 9))
+            kb = (round(b[0], 9), round(b[1], 9))
+            if ka == kb:
+                continue
+            key = (ka, kb) if ka < kb else (kb, ka)
+            counts[key] += 1
+            segs[key] = np.array([a, b])
+    lines = [segs[k] for k in sorted(counts) if counts[k] >= 2]
     return Geom("multilinestring", lines)
 
 

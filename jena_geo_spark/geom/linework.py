@@ -200,9 +200,11 @@ def simplify_vw(coords: np.ndarray, area_tol: float) -> np.ndarray:
 
 
 def normalize(g):
-    """ST_Normalize: canonical form — exterior rings CCW starting at the
-    lexicographically smallest vertex, holes CW; multi-part members sorted
-    by their first canonical vertex."""
+    """ST_Normalize: JTS ``Geometry.norm()`` canonical form (Normalize.java
+    delegates to it) — exterior rings CW starting at the lexicographically
+    smallest vertex, holes CCW; linestrings reversed when the reverse reads
+    lexicographically smaller; multi-part members sorted by their first
+    canonical vertex."""
     from . import wkt as W
 
     def norm_ring(r, ccw: bool):
@@ -217,27 +219,30 @@ def normalize(g):
         body = np.roll(body, -start, axis=0)
         return np.vstack([body, body[:1]])
 
+    def norm_line(c):
+        # JTS LineString.normalize: reverse when, at the first symmetric
+        # pair (i, n-1-i) that differs, the tail coordinate is smaller.
+        n = len(c)
+        for i in range(n // 2):
+            a, b = tuple(c[i, :2]), tuple(c[n - 1 - i, :2])
+            if a != b:
+                return c[::-1] if b < a else c
+        return c
+
     if g.kind == "polygon":
-        rings = [norm_ring(g.parts[0], True)] + [norm_ring(h, False) for h in g.parts[1:]]
+        rings = [norm_ring(g.parts[0], False)] + [norm_ring(h, True) for h in g.parts[1:]]
         return W.Geom("polygon", rings, g.dims if g.dims == "XY" else "XY")
     if g.kind == "multipolygon":
         polys = [
-            [norm_ring(rings[0], True)] + [norm_ring(h, False) for h in rings[1:]]
+            [norm_ring(rings[0], False)] + [norm_ring(h, True) for h in rings[1:]]
             for rings in g.parts
         ]
         polys.sort(key=lambda rr: tuple(rr[0][0]))
         return W.Geom("multipolygon", polys)
     if g.kind == "linestring":
-        c = g.parts[0]
-        if tuple(c[-1, :2]) < tuple(c[0, :2]):
-            c = c[::-1]
-        return W.Geom("linestring", [c.copy()], g.dims)
+        return W.Geom("linestring", [norm_line(g.parts[0]).copy()], g.dims)
     if g.kind == "multilinestring":
-        parts = []
-        for c in g.parts:
-            if tuple(c[-1, :2]) < tuple(c[0, :2]):
-                c = c[::-1]
-            parts.append(c.copy())
+        parts = [norm_line(c).copy() for c in g.parts]
         parts.sort(key=lambda c: tuple(c[0, :2]))
         return W.Geom("multilinestring", parts, g.dims)
     if g.kind == "multipoint":

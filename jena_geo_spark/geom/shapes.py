@@ -212,7 +212,7 @@ def delaunay(coords: np.ndarray) -> list:
     pts = np.unique(pts, axis=0)
     n = len(pts)
     if n < 3:
-        return []
+        return [], pts
     # super-triangle
     cx, cy = pts[:, 0].mean(), pts[:, 1].mean()
     span = max(pts[:, 0].ptp(), pts[:, 1].ptp(), 1.0) * 100
@@ -274,6 +274,54 @@ def voronoi_cells(coords: np.ndarray) -> list:
         ang = np.arctan2(arr[:, 1] - pts[i][1], arr[:, 0] - pts[i][0])
         order = np.argsort(ang)
         cells.append((tuple(pts[i]), [tuple(arr[k]) for k in order]))
+    return cells
+
+
+def voronoi_diagram(coords: np.ndarray) -> list:
+    """Bounded Voronoi cells — JTS ``VoronoiDiagramBuilder`` semantics
+    (VoronoiPolygons.java delegates to it): each site's cell is the clip
+    envelope (site bounding box expanded by ``max(width, height)`` on every
+    side, min 1.0 for degenerate extents) intersected with the half-planes
+    closer to the site than to every other site (Sutherland–Hodgman clip).
+    Exact for ANY site count ≥ 1 — no triangulation degeneracies.  O(n²)
+    per call; this is a per-row small-n geometry kernel, the distributed
+    path never funnels a table through it.
+
+    Returns ``[(site_xy, closed_ring ndarray), ...]`` in site order."""
+    pts = np.unique(np.asarray(coords, dtype=np.float64)[:, :2], axis=0)
+    n = len(pts)
+    if n == 0:
+        return []
+    mn, mx = pts.min(axis=0), pts.max(axis=0)
+    expand = max(mx[0] - mn[0], mx[1] - mn[1], 1.0)
+    x0, y0 = mn - expand
+    x1, y1 = mx + expand
+    cells = []
+    for i in range(n):
+        poly = np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=np.float64
+        )
+        si = pts[i]
+        for j in range(n):
+            if j == i or len(poly) == 0:
+                continue
+            # keep the half-plane closer to site i: (p - m)·d <= 0,
+            # d = sj - si, m = midpoint of the two sites
+            d = pts[j] - si
+            m = (pts[j] + si) / 2.0
+            side = (poly - m) @ d
+            nxt = np.roll(poly, -1, axis=0)
+            side_n = np.roll(side, -1)
+            out_pts = []
+            for k in range(len(poly)):
+                if side[k] <= 0:
+                    out_pts.append(poly[k])
+                if (side[k] <= 0) != (side_n[k] <= 0):
+                    t = side[k] / (side[k] - side_n[k])
+                    out_pts.append(poly[k] + t * (nxt[k] - poly[k]))
+            poly = np.array(out_pts) if out_pts else np.empty((0, 2))
+        if len(poly) >= 3:
+            cells.append((tuple(si), np.vstack([poly, poly[:1]])))
     return cells
 
 

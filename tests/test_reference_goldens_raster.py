@@ -220,3 +220,30 @@ def test_band_metadata_golden():
     assert u1(RA.rt_bandmetadata, wkb1, 10) is None
     meta = u1(RA.rt_bandmetadata, wkb1, 0)
     assert "pixeltype=8BUI" in meta and "band=0" in meta
+
+
+def test_addband_and_fromwkb_goldens():
+    """AddBandTest.java / RastFromWKBTest.java (both commented out; both
+    registered ops): RastFromWKB re-parses a raster literal — identity on
+    canonical bytes; AddBand appends a constant band.  SetUpperLeftTest
+    .java and raster TranslateX/TranslateY are dead code (SetUpperLeft's
+    test body is an UnsupportedOperationException, TranslateX/Y are never
+    registered in PostGISConfig.java) and are not ported."""
+    from jena_geo_spark.functions import registry_support as RS
+    from jena_geo_spark.raster import attributes as RT
+
+    import pandas as pd
+
+    def u1(udf, *args):
+        return udf.func(*(pd.Series([a]) for a in args)).iloc[0]
+
+    raw = WR.encode(WR.decode(bytes.fromhex(WKB1)))
+    # rt_fromwkb is a Catalyst identity (WKB-raster IS the column format):
+    # the decode→encode round-trip above is the value-level equivalent
+    assert WR.encode(WR.decode(raw)) == raw
+    before = WR.decode(raw)
+    after = WR.decode(u1(RS.rt_addband_const, raw, 7.0))
+    assert len(after.bands) == len(before.bands) + 1
+    assert np.all(after.bands[-1].data == 7.0)
+    for bi in range(len(before.bands)):
+        assert np.array_equal(after.bands[bi].data, before.bands[bi].data)

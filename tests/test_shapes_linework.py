@@ -104,7 +104,7 @@ def test_normalize():
     b = L.normalize(g("POLYGON((0 0,4 0,4 4,0 4,0 0))"))
     assert W.to_wkt(a) == W.to_wkt(b)
     assert tuple(a.parts[0][0]) == (0.0, 0.0)
-    # CW input reversed to CCW
+    # CCW input reversed to CW (JTS norm: shells clockwise)
     c = L.normalize(g("POLYGON((0 0,0 4,4 4,4 0,0 0))"))
     assert W.to_wkt(c) == W.to_wkt(b)
 
