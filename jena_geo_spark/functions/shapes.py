@@ -178,9 +178,15 @@ def st_split(b: pd.Series, blade: pd.Series) -> pd.Series:
                 if ip is not None and AR._geom_covers_point(g, ip[0], ip[1]):
                     kept.append(face)
             out.append(W.to_wkb(W.Geom("geometrycollection", kept)))
-        else:
+        elif g.kind == "linestring" and gb.kind == "linestring":
             pieces = L.split_line_by_line(g.parts[0], gb.parts[0])
             out.append(W.to_wkb(W.Geom("multilinestring", pieces)))
+        else:
+            # Split.java: "Constellation of input geometries is not
+            # supported by this Split operator"
+            raise ValueError(
+                f"ST_Split: unsupported constellation {g.kind} x {gb.kind}"
+            )
     return pd.Series(out)
 
 

@@ -1677,3 +1677,17 @@ def test_wkb_text_constructor_exporter_goldens():
     got2 = u1(RS.st_linefromwkb, line_wkb)
     assert W.to_wkt(W.from_wkb(got2)) == "LINESTRING (1 2, 3 4)"
     assert u1(RS.st_linefromwkb, poly) is None
+
+
+def test_split_unsupported_constellation_raises():
+    """Split.java rejects everything but polygon × linestring; ours keeps
+    the PostGIS line × line extension and raises the reference's error for
+    the rest (e.g. polygon × polygon, point blades)."""
+    with pytest.raises(ValueError, match="constellation"):
+        u1(
+            FS.st_split,
+            wkb("POLYGON ((0 0, 1 0, 1 1, 0 0))"),
+            wkb("POLYGON ((0 0, 1 0, 1 1, 0 0))"),
+        )
+    with pytest.raises(ValueError, match="constellation"):
+        u1(FS.st_split, wkb("LINESTRING (0 0, 1 1)"), wkb("POINT (0.5 0.5)"))
