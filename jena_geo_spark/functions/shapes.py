@@ -124,6 +124,8 @@ def st_voronoipolygons(b: pd.Series) -> pd.Series:
     clipping (geom.shapes.voronoi_diagram)."""
 
     def vor(x):
+        if x is None:
+            return None
         cells = S.voronoi_diagram(W.from_wkb(x).all_coords())
         return W.to_wkb(W.Geom("multipolygon", [[ring] for _site, ring in cells]))
 
@@ -159,6 +161,9 @@ def st_split(b: pd.Series, blade: pd.Series) -> pd.Series:
 
     out = []
     for x, y in zip(b, blade):
+        if x is None or y is None:
+            out.append(None)
+            continue
         g, gb = W.from_wkb(x), W.from_wkb(y)
         if g.kind in ("polygon", "multipolygon") and gb.kind in (
             "linestring",
@@ -277,7 +282,7 @@ def st_simplifyvw(b: pd.Series, dist_tol: pd.Series) -> pd.Series:
 
 @pandas_udf(BinaryType())
 def st_normalize(b: pd.Series) -> pd.Series:
-    return b.map(lambda x: W.to_wkb(L.normalize(W.from_wkb(x))))
+    return b.map(lambda x: None if x is None else W.to_wkb(L.normalize(W.from_wkb(x))))
 
 
 @pandas_udf(BinaryType())

@@ -623,6 +623,9 @@ def st_reversering(b: pd.Series, idx: pd.Series) -> pd.Series:
     convention as RemoveRing (vector.st_removering)."""
     out = []
     for x, i in zip(b, idx):
+        if x is None or i is None:
+            out.append(None)
+            continue
         g = W.from_wkb(x)
         if g.kind != "polygon" or not g.parts:
             raise ValueError("ST_ReverseRing: given geometry is not a Polygon")
@@ -935,27 +938,39 @@ def _voronoi_lines(g: Geom) -> Geom:
     """Cell-boundary edges of the bounded Voronoi diagram (PostGIS
     ST_VoronoiLines semantics; VoronoiLines.java itself is an
     UnsupportedOperationException stub, so the PostGIS contract is the
-    spec).  Edges shared by two cells are the bisector segments; clip-
-    envelope border segments belong to one cell only and are dropped."""
-    from collections import defaultdict
-
+    spec).  A ring segment of site i's cell is a bisector edge iff its
+    midpoint is (to scale-relative tolerance) equidistant to i and some
+    other site j — keyed by the (i, j) pair so the two cells' independently
+    clipped copies dedup even when their float endpoints differ at
+    projected-coordinate magnitudes; clip-envelope border segments have no
+    equidistant partner and drop out."""
     from ..geom import shapes as S
 
     cells = S.voronoi_diagram(g.all_coords())
-    counts: dict = defaultdict(int)
+    if len(cells) < 2:
+        return Geom("multilinestring", [])
+    sites = np.array([s for s, _r in cells])
+    span = float(
+        max(sites[:, 0].ptp(), sites[:, 1].ptp(), np.abs(sites).max(), 1.0)
+    )
+    tol = span * 1e-9
     segs: dict = {}
-    for _site, ring in cells:
-        for k in range(len(ring) - 1):
-            a, b = ring[k], ring[k + 1]
-            ka = (round(a[0], 9), round(a[1], 9))
-            kb = (round(b[0], 9), round(b[1], 9))
-            if ka == kb:
-                continue
-            key = (ka, kb) if ka < kb else (kb, ka)
-            counts[key] += 1
-            segs[key] = np.array([a, b])
-    lines = [segs[k] for k in sorted(counts) if counts[k] >= 2]
-    return Geom("multilinestring", lines)
+    for i, (_site, ring) in enumerate(cells):
+        mids = (ring[:-1] + ring[1:]) / 2.0
+        d = np.hypot(
+            mids[:, None, 0] - sites[None, :, 0],
+            mids[:, None, 1] - sites[None, :, 1],
+        )
+        for k in range(len(mids)):
+            di = d[k, i]
+            near = np.flatnonzero(np.abs(d[k] - di) <= tol)
+            partners = [j for j in near if j != i]
+            if partners:
+                j = int(partners[0])
+                key = (min(i, j), max(i, j))
+                if key not in segs:
+                    segs[key] = np.array([ring[k], ring[k + 1]])
+    return Geom("multilinestring", [segs[k] for k in sorted(segs)])
 
 
 st_voronoilines = _ug(_voronoi_lines)

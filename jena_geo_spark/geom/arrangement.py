@@ -19,9 +19,11 @@ and geof:buffer in jena's ``GeometryWrapper``):
    per-vertex discs (+ the polygon bodies themselves), resolved through the
    arrangement; negative distances erode areal geometries.
 
-All numpy/python, no shapely/JTS.  Coordinates are quantized to 12
-significant digits after noding so coincident intersection points merge
-exactly — the standard snap-rounding mitigation.
+All numpy/python, no shapely/JTS.  After noding, coordinates within one
+quantum (12 significant digits of the input scale) of each other are
+snapped to a single cluster representative, preferring exact original
+endpoints — coincident intersection points merge exactly while un-cut
+input coordinates pass through bit-identical.
 """
 
 from __future__ import annotations
@@ -35,10 +37,6 @@ from . import kernel as K
 from .wkt import Geom
 
 # ------------------------------------------------------------------ noding --
-
-
-def _quantize(pts: np.ndarray, quantum: float) -> np.ndarray:
-    return np.round(pts / quantum) * quantum
 
 
 def node_chains(chains: list, quantum: float | None = None) -> list:

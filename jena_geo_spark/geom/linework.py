@@ -229,12 +229,17 @@ def normalize(g):
                 return c[::-1] if b < a else c
         return c
 
+    def ring_key(r):
+        return tuple(map(tuple, np.asarray(r)[:, :2]))
+
     if g.kind == "polygon":
-        rings = [norm_ring(g.parts[0], False)] + [norm_ring(h, True) for h in g.parts[1:]]
+        holes = sorted((norm_ring(h, True) for h in g.parts[1:]), key=ring_key)
+        rings = [norm_ring(g.parts[0], False)] + holes
         return W.Geom("polygon", rings, g.dims if g.dims == "XY" else "XY")
     if g.kind == "multipolygon":
         polys = [
-            [norm_ring(rings[0], False)] + [norm_ring(h, True) for h in rings[1:]]
+            [norm_ring(rings[0], False)]
+            + sorted((norm_ring(h, True) for h in rings[1:]), key=ring_key)
             for rings in g.parts
         ]
         polys.sort(key=lambda rr: tuple(rr[0][0]))

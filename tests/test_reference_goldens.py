@@ -1619,7 +1619,7 @@ def test_voronoi_goldens():
         "((2 -4, 8 -4, 8 4, 2 4, 2 -4)))"
     )
     lines = u1(T2.st_voronoilines, wkb("MULTIPOINT (0 0, 4 0)"))
-    assert W.to_wkt(W.from_wkb(lines)) == "MULTILINESTRING ((2 4, 2 -4))"
+    assert W.to_wkt(W.from_wkb(lines)) == "MULTILINESTRING ((2 -4, 2 4))"
     # three sites: all three bisector edges meet at the circumcenter (2, 1.5)
     lines3 = W.from_wkb(u1(T2.st_voronoilines, wkb("MULTIPOINT (0 0, 4 0, 2 4)")))
     assert len(lines3.parts) == 3
@@ -1691,3 +1691,51 @@ def test_split_unsupported_constellation_raises():
         )
     with pytest.raises(ValueError, match="constellation"):
         u1(FS.st_split, wkb("LINESTRING (0 0, 1 1)"), wkb("POINT (0.5 0.5)"))
+
+
+def test_voronoi_lines_scale_invariant_and_null_guards():
+    """Review regressions: bisector-edge dedup must key on the (site, site)
+    pair, not absolutely-rounded float endpoints — at projected-coordinate
+    magnitudes (~1e6-1e7) the two cells' independently clipped copies of a
+    shared edge differ by more than any absolute epsilon.  And the
+    rewritten UDFs must keep SQL NULL-propagation (None in → None out)."""
+    from jena_geo_spark.functions import shapes as SHP
+    from jena_geo_spark.functions import transforms2 as T2
+
+    rng = np.random.default_rng(0)
+    pts = rng.random((12, 2)) * 1000
+    near = W.from_wkb(
+        u1(T2.st_voronoilines, W.to_wkb(W.Geom("multipoint", [pts])))
+    )
+    far = W.from_wkb(
+        u1(
+            T2.st_voronoilines,
+            W.to_wkb(W.Geom("multipoint", [pts + np.array([6e6, 5e6])])),
+        )
+    )
+    assert len(near.parts) == len(far.parts) > 0
+    assert u1(T2.st_reversering, None, 0) is None
+    assert u1(FS.st_split, None, wkb("LINESTRING (0 0, 1 1)")) is None
+    assert u1(SHP.st_voronoipolygons, None) is None
+    assert u1(SHP.st_normalize, None) is None
+
+
+def test_normalize_sorts_interior_rings():
+    """JTS Polygon.normalize() sorts the hole array after normalizing each
+    ring — equal polygons with holes listed in different orders must
+    normalize identically (st_equalsnorm depends on it)."""
+    from jena_geo_spark.geom import linework as L
+
+    a = L.normalize(
+        g(
+            "POLYGON ((0 0, 0 9, 9 9, 9 0, 0 0), "
+            "(1 1, 2 1, 2 2, 1 2, 1 1), (5 5, 6 5, 6 6, 5 6, 5 5))"
+        )
+    )
+    b = L.normalize(
+        g(
+            "POLYGON ((0 0, 0 9, 9 9, 9 0, 0 0), "
+            "(5 5, 6 5, 6 6, 5 6, 5 5), (1 1, 2 1, 2 2, 1 2, 1 1))"
+        )
+    )
+    assert W.to_wkt(a) == W.to_wkt(b)
