@@ -12,6 +12,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+from .nullsafe import null_safe
 
 _B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 _B32_IDX = {c: i for i, c in enumerate(_B32)}
@@ -141,6 +142,7 @@ def st_pointfromgeohash(gh: pd.Series) -> pd.DataFrame:
 
 
 @pandas_udf(StringType())
+@null_safe
 def st_asencodedpolyline(wkb: pd.Series) -> pd.Series:
     from ..geom import wkt as W
 

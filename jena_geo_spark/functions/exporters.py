@@ -22,6 +22,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BinaryType, StringType
 
 from ..geom import wkt as W
+from .nullsafe import null_safe
 
 
 def _fmt(v: float) -> str:
@@ -446,6 +447,7 @@ st_asgeorss = _str_exporter(to_georss)
 
 
 @pandas_udf(BinaryType())
+@null_safe
 def st_astwkb(b: pd.Series, precision: pd.Series) -> pd.Series:
     return pd.Series(
         [to_twkb(W.from_wkb(x), int(p)) for x, p in zip(b, precision)]
@@ -458,10 +460,12 @@ def st_geomfromtwkb(b: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+@null_safe
 def st_geomfromkml(s: pd.Series) -> pd.Series:
     return s.map(lambda x: W.to_wkb(from_kml(x)))
 
 
 @pandas_udf(BinaryType())
+@null_safe
 def st_geomfromgml(s: pd.Series) -> pd.Series:
     return s.map(lambda x: W.to_wkb(from_gml(x)))

@@ -15,9 +15,11 @@ from pyspark.sql.types import BooleanType, StringType
 
 from ..geom import relate as R
 from ..geom import wkt as W
+from .nullsafe import null_safe
 
 
 @pandas_udf(StringType())
+@null_safe
 def st_relate(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(
         [R.relate(W.from_wkb(x), W.from_wkb(y)) for x, y in zip(a, b)]
@@ -25,12 +27,14 @@ def st_relate(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BooleanType())
+@null_safe
 def st_relate_match(a: pd.Series, b: pd.Series, pattern: pd.Series) -> pd.Series:
     return pd.Series(
         [
             R.relate_match(R.relate(W.from_wkb(x), W.from_wkb(y)), p)
             for x, y, p in zip(a, b, pattern)
-        ]
+        ],
+        dtype=object,
     )
 
 
@@ -51,8 +55,12 @@ def st_relate_match_strings(matrix: pd.Series, pattern: pd.Series) -> pd.Series:
 
 
 def _pred_udf(fn):
+    @null_safe
     def wrapped(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series([fn(W.from_wkb(x), W.from_wkb(y)) for x, y in zip(a, b)])
+        return pd.Series(
+            [fn(W.from_wkb(x), W.from_wkb(y)) for x, y in zip(a, b)],
+            dtype=object,
+        )
 
     wrapped.__name__ = fn.__name__
     return pandas_udf(wrapped, BooleanType())

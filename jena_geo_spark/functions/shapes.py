@@ -24,6 +24,7 @@ from pyspark.sql.types import (
 from ..geom import linework as L
 from ..geom import shapes as S
 from ..geom import wkt as W
+from .nullsafe import null_safe
 
 _CIRCLE_T = StructType(
     [StructField("cx", DoubleType()), StructField("cy", DoubleType()), StructField("r", DoubleType())]
@@ -32,6 +33,7 @@ _POINT_T = StructType([StructField("x", DoubleType()), StructField("y", DoubleTy
 
 
 @pandas_udf(_CIRCLE_T)
+@null_safe
 def st_minimumboundingcircle(b: pd.Series) -> pd.DataFrame:
     rows = [S.min_bounding_circle(W.from_wkb(x).all_coords()) for x in b]
     a = np.array(rows, dtype=np.float64).reshape(-1, 3)
@@ -39,6 +41,7 @@ def st_minimumboundingcircle(b: pd.Series) -> pd.DataFrame:
 
 
 @pandas_udf(BinaryType())
+@null_safe
 def st_minimumrectangle(b: pd.Series) -> pd.Series:
     def mr(x):
         ring, _, _ = S.minimum_rectangle(W.from_wkb(x).all_coords())
@@ -48,6 +51,7 @@ def st_minimumrectangle(b: pd.Series) -> pd.Series:
 
 
 @pandas_udf(DoubleType())
+@null_safe
 def st_minimumdiameter(b: pd.Series) -> pd.Series:
     """Width of the minimum rotated rectangle (JTS MinimumDiameter length)."""
 
@@ -59,6 +63,7 @@ def st_minimumdiameter(b: pd.Series) -> pd.Series:
 
 
 @pandas_udf(_POINT_T)
+@null_safe
 def st_geometricmedian(b: pd.Series) -> pd.DataFrame:
     rows = [S.geometric_median(W.from_wkb(x).all_coords()) for x in b]
     a = np.array(rows, dtype=np.float64).reshape(-1, 2)
@@ -66,16 +71,19 @@ def st_geometricmedian(b: pd.Series) -> pd.DataFrame:
 
 
 @pandas_udf(BooleanType())
+@null_safe
 def st_isvalid(b: pd.Series) -> pd.Series:
     return b.map(lambda x: S.is_valid(W.from_wkb(x)))
 
 
 @pandas_udf(StringType())
+@null_safe
 def st_isvalidreason(b: pd.Series) -> pd.Series:
     return b.map(lambda x: S.is_valid_reason(W.from_wkb(x)))
 
 
 @pandas_udf(_POINT_T)
+@null_safe
 def st_pointonsurface(b: pd.Series) -> pd.DataFrame:
     from ..geom.overlay import interior_point
 
@@ -94,6 +102,7 @@ def st_pointonsurface(b: pd.Series) -> pd.DataFrame:
 
 
 @pandas_udf(BinaryType())
+@null_safe
 def st_concavehull(b: pd.Series, threshold: pd.Series) -> pd.Series:
     return pd.Series(
         [
@@ -104,6 +113,7 @@ def st_concavehull(b: pd.Series, threshold: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+@null_safe
 def st_delaunaytriangles(b: pd.Series) -> pd.Series:
     def tri(x):
         tris, pts = S.delaunay(W.from_wkb(x).all_coords())
@@ -136,6 +146,7 @@ def st_voronoipolygons(b: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+@null_safe
 def st_snap(b: pd.Series, target: pd.Series, tol: pd.Series) -> pd.Series:
     out = []
     for x, y, t in zip(b, target, tol):
@@ -196,6 +207,7 @@ def st_split(b: pd.Series, blade: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+@null_safe
 def st_linemerge(b: pd.Series) -> pd.Series:
     def lm(x):
         g = W.from_wkb(x)
@@ -208,6 +220,7 @@ def st_linemerge(b: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+@null_safe
 def st_linesubstring(b: pd.Series, f0: pd.Series, f1: pd.Series) -> pd.Series:
     return pd.Series(
         [
@@ -218,6 +231,7 @@ def st_linesubstring(b: pd.Series, f0: pd.Series, f1: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+@null_safe
 def st_segmentize(b: pd.Series, max_len: pd.Series) -> pd.Series:
     def seg(x, ml):
         g = W.from_wkb(x)
@@ -231,6 +245,7 @@ def st_segmentize(b: pd.Series, max_len: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+@null_safe
 def st_densify(b: pd.Series, tol: pd.Series) -> pd.Series:
     """Reference ``geometry/transform/Densify.java`` = JTS
     ``Densifier.densify(geom, distanceTolerance)`` — the argument is a
@@ -262,6 +277,7 @@ def st_densify_n(b: pd.Series, n_per_edge: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+@null_safe
 def st_simplifyvw(b: pd.Series, dist_tol: pd.Series) -> pd.Series:
     """JTS ``VWSimplifier`` convention (the reference delegates to it):
     the argument is a DISTANCE tolerance, squared into the effective-area
@@ -286,6 +302,7 @@ def st_normalize(b: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+@null_safe
 def st_makevalid(b: pd.Series) -> pd.Series:
     """Best-effort ST_MakeValid: close rings, drop repeated consecutive
     points; if a ring still self-intersects, fall back to its convex hull

@@ -28,6 +28,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BinaryType, DoubleType
 
 from ..geom import wkt as W
+from .nullsafe import null_safe
 
 _R = 6378137.0  # WGS84 semi-major (Web-Mercator sphere radius)
 
@@ -63,6 +64,7 @@ def _geom_udf(fn):
 
 
 @pandas_udf(BinaryType())
+@null_safe
 def st_scale(b: pd.Series, sx: pd.Series, sy: pd.Series) -> pd.Series:
     return _geom_udf(
         lambda g, x, y: _affine(g, np.array([[x, 0, 0], [0, y, 0]], dtype=np.float64))
@@ -70,6 +72,7 @@ def st_scale(b: pd.Series, sx: pd.Series, sy: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+@null_safe
 def st_rotate(b: pd.Series, theta: pd.Series) -> pd.Series:
     def rot(g, t):
         c, s = np.cos(t), np.sin(t)
@@ -86,6 +89,7 @@ def st_reflect_x(b: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+@null_safe
 def st_shear(b: pd.Series, kx: pd.Series, ky: pd.Series) -> pd.Series:
     return _geom_udf(
         lambda g, x, y: _affine(g, np.array([[1, x, 0], [y, 1, 0]], dtype=np.float64))
@@ -577,6 +581,7 @@ def _xy_transform(from_srid: int, to_srid: int):
 
 
 @pandas_udf(BinaryType())
+@null_safe
 def st_transform(b: pd.Series, from_srid: pd.Series, to_srid: pd.Series) -> pd.Series:
     """ST_Transform for geometry WKB columns — 4326 ↔ 3857 ↔ the full
     EPSG UTM series (32601-60 north, 32701-60 south), arbitrary pairs

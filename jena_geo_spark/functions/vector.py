@@ -41,6 +41,7 @@ from pyspark.sql.types import (
 from .. import grid
 from ..geom import kernel as K
 from ..geom import wkt as W
+from .nullsafe import null_safe
 
 # ------------------------------------------------------------ constructors --
 
@@ -84,6 +85,7 @@ def st_asgeojson(b: pd.Series) -> pd.Series:
 
 
 @pandas_udf(DoubleType())
+@null_safe
 def st_x(b: pd.Series) -> pd.Series:
     def x_of(x):
         g = W.from_wkb(x)
@@ -93,6 +95,7 @@ def st_x(b: pd.Series) -> pd.Series:
 
 
 @pandas_udf(DoubleType())
+@null_safe
 def st_y(b: pd.Series) -> pd.Series:
     def y_of(x):
         g = W.from_wkb(x)
@@ -116,11 +119,13 @@ _JTS_TYPE_NAMES = {
 
 
 @pandas_udf(StringType())
+@null_safe
 def st_geometrytype(b: pd.Series) -> pd.Series:
     return b.map(lambda x: _JTS_TYPE_NAMES[W.from_wkb(x).kind])
 
 
 @pandas_udf(IntegerType())
+@null_safe
 def st_npoints(b: pd.Series) -> pd.Series:
     return b.map(lambda x: int(len(W.from_wkb(x).all_coords())))
 
@@ -138,6 +143,8 @@ _BOUNDS_T = StructType(
 @pandas_udf(_BOUNDS_T)
 def st_bounds(b: pd.Series) -> pd.DataFrame:
     def one(x):
+        if x is None:  # NULL geometry → NaN envelope, like empties
+            return (np.nan, np.nan, np.nan, np.nan)
         c = W.from_wkb(x).all_coords()
         if not len(c):  # empty geometry → NaN envelope (JTS: null envelope)
             return (np.nan, np.nan, np.nan, np.nan)
@@ -152,6 +159,7 @@ def st_bounds(b: pd.Series) -> pd.DataFrame:
 
 
 @pandas_udf(DoubleType())
+@null_safe
 def st_area(b: pd.Series) -> pd.Series:
     def area(x):
         g = W.from_wkb(x)
@@ -166,6 +174,7 @@ def st_area(b: pd.Series) -> pd.Series:
 
 
 @pandas_udf(DoubleType())
+@null_safe
 def st_length(b: pd.Series) -> pd.Series:
     def length(x):
         g = W.from_wkb(x)
@@ -179,6 +188,7 @@ def st_length(b: pd.Series) -> pd.Series:
 
 
 @pandas_udf(DoubleType())
+@null_safe
 def st_perimeter(b: pd.Series) -> pd.Series:
     def perim(x):
         g = W.from_wkb(x)
@@ -197,6 +207,9 @@ _POINT_T = StructType([StructField("x", DoubleType()), StructField("y", DoubleTy
 def st_centroid(b: pd.Series) -> pd.DataFrame:
     out = []
     for x in b:
+        if x is None:  # NULL geometry → NaN centroid (null-envelope style)
+            out.append((np.nan, np.nan))
+            continue
         g = W.from_wkb(x)
         if not g.parts:
             out.append((np.nan, np.nan))
@@ -210,6 +223,7 @@ def st_centroid(b: pd.Series) -> pd.DataFrame:
 
 
 @pandas_udf(DoubleType())
+@null_safe
 def st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
     """Planar min-distance (JTS DistanceOp semantics;
     golden ``DistanceTest.java:31-39`` = 69.9400386045075).
@@ -226,6 +240,7 @@ def st_distance_sphere(lon1: pd.Series, lat1: pd.Series, lon2: pd.Series, lat2: 
 
 
 @pandas_udf(DoubleType())
+@null_safe
 def geof_distance(a: pd.Series, b: pd.Series, srid: pd.Series) -> pd.Series:
     """geof:distance with the reference's SRID-keyed dispatch
     (``GeometryWrapper.java:676-686``): geographic SRS → great-circle in
@@ -266,12 +281,14 @@ def geof_distance(a: pd.Series, b: pd.Series, srid: pd.Series) -> pd.Series:
 
 
 def _dist2_udf(fn):
+    @null_safe
     def wrapped(a: pd.Series, b: pd.Series) -> pd.Series:
         from ..geom import distances as D
 
         impl = getattr(D, fn)
         return pd.Series(
-            [impl(W.from_wkb(x), W.from_wkb(y)) for x, y in zip(a, b)]
+            [impl(W.from_wkb(x), W.from_wkb(y)) for x, y in zip(a, b)],
+            dtype=object,
         )
 
     wrapped.__name__ = f"st_{fn}"
@@ -283,6 +300,7 @@ st_maxdistance = _dist2_udf("max_distance")
 
 
 @pandas_udf(DoubleType())
+@null_safe
 def st_frechetdistance(a: pd.Series, b: pd.Series) -> pd.Series:
     """Continuous (Alt–Godau) Fréchet distance over the primary chains.
     NOTE: the reference's vendored implementation (heigit/ors/util/
@@ -314,6 +332,7 @@ def st_frechetdistance_discrete(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 @pandas_udf(_POINT_T)
+@null_safe
 def st_closestpoint(a: pd.Series, b: pd.Series) -> pd.DataFrame:
     """Closest point ON A to B (JTS DistanceOp.nearestPoints()[0];
     reference ClosestPointTest: point vs linestring → the point itself)."""
@@ -325,6 +344,7 @@ def st_closestpoint(a: pd.Series, b: pd.Series) -> pd.DataFrame:
 
 
 @pandas_udf(BinaryType())
+@null_safe
 def st_shortestline(a: pd.Series, b: pd.Series) -> pd.Series:
     from ..geom import distances as D
 
@@ -336,6 +356,7 @@ def st_shortestline(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+@null_safe
 def st_longestline(a: pd.Series, b: pd.Series) -> pd.Series:
     from ..geom import distances as D
 
@@ -347,6 +368,7 @@ def st_longestline(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 @pandas_udf(DoubleType())
+@null_safe
 def st_centroid_distance(a: pd.Series, b: pd.Series) -> pd.Series:
     """Distance between centroids (reference CentroidDistance.java)."""
     out = np.empty(len(a))
@@ -371,6 +393,9 @@ def st_centroid_distance(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 def _pairwise_predicate(fn):
+    from .nullsafe import null_safe
+
+    @null_safe
     def wrapped(a: pd.Series, b: pd.Series) -> pd.Series:
         out = np.zeros(len(a), dtype=bool)
         for i, (x, y) in enumerate(zip(a, b)):
@@ -438,6 +463,7 @@ def st_point_in_polygon(lon: pd.Series, lat: pd.Series, poly_wkb: pd.Series) -> 
 
 
 @pandas_udf(BooleanType())
+@null_safe
 def st_dwithin(a: pd.Series, b: pd.Series, d: pd.Series) -> pd.Series:
     out = np.zeros(len(a), dtype=bool)
     for i, (x, y, dd) in enumerate(zip(a, b, d)):
@@ -452,19 +478,24 @@ def _geom_map(fn):
     def wrapped(b: pd.Series, *args) -> pd.Series:
         out = []
         for i, x in enumerate(b):
+            if x is None:
+                out.append(None)
+                continue
             extra = [a.iloc[i] for a in args]
             out.append(W.to_wkb(fn(W.from_wkb(x), *extra)))
-        return pd.Series(out)
+        return pd.Series(out, dtype=object)
 
     return wrapped
 
 
 @pandas_udf(BinaryType())
+@null_safe
 def st_convexhull(b: pd.Series) -> pd.Series:
     return _geom_map(lambda g: W.Geom("polygon", [K.convex_hull(g.all_coords())]))(b)
 
 
 @pandas_udf(BinaryType())
+@null_safe
 def st_simplify(b: pd.Series, tol: pd.Series) -> pd.Series:
     def simp(g: W.Geom, t: float) -> W.Geom:
         if g.kind == "linestring":
@@ -503,6 +534,7 @@ def st_buffer_point(lon: pd.Series, lat: pd.Series, radius: pd.Series, segs: pd.
 
 
 @pandas_udf(BinaryType())
+@null_safe
 def st_translate(b: pd.Series, dx: pd.Series, dy: pd.Series) -> pd.Series:
     def tr(g: W.Geom, ddx: float, ddy: float) -> W.Geom:
         # coordinate arrays carry len(dims) columns (wkt.Geom contract)
@@ -518,6 +550,7 @@ def st_translate(b: pd.Series, dx: pd.Series, dy: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+@null_safe
 def st_flipcoordinates(b: pd.Series) -> pd.Series:
     def swap_xy(c: np.ndarray) -> np.ndarray:
         # swap ONLY x and y; Z/M ordinates stay in place (a full column
@@ -540,6 +573,7 @@ def st_flipcoordinates(b: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+@null_safe
 def st_clip_by_box(b: pd.Series, xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -> pd.Series:
     """ST_ClipByBox2D: polygon ∩ axis-aligned box (Sutherland–Hodgman)."""
     out = []
@@ -579,6 +613,9 @@ _LINE_KINDS = ("linestring", "multilinestring")
 
 
 def _overlay_udf(op: str):
+    from .nullsafe import null_safe
+
+    @null_safe
     def wrapped(a: pd.Series, b: pd.Series) -> pd.Series:
         from ..geom import linework as L
         from ..geom import overlay as O
@@ -651,6 +688,7 @@ def st_union_area(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 @pandas_udf(DoubleType())
+@null_safe
 def st_intersection_percentage(a: pd.Series, b: pd.Series) -> pd.Series:
     """Reference ST_IntersectionPercentage: |A∩B| / |B| — the SECOND
     geometry's area is the denominator (``IntersectionPercentage.java``:
@@ -673,6 +711,7 @@ def st_intersection_percentage(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 @pandas_udf(_POINT_T)
+@null_safe
 def st_lineinterpolatepoint(b: pd.Series, frac: pd.Series) -> pd.DataFrame:
     out = [K.line_interpolate_point(W.from_wkb(x).parts[0], f) for x, f in zip(b, frac)]
     a = np.array(out).reshape(-1, 2)
@@ -680,6 +719,7 @@ def st_lineinterpolatepoint(b: pd.Series, frac: pd.Series) -> pd.DataFrame:
 
 
 @pandas_udf(DoubleType())
+@null_safe
 def st_linelocatepoint(b: pd.Series, px: pd.Series, py: pd.Series) -> pd.Series:
     return pd.Series(
         [K.line_locate_point(W.from_wkb(x).parts[0], xx, yy) for x, xx, yy in zip(b, px, py)]
@@ -692,6 +732,7 @@ def st_linelocatepoint(b: pd.Series, px: pd.Series, py: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+@null_safe
 def st_addpoint(b: pd.Series, px: pd.Series, py: pd.Series, pos: pd.Series) -> pd.Series:
     """Insert a point at index ``pos`` (-1 = append, ST_AddPoint)."""
     out = []
@@ -707,6 +748,7 @@ def st_addpoint(b: pd.Series, px: pd.Series, py: pd.Series, pos: pd.Series) -> p
 
 
 @pandas_udf(BinaryType())
+@null_safe
 def st_removepoint(b: pd.Series, pos: pd.Series) -> pd.Series:
     out = []
     for x, p in zip(b, pos):
@@ -721,6 +763,7 @@ def st_removepoint(b: pd.Series, pos: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+@null_safe
 def st_setpoint(b: pd.Series, pos: pd.Series, px: pd.Series, py: pd.Series) -> pd.Series:
     out = []
     for x, p, xx, yy in zip(b, pos, px, py):
@@ -732,6 +775,7 @@ def st_setpoint(b: pd.Series, pos: pd.Series, px: pd.Series, py: pd.Series) -> p
 
 
 @pandas_udf(BinaryType())
+@null_safe
 def st_reverse(b: pd.Series) -> pd.Series:
     def rev(g: W.Geom) -> W.Geom:
         if g.kind == "multipolygon":
@@ -744,6 +788,7 @@ def st_reverse(b: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+@null_safe
 def st_removerepeatedpoints(b: pd.Series) -> pd.Series:
     def dedup(g: W.Geom) -> W.Geom:
         def dr(c: np.ndarray) -> np.ndarray:
@@ -761,6 +806,7 @@ def st_removerepeatedpoints(b: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+@null_safe
 def st_ensureclosed(b: pd.Series) -> pd.Series:
     def close(g: W.Geom) -> W.Geom:
         def cl(c: np.ndarray) -> np.ndarray:
@@ -783,6 +829,7 @@ def st_ensureclosed(b: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+@null_safe
 def st_addring(b: pd.Series, ring_wkb: pd.Series) -> pd.Series:
     """ST_AddRing: append an interior ring (hole) to a polygon (the ring
     argument is the exterior of the supplied geometry)."""
@@ -800,6 +847,7 @@ def st_addring(b: pd.Series, ring_wkb: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+@null_safe
 def st_removering(b: pd.Series, idx: pd.Series) -> pd.Series:
     """ST_RemoveRing: drop INTERIOR ring ``idx`` — ZERO-based over the
     holes, the reference's convention (RemoveRing.java skips
@@ -822,6 +870,7 @@ def st_removering(b: pd.Series, idx: pd.Series) -> pd.Series:
 
 
 @pandas_udf(IntegerType())
+@null_safe
 def st_numinteriorrings(b: pd.Series) -> pd.Series:
     return b.map(lambda x: max(len(W.from_wkb(x).parts) - 1, 0))
 

@@ -14,6 +14,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BinaryType, DoubleType, IntegerType
 
 from ..geom import wkt as W
+from .nullsafe import null_safe
 
 
 def _zcol(dims: str) -> int | None:
@@ -25,6 +26,9 @@ def _mcol(dims: str) -> int | None:
 
 
 def _ordinate_udf(which: str, agg):
+    from .nullsafe import null_safe
+
+    @null_safe
     def wrapped(b: pd.Series) -> pd.Series:
         out = []
         for x in b:
@@ -48,6 +52,7 @@ st_mmax = _ordinate_udf("m", lambda v: float(v.max()))
 
 
 @pandas_udf(IntegerType())
+@null_safe
 def st_zmflag(b: pd.Series) -> pd.Series:
     """PostGIS ST_Zmflag: 0 = 2D, 1 = 3DM, 2 = 3DZ, 3 = 4D."""
     flags = {"XY": 0, "XYM": 1, "XYZ": 2, "XYZM": 3}
@@ -61,6 +66,7 @@ def _map_parts(g: W.Geom, fn) -> list:
 
 
 @pandas_udf(BinaryType())
+@null_safe
 def st_force2d(b: pd.Series) -> pd.Series:
     def f2(x):
         g = W.from_wkb(x)
@@ -70,6 +76,7 @@ def st_force2d(b: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+@null_safe
 def st_force3dz(b: pd.Series, z: pd.Series) -> pd.Series:
     def f3(x, zv):
         g = W.from_wkb(x)
@@ -89,6 +96,7 @@ def st_force3dz(b: pd.Series, z: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+@null_safe
 def st_force3dm(b: pd.Series, mval: pd.Series) -> pd.Series:
     """Force XYM: Z is DROPPED, existing M kept, missing M defaulted —
     PostGIS ST_Force3DM and the reference's Force3DM.java agree (r4
@@ -150,6 +158,7 @@ def st_3ddistance(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+@null_safe
 def st_locate_between_elevations(b: pd.Series, zmin: pd.Series, zmax: pd.Series) -> pd.Series:
     """Sub-linestrings whose Z lies in [zmin, zmax]; segments are split at
     the elevation bounds by linear interpolation (reference

@@ -42,8 +42,8 @@ def hausdorff(ga, gb) -> float:
     ca, cb = ga.chains(), gb.chains()
     best = 0.0
     for pts, chains in ((ga.all_coords(), cb), (gb.all_coords(), ca)):
-        for px, py in pts:
-            best = max(best, _point_to_chains_sq(float(px), float(py), chains))
+        for v in pts:  # XY only — Z/M ordinates don't enter the metric
+            best = max(best, _point_to_chains_sq(float(v[0]), float(v[1]), chains))
     return float(np.sqrt(best))
 
 

@@ -22,6 +22,7 @@ from pyspark.sql.types import (
 )
 
 from . import wkb_raster as WR
+from ..functions.nullsafe import null_safe
 
 
 def resize(r: WR.Raster, new_w: int, new_h: int) -> WR.Raster:
@@ -172,12 +173,14 @@ _STATS_T = StructType(
 
 
 @pandas_udf(_STATS_T)
+@null_safe
 def st_summarystats(b: pd.Series) -> pd.DataFrame:
     rows = [summary_stats(WR.decode(bytes(x))) for x in b]
     return pd.DataFrame(rows)
 
 
 @pandas_udf(BinaryType())
+@null_safe
 def st_resize(b: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
     return pd.Series(
         [WR.encode(resize(WR.decode(bytes(x)), int(ww), int(hh))) for x, ww, hh in zip(b, w, h)]
@@ -210,6 +213,7 @@ def st_value(b: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
 
 
 @pandas_udf(DoubleType())
+@null_safe
 def st_nearestvalue(b: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
     return pd.Series(
         [nearest_value(WR.decode(bytes(r)), float(xx), float(yy)) for r, xx, yy in zip(b, x, y)],
@@ -218,5 +222,6 @@ def st_nearestvalue(b: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+@null_safe
 def st_aspng(b: pd.Series) -> pd.Series:
     return b.map(lambda x: as_png(WR.decode(bytes(x))))

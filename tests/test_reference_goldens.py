@@ -1739,3 +1739,11 @@ def test_normalize_sorts_interior_rings():
         )
     )
     assert W.to_wkt(a) == W.to_wkt(b)
+
+
+def test_hausdorff_z_coordinates():
+    """Discrete Hausdorff must ignore Z/M ordinates (JTS operates on XY) —
+    the vertex loop used to unpack exactly two ordinates and crashed on
+    POINT Z inputs."""
+    a = g("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert D.hausdorff(a, g("POINT Z (1 1 5)")) == D.hausdorff(a, g("POINT (1 1)"))

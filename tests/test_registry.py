@@ -72,3 +72,28 @@ def test_registry_entries_execute(frame, batch):
         if name in nullable:
             continue
         assert row[name] is not None, f"{name} returned NULL on sample input"
+
+
+@pytest.fixture(scope="module")
+def mixed_null_frame(spark, frame):
+    from pyspark.sql import functions as F
+
+    nulls = frame.select(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in frame.schema.fields]
+    )
+    return frame.unionByName(nulls).cache()
+
+
+@pytest.mark.parametrize("batch", _batches(), ids=lambda b: b[0])
+def test_registry_entries_null_safe(mixed_null_frame, batch):
+    """SQL NULL propagation: every registered function must execute over a
+    batch containing an all-NULL row without crashing the task (the
+    reference host surfaces unbound args as unbound results — the
+    relational NULL).  Geometry/scalar UDFs return NULL on the null row;
+    struct UDFs (st_bounds, st_centroid, ...) return their documented
+    NaN-row convention; literal-only constructors may return values."""
+    cols = [REG.invoke(name, mixed_null_frame).alias(name) for name in batch]
+    rows = mixed_null_frame.select(*cols).collect()
+    assert len(rows) == 2
+    for name in batch:  # the valid row must still produce a value
+        assert rows[0][name] is not None, f"{name} NULL on sample input"
