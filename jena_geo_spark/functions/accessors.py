@@ -56,6 +56,7 @@ from ..geom import kernel as K
 from ..geom import shapes as S
 from ..geom import wkt as W
 from ..geom.wkt import Geom
+from .nullsafe import empty_geom_null
 
 # ------------------------------------------------------------ udf factories --
 
@@ -881,6 +882,7 @@ def _centroid_of(g: Geom):
 
 
 @pandas_udf(DoubleType())
+@empty_geom_null
 def st_angle(a: pd.Series, b: pd.Series, c: pd.Series) -> pd.Series:
     """Angle at B between BA and BC, radians (Angle.java law of cosines)."""
     out = []
@@ -903,6 +905,7 @@ def st_angle(a: pd.Series, b: pd.Series, c: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BooleanType())
+@empty_geom_null
 def st_pointinsidecircle(b: pd.Series, cx: pd.Series, cy: pd.Series, r: pd.Series) -> pd.Series:
     """PointInsideCircle.java: containment in the 32-gon circle approximation
     built by JTS GeometricShapeFactory (not the exact disc)."""
@@ -924,6 +927,7 @@ def st_pointinsidecircle(b: pd.Series, cx: pd.Series, cy: pd.Series, r: pd.Serie
 
 
 @pandas_udf(BooleanType())
+@empty_geom_null
 def st_ispointinring(p: pd.Series, ring: pd.Series) -> pd.Series:
     out = []
     for x, y in zip(p, ring):
@@ -942,6 +946,7 @@ def st_ispointinring(p: pd.Series, ring: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BooleanType())
+@empty_geom_null
 def st_ispointonline(p: pd.Series, line: pd.Series) -> pd.Series:
     out = []
     for x, y in zip(p, line):
@@ -967,6 +972,7 @@ def st_ispointonline(p: pd.Series, line: pd.Series) -> pd.Series:
 
 
 @pandas_udf(DoubleType())
+@empty_geom_null
 def st_lengthtopoint(line: pd.Series, point: pd.Series) -> pd.Series:
     """Length along the line to the closest point on it (LengthToPoint.java
     → JUMP algorithm: locate fraction × total length)."""
@@ -1071,6 +1077,7 @@ st_lineselfintersectionpoint = _ug(_line_self_intersection_point)
 
 
 @pandas_udf(BinaryType())
+@empty_geom_null
 def st_lineinterpolatepoints(b: pd.Series, frac: pd.Series) -> pd.Series:
     """Points at every multiple of ``frac`` along the line (PostGIS
     ST_LineInterpolatePoints with repeat=true)."""

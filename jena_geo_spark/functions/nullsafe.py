@@ -3,8 +3,12 @@
 ``null_safe`` wraps a pandas-series function so that rows where ANY input
 series is None/NaN produce None instead of reaching the body (which
 typically starts with ``W.from_wkb(x)`` and would crash the whole Spark
-task on a NULL geometry).  Non-null rows are computed in one sub-batch,
-so the vectorized body keeps its batch shape.
+task on a NULL geometry).  ``empty_geom_null`` additionally masks rows
+whose WKB geometry arguments are EMPTY geometries — for operators with no
+defined result on an empty operand (distances, interpolation, editors),
+where the reference host throws ExprEvalException per row, which SPARQL
+semantics turn into an unbound (= NULL) result.  Non-masked rows are
+computed in one sub-batch, so the vectorized body keeps its batch shape.
 
 Apply UNDER ``@pandas_udf`` (so it wraps the series function, not the
 Column factory)::
@@ -12,20 +16,49 @@ Column factory)::
     @pandas_udf(BinaryType())
     @null_safe
     def st_foo(b: pd.Series) -> pd.Series: ...
-
-The reference host (jena ARQ) raises ExprEvalException per-row for
-unbound arguments, which SPARQL semantics turn into an unbound result —
-the relational equivalent IS the NULL result, so None-in/None-out matches
-the reference surface.
 """
 
 from __future__ import annotations
 
 import functools
 
+import numpy as np
 import pandas as pd
 
-__all__ = ["null_safe"]
+__all__ = ["null_safe", "empty_geom_null"]
+
+
+def _masked_call(fn, series, mask):
+    """Run ``fn`` on the rows where ``mask`` is False; masked rows → None
+    (NaN row for struct-returning bodies)."""
+    if not mask.any():
+        return fn(*series)
+    keep = ~mask
+    # run the body on the (possibly empty) non-masked subset — the empty
+    # call still tells us whether this UDF returns a Series or a struct
+    # DataFrame, which the reassembly below must match.  Bodies that peek
+    # at scalar args (e.g. `srid.iloc[0]`) raise on the empty batch;
+    # all-masked output is a plain Series either way.
+    sub = [s[keep].reset_index(drop=True) for s in series]
+    if not keep.any():
+        try:
+            res = fn(*sub)
+        except Exception:
+            return pd.Series([None] * len(mask), dtype=object)
+    else:
+        res = fn(*sub)
+    if isinstance(res, pd.DataFrame):
+        # struct-returning UDF (numeric fields, e.g. st_bounds): masked
+        # rows become NaN rows — the "null envelope" convention empty
+        # geometries already use
+        out = pd.DataFrame(
+            np.full((len(mask), res.shape[1]), np.nan), columns=res.columns
+        )
+        out.iloc[keep] = res.values
+        return out
+    out = pd.Series([None] * len(mask), dtype=object)
+    out.iloc[keep] = list(res)
+    return out
 
 
 def null_safe(fn):
@@ -35,35 +68,37 @@ def null_safe(fn):
         for s in series:
             m = s.isna()
             mask = m.values if mask is None else (mask | m.values)
-        if mask is None or not mask.any():
+        if mask is None:
             return fn(*series)
-        keep = ~mask
-        # run the body on the (possibly empty) non-null subset — the empty
-        # call still tells us whether this UDF returns a Series or a
-        # struct DataFrame, which the reassembly below must match.  Bodies
-        # that peek at scalar args (e.g. `srid.iloc[0]`) raise on the empty
-        # batch; all-null output is a plain Series either way.
-        sub = [s[keep].reset_index(drop=True) for s in series]
-        if not keep.any():
-            try:
-                res = fn(*sub)
-            except Exception:
-                return pd.Series([None] * len(mask), dtype=object)
-        else:
-            res = fn(*sub)
-        if isinstance(res, pd.DataFrame):
-            # struct-returning UDF (numeric fields, e.g. st_bounds): NULL
-            # input rows become NaN rows — the "null envelope" convention
-            # empty geometries already use
-            import numpy as np
+        return _masked_call(fn, series, mask)
 
-            out = pd.DataFrame(
-                np.full((len(mask), res.shape[1]), np.nan), columns=res.columns
-            )
-            out.iloc[keep] = res.values
-            return out
-        out = pd.Series([None] * len(mask), dtype=object)
-        out.iloc[keep] = list(res)
-        return out
+    return wrapper
+
+
+def _is_empty_geom(v) -> bool:
+    if not isinstance(v, (bytes, bytearray)):
+        return False
+    from ..geom import wkt as W
+
+    try:
+        return len(W.from_wkb(bytes(v)).all_coords()) == 0
+    except Exception:  # not geometry WKB (e.g. raster bytes) — leave alone
+        return False
+
+
+def empty_geom_null(fn):
+    """None AND empty-geometry args → None result (see module docstring).
+    Subsumes ``null_safe`` — don't stack both."""
+
+    @functools.wraps(fn)
+    def wrapper(*series):
+        mask = np.zeros(len(series[0]), dtype=bool)
+        for s in series:
+            mask |= s.isna().values
+            if s.dtype == object:
+                for i, v in enumerate(s):
+                    if not mask[i] and _is_empty_geom(v):
+                        mask[i] = True
+        return _masked_call(fn, series, mask)
 
     return wrapper

@@ -27,6 +27,7 @@ from pyspark.sql.types import BinaryType, BooleanType, DoubleType, IntegerType, 
 
 from ..geom import wkt as W
 from ..geom.wkt import Geom
+from .nullsafe import empty_geom_null
 
 # -------------------------------------------------------------- 3D kernels --
 
@@ -37,6 +38,8 @@ def _chains3(g: Geom) -> list:
     out = []
     for ch in g.chains():
         a = np.asarray(ch, dtype=np.float64)
+        if len(a) == 0:  # empty geometry contributes no chains
+            continue
         if zi >= 0 and a.shape[1] > zi:
             out.append(np.column_stack([a[:, 0], a[:, 1], a[:, zi]]))
         else:
@@ -78,8 +81,11 @@ def nearest_points_3d(ga: Geom, gb: Geom):
     """(pa, pb, dist) — nearest 3D points between two geometries' linework
     / vertices (areal interiors not considered, matching the reference's
     JTS ``Distance3DOp`` behaviour for the shapes in its tests)."""
-    best = (None, None, math.inf)
+    best = (None, None, None)  # empty operand: no nearest pair (SQL NULL)
     ca, cb = _chains3(ga), _chains3(gb)
+    if not ca or not cb:
+        return best
+    best = (None, None, math.inf)
     for a in ca:
         sa = [(a[i], a[i + 1]) for i in range(len(a) - 1)] or [(a[0], a[0])]
         for b in cb:
@@ -94,9 +100,12 @@ def nearest_points_3d(ga: Geom, gb: Geom):
 
 
 def max_distance_3d(ga: Geom, gb: Geom):
-    """(pa, pb, dist) — farthest vertex pair in 3D."""
-    va = np.vstack(_chains3(ga))
-    vb = np.vstack(_chains3(gb))
+    """(pa, pb, dist) — farthest vertex pair in 3D; Nones on empty input."""
+    ca, cb = _chains3(ga), _chains3(gb)
+    if not ca or not cb:
+        return (None, None, None)
+    va = np.vstack(ca)
+    vb = np.vstack(cb)
     d2 = ((va[:, None, :] - vb[None, :, :]) ** 2).sum(axis=2)
     i, j = np.unravel_index(int(d2.argmax()), d2.shape)
     return va[i], vb[j], float(math.sqrt(d2[i, j]))
@@ -151,10 +160,13 @@ def st_3dshortestline(ga, gb):
 @_pair_udf(BinaryType())
 def st_3dlongestline(ga, gb):
     pa, pb, _ = max_distance_3d(ga, gb)
+    if pa is None:
+        return None
     return W.to_wkb(Geom("linestring", [np.vstack([pa, pb])], "XYZ"))
 
 
 @pandas_udf(BooleanType())
+@empty_geom_null
 def st_3ddwithin(a: pd.Series, b: pd.Series, dist: pd.Series) -> pd.Series:
     out = []
     for x, y, d in zip(a, b, dist):

@@ -24,7 +24,7 @@ from pyspark.sql.types import (
 from ..geom import linework as L
 from ..geom import shapes as S
 from ..geom import wkt as W
-from .nullsafe import null_safe
+from .nullsafe import empty_geom_null, null_safe
 
 _CIRCLE_T = StructType(
     [StructField("cx", DoubleType()), StructField("cy", DoubleType()), StructField("r", DoubleType())]
@@ -41,7 +41,7 @@ def st_minimumboundingcircle(b: pd.Series) -> pd.DataFrame:
 
 
 @pandas_udf(BinaryType())
-@null_safe
+@empty_geom_null
 def st_minimumrectangle(b: pd.Series) -> pd.Series:
     def mr(x):
         ring, _, _ = S.minimum_rectangle(W.from_wkb(x).all_coords())
@@ -51,7 +51,7 @@ def st_minimumrectangle(b: pd.Series) -> pd.Series:
 
 
 @pandas_udf(DoubleType())
-@null_safe
+@empty_geom_null
 def st_minimumdiameter(b: pd.Series) -> pd.Series:
     """Width of the minimum rotated rectangle (JTS MinimumDiameter length)."""
 
@@ -161,6 +161,7 @@ def st_snap(b: pd.Series, target: pd.Series, tol: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+@empty_geom_null
 def st_split(b: pd.Series, blade: pd.Series) -> pd.Series:
     """Split.java: the reference's only working branch is polygon ×
     linestring — node the polygon boundary with the blade, polygonize,
@@ -231,7 +232,7 @@ def st_linesubstring(b: pd.Series, f0: pd.Series, f1: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
-@null_safe
+@empty_geom_null
 def st_segmentize(b: pd.Series, max_len: pd.Series) -> pd.Series:
     def seg(x, ml):
         g = W.from_wkb(x)
@@ -245,7 +246,7 @@ def st_segmentize(b: pd.Series, max_len: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
-@null_safe
+@empty_geom_null
 def st_densify(b: pd.Series, tol: pd.Series) -> pd.Series:
     """Reference ``geometry/transform/Densify.java`` = JTS
     ``Densifier.densify(geom, distanceTolerance)`` — the argument is a
@@ -297,6 +298,7 @@ def st_simplifyvw(b: pd.Series, dist_tol: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+@empty_geom_null
 def st_normalize(b: pd.Series) -> pd.Series:
     return b.map(lambda x: None if x is None else W.to_wkb(L.normalize(W.from_wkb(x))))
 

@@ -58,6 +58,7 @@ from ..geom import arrangement as AR
 from ..geom import kernel as K
 from ..geom import linework as L
 from ..geom import wkt as W
+from .nullsafe import empty_geom_null
 from ..geom.wkt import Geom
 from .accessors import _ug, _ug2
 
@@ -457,6 +458,7 @@ def _set_endpoint(g: Geom, pt: Geom, which: str) -> Geom:
 
 
 @pandas_udf(BinaryType())
+@empty_geom_null
 def st_setstartpoint(a: pd.Series, b: pd.Series) -> pd.Series:
     out = []
     for x, y in zip(a, b):
@@ -469,6 +471,7 @@ def st_setstartpoint(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+@empty_geom_null
 def st_setendpoint(a: pd.Series, b: pd.Series) -> pd.Series:
     out = []
     for x, y in zip(a, b):
@@ -615,6 +618,7 @@ st_forcepolygoncw = _ug(_force_polygon_cw)
 
 
 @pandas_udf(BinaryType())
+@empty_geom_null
 def st_reversering(b: pd.Series, idx: pd.Series) -> pd.Series:
     """ReverseRing.java — FunctionBase2(polygon, index): reverse the
     INTERIOR ring at the ZERO-based index (``poly.getInteriorRingN(i)``
@@ -707,6 +711,7 @@ def _ellipse_ring(cx: float, cy: float, w: float, h: float, n: int = 100) -> np.
 
 
 @pandas_udf(BinaryType())
+@empty_geom_null
 def st_makeellipse(b: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
     out = []
     for i, x in enumerate(b):
@@ -724,6 +729,7 @@ def st_makeellipse(b: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+@empty_geom_null
 def st_makecircle(b: pd.Series, d: pd.Series) -> pd.Series:
     out = []
     for i, x in enumerate(b):

@@ -41,7 +41,7 @@ from pyspark.sql.types import (
 from .. import grid
 from ..geom import kernel as K
 from ..geom import wkt as W
-from .nullsafe import null_safe
+from .nullsafe import empty_geom_null, null_safe
 
 # ------------------------------------------------------------ constructors --
 
@@ -240,7 +240,7 @@ def st_distance_sphere(lon1: pd.Series, lat1: pd.Series, lon2: pd.Series, lat2: 
 
 
 @pandas_udf(DoubleType())
-@null_safe
+@empty_geom_null
 def geof_distance(a: pd.Series, b: pd.Series, srid: pd.Series) -> pd.Series:
     """geof:distance with the reference's SRID-keyed dispatch
     (``GeometryWrapper.java:676-686``): geographic SRS → great-circle in
@@ -300,7 +300,7 @@ st_maxdistance = _dist2_udf("max_distance")
 
 
 @pandas_udf(DoubleType())
-@null_safe
+@empty_geom_null
 def st_frechetdistance(a: pd.Series, b: pd.Series) -> pd.Series:
     """Continuous (Alt–Godau) Fréchet distance over the primary chains.
     NOTE: the reference's vendored implementation (heigit/ors/util/
@@ -356,7 +356,7 @@ def st_shortestline(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
-@null_safe
+@empty_geom_null
 def st_longestline(a: pd.Series, b: pd.Series) -> pd.Series:
     from ..geom import distances as D
 
@@ -368,7 +368,7 @@ def st_longestline(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 @pandas_udf(DoubleType())
-@null_safe
+@empty_geom_null
 def st_centroid_distance(a: pd.Series, b: pd.Series) -> pd.Series:
     """Distance between centroids (reference CentroidDistance.java)."""
     out = np.empty(len(a))
@@ -393,7 +393,7 @@ def st_centroid_distance(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 def _pairwise_predicate(fn):
-    from .nullsafe import null_safe
+    from .nullsafe import empty_geom_null, null_safe
 
     @null_safe
     def wrapped(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -508,6 +508,7 @@ def st_simplify(b: pd.Series, tol: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+@empty_geom_null
 def st_envelope(b: pd.Series) -> pd.Series:
     def env(g: W.Geom) -> W.Geom:
         xmin, ymin, xmax, ymax = K.bounds(g.all_coords())
@@ -613,7 +614,7 @@ _LINE_KINDS = ("linestring", "multilinestring")
 
 
 def _overlay_udf(op: str):
-    from .nullsafe import null_safe
+    from .nullsafe import empty_geom_null, null_safe
 
     @null_safe
     def wrapped(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -711,7 +712,7 @@ def st_intersection_percentage(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 @pandas_udf(_POINT_T)
-@null_safe
+@empty_geom_null
 def st_lineinterpolatepoint(b: pd.Series, frac: pd.Series) -> pd.DataFrame:
     out = [K.line_interpolate_point(W.from_wkb(x).parts[0], f) for x, f in zip(b, frac)]
     a = np.array(out).reshape(-1, 2)
@@ -748,7 +749,7 @@ def st_addpoint(b: pd.Series, px: pd.Series, py: pd.Series, pos: pd.Series) -> p
 
 
 @pandas_udf(BinaryType())
-@null_safe
+@empty_geom_null
 def st_removepoint(b: pd.Series, pos: pd.Series) -> pd.Series:
     out = []
     for x, p in zip(b, pos):
@@ -763,7 +764,7 @@ def st_removepoint(b: pd.Series, pos: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
-@null_safe
+@empty_geom_null
 def st_setpoint(b: pd.Series, pos: pd.Series, px: pd.Series, py: pd.Series) -> pd.Series:
     out = []
     for x, p, xx, yy in zip(b, pos, px, py):
@@ -847,7 +848,7 @@ def st_addring(b: pd.Series, ring_wkb: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
-@null_safe
+@empty_geom_null
 def st_removering(b: pd.Series, idx: pd.Series) -> pd.Series:
     """ST_RemoveRing: drop INTERIOR ring ``idx`` — ZERO-based over the
     holes, the reference's convention (RemoveRing.java skips

@@ -48,9 +48,12 @@ def hausdorff(ga, gb) -> float:
 
 
 def max_distance(ga, gb) -> float:
-    """Max vertex-pair distance (reference ``MaxDistance.java`` golden)."""
+    """Max vertex-pair distance (reference ``MaxDistance.java`` golden);
+    None (SQL NULL) when either operand is empty."""
     a = ga.all_coords()
     b = gb.all_coords()
+    if not len(a) or not len(b):
+        return None
     dx = a[:, 0][:, None] - b[:, 0][None, :]
     dy = a[:, 1][:, None] - b[:, 1][None, :]
     return float(np.sqrt((dx * dx + dy * dy).max()))

@@ -232,6 +232,8 @@ def normalize(g):
     def ring_key(r):
         return tuple(map(tuple, np.asarray(r)[:, :2]))
 
+    if not g.parts:  # empty geometries are already canonical
+        return g
     if g.kind == "polygon":
         holes = sorted((norm_ring(h, True) for h in g.parts[1:]), key=ring_key)
         rings = [norm_ring(g.parts[0], False)] + holes

@@ -237,6 +237,23 @@ def relate(ga, gb) -> str:
     m = [[_F] * 3 for _ in range(3)]
     m[2][2] = 2  # two bounded geometries: exteriors always share the plane
 
+    # Empty inputs (JTS RelateOp): an empty side contributes no interior or
+    # boundary, so its rows/columns stay F; the non-empty side's interior
+    # and boundary land in the empty side's exterior.  Matches PostGIS
+    # ST_Relate('POINT EMPTY', poly) = 'FFFFFF212'.  (Boundary dim for a
+    # closed line is empty by the mod-2 rule — simplified to the open-line
+    # 0 here, documented.)
+    ea, eb = len(ga.all_coords()) == 0, len(gb.all_coords()) == 0
+    if ea or eb:
+        _bdim = {0: _F, 1: 0, 2: 1}
+        if not ea:  # A nonempty → its I/B intersect B's exterior
+            m[0][2] = da
+            m[1][2] = _bdim[da]
+        if not eb:
+            m[2][0] = db
+            m[2][1] = _bdim[db]
+        return "".join("F" if v == _F else str(v) for row in m for v in row)
+
     # sweep A against B → (I/B of A) row × located column in B
     for px, py, role, dim in _sweep_samples(ga, gb):
         col = _LOC[locate(px, py, gb)]

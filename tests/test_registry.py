@@ -97,3 +97,44 @@ def test_registry_entries_null_safe(mixed_null_frame, batch):
     assert len(rows) == 2
     for name in batch:  # the valid row must still produce a value
         assert rows[0][name] is not None, f"{name} NULL on sample input"
+
+
+@pytest.fixture(scope="module")
+def empty_geom_frame(spark, frame):
+    """Sample frame with every geometry column replaced by the matching
+    EMPTY geometry (raster/string/numeric columns untouched)."""
+    from jena_geo_spark.geom import wkt as W
+
+    empties = {
+        "point": "POINT EMPTY",
+        "linestring": "LINESTRING EMPTY",
+        "polygon": "POLYGON EMPTY",
+        "multipoint": "MULTIPOINT EMPTY",
+        "multilinestring": "MULTILINESTRING EMPTY",
+        "multipolygon": "MULTIPOLYGON EMPTY",
+        "geometrycollection": "GEOMETRYCOLLECTION EMPTY",
+    }
+    pdf = frame.toPandas()
+    for col in pdf.columns:
+        v = pdf[col].iloc[0]
+        if isinstance(v, (bytes, bytearray)):
+            try:
+                kind = W.from_wkb(bytes(v)).kind
+            except Exception:
+                continue  # raster / non-geometry binary
+            if kind in empties:
+                pdf[col] = [bytearray(W.to_wkb(W.from_wkt(empties[kind])))]
+    return spark.createDataFrame(pdf, schema=frame.schema).cache()
+
+
+@pytest.mark.parametrize("batch", _batches(), ids=lambda b: b[0])
+def test_registry_entries_empty_safe(empty_geom_frame, batch):
+    """EMPTY-geometry totality: every registered function must execute over
+    EMPTY geometry operands without crashing the task.  Operators with no
+    defined result on an empty operand (distances, interpolation, editors)
+    return NULL — the reference host throws ExprEvalException per row,
+    which SPARQL turns into an unbound (= NULL) result; relate-family
+    matrices follow JTS ('FFFFFF212'-style)."""
+    cols = [REG.invoke(name, empty_geom_frame).alias(name) for name in batch]
+    rows = empty_geom_frame.select(*cols).collect()
+    assert len(rows) == 1
