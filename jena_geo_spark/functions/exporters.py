@@ -213,7 +213,7 @@ def to_gpx(g: W.Geom) -> str:
 def to_svg(g: W.Geom) -> str:
     """JTS SVGWriter shape mirrored from the reference AsSVGTest golden:
     ``<svg><polygon points=' 0,0 0,1 1,1 1,0 0,0' />\\n</svg>``."""
-    if not g.parts:  # empty geometry: no defined output (NULL)
+    if g.is_empty:  # empty geometry: no defined output (NULL)
         return None
 
     def pairs(a):
@@ -259,7 +259,7 @@ def to_latlon_text(g: W.Geom) -> str:
     """Reference AsLatLonText.java output replicated exactly (raw float
     repr, deg = the raw ordinate, min = fmod(v·60, 60), sec =
     fmod(v·3600, 60); x treated as latitude)."""
-    if not g.parts:  # empty geometry: no defined output (NULL)
+    if g.is_empty:  # empty geometry: no defined output (NULL)
         return None
     x, y = (float(v) for v in g.parts[0][0, :2])
 
@@ -274,7 +274,7 @@ def to_latlon_text(g: W.Geom) -> str:
 
 def to_osm_link(g: W.Geom) -> str:
     """Reference AsOSMLink.java (x as lat, y as lon; bbox of the geometry)."""
-    if not g.parts:  # empty geometry: no defined output (NULL)
+    if g.is_empty:  # empty geometry: no defined output (NULL)
         return None
     c = g.all_coords()[:, :2]
     minx, miny = c[:, 0].min(), c[:, 1].min()
@@ -287,7 +287,7 @@ def to_osm_link(g: W.Geom) -> str:
 
 
 def to_georss(g: W.Geom) -> str:
-    if not g.parts:  # empty geometry: no defined output (NULL)
+    if g.is_empty:  # empty geometry: no defined output (NULL)
         return None
     if g.kind == "point":
         x, y = g.parts[0][0, :2]

@@ -43,7 +43,10 @@ def _masked_call(fn, series, mask):
     if not keep.any():
         try:
             res = fn(*sub)
-        except Exception:
+        except (IndexError, KeyError, ValueError):
+            # empty-batch probe only: bodies that peek at scalar args
+            # (`srid.iloc[0]`) or reduce over rows can't run on zero rows.
+            # Genuine body defects (imports, type errors) still propagate.
             return pd.Series([None] * len(mask), dtype=object)
     else:
         res = fn(*sub)
@@ -80,8 +83,8 @@ def _is_empty_geom(v) -> bool:
         return False
     from ..geom import wkt as W
 
-    try:
-        return len(W.from_wkb(bytes(v)).all_coords()) == 0
+    try:  # header-only check — no second full parse per row
+        return W.wkb_is_empty(v)
     except Exception:  # not geometry WKB (e.g. raster bytes) — leave alone
         return False
 

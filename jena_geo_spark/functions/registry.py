@@ -113,7 +113,16 @@ _reg("st_bboxfpintersects", _bb(V.bbox_intersects), "g", "g2")
 _reg("st_bboxleftof", _bb(V.bbox_left_of), "g", "g2")
 _reg("st_bboxrightof", _bb(V.bbox_right_of), "g", "g2")
 _reg("st_bboxiscontainedby", _bb(V.bbox_contains, flip=True), "g", "g2")
-_reg("st_bboxequals", lambda a, b: V.st_bounds(a) == V.st_bounds(b), "g", "g2")
+# NULL guard is explicit: Spark's NaN = NaN is TRUE, so two NULL/empty
+# geometries' NaN envelopes would otherwise compare bbox-equal
+_reg(
+    "st_bboxequals",
+    lambda a, b: F.when(
+        a.isNull() | b.isNull(), F.lit(None)
+    ).otherwise(V.st_bounds(a) == V.st_bounds(b)),
+    "g",
+    "g2",
+)
 _reg(
     "st_bboxdistance",
     lambda a, b: V.st_distance(V.st_envelope(a), V.st_envelope(b)),

@@ -384,7 +384,11 @@ def st_centroid_geom(g) -> Column:
 
     col = F.col(g) if isinstance(g, str) else g
     c = st_centroid(col)
-    return st_point(c["x"], c["y"])
+    # NULL/empty input → NaN centroid struct → NULL geometry (st_point
+    # would otherwise fabricate a live-looking POINT(NaN NaN) WKB)
+    return F.when(
+        col.isNull() | F.isnan(c["x"]), F.lit(None).cast("binary")
+    ).otherwise(st_point(c["x"], c["y"]))
 
 
 @pandas_udf(ArrayType(BinaryType()))

@@ -182,8 +182,9 @@ def st_3ddwithin(a: pd.Series, b: pd.Series, dist: pd.Series) -> pd.Series:
 
 def st_orderingequals(a: Column, b: Column) -> Column:
     """Same geometry AND same coordinate order ⇒ byte-identical WKB (our
-    encoder is canonical little-endian) — pure Catalyst, no UDF."""
-    return a.eqNullSafe(b)
+    encoder is canonical little-endian) — pure Catalyst, no UDF.  Plain
+    ``==`` (not eqNullSafe): a NULL operand yields NULL, not TRUE."""
+    return a == b
 
 
 @_pair_udf(BooleanType())

@@ -298,8 +298,10 @@ def st_simplifyvw(b: pd.Series, dist_tol: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
-@empty_geom_null
+@null_safe
 def st_normalize(b: pd.Series) -> pd.Series:
+    # EMPTY stays EMPTY (JTS norm() of an empty geometry is itself) — the
+    # linework.normalize empty guard handles it; only NULL maps to NULL
     return b.map(lambda x: None if x is None else W.to_wkb(L.normalize(W.from_wkb(x))))
 
 

@@ -223,7 +223,7 @@ def st_centroid(b: pd.Series) -> pd.DataFrame:
 
 
 @pandas_udf(DoubleType())
-@null_safe
+@empty_geom_null
 def st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
     """Planar min-distance (JTS DistanceOp semantics;
     golden ``DistanceTest.java:31-39`` = 69.9400386045075).
@@ -393,8 +393,6 @@ def st_centroid_distance(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 def _pairwise_predicate(fn):
-    from .nullsafe import empty_geom_null, null_safe
-
     @null_safe
     def wrapped(a: pd.Series, b: pd.Series) -> pd.Series:
         out = np.zeros(len(a), dtype=bool)
@@ -463,7 +461,7 @@ def st_point_in_polygon(lon: pd.Series, lat: pd.Series, poly_wkb: pd.Series) -> 
 
 
 @pandas_udf(BooleanType())
-@null_safe
+@empty_geom_null
 def st_dwithin(a: pd.Series, b: pd.Series, d: pd.Series) -> pd.Series:
     out = np.zeros(len(a), dtype=bool)
     for i, (x, y, dd) in enumerate(zip(a, b, d)):
@@ -614,8 +612,6 @@ _LINE_KINDS = ("linestring", "multilinestring")
 
 
 def _overlay_udf(op: str):
-    from .nullsafe import empty_geom_null, null_safe
-
     @null_safe
     def wrapped(a: pd.Series, b: pd.Series) -> pd.Series:
         from ..geom import linework as L
@@ -720,7 +716,7 @@ def st_lineinterpolatepoint(b: pd.Series, frac: pd.Series) -> pd.DataFrame:
 
 
 @pandas_udf(DoubleType())
-@null_safe
+@empty_geom_null
 def st_linelocatepoint(b: pd.Series, px: pd.Series, py: pd.Series) -> pd.Series:
     return pd.Series(
         [K.line_locate_point(W.from_wkb(x).parts[0], xx, yy) for x, xx, yy in zip(b, px, py)]

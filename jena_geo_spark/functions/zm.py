@@ -26,8 +26,6 @@ def _mcol(dims: str) -> int | None:
 
 
 def _ordinate_udf(which: str, agg):
-    from .nullsafe import null_safe
-
     @null_safe
     def wrapped(b: pd.Series) -> pd.Series:
         out = []

@@ -38,7 +38,10 @@ def _point_to_chains_sq(px: float, py: float, chains: list) -> float:
 
 def hausdorff(ga, gb) -> float:
     """Discrete (vertex-to-geometry) Hausdorff distance, both orientations
-    (JTS ``DiscreteHausdorffDistance`` with densifyFraction unset)."""
+    (JTS ``DiscreteHausdorffDistance`` with densifyFraction unset);
+    None (SQL NULL) when either operand is empty — not inf/0."""
+    if ga.is_empty or gb.is_empty:
+        return None
     ca, cb = ga.chains(), gb.chains()
     best = 0.0
     for pts, chains in ((ga.all_coords(), cb), (gb.all_coords(), ca)):

@@ -58,6 +58,13 @@ class Geom:
             out.append(p)
         return np.vstack(out) if out else np.empty((0, 2))
 
+    @property
+    def is_empty(self) -> bool:
+        """True when the geometry has no coordinates.  THE emptiness test —
+        `not g.parts` is wrong for WKB-decoded empty linestrings, whose
+        parts is [(0,2) array], not []."""
+        return all(len(p) == 0 for p in self._flat_parts())
+
     def _flat_parts(self):
         if self.kind == "multipolygon":
             for rings in self.parts:
@@ -467,3 +474,24 @@ def from_geojson(s: str) -> Geom:
             "multipolygon", [[np.array(r, dtype=np.float64) for r in rings] for rings in c]
         )
     raise ValueError(t)
+
+
+def wkb_is_empty(b) -> bool:
+    """Cheap WKB emptiness test from the header only (no full decode) —
+    used by the NULL/EMPTY masking wrappers so hot functions don't pay a
+    second full parse per row.  Points are empty iff their ordinates are
+    NaN (our encoder's convention); every other type carries a count at
+    byte 5 — zero means empty.  A non-empty count is treated as non-empty
+    without recursing (a MULTI geometry holding only EMPTY members is
+    pathological and falls back to the slow path downstream)."""
+    import struct as _struct
+
+    if len(b) < 9:
+        return True
+    little = b[0] == 1
+    fmt = "<I" if little else ">I"
+    gtype = _struct.unpack_from(fmt, b, 1)[0] % 1000
+    if gtype == 1:  # point: NaN ordinates encode EMPTY
+        x = _struct.unpack_from("<d" if little else ">d", b, 5)[0]
+        return x != x
+    return _struct.unpack_from(fmt, b, 5)[0] == 0

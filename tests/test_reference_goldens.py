@@ -1747,3 +1747,41 @@ def test_hausdorff_z_coordinates():
     POINT Z inputs."""
     a = g("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
     assert D.hausdorff(a, g("POINT Z (1 1 5)")) == D.hausdorff(a, g("POINT (1 1)"))
+
+
+def test_empty_operand_conventions():
+    """Review regressions: operators with no defined result on an EMPTY
+    operand return SQL NULL — not inf (hausdorff), not NaN (distance), not
+    a plausible 0.0 (line-locate) — while operators with a defined result
+    keep it (normalize(EMPTY) = EMPTY, relate = JTS matrix).  Exporter
+    guards must catch WKB-decoded LINESTRING EMPTY, whose parts is a
+    (0,2) array rather than [] (to_latlon/osm crashed; svg/georss emitted
+    bogus markup)."""
+    from jena_geo_spark.functions import exporters as EX
+    from jena_geo_spark.functions import shapes as SHP
+    from jena_geo_spark.geom import distances as DD
+
+    le = wkb("LINESTRING EMPTY")
+    pe = wkb("POINT EMPTY")
+    line = wkb("LINESTRING (0 0, 4 0)")
+
+    assert DD.hausdorff(W.from_wkb(pe), W.from_wkb(line)) is None
+    assert DD.hausdorff(W.from_wkb(pe), W.from_wkb(pe)) is None
+    assert DD.max_distance(W.from_wkb(pe), W.from_wkb(line)) is None
+    assert u1(FV.st_distance, le, line) is None
+    assert u1(FV.st_dwithin, le, line, 10.0) is None
+    assert u1(FV.st_linelocatepoint, le, 1.0, 0.0) is None
+    # exporters: NULL, not crashes or empty-markup strings
+    for udf in (EX.st_assvg, EX.st_aslatlontext, EX.st_asosmlink, EX.st_asgeorss):
+        assert u1(udf, le) is None, udf
+    # normalize has a defined result on empty: identity, not NULL
+    got = u1(SHP.st_normalize, wkb("POLYGON EMPTY"))
+    assert got is not None and W.from_wkb(got).is_empty
+    # wkb_is_empty agrees with the full decode on every kind
+    for s in (
+        "POINT EMPTY", "LINESTRING EMPTY", "POLYGON EMPTY",
+        "MULTIPOINT EMPTY", "MULTILINESTRING EMPTY", "MULTIPOLYGON EMPTY",
+        "GEOMETRYCOLLECTION EMPTY", "POINT (1 2)", "LINESTRING (0 0, 1 1)",
+    ):
+        b = W.to_wkb(g(s))
+        assert W.wkb_is_empty(b) == W.from_wkb(b).is_empty, s

@@ -92,11 +92,31 @@ def test_registry_entries_null_safe(mixed_null_frame, batch):
     relational NULL).  Geometry/scalar UDFs return NULL on the null row;
     struct UDFs (st_bounds, st_centroid, ...) return their documented
     NaN-row convention; literal-only constructors may return values."""
+    import math
+
+    from pyspark.sql import Row
+
     cols = [REG.invoke(name, mixed_null_frame).alias(name) for name in batch]
     rows = mixed_null_frame.select(*cols).collect()
     assert len(rows) == 2
     for name in batch:  # the valid row must still produce a value
         assert rows[0][name] is not None, f"{name} NULL on sample input"
+    for name in batch:
+        # the NULL row must not fabricate live-looking scalars: allow NULL,
+        # NaN-row structs, False (NaN-envelope bbox predicates), empty
+        # collections, and literal-only constructors (args carry no column)
+        fn, args = REG.REGISTRY[name.lower()]
+        if not any(isinstance(a, str) for a in args):
+            continue  # literal-only: no NULL input reaches it
+        v = rows[1][name]
+        ok = (
+            v is None
+            or v is False
+            or isinstance(v, Row)
+            or (isinstance(v, float) and math.isnan(v))
+            or (isinstance(v, (list, bytearray, bytes, str)) and len(v) == 0)
+        )
+        assert ok, f"{name} returned {v!r} for NULL input"
 
 
 @pytest.fixture(scope="module")
