@@ -217,6 +217,29 @@ def _rect_polygon_relation(
     return 0
 
 
+class _RingClassifier:
+    """Hoisted per-ring state for repeated rect classification — the cover
+    BFS reclassifies the SAME ring at every level, so the edge vectors and
+    Liang–Barsky clip matrix are computed once per ring, not per level."""
+
+    def __init__(self, poly: np.ndarray):
+        poly = np.asarray(poly, dtype=np.float64)[:, :2]
+        if len(poly) >= 2 and (poly[0] == poly[-1]).all():
+            poly = poly[:-1]
+        self.poly = poly
+        self.px, self.py = poly[:, 0], poly[:, 1]
+        self.pxmin, self.pxmax = self.px.min(), self.px.max()
+        self.pymin, self.pymax = self.py.min(), self.py.max()
+        ax, ay = self.px, self.py
+        bx, by = np.roll(self.px, -1), np.roll(self.py, -1)
+        dx, dy = bx - ax, by - ay  # (M,)
+        self.ax, self.ay = ax, ay
+        self.P = np.stack([-dx, dx, -dy, dy])  # (4, M)
+
+    def classify(self, xmin, ymin, xmax, ymax) -> np.ndarray:
+        return _rects_vs_ring(self, xmin, ymin, xmax, ymax)
+
+
 def rect_ring_relation(
     xmin: np.ndarray,
     ymin: np.ndarray,
@@ -235,9 +258,10 @@ def rect_ring_relation(
     Liang–Barsky segment-rect clipping for edge crossings, one vectorised
     ray-cast for the 4N corners, broadcast compares for vertex-in-rect.
     """
-    poly = np.asarray(poly, dtype=np.float64)[:, :2]
-    if len(poly) >= 2 and (poly[0] == poly[-1]).all():
-        poly = poly[:-1]
+    return _rects_vs_ring(_RingClassifier(poly), xmin, ymin, xmax, ymax)
+
+
+def _rects_vs_ring(rc: _RingClassifier, xmin, ymin, xmax, ymax) -> np.ndarray:
     xmin = np.asarray(xmin, dtype=np.float64)
     ymin = np.asarray(ymin, dtype=np.float64)
     xmax = np.asarray(xmax, dtype=np.float64)
@@ -249,11 +273,12 @@ def rect_ring_relation(
     xmin, ymin = xmin - eps, ymin - eps
     xmax, ymax = xmax + eps, ymax + eps
 
-    px, py = poly[:, 0], poly[:, 1]
+    px, py = rc.px, rc.py
+    poly = rc.poly
     rel = np.ones(n, dtype=np.uint8)
     # bbox reject
     disjoint_bbox = (
-        (xmin > px.max()) | (xmax < px.min()) | (ymin > py.max()) | (ymax < py.min())
+        (xmin > rc.pxmax) | (xmax < rc.pxmin) | (ymin > rc.pymax) | (ymax < rc.pymin)
     )
     rel[disjoint_bbox] = 0
     live = ~disjoint_bbox
@@ -263,11 +288,9 @@ def rect_ring_relation(
     lx0, ly0 = xmin[live], ymin[live]
     lx1, ly1 = xmax[live], ymax[live]
     # --- edge × rect intersection via Liang–Barsky -------------------------
-    ax, ay = px, py
-    bx, by = np.roll(px, -1), np.roll(py, -1)
-    dx, dy = bx - ax, by - ay  # (M,)
+    ax, ay = rc.ax, rc.ay
     # p_k (M,) per clip side; q_k (L, M) per rect × edge
-    P = np.stack([-dx, dx, -dy, dy])  # (4, M)
+    P = rc.P  # (4, M)
     Q = np.stack(
         [
             ax[None, :] - lx0[:, None],
@@ -332,6 +355,7 @@ def cover_polygon(
     union ⊇ polygon (superset ⇒ safe candidate generation for joins).
     """
     poly = np.asarray(poly, dtype=np.float64)
+    rc = _RingClassifier(poly)
     # seed: coarsest cells overlapping the polygon bbox at min_res
     n0 = 1 << min_res
     fx0 = int(np.clip((poly[:, 0].min() - _LON_MIN) / _LON_SPAN * n0, 0, n0 - 1))
@@ -341,30 +365,36 @@ def cover_polygon(
     gx, gy = np.meshgrid(
         np.arange(fx0, fx1 + 1, dtype=np.int64), np.arange(fy0, fy1 + 1, dtype=np.int64)
     )
-    frontier = pack(min_res, gx.ravel(), gy.ravel())
+    # the BFS frontier is uniform-resolution by construction — track
+    # (res, ix, iy) explicitly so no level pays a morton decode/encode;
+    # only OUTPUT cells are packed (profiled: the decode/encode round-trip
+    # per level was ~1/3 of cover time for small frontiers)
+    ix, iy = gx.ravel(), gy.ravel()
+    res = min_res
     out: list[np.ndarray] = []
     n_out = 0
-    while len(frontier):
+    while len(ix):
+        nres = float(np.int64(1) << np.int64(res))
+        wx = _LON_SPAN / nres
+        wy = _LAT_SPAN / nres
+        xmin = _LON_MIN + ix * wx
+        ymin = _LAT_MIN + iy * wy
         # stop refining when the budget is reached: keep remaining frontier
-        if n_out + len(frontier) >= max_cells:
-            keep = frontier[rect_cells_relation(frontier, poly) != 0]
-            out.append(keep)
+        if n_out + len(ix) >= max_cells:
+            keep = rc.classify(xmin, ymin, xmin + wx, ymin + wy) != 0
+            out.append(pack(res, ix[keep], iy[keep]))
             break
-        rel = rect_cells_relation(frontier, poly)
-        res = cell_res(frontier)
+        rel = rc.classify(xmin, ymin, xmin + wx, ymin + wy)
         done = (rel == 2) | ((rel != 0) & (res >= max_res))
-        out.append(frontier[done])
+        out.append(pack(res, ix[done], iy[done]))
         n_out += int(done.sum())
-        split = frontier[(rel == 1) & (res < max_res)]
-        if len(split) == 0:
+        sp = (rel == 1) & (res < max_res)
+        if not sp.any():
             break
-        ix, iy = cell_xy(split)
-        ix, iy = ix << 1, iy << 1
-        frontier = pack(
-            np.repeat(cell_res(split) + 1, 4),
-            np.stack([ix, ix + 1, ix, ix + 1], axis=1).ravel(),
-            np.stack([iy, iy, iy + 1, iy + 1], axis=1).ravel(),
-        )
+        sx, sy = ix[sp] << 1, iy[sp] << 1
+        ix = np.stack([sx, sx + 1, sx, sx + 1], axis=1).ravel()
+        iy = np.stack([sy, sy, sy + 1, sy + 1], axis=1).ravel()
+        res += 1
     merged = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
     return np.unique(merged)
 
