@@ -1741,6 +1741,34 @@ def test_normalize_sorts_interior_rings():
     assert W.to_wkt(a) == W.to_wkt(b)
 
 
+def test_point_attribute_goldens():
+    """point/attribute/{X,Y,Z,M,XMin,XMax,YMin,YMax,ZMin,ZMax,MMin,MMax}
+    Test.java — the whole package on its three fixtures.  The load-bearing
+    pin: the reference parses the bare 4-coordinate ``POINT(1 2 3 4)`` as
+    XYZM (M = 4, MTest.java), and ``LINESTRING M`` puts the third ordinate
+    in M, not Z."""
+    from jena_geo_spark.functions import accessors as AC
+    from jena_geo_spark.functions import zm as Z
+
+    pt = wkb("POINT(1 2 3 4)")  # bare 4-coord → XYZM
+    ls = wkb("LINESTRING(1 2,3 4,5 6,7 8)")
+    lz = wkb("LINESTRING Z(1 2 3, 4 5 6,7 8 9)")
+    lm = wkb("LINESTRING M(1 2 3, 4 5 6,7 8 9)")
+
+    assert u1(FV.st_x, pt) == 1.0  # XTest
+    assert u1(FV.st_y, pt) == 2.0  # YTest
+    assert u1(Z.st_z, pt) == 3.0  # ZTest ("POINT ZM(1 2 3 4)" fixture)
+    assert u1(Z.st_m, pt) == 4.0  # MTest
+    assert u1(AC.st_xmin, ls) == 1.0  # MinXTest
+    assert u1(AC.st_xmax, ls) == 7.0  # MaxXTest
+    assert u1(AC.st_ymin, ls) == 2.0  # MinYTest
+    assert u1(AC.st_ymax, ls) == 8.0  # MaxYTest
+    assert u1(Z.st_zmin, lz) == 3.0  # MinZTest
+    assert u1(Z.st_zmax, lz) == 9.0  # MaxZTest
+    assert u1(Z.st_mmin, lm) == 3.0  # MinMTest
+    assert u1(Z.st_mmax, lm) == 9.0  # MaxMTest
+
+
 def test_hausdorff_z_coordinates():
     """Discrete Hausdorff must ignore Z/M ordinates (JTS operates on XY) —
     the vertex loop used to unpack exactly two ordinates and crashed on
