@@ -1654,10 +1654,16 @@ class _GroupCompiler:
                     of[ob[v]].alias(f"__o_{v}") for v in ob if v not in shared
                 ]
                 right = of.select(*sel)
+                # no shared variables: still a LEFT join (on a literal-true
+                # condition, same BroadcastNestedLoop physical as a cross
+                # join) — a crossJoin would drop every base row when the
+                # optional side matches nothing, but SPARQL LeftJoin keeps
+                # them unextended (found by the differential fuzz:
+                # OPTIONAL { <ground triple not in graph> })
                 frame = (
                     frame.join(right, on=[binds[v] for v in shared], how="left")
                     if shared
-                    else frame.crossJoin(right)
+                    else frame.join(right, on=F.lit(True), how="left")
                 )
                 for v in ob:
                     if v not in binds:

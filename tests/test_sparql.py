@@ -109,6 +109,21 @@ def test_optional_left_join(spark, model):
     assert got == [("house_1_geom", "house"), ("pt_1_geom", "pt1"), ("small_geom", None)]
 
 
+def test_optional_disjoint_empty_keeps_base(spark, model):
+    """LeftJoin with NO shared variables must still keep base rows when the
+    optional side matches nothing (the fuzz's falsifying case: a crossJoin
+    here silently dropped everything); when it DOES match, the result is
+    the cross product."""
+    q = ("PREFIX : <http://example.org/> SELECT ?g ?n WHERE { "
+         "?g a geo2:Geometry . OPTIONAL { :no_such :name ?n } } ORDER BY ?g")
+    rows = S.execute_query(spark, q, model).collect()
+    assert len(rows) == 3 and all(r["n"] is None for r in rows)
+    q2 = ("PREFIX : <http://example.org/> SELECT ?g ?n WHERE { "
+          "?g a geo2:Geometry . OPTIONAL { :bare :name ?n } } ORDER BY ?g")
+    rows2 = S.execute_query(spark, q2, model).collect()
+    assert len(rows2) == 3 and all(r["n"] == "no-geometry" for r in rows2)
+
+
 def test_minus(spark, model):
     q = ("PREFIX : <http://example.org/> "
          "SELECT ?g WHERE { ?g a geo2:Geometry . MINUS { ?g :name ?n } } ORDER BY ?g")
