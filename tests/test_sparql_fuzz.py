@@ -1,11 +1,19 @@
 """Differential fuzz over the SPARQL compiler (jena_geo_spark/sparql.py).
 
 Random tiny RDF graphs and random queries from a constrained grammar —
-BGPs with shared/repeated variables, OPTIONAL, UNION, equality FILTERs,
-DISTINCT — are executed through the distributed compiler (TriplesModel
-backend) AND through a naive in-memory evaluator implementing the SPARQL
-1.1 §18 algebra directly (backtracking BGP join, compatibility-based
-LeftJoin, bag Union).  The two result multisets must be identical.
+BGPs with shared/repeated/predicate variables, OPTIONAL, UNION, MINUS,
+FILTER (NOT) EXISTS, equality FILTERs, DISTINCT — are executed through
+the distributed compiler (TriplesModel backend) AND through a naive
+in-memory evaluator implementing the SPARQL 1.1 §18 algebra directly
+(backtracking BGP join, compatibility-based LeftJoin, §8.3 Minus,
+correlated Exists, bag Union).  The two result multisets must be
+identical.
+
+Already found one real bug on its first deep run: OPTIONAL groups
+sharing no variables with the base compiled to a crossJoin, which
+dropped every base row when the optional side matched nothing
+(sparql.py Optional_ branch — now a left join on a literal-true
+condition, with the fixed case pinned in test_sparql.py).
 
 This exercises exactly the compiler surface the fixed tests pin by
 example: implicit equality joins from repeated variables (within and
@@ -39,9 +47,12 @@ var = st.sampled_from(VARS)
 
 
 @st.composite
-def triple_pattern(draw):
+def triple_pattern(draw, var_pred=False):
     s = draw(st.one_of(var.map(lambda v: ("v", v)), term_s.map(lambda t: ("t", t))))
-    p = ("t", draw(st.sampled_from(PREDS)))
+    if var_pred and draw(st.integers(0, 4)) == 0:
+        p = ("v", draw(var))
+    else:
+        p = ("t", draw(st.sampled_from(PREDS)))
     o = draw(st.one_of(var.map(lambda v: ("v", v)), term_o.map(lambda t: ("t", t))))
     return (s, p, o)
 
@@ -55,12 +66,22 @@ def query_case(draw):
             max_size=14,
         )
     )
-    shape = draw(st.sampled_from(["bgp", "optional", "union"]))
-    base = draw(st.lists(triple_pattern(), min_size=1, max_size=3))
+    shape = draw(
+        st.sampled_from(
+            ["bgp", "optional", "union", "minus", "exists", "notexists"]
+        )
+    )
+    base = draw(st.lists(triple_pattern(var_pred=True), min_size=1, max_size=3))
     extra = draw(st.lists(triple_pattern(), min_size=1, max_size=2))
     base_vars = sorted({t[1] for pat in base for t in pat if t[0] == "v"})
+    extra_scoped = shape in ("optional", "union")
     all_vars = sorted(
-        {t[1] for pat in base + extra for t in pat if t[0] == "v"}
+        {
+            t[1]
+            for pat in (base + extra if extra_scoped else base)
+            for t in pat
+            if t[0] == "v"
+        }
     )
     if not all_vars:
         all_vars = ["a"]
@@ -106,6 +127,11 @@ def _eval_bgp(graph, patterns, mu):
             yield from _eval_bgp(graph, patterns[1:], m2)
 
 
+def _compatible_overlapping(mu, mu2):
+    shared = set(mu) & set(mu2)
+    return bool(shared) and all(mu[v] == mu2[v] for v in shared)
+
+
 def _naive(graph, shape, base, extra, filt, proj, distinct):
     if shape == "union":
         sols = list(_eval_bgp(graph, base, {})) + list(
@@ -119,6 +145,22 @@ def _naive(graph, shape, base, extra, filt, proj, distinct):
                 exts = list(_eval_bgp(graph, extra, mu))
                 out.extend(exts if exts else [mu])
             sols = out
+        elif shape == "minus":
+            # §8.3: remove mu iff some mu2 is compatible AND dom-overlapping
+            rights = list(_eval_bgp(graph, extra, {}))
+            sols = [
+                mu
+                for mu in sols
+                if not any(_compatible_overlapping(mu, m2) for m2 in rights)
+            ]
+        elif shape in ("exists", "notexists"):
+            # correlated: substitute mu's bindings into the pattern
+            keep = shape == "exists"
+            sols = [
+                mu
+                for mu in sols
+                if bool(next(_eval_bgp(graph, extra, mu), None)) == keep
+            ]
     if filt is not None:
         fv, op, rhs = filt
         rhs_of = (lambda mu: mu[rhs]) if rhs in VARS else (lambda mu: rhs)
@@ -148,6 +190,12 @@ def _render(shape, base, extra, filt, proj, distinct):
         body = f"{{ {bgp} }} UNION {{ {ext} }}"
     elif shape == "optional":
         body = f"{bgp} . OPTIONAL {{ {ext} }}"
+    elif shape == "minus":
+        body = f"{bgp} . MINUS {{ {ext} }}"
+    elif shape == "exists":
+        body = f"{bgp} . FILTER EXISTS {{ {ext} }}"
+    elif shape == "notexists":
+        body = f"{bgp} . FILTER NOT EXISTS {{ {ext} }}"
     else:
         body = bgp
     if filt is not None:
