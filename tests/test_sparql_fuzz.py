@@ -27,11 +27,17 @@ golden (SURVEY §5 test-strategy model: semantics-level differential
 checks complement the ported unit goldens).
 """
 
+import os
+
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from jena_geo_spark import sparql as S
+
+# CI default keeps suite wall time modest; deep sweeps via
+# SPARQL_FUZZ_EXAMPLES=200 python -m pytest tests/test_sparql_fuzz.py
+_EXAMPLES = int(os.environ.get("SPARQL_FUZZ_EXAMPLES", "0"))
 
 IRIS = [f"urn:x:{i}" for i in range(5)]
 PREDS = [f"urn:p:{i}" for i in range(3)]
@@ -212,9 +218,82 @@ def _render(shape, base, extra, filt, proj, distinct):
 # ------------------------------------------------------------------ fuzz --
 
 
+@st.composite
+def pt_query_case(draw):
+    """A wide-table instance (one value per (subject, predicate) — the
+    PropertyTable representable subset) plus a query over it."""
+    n_rows = draw(st.integers(2, 5))
+    cells = [
+        [draw(st.one_of(st.none(), st.sampled_from(LITS))) for _ in PREDS]
+        for _ in range(n_rows)
+    ]
+    graph, shape, base, extra, filt, proj, distinct = draw(query_case())
+    # retarget the random query at the wide table's term domain
+    subs = [f"urn:row:{i}" for i in range(n_rows)]
+
+    def retarget(pat):
+        out = []
+        for pos, (kind, val) in enumerate(pat):
+            if kind == "t" and pos == 0:
+                out.append(("t", subs[hash(val) % n_rows]))
+            elif kind == "t" and pos == 2:
+                out.append(("t", val if val in LITS else draw(st.sampled_from(LITS))))
+            else:
+                out.append((kind, val))
+        return tuple(out)
+
+    base = [retarget(p) for p in base]
+    extra = [retarget(p) for p in extra]
+    return cells, shape, base, extra, filt, proj, distinct
+
+
 @pytest.mark.usefixtures("spark")
 @settings(
-    max_examples=25,
+    max_examples=_EXAMPLES or 15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(pt_query_case())
+def test_property_table_matches_triples_backend(spark, case):
+    """Backend differential: the star-collapse PropertyTable path (one
+    scan per subject star, explode for variable predicates) must agree
+    with the generic TriplesModel join path on every query."""
+    cells, shape, base, extra, filt, proj, distinct = case
+    rows = [(str(i), *vals) for i, vals in enumerate(cells)]
+    schema = "id string, " + ", ".join(f"c{k} string" for k in range(len(PREDS)))
+    wide = spark.createDataFrame(rows, schema)
+    pt = S.PropertyTable(
+        wide,
+        id_col="id",
+        subject_prefix="urn:row:",
+        props={p: S.PropSpec(f"c{k}") for k, p in enumerate(PREDS)},
+    )
+    triples = [
+        (f"urn:row:{i}", PREDS[k], v, None)
+        for i, vals in enumerate(cells)
+        for k, v in enumerate(vals)
+        if v is not None
+    ]
+    tm = S.TriplesModel(
+        spark.createDataFrame(
+            triples, "s string, p string, o string, dt string"
+        )
+        if triples
+        else spark.createDataFrame([], "s string, p string, o string, dt string")
+    )
+    q = _render(shape, base, extra, filt, proj, distinct)
+
+    def run(model):
+        out = S.execute_query(spark, q, model)
+        got = [tuple(r[v] for v in proj) for r in out.collect()]
+        return sorted(set(got) if distinct else got, key=repr)
+
+    assert run(pt) == run(tm), q
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=_EXAMPLES or 25,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
