@@ -218,6 +218,50 @@ def test_knn_tie_groups_broadcast(spark):
         assert sorted(got[qid]) == exp[qid], qid
 
 
+def test_polygon_join_lattice_adversarial(spark):
+    """Unit squares on an integer lattice: every rook neighbour shares a
+    FULL edge, every diagonal neighbour touches at exactly one corner,
+    three squares are exact duplicates, and one big square contains the
+    whole grid (the a ⊇ b ancestor-emission direction).  JTS intersects
+    semantics (boundary contact counts) against a closed-box oracle;
+    the driver-cover and frames paths must also agree with each other."""
+    from jena_geo_spark.operators.spatial_join import polygon_join, polygon_join_frames
+
+    def sq(x, y, s=1.0):
+        return (
+            f"POLYGON(({x} {y}, {x + s} {y}, {x + s} {y + s}, "
+            f"{x} {y + s}, {x} {y}))"
+        )
+
+    polys = [(f"g{ix}{iy}", sq(float(ix), float(iy))) for ix in range(4) for iy in range(4)]
+    polys += [("d1", sq(1.0, 1.0)), ("d2", sq(1.0, 1.0))]  # duplicates of g11
+    polys += [("big", sq(-0.5, -0.5, 5.0))]
+    # oracle from the construction, not from WKT parsing
+    geo = {f"g{ix}{iy}": (ix, iy, 1.0) for ix in range(4) for iy in range(4)}
+    geo["d1"] = geo["d2"] = (1, 1, 1.0)
+    geo["big"] = (-0.5, -0.5, 5.0)
+
+    def overlap(a, b):
+        ax, ay, asz = geo[a]
+        bx, by, bsz = geo[b]
+        return (ax <= bx + bsz and bx <= ax + asz
+                and ay <= by + bsz and by <= ay + asz)
+
+    ids = [p for p, _ in polys]
+    exp = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:] if overlap(a, b)}
+    exp = {(min(a, b), max(a, b)) for a, b in exp}
+
+    got_driver = {
+        (r.id_a, r.id_b) for r in polygon_join(spark, polys).collect()
+    }
+    pdf = spark.createDataFrame(polys, "id string, wkt string")
+    got_frames = {
+        (r.id_a, r.id_b) for r in polygon_join_frames(spark, pdf).collect()
+    }
+    assert got_driver == exp
+    assert got_frames == exp
+
+
 def test_knn_frames_tie_groups(spark):
     queries, rpts = _tie_field()
     ldf = spark.createDataFrame(
