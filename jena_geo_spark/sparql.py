@@ -2511,16 +2511,30 @@ class _AggCompiler:
             c, _ = self.ec.compile(e.args[0])
             if _numericish(e.args[0]):
                 c = c.cast("double")
+            # §18.5.1.2/.6: Sum and Avg of the EMPTY multiset are 0, not
+            # NULL.  Only a global aggregate over zero rows can produce an
+            # empty group (GROUP BY never emits empty groups), so guard on
+            # the group row count rather than coalescing — a group whose
+            # values are all non-numeric (sum NULL, count > 0) stays
+            # unbound, the spec's error case.
+            empty_zero = lambda col: F.when(  # noqa: E731
+                F.count(F.lit(1)) == 0, F.lit(0.0)
+            ).otherwise(col)
             if e.distinct:
                 # MIN/MAX are distinct-invariant; SUM(DISTINCT) is native;
                 # AVG(DISTINCT) = sum_distinct / count_distinct (Spark's
                 # Average is sum/count anyway, so semantics are identical)
                 if name == "SUM":
-                    return self._slot(F.sum_distinct(c))
+                    return self._slot(empty_zero(F.sum_distinct(c)))
                 if name == "AVG":
-                    return self._slot(F.sum_distinct(c) / F.count_distinct(c))
+                    return self._slot(
+                        empty_zero(F.sum_distinct(c) / F.count_distinct(c))
+                    )
             fn = {"SUM": F.sum, "AVG": F.avg, "MIN": F.min, "MAX": F.max}[name]
-            return self._slot(fn(c))
+            out = fn(c)
+            if name in ("SUM", "AVG"):
+                out = empty_zero(out)
+            return self._slot(out)
         name = _registry_name(e.iri)
         distinct = False
         if name.endswith("distinct") and name.replace("distinct", "") in _GEO_AGGS:

@@ -247,6 +247,80 @@ def pt_query_case(draw):
     return cells, shape, base, extra, filt, proj, distinct
 
 
+@st.composite
+def agg_case(draw):
+    n = draw(st.integers(0, 7))
+    rows = []
+    for i in range(n):
+        grp = draw(st.sampled_from(["a", "b", "c"]))
+        val = draw(st.one_of(st.none(), st.integers(0, 9)))
+        rows.append((i, grp, val))
+    grouped = draw(st.booleans())
+    having = draw(st.booleans())
+    return rows, grouped, having
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=_EXAMPLES or 20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(agg_case())
+def test_aggregates_match_naive(spark, case):
+    """GROUP BY / global aggregates vs direct §18.5 evaluation:
+    COUNT(*), SUM, MIN, MAX, COUNT(DISTINCT), optional HAVING, and the
+    empty-input edge (global COUNT of nothing is one row of 0; SUM of
+    the empty group is 0 per §18.5.1.2 op:sum's xs:integer(0) seed;
+    MIN/MAX of nothing are errors, i.e. unbound)."""
+    rows, grouped, having = case
+    triples = []
+    for i, grp, val in rows:
+        triples.append((f"urn:x:{i}", "urn:p:0", grp, None))
+        if val is not None:
+            triples.append((f"urn:x:{i}", "urn:p:1", str(val), None))
+    tm = S.TriplesModel(
+        spark.createDataFrame(triples, "s string, p string, o string, dt string")
+        if triples
+        else spark.createDataFrame([], "s string, p string, o string, dt string")
+    )
+    head = (
+        "(COUNT(*) AS ?n) (SUM(?v) AS ?sm) (MIN(?v) AS ?mn) "
+        "(MAX(?v) AS ?mx) (COUNT(DISTINCT ?v) AS ?nd)"
+    )
+    body = "?x <urn:p:0> ?g . ?x <urn:p:1> ?v ."
+    hav = " HAVING(COUNT(*) > 1)" if having else ""
+    if grouped:
+        q = f"SELECT ?g {head} WHERE {{ {body} }} GROUP BY ?g{hav}"
+    else:
+        q = f"SELECT {head} WHERE {{ {body} }}{hav}"
+
+    pairs = [(grp, val) for _, grp, val in rows if val is not None]
+    groups = {}
+    for grp, val in pairs:
+        groups.setdefault(grp if grouped else None, []).append(val)
+    if not grouped and not pairs:
+        groups[None] = []
+    exp = set()
+    for gkey, vals in groups.items():
+        n = len(vals)
+        if having and not n > 1:
+            continue
+        row = (
+            n,
+            float(sum(vals)),
+            float(min(vals)) if vals else None,
+            float(max(vals)) if vals else None,
+            len(set(vals)),
+        )
+        exp.add(row if not grouped else (gkey,) + row)
+
+    cols = (["g"] if grouped else []) + ["n", "sm", "mn", "mx", "nd"]
+    out = S.execute_query(spark, q, tm)
+    got = {tuple(r[c] for c in cols) for r in out.collect()}
+    assert got == exp, q
+
+
 @pytest.mark.usefixtures("spark")
 @settings(
     max_examples=_EXAMPLES or 15,
