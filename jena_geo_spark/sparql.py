@@ -1114,7 +1114,20 @@ class PropertyTable:
                 # via the left join one level up)
                 df = df.where(F.col(spec.col).isNotNull())
                 already = t.o.name in binds
-                bind_or_equate(t.o.name, F.col(spec.col).cast("string"), spec.kind)
+                kind = spec.kind
+                if kind == "plain":
+                    # terms are stored as lexical strings engine-wide, but
+                    # the SOURCE column type is the literal's datatype —
+                    # carry it as the binding kind so boolean-context EBV
+                    # and value comparisons use typed semantics
+                    from pyspark.sql import types as T
+
+                    sdt = self.df.schema[spec.col].dataType
+                    if isinstance(sdt, T.NumericType):
+                        kind = "num"
+                    elif isinstance(sdt, T.BooleanType):
+                        kind = "bool"
+                bind_or_equate(t.o.name, F.col(spec.col).cast("string"), kind)
                 if already:
                     continue
                 if spec.kind == "wkt_point" and spec.lon and spec.lat:
@@ -1143,6 +1156,16 @@ class PropertyTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out.where(F.col("n").isNotNull()).distinct()
+
+
+#: xsd datatype local names whose literals compare (and EBV-coerce) as
+#: numbers (XPath numeric promotion hierarchy)
+_XSD_NUMERIC_LOCALS = {
+    "integer", "int", "long", "short", "byte", "decimal", "double", "float",
+    "negativeinteger", "nonnegativeinteger", "positiveinteger",
+    "nonpositiveinteger", "unsignedlong", "unsignedint", "unsignedshort",
+    "unsignedbyte",
+}
 
 
 class TriplesModel:
@@ -1175,10 +1198,12 @@ class TriplesModel:
         def out_col(name: str, idx: int, kind: str) -> str:
             # a variable repeated across (or within) the star's patterns
             # is an implicit equality join, not a rebinding: later
-            # occurrences land in a per-pattern column equated (and
-            # dropped) after the subject join
+            # occurrences land in a per-occurrence column equated (and
+            # dropped) after the subject join.  The name carries a running
+            # counter, not just the pattern index — `?a ?a ?a` repeats a
+            # variable TWICE inside one pattern (fuzz-found collision)
             if name in out_binds:
-                c = f"__eq{idx}_{name}"
+                c = f"__eq{len(equalities)}_{name}"
                 equalities.append((name, c))
                 return c
             c = f"__v_{name}"
@@ -1200,9 +1225,15 @@ class TriplesModel:
                 sc = sc.filter(F.col("s") == subj_const)
             if isinstance(t.o, Var):
                 dt = self.predicate_dt(pred) if pred is not None else None
-                kind = (
-                    "wkt" if dt is not None and dt.lower().endswith("wktliteral") else "plain"
-                )
+                kind = "plain"
+                if dt is not None:
+                    local = dt.lower().rsplit("#", 1)[-1]
+                    if local.endswith("wktliteral"):
+                        kind = "wkt"
+                    elif local in _XSD_NUMERIC_LOCALS:
+                        kind = "num"
+                    elif local == "boolean":
+                        kind = "bool"
                 sel.append(F.col("o").alias(out_col(t.o.name, idx, kind)))
             else:
                 val = t.o.value if isinstance(t.o, Lit) else t.o.iri
@@ -1336,16 +1367,60 @@ def _registry_name(iri: str) -> str:
 
 
 class _ExprCompiler:
-    """AST expression → (Column, kind); kind ∈ {'plain','wkt','geom'}."""
+    """AST expression → (Column, kind); kind ∈ {'plain','wkt','geom'}.
 
-    def __init__(self, binds: dict[str, str], kinds: dict[str, str]):
+    ``frame`` (when the call site has one — all executor sites do) lets
+    boolean-context coercion introspect the analyzed column type for the
+    §17.2.2 effective-boolean-value rules."""
+
+    def __init__(
+        self, binds: dict[str, str], kinds: dict[str, str], frame=None
+    ):
         self.binds = binds
         self.kinds = kinds
+        self.frame = frame
 
     def var_col(self, name: str) -> F.Column:
         if name not in self.binds:
             raise KeyError(f"unbound variable ?{name}")
         return F.col(self.binds[name])
+
+    def ebv(self, e) -> F.Column:
+        """§17.2.2 effective boolean value — the coercion FILTER, IF,
+        ``!``, ``&&`` and ``||`` apply to their operands (ARQ inherits it
+        from the XPath fn:boolean rules).  Booleans pass through; strings
+        (plain literals in this engine's term storage) are true iff
+        non-empty — note EBV of the plain literal ``"false"`` is TRUE;
+        numerics are true unless 0 or NaN; any other type is a type
+        error, compiled as NULL (FILTER eliminates the row, IF/BIND
+        surface unbound).  NULL operands (unbound variables = evaluation
+        errors) stay NULL throughout."""
+        if isinstance(e, Var):
+            # the binding kind carries the literal's datatype even though
+            # the column itself stores the lexical string
+            k = self.kinds.get(e.name)
+            if k == "num":
+                col = self.var_col(e.name).try_cast("double")
+                return (col != 0) & ~F.isnan(col)
+            if k == "bool":
+                return self.var_col(e.name).try_cast("boolean")
+        col, _ = self.compile(e)
+        if self.frame is None:  # no type context: keep Spark's cast
+            return col
+        from pyspark.sql import types as T
+
+        dt = self.frame.select(col.alias("x")).schema[0].dataType
+        if isinstance(dt, T.BooleanType):
+            return col
+        if isinstance(dt, T.StringType):
+            return F.length(col) > 0
+        if isinstance(dt, (T.DoubleType, T.FloatType)):
+            return (col != 0) & ~F.isnan(col)
+        if isinstance(
+            dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType)
+        ):
+            return col != 0
+        return F.lit(None).cast("boolean")
 
     def compile(self, e) -> tuple[F.Column, str]:
         if isinstance(e, Var):
@@ -1358,27 +1433,71 @@ class _ExprCompiler:
         if isinstance(e, Iri):
             return F.lit(e.iri), "plain"
         if isinstance(e, Op1):
+            if e.op == "!":
+                return ~self.ebv(e.arg), "plain"
             c, _ = self.compile(e.arg)
-            return (~c if e.op == "!" else -c), "plain"
+            if isinstance(e.arg, Lit) and isinstance(e.arg.value, (int, float)):
+                return -c, "plain"
+            # non-literal operand: coerce leniently — a non-numeric value
+            # is a SPARQL evaluation error (NULL), not an ANSI cast crash
+            return -c.try_cast("double"), "plain"
         if isinstance(e, Op2):
+            if e.op in ("||", "&&"):
+                # logical operators EBV-coerce each operand (§17.2.2);
+                # the NULL/boolean combination table below then matches
+                # SPARQL's error-tolerant Kleene logic exactly
+                lc, rc = self.ebv(e.left), self.ebv(e.right)
+                return ((lc | rc) if e.op == "||" else (lc & rc)), "plain"
             lc, lk = self.compile(e.left)
             rc, rk = self.compile(e.right)
+
+            def _typed_num(x) -> bool:
+                return isinstance(x, Var) and self.kinds.get(x.name) == "num"
+
+            # value coercion is LENIENT throughout (try_cast/try_divide):
+            # a lexical form that fails numeric interpretation — or a zero
+            # divisor — is a SPARQL evaluation error for THAT ROW (NULL:
+            # FILTER eliminates it, BIND leaves it unbound), never an
+            # ANSI-mode job abort (Spark 4 defaults spark.sql.ansi.enabled
+            # on, where plain cast/divide would throw per partition)
             if e.op in ("+", "-", "*", "/"):
                 # SPARQL numeric operators: lexical literals promote
-                lc = lc.cast("double") if lk == "plain" and _numericish(e.left) else lc
-                rc = rc.cast("double") if rk == "plain" and _numericish(e.right) else rc
-            elif e.op in ("<", ">", "<=", ">="):
-                # comparisons promote a lexical side only when the OTHER
-                # side is numeric-forcing (numeric literal / function /
-                # arithmetic) — two string sides compare lexicographically
-                # (casting both would null out e.g. FILTER(?name < "m"))
-                if lk == "plain" and _numericish(e.left) and _numeric_forcing(e.right):
-                    lc = lc.cast("double")
-                if rk == "plain" and _numericish(e.right) and _numeric_forcing(e.left):
-                    rc = rc.cast("double")
+                if lk == "plain" and _numericish(e.left):
+                    lc = lc.try_cast("double")
+                if rk == "plain" and _numericish(e.right):
+                    rc = rc.try_cast("double")
+            elif e.op in ("<", ">", "<=", ">=", "=", "!="):
+                # a side whose binding kind says xsd-numeric forces a
+                # VALUE comparison on both sides (typed-literal semantics:
+                # "10" < "9" must be numeric, and "05" = 5 must hold; a
+                # non-numeric other side coerces to NULL = the spec's type
+                # error).  Otherwise comparisons promote BOTH sides when
+                # one side is numeric-forcing (numeric literal / function /
+                # arithmetic) — two untyped string sides compare
+                # lexicographically (casting both would null out e.g.
+                # FILTER(?name < "m"))
+                if (
+                    _typed_num(e.left)
+                    or _typed_num(e.right)
+                    or (lk == "plain" and _numericish(e.left) and _numeric_forcing(e.right))
+                    or (rk == "plain" and _numericish(e.right) and _numeric_forcing(e.left))
+                ):
+                    lc, rc = lc.try_cast("double"), rc.try_cast("double")
+                    # XPath numeric comparison: NaN is unordered and
+                    # unequal to everything (op:numeric-* all false, `ne`
+                    # true) — Spark instead totally orders NaN above all
+                    # doubles, so guard explicitly.  isnan(NULL) is false,
+                    # so NULL (error) operands still propagate NULL.
+                    cmp = {
+                        "=": lc == rc, "!=": lc != rc, "<": lc < rc,
+                        ">": lc > rc, "<=": lc <= rc, ">=": lc >= rc,
+                    }[e.op]
+                    return (
+                        F.when(F.isnan(lc) | F.isnan(rc), F.lit(e.op == "!="))
+                        .otherwise(cmp),
+                        "plain",
+                    )
             return {
-                "||": lambda: lc | rc,
-                "&&": lambda: lc & rc,
                 "=": lambda: lc == rc,
                 "!=": lambda: lc != rc,
                 "<": lambda: lc < rc,
@@ -1388,7 +1507,7 @@ class _ExprCompiler:
                 "+": lambda: lc + rc,
                 "-": lambda: lc - rc,
                 "*": lambda: lc * rc,
-                "/": lambda: lc / rc,
+                "/": lambda: F.try_divide(lc, rc),
             }[e.op](), "plain"
         if isinstance(e, Func):
             return self.func(e)
@@ -1410,7 +1529,7 @@ class _ExprCompiler:
                     "long": "long", "int": "int", "string": "string",
                     "boolean": "boolean"}[e.iri.rsplit("#", 1)[-1]]
             c, _ = self.compile(e.args[0])
-            return c.cast(cast), "plain"
+            return c.try_cast(cast), "plain"
         name = _registry_name(e.iri)
         name = _SF_FUNC.get(name, name)
         if e.iri.startswith(BUILTIN_PREFIXES["geof"]) and "geof_" + name in REG.REGISTRY:
@@ -1467,13 +1586,20 @@ class _ExprCompiler:
 
         def num(i):
             col = c(i)
-            return col.cast("double") if _numericish(args[i]) else col
+            return col.try_cast("double") if _numericish(args[i]) else col
 
         if name == "IF":
             a, ak = self.compile(args[1])
             b, bk = self.compile(args[2])
             kind = ak if ak == bk else "plain"
-            return F.when(c(0), a).otherwise(b), kind
+            # the condition is EBV-coerced (§17.4.1.2); a condition
+            # ERROR makes the whole IF an error → unbound, not the
+            # else-branch, hence the explicit NULL arm
+            cond = self.ebv(args[0])
+            return (
+                F.when(cond.isNull(), F.lit(None)).when(cond, a).otherwise(b),
+                kind,
+            )
         if name == "COALESCE":
             # an unbound variable is an evaluation error for its branch,
             # which COALESCE skips (§17.4.1.5) — compile it as NULL
@@ -1497,17 +1623,28 @@ class _ExprCompiler:
         if name == "STRENDS":
             return s(0).endswith(s(1)), "plain"
         if name == "SUBSTR":
-            start = num(1).cast("int")
+            # XPath fn:substring (§17.4.3.3): keep the characters at
+            # positions p with round(start) <= p < round(start)+round(len)
+            # — fn:round is floor(x+0.5).  A start below 1 CLIPS (and
+            # consumes that much of the length window); it does not count
+            # from the string's end, which is what Spark's substr would do
+            src = s(0)
+            a = F.floor(num(1).try_cast("double") + F.lit(0.5)).try_cast("int")
+            pos = F.greatest(a, F.lit(1))
             if len(args) > 2:
-                return s(0).substr(start, num(2).cast("int")), "plain"
-            return s(0).substr(start, F.length(s(0))), "plain"
+                b = a + F.floor(num(2).try_cast("double") + F.lit(0.5)).try_cast("int")
+                return src.substr(pos, F.greatest(b - pos, F.lit(0))), "plain"
+            return src.substr(pos, F.length(src)), "plain"
         if name == "CONCAT":
             return F.concat(*[self.compile(a)[0].cast("string") for a in args]), "plain"
         if name == "STRBEFORE":
             t0, t1 = s(0), s(1)
             pos = F.instr(t0, t1)
             return (
-                F.when(t1 == "", F.lit(""))
+                # NULL args propagate as the error — without the guard the
+                # not-found otherwise("") arm would swallow them (fuzz-found)
+                F.when(t0.isNull() | t1.isNull(), F.lit(None))
+                .when(t1 == "", F.lit(""))
                 .when(pos > 0, t0.substr(F.lit(1), pos - 1))
                 .otherwise(F.lit("")),
                 "plain",
@@ -1516,7 +1653,8 @@ class _ExprCompiler:
             t0, t1 = s(0), s(1)
             pos = F.instr(t0, t1)
             return (
-                F.when(t1 == "", t0)
+                F.when(t0.isNull() | t1.isNull(), F.lit(None))
+                .when(t1 == "", t0)
                 .when(pos > 0, t0.substr(pos + F.length(t1), F.length(t0)))
                 .otherwise(F.lit("")),
                 "plain",
@@ -1531,16 +1669,24 @@ class _ExprCompiler:
             return F.regexp_replace(s(0), pat, str(args[2].value)), "plain"
         if name == "ABS":
             return F.abs(num(0)), "plain"
+        # fn:ceiling/floor/round stay in the DOUBLE domain: Spark's
+        # ceil/floor return LONG, which collapses NaN to 0 (fuzz-found)
+        # and would ANSI-overflow on huge doubles.  floor(x) for any
+        # double is x - pmod(x, 1) — NaN and NULL propagate, values
+        # >= 2^53 are already integral (pmod gives 0)
+        def _floor_d(col):
+            return col - F.pmod(col, F.lit(1.0))
+
         if name == "CEIL":
-            return F.ceil(num(0)).cast("double"), "plain"
+            return -_floor_d(-num(0)), "plain"
         if name == "FLOOR":
-            return F.floor(num(0)).cast("double"), "plain"
+            return _floor_d(num(0)), "plain"
         if name == "ROUND":
             # fn:round ties go toward +inf (round(-2.5) = -2), unlike
             # Spark's HALF_UP (away from zero)
-            return F.floor(num(0) + F.lit(0.5)).cast("double"), "plain"
+            return _floor_d(num(0) + F.lit(0.5)), "plain"
         if name == "ISNUMERIC":
-            return c(0).cast("double").isNotNull(), "plain"
+            return c(0).try_cast("double").isNotNull(), "plain"
         if name == "MD5":
             return F.md5(s(0).cast("binary")), "plain"
         if name == "SHA1":
@@ -1548,14 +1694,19 @@ class _ExprCompiler:
         if name in ("SHA256", "SHA384", "SHA512"):
             return F.sha2(s(0).cast("binary"), int(name[3:])), "plain"
         if name == "ENCODE_FOR_URI":
-            # url_encode is form-encoding; §17.4.2.8 wants %20 for space
-            return F.regexp_replace(F.url_encode(s(0)), r"\+", "%20"), "plain"
+            # url_encode is form-encoding; fn:encode-for-uri (§17.4.2.8)
+            # differs on exactly three characters: space is %20 not "+",
+            # "~" is unreserved (RFC 3986) and stays literal, and "*" is
+            # NOT unreserved so it must escape to %2A
+            enc = F.regexp_replace(F.url_encode(s(0)), r"\+", "%20")
+            enc = F.regexp_replace(enc, "%7E", "~")
+            return F.regexp_replace(enc, r"\*", "%2A"), "plain"
         if name in ("YEAR", "MONTH", "DAY"):
             fn = {"YEAR": F.year, "MONTH": F.month, "DAY": F.dayofmonth}[name]
-            return fn(s(0).cast("timestamp")), "plain"
+            return fn(s(0).try_cast("timestamp")), "plain"
         if name in ("HOURS", "MINUTES", "SECONDS"):
             fn = {"HOURS": F.hour, "MINUTES": F.minute, "SECONDS": F.second}[name]
-            col = fn(s(0).cast("timestamp"))
+            col = fn(s(0).try_cast("timestamp"))
             return (col.cast("double") if name == "SECONDS" else col), "plain"
         return None
 
@@ -1566,12 +1717,30 @@ def _numericish(e) -> bool:
     )
 
 
+#: builtins whose value is a string or boolean — comparing against one
+#: must NOT numeric-promote the other side
+_NONNUMERIC_BUILTINS = {
+    "UCASE", "LCASE", "CONCAT", "SUBSTR", "STRBEFORE", "STRAFTER", "STR",
+    "REPLACE", "ENCODE_FOR_URI", "MD5", "SHA1", "SHA256", "SHA384",
+    "SHA512", "CONTAINS", "STRSTARTS", "STRENDS", "REGEX", "BOUND",
+    "ISNUMERIC", "COALESCE", "IF",
+}
+
+
 def _numeric_forcing(e) -> bool:
-    """True when the expression is unambiguously numeric (so a lexical
-    string on the other side of a comparison should promote)."""
+    """True when the expression is unambiguously numeric-valued (so a
+    lexical string on the other side of a comparison should promote).
+    Arithmetic, numeric builtins, xsd numeric casts, and registry (geo)
+    measure functions force; string/boolean builtins do not."""
     if isinstance(e, Lit):
         return isinstance(e.value, (int, float))
-    return isinstance(e, (Func, Op2, Op1))
+    if isinstance(e, Func):
+        if e.iri.startswith("builtin:"):
+            return e.iri[len("builtin:"):] not in _NONNUMERIC_BUILTINS
+        if e.iri.startswith(BUILTIN_PREFIXES["xsd"]):
+            return e.iri.rsplit("#", 1)[-1] not in ("string", "boolean")
+        return True
+    return isinstance(e, (Op2, Op1))
 
 
 # --------------------------------------------------------------- BGP compile --
@@ -1621,7 +1790,7 @@ class _GroupCompiler:
             if isinstance(it, (Triple, SpatialPF)):
                 continue
             if isinstance(it, Bind):
-                ec = _ExprCompiler(binds, kinds)
+                ec = _ExprCompiler(binds, kinds, frame)
                 col, kind = ec.compile(it.expr)
                 if kind == "geom":
                     # registry functions return WKB for geometry results and
@@ -1644,9 +1813,8 @@ class _GroupCompiler:
             elif isinstance(it, Filter):
                 if getattr(it, "_consumed", False):
                     continue
-                ec = _ExprCompiler(binds, kinds)
-                col, _ = ec.compile(it.expr)
-                frame = frame.filter(col)
+                ec = _ExprCompiler(binds, kinds, frame)
+                frame = frame.filter(ec.ebv(it.expr))
             elif isinstance(it, Optional_):
                 of, ob, ok = self.compile(it.group)
                 shared = [v for v in ob if v in binds]
@@ -2479,7 +2647,7 @@ class _AggCompiler:
             return {
                 "||": lc | rc, "&&": lc & rc, "=": lc == rc, "!=": lc != rc,
                 "<": lc < rc, ">": lc > rc, "<=": lc <= rc, ">=": lc >= rc,
-                "+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc,
+                "+": lc + rc, "-": lc - rc, "*": lc * rc, "/": F.try_divide(lc, rc),
             }[e.op]
         raise TypeError(f"cannot compile aggregate-mode expression {e!r}")
 
@@ -2510,7 +2678,7 @@ class _AggCompiler:
                 return self._slot(F.min(c))
             c, _ = self.ec.compile(e.args[0])
             if _numericish(e.args[0]):
-                c = c.cast("double")
+                c = c.try_cast("double")
             # §18.5.1.2/.6: Sum and Avg of the EMPTY multiset are 0, not
             # NULL.  Only a global aggregate over zero rows can produce an
             # empty group (GROUP BY never emits empty groups), so guard on
@@ -2618,7 +2786,7 @@ def _run_select(spark: SparkSession, q: Query, model):
     )
     okinds: dict[str, str] = {}
     if agg_mode:
-        ec = _ExprCompiler(binds, kinds)
+        ec = _ExprCompiler(binds, kinds, frame)
         ac = _AggCompiler(ec, q.group_by)
         post: list[F.Column] = []
         for it in q.select or []:
@@ -2646,7 +2814,7 @@ def _run_select(spark: SparkSession, q: Query, model):
             else [("var", v) for v in sorted(binds)]
         )
         cols = []
-        ec = _ExprCompiler(binds, kinds)
+        ec = _ExprCompiler(binds, kinds, frame)
         for it in sel_items:
             if it[0] == "var":
                 v = it[1]
@@ -2685,17 +2853,27 @@ def _run_select(spark: SparkSession, q: Query, model):
             missing = [v for v, _ in q.order_by if v not in out.columns and v not in binds]
             if missing:
                 raise KeyError(f"unbound ORDER BY variable(s) {missing}")
+            def _key(v):
+                c = F.col(binds[v]) if v in binds else F.col(v)
+                # xsd-numeric bindings order by VALUE, not lexical form
+                # ("10" must sort after "9"); failed casts (NULL = error)
+                # keep Spark's null placement = SPARQL's unbound-lowest
+                return c.try_cast("double") if kinds.get(v) == "num" else c
+
             sorted_frame = frame.orderBy(
-                *[
-                    ((F.col(binds[v]) if v in binds else F.col(v)).asc() if asc
-                     else (F.col(binds[v]) if v in binds else F.col(v)).desc())
-                    for v, asc in q.order_by
-                ]
+                *[(_key(v).asc() if asc else _key(v).desc()) for v, asc in q.order_by]
             )
             out = sorted_frame.select(*cols)
         else:
             out = out.orderBy(
-                *[(F.col(v).asc() if asc else F.col(v).desc()) for v, asc in q.order_by]
+                *[
+                    (
+                        (F.col(v).try_cast("double") if okinds.get(v) == "num" else F.col(v)).asc()
+                        if asc
+                        else (F.col(v).try_cast("double") if okinds.get(v) == "num" else F.col(v)).desc()
+                    )
+                    for v, asc in q.order_by
+                ]
             )
     if q.offset:
         out = out.offset(q.offset)

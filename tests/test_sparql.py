@@ -1001,3 +1001,212 @@ def test_two_predicate_variables_per_star_property_table(spark):
         ("http://ex.org/a", "alice", "alice"),
         ("http://ex.org/b", "x", "x"),
     ]
+
+
+def test_variable_repeated_within_one_pattern(spark):
+    # fuzz-found: `?a ?a ?a` repeats a variable TWICE inside one pattern;
+    # the per-occurrence equality columns must not collide (AMBIGUOUS_REFERENCE)
+    tm = S.TriplesModel(
+        spark.createDataFrame(
+            [("urn:q:q", "urn:q:q", "urn:q:q", None),
+             ("urn:x:0", "urn:p:0", "urn:x:0", None)],
+            "s string, p string, o string, dt string",
+        )
+    )
+    got = _rows(spark, tm, "SELECT ?a WHERE { ?a ?a ?a . ?a ?a ?a }")
+    assert got == [("urn:q:q",)]
+
+
+@pytest.fixture(scope="module")
+def ebv_pt(spark):
+    rows = [
+        (1, "abc", 2.0, "y"),
+        (2, "", 0.0, "y"),
+        (3, "false", float("nan"), "y"),
+        (4, None, None, "y"),
+        (5, "0", -1.5, "y"),
+        (6, None, 3.0, "y"),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string, d double, k string")
+    return S.PropertyTable(
+        df, id_col="id",
+        props={"http://ex.org/s": S.PropSpec("s"),
+               "http://ex.org/d": S.PropSpec("d"),
+               "http://ex.org/k": S.PropSpec("k")},
+    )
+
+
+def _ebv_ids(spark, ebv_pt, filt):
+    got = _rows(
+        spark, ebv_pt,
+        "SELECT ?x WHERE { ?x ex:k ?k . OPTIONAL { ?x ex:s ?s } "
+        f"OPTIONAL {{ ?x ex:d ?d }} FILTER({filt}) }}",
+    )
+    return sorted(int(x[0].rsplit(":", 1)[-1]) for x in got)
+
+
+def test_ebv_filter_plain_literal(spark, ebv_pt):
+    # §17.2.2: a plain literal is true iff non-empty — "false" and "0"
+    # are lexical forms, hence TRUE; unbound is an error (eliminated)
+    assert _ebv_ids(spark, ebv_pt, "?s") == [1, 3, 5]
+
+
+def test_ebv_filter_numeric(spark, ebv_pt):
+    # numeric EBV: false for 0 and NaN, true otherwise (sign irrelevant)
+    assert _ebv_ids(spark, ebv_pt, "?d") == [1, 5, 6]
+
+
+def test_ebv_negation(spark, ebv_pt):
+    # !"" = true; !unbound stays an error (NOT true)
+    assert _ebv_ids(spark, ebv_pt, "!?s") == [2]
+
+
+def test_ebv_logical_error_tolerance(spark, ebv_pt):
+    # SPARQL's error-tolerant Kleene table: error || true = true
+    # (row 6: ?s unbound but ?d = 3.0), error && anything-not-false = error
+    assert _ebv_ids(spark, ebv_pt, "?s || ?d") == [1, 3, 5, 6]
+    assert _ebv_ids(spark, ebv_pt, "?s && ?d") == [1, 5]
+
+
+def test_if_error_condition_is_unbound(spark, ebv_pt):
+    # §17.4.1.2: an ERROR condition makes IF an error (unbound),
+    # not the else branch
+    got = _rows(
+        spark, ebv_pt,
+        "SELECT ?x ?r WHERE { ?x ex:k ?k . OPTIONAL { ?x ex:d ?d } "
+        'BIND(IF(?d, "t", "f") AS ?r) }',
+    )
+    by_id = {int(x.rsplit(":", 1)[-1]): r for x, r in got}
+    assert by_id == {1: "t", 2: "f", 3: "f", 4: None, 5: "t", 6: "t"}
+
+
+@pytest.mark.parametrize(
+    "args,want",
+    [
+        ('"12345", 0', "12345"),       # fn:substring: p >= round(0)
+        ('"12345", -1', "12345"),      # negative start clips, no from-end
+        ('"12345", 0, 3', "12"),       # window [0, 3) ∩ positions
+        ('"12345", 1.5, 2.6', "234"),  # XPath spec example (rounding)
+        ('"12345", -42, 57', "12345"),
+        ('"12345", 1, 0', ""),
+        ('"12345", 4, 57', "45"),
+    ],
+)
+def test_substr_xpath_semantics(spark, ebv_pt, args, want):
+    got = _rows(
+        spark, ebv_pt,
+        "SELECT ?r WHERE { <urn:row:1> ex:k ?k . "
+        f"BIND(SUBSTR({args}) AS ?r) }}",
+    )
+    assert got == [(want,)]
+
+
+def test_encode_for_uri_rfc3986(spark, ebv_pt):
+    # fn:encode-for-uri: "~" is unreserved (stays), "*" is not (%2A),
+    # space is %20 (not form-encoding "+"), UTF-8 percent escapes
+    got = _rows(
+        spark, ebv_pt,
+        "SELECT ?r WHERE { <urn:row:1> ex:k ?k . "
+        'BIND(ENCODE_FOR_URI("~bébé x*") AS ?r) }',
+    )
+    assert got == [("~b%C3%A9b%C3%A9%20x%2A",)]
+
+
+def test_row_level_errors_eliminate_not_crash(spark, ebv_pt):
+    # Spark 4 runs ANSI mode by default, where a zero divisor or a failed
+    # numeric cast aborts the whole job; SPARQL §17.2 says the EXPRESSION
+    # errors for THAT ROW (FILTER eliminates it, BIND leaves unbound).
+    # try_divide/try_cast throughout the expression layer guarantee it.
+    assert _ebv_ids(spark, ebv_pt, "4 / ?d > 1") == [1, 6]  # d=0.0 row survives nothing, no crash
+
+    tm = S.TriplesModel(
+        spark.createDataFrame(
+            [("urn:a", "urn:p:v", "7", None),
+             ("urn:b", "urn:p:v", "garbage", None),
+             ("urn:c", "urn:p:v", "3", None)],
+            "s string, p string, o string, dt string",
+        )
+    )
+    got = _rows(spark, tm, "SELECT ?x WHERE { ?x <urn:p:v> ?v . FILTER(?v > 5) }")
+    assert got == [("urn:a",)]  # "garbage" row errors out quietly
+
+    got = _rows(
+        spark, tm,
+        "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+        "SELECT ?x ?n WHERE { ?x <urn:p:v> ?v . BIND(xsd:integer(?v) AS ?n) }",
+    )
+    assert ("urn:b", None) in got and ("urn:a", 7) in got
+
+    got = _rows(
+        spark, tm,
+        "SELECT ?x ?y WHERE { ?x <urn:p:v> ?v . BIND(YEAR(?v) AS ?y) }",
+    )
+    assert all(y is None for _, y in got)  # bad lexical dates: unbound
+
+
+def test_typed_numeric_var_var_comparison(spark):
+    # "10" < "9" must compare numerically when the predicate's datatype
+    # is xsd-numeric (TriplesModel dt column drives the binding kind)
+    INT = "http://www.w3.org/2001/XMLSchema#integer"
+    tm = S.TriplesModel(
+        spark.createDataFrame(
+            [("urn:a", "urn:p:lo", "10", INT), ("urn:a", "urn:p:hi", "9", INT),
+             ("urn:b", "urn:p:lo", "2", INT), ("urn:b", "urn:p:hi", "30", INT)],
+            "s string, p string, o string, dt string",
+        )
+    )
+    got = _rows(
+        spark, tm,
+        "SELECT ?x WHERE { ?x <urn:p:lo> ?lo . ?x <urn:p:hi> ?hi . FILTER(?lo < ?hi) }",
+    )
+    assert got == [("urn:b",)]
+    # and equality is by VALUE for typed numerics: "05" = 5
+    tm2 = S.TriplesModel(
+        spark.createDataFrame(
+            [("urn:a", "urn:p:v", "05", INT)],
+            "s string, p string, o string, dt string",
+        )
+    )
+    got = _rows(spark, tm2, "SELECT ?x WHERE { ?x <urn:p:v> ?v . FILTER(?v = 5) }")
+    assert got == [("urn:a",)]
+
+
+def test_string_function_comparison_not_numeric_promoted(spark, ebv_pt):
+    # comparing against a STRING-valued builtin must stay a string
+    # comparison (the forcing classifier: UCASE is not numeric)
+    got = _rows(
+        spark, ebv_pt,
+        'SELECT ?x WHERE { ?x ex:s ?s . FILTER(?s = UCASE("abc")) }',
+    )
+    assert got == []
+    got = _rows(
+        spark, ebv_pt,
+        'SELECT ?x WHERE { ?x ex:s ?s . FILTER(UCASE(?s) = UCASE("aBc")) }',
+    )
+    assert [int(x[0].rsplit(":", 1)[-1]) for x in got] == [1]
+
+
+def test_nan_comparisons_xpath_semantics(spark, ebv_pt):
+    # XPath: NaN is unordered (op:numeric-* false) and `ne` everything
+    assert _ebv_ids(spark, ebv_pt, "?d >= 0 || ?d < 0") == [1, 2, 5, 6]  # NaN row 3 out
+    assert _ebv_ids(spark, ebv_pt, "?d != 99") == [1, 2, 3, 5, 6]  # NaN ne 99 is TRUE
+    assert _ebv_ids(spark, ebv_pt, "?d = ?d") == [1, 2, 5, 6]  # NaN = NaN is false
+
+
+def test_order_by_typed_numeric_is_by_value(spark):
+    INT = "http://www.w3.org/2001/XMLSchema#integer"
+    tm = S.TriplesModel(
+        spark.createDataFrame(
+            [(f"urn:n:{v}", "urn:p:v", str(v), INT) for v in (9, 10, 2, 30)],
+            "s string, p string, o string, dt string",
+        )
+    )
+    df = S.execute_query(
+        spark, "SELECT ?v WHERE { ?x <urn:p:v> ?v } ORDER BY ?v", tm
+    )
+    assert [r["v"] for r in df.collect()] == ["2", "9", "10", "30"]
+    df = S.execute_query(
+        spark,
+        "SELECT ?x WHERE { ?x <urn:p:v> ?v } ORDER BY DESC(?v) LIMIT 2", tm
+    )
+    assert [r["x"] for r in df.collect()] == ["urn:n:30", "urn:n:10"]
