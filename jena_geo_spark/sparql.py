@@ -1180,9 +1180,14 @@ class TriplesModel:
 
     def predicate_dt(self, pred: str) -> str | None:
         """Datatype of a predicate's literals (dim-scale model lookup,
-        memoized) — drives geometry typing of bound variables."""
+        memoized) — drives geometry/numeric typing of bound variables.
+        MIN over the dt column, not ``.first()``: the sampled row of a
+        distributed frame is partition-layout-dependent, and the kind it
+        yields now decides comparison/EBV semantics, so it must be
+        deterministic (min also prefers a declared datatype over the
+        NULL dt of plain literals on mixed predicates)."""
         if pred not in self._dt_cache:
-            row = self.df.filter(F.col("p") == pred).select("dt").first()
+            row = self.df.filter(F.col("p") == pred).agg(F.min("dt")).first()
             self._dt_cache[pred] = row[0] if row else None
         return self._dt_cache[pred]
 
@@ -1195,12 +1200,12 @@ class TriplesModel:
         out_binds, out_kinds = {}, {}
         equalities: list[tuple[str, str]] = []  # (var, per-pattern column)
 
-        def out_col(name: str, idx: int, kind: str) -> str:
+        def out_col(name: str, kind: str) -> str:
             # a variable repeated across (or within) the star's patterns
             # is an implicit equality join, not a rebinding: later
             # occurrences land in a per-occurrence column equated (and
             # dropped) after the subject join.  The name carries a running
-            # counter, not just the pattern index — `?a ?a ?a` repeats a
+            # counter, not the pattern index — `?a ?a ?a` repeats a
             # variable TWICE inside one pattern (fuzz-found collision)
             if name in out_binds:
                 c = f"__eq{len(equalities)}_{name}"
@@ -1211,12 +1216,12 @@ class TriplesModel:
             out_kinds[name] = kind
             return c
 
-        for idx, t in enumerate(patterns):
+        for t in patterns:
             sel = [F.col("s").alias("__s")]
             if isinstance(t.p, Var):
                 # variable predicate: unfiltered scan, bind p
                 sc = self.df
-                sel.append(F.col("p").alias(out_col(t.p.name, idx, "plain")))
+                sel.append(F.col("p").alias(out_col(t.p.name, "plain")))
                 pred = None
             else:
                 pred = t.p.iri
@@ -1234,7 +1239,7 @@ class TriplesModel:
                         kind = "num"
                     elif local == "boolean":
                         kind = "bool"
-                sel.append(F.col("o").alias(out_col(t.o.name, idx, kind)))
+                sel.append(F.col("o").alias(out_col(t.o.name, kind)))
             else:
                 val = t.o.value if isinstance(t.o, Lit) else t.o.iri
                 sc = sc.filter(F.col("o") == str(val))
@@ -1394,16 +1399,42 @@ class _ExprCompiler:
         numerics are true unless 0 or NaN; any other type is a type
         error, compiled as NULL (FILTER eliminates the row, IF/BIND
         surface unbound).  NULL operands (unbound variables = evaluation
-        errors) stay NULL throughout."""
+        errors) stay NULL throughout, with ONE exception (§17.2.2 rule
+        1): a typed numeric/boolean literal whose LEXICAL FORM is
+        ill-formed has EBV *false*, not error — only a genuinely unbound
+        variable is an error."""
         if isinstance(e, Var):
             # the binding kind carries the literal's datatype even though
             # the column itself stores the lexical string
             k = self.kinds.get(e.name)
             if k == "num":
-                col = self.var_col(e.name).try_cast("double")
-                return (col != 0) & ~F.isnan(col)
+                raw = self.var_col(e.name)
+                col = raw.try_cast("double")
+                return F.when(raw.isNull(), F.lit(None).cast("boolean")).otherwise(
+                    F.coalesce((col != 0) & ~F.isnan(col), F.lit(False))
+                )
             if k == "bool":
-                return self.var_col(e.name).try_cast("boolean")
+                # xsd:boolean valid-true lexicals are exactly "true"/"1";
+                # "false"/"0" and every ill-formed form are EBV false
+                # (Spark's lenient boolean cast would accept "y"/"yes")
+                raw = self.var_col(e.name)
+                return F.when(raw.isNull(), F.lit(None).cast("boolean")).otherwise(
+                    raw.isin("true", "1")
+                )
+        # structurally-boolean shapes skip the frame analysis below —
+        # comparisons, logical operators, and boolean builtins cover the
+        # typical FILTER, so compiling them directly avoids re-analyzing
+        # a large join plan once per operand
+        if (isinstance(e, Op2) and e.op not in ("+", "-", "*", "/")) or (
+            isinstance(e, Op1) and e.op == "!"
+        ):
+            return self.compile(e)[0]
+        if (
+            isinstance(e, Func)
+            and e.iri.startswith("builtin:")
+            and e.iri[len("builtin:"):] in _BOOLEAN_BUILTINS
+        ):
+            return self.compile(e)[0]
         col, _ = self.compile(e)
         if self.frame is None:  # no type context: keep Spark's cast
             return col
@@ -1471,7 +1502,9 @@ class _ExprCompiler:
                 # VALUE comparison on both sides (typed-literal semantics:
                 # "10" < "9" must be numeric, and "05" = 5 must hold; a
                 # non-numeric other side coerces to NULL = the spec's type
-                # error).  Otherwise comparisons promote BOTH sides when
+                # error).  Documented boundary: the value domain is IEEE
+                # double, so xsd:integer values beyond 2^53 compare with
+                # double precision.  Otherwise comparisons promote BOTH sides when
                 # one side is numeric-forcing (numeric literal / function /
                 # arithmetic) — two untyped string sides compare
                 # lexicographically (casting both would null out e.g.
@@ -1486,14 +1519,16 @@ class _ExprCompiler:
                     # XPath numeric comparison: NaN is unordered and
                     # unequal to everything (op:numeric-* all false, `ne`
                     # true) — Spark instead totally orders NaN above all
-                    # doubles, so guard explicitly.  isnan(NULL) is false,
-                    # so NULL (error) operands still propagate NULL.
+                    # doubles, so guard explicitly.  A NULL (error/
+                    # unbound) operand must propagate NULL even when the
+                    # other side is NaN, hence the explicit first arm.
                     cmp = {
                         "=": lc == rc, "!=": lc != rc, "<": lc < rc,
                         ">": lc > rc, "<=": lc <= rc, ">=": lc >= rc,
                     }[e.op]
                     return (
-                        F.when(F.isnan(lc) | F.isnan(rc), F.lit(e.op == "!="))
+                        F.when(lc.isNull() | rc.isNull(), F.lit(None).cast("boolean"))
+                        .when(F.isnan(lc) | F.isnan(rc), F.lit(e.op == "!="))
                         .otherwise(cmp),
                         "plain",
                     )
@@ -1627,14 +1662,25 @@ class _ExprCompiler:
             # positions p with round(start) <= p < round(start)+round(len)
             # — fn:round is floor(x+0.5).  A start below 1 CLIPS (and
             # consumes that much of the length window); it does not count
-            # from the string's end, which is what Spark's substr would do
+            # from the string's end, which is what Spark's substr would
+            # do.  The window is computed in the double domain and
+            # clamped to [1, len+1] BEFORE the int cast, so huge or
+            # infinite positions yield "" (never an overflow-NULL), and
+            # NaN positions make every comparison false → "".
             src = s(0)
-            a = F.floor(num(1).try_cast("double") + F.lit(0.5)).try_cast("int")
-            pos = F.greatest(a, F.lit(1))
+            ln = F.length(src).cast("double")
+            a = _floor_d(num(1).try_cast("double") + F.lit(0.5))
             if len(args) > 2:
-                b = a + F.floor(num(2).try_cast("double") + F.lit(0.5)).try_cast("int")
-                return src.substr(pos, F.greatest(b - pos, F.lit(0))), "plain"
-            return src.substr(pos, F.length(src)), "plain"
+                b = a + _floor_d(num(2).try_cast("double") + F.lit(0.5))
+            else:
+                b = ln + F.lit(1.0)
+            pos = F.least(F.greatest(a, F.lit(1.0)), ln + F.lit(1.0))
+            n = F.least(F.greatest(b - pos, F.lit(0.0)), ln)
+            return (
+                F.when(F.isnan(a) | F.isnan(b), F.lit(""))
+                .otherwise(src.substr(pos.try_cast("int"), n.try_cast("int"))),
+                "plain",
+            )
         if name == "CONCAT":
             return F.concat(*[self.compile(a)[0].cast("string") for a in args]), "plain"
         if name == "STRBEFORE":
@@ -1669,14 +1715,6 @@ class _ExprCompiler:
             return F.regexp_replace(s(0), pat, str(args[2].value)), "plain"
         if name == "ABS":
             return F.abs(num(0)), "plain"
-        # fn:ceiling/floor/round stay in the DOUBLE domain: Spark's
-        # ceil/floor return LONG, which collapses NaN to 0 (fuzz-found)
-        # and would ANSI-overflow on huge doubles.  floor(x) for any
-        # double is x - pmod(x, 1) — NaN and NULL propagate, values
-        # >= 2^53 are already integral (pmod gives 0)
-        def _floor_d(col):
-            return col - F.pmod(col, F.lit(1.0))
-
         if name == "CEIL":
             return -_floor_d(-num(0)), "plain"
         if name == "FLOOR":
@@ -1716,6 +1754,22 @@ def _numericish(e) -> bool:
         isinstance(e, Lit) and isinstance(e.value, (int, float))
     )
 
+
+def _floor_d(col: F.Column) -> F.Column:
+    """XPath fn:floor in the pure DOUBLE domain.  Spark's floor/ceil
+    return LONG, which collapses NaN to 0 (fuzz-found) and would
+    ANSI-overflow on huge doubles.  ``x - pmod(x, 1)`` floors any finite
+    double (values >= 2^53 are already integral, pmod gives 0) and
+    propagates NaN/NULL; pmod(±inf, 1) is NaN, so infinities pass
+    through explicitly (fn:floor(INF) = INF)."""
+    m = F.pmod(col, F.lit(1.0))
+    return F.when(F.isnan(m) & ~F.isnan(col), col).otherwise(col - m)
+
+
+#: builtins that RETURN xsd:boolean — their EBV is the value itself
+_BOOLEAN_BUILTINS = {
+    "BOUND", "CONTAINS", "STRSTARTS", "STRENDS", "REGEX", "ISNUMERIC",
+}
 
 #: builtins whose value is a string or boolean — comparing against one
 #: must NOT numeric-promote the other side
@@ -1947,9 +2001,18 @@ class _GroupCompiler:
                 for nf in norm[1:]:
                     uf = uf.unionByName(nf)
                 ub = {v: f"__v_{v}" for v in allvars}
-                uk = {}
+                # branches disagreeing on a variable's kind reconcile DOWN
+                # to 'plain' (same rule as UnionModel.star_frame): a 'num'
+                # branch must not force numeric comparison/EBV semantics
+                # onto another branch's plain-string rows
+                uk: dict[str, str] = {}
                 for _, b, k in parts:
-                    uk.update(k)
+                    for v in b:
+                        kv = k.get(v, "plain")
+                        if v in uk and uk[v] != kv:
+                            uk[v] = "plain"
+                        elif v not in uk:
+                            uk[v] = kv
                 if frame is None:
                     frame, binds, kinds = uf, ub, dict(uk)
                 else:
@@ -2677,7 +2740,20 @@ class _AggCompiler:
                 c, _ = self.ec.compile(e.args[0])
                 return self._slot(F.min(c))
             c, _ = self.ec.compile(e.args[0])
-            if _numericish(e.args[0]):
+            typed_num = (
+                isinstance(e.args[0], Var)
+                and self.ec.kinds.get(e.args[0].name) == "num"
+            )
+            if name in ("SUM", "AVG"):
+                # numeric-only aggregates (§18.5.1.2/.6): lexical values
+                # coerce leniently — a non-numeric group yields the
+                # spec's error (unbound), never an ANSI cast abort
+                if _numericish(e.args[0]):
+                    c = c.try_cast("double")
+            elif typed_num:
+                # MIN/MAX order typed numerics by VALUE; untyped string
+                # bindings keep fn:min/fn:max string ordering (the
+                # blanket cast would null "alice"/"bob" to unbound)
                 c = c.try_cast("double")
             # §18.5.1.2/.6: Sum and Avg of the EMPTY multiset are 0, not
             # NULL.  Only a global aggregate over zero rows can produce an

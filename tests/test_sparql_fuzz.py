@@ -272,7 +272,11 @@ def test_aggregates_match_naive(spark, case):
     COUNT(*), SUM, MIN, MAX, COUNT(DISTINCT), optional HAVING, and the
     empty-input edge (global COUNT of nothing is one row of 0; SUM of
     the empty group is 0 per §18.5.1.2 op:sum's xs:integer(0) seed;
-    MIN/MAX of nothing are errors, i.e. unbound)."""
+    MIN/MAX of nothing are errors, i.e. unbound).  The predicate here
+    carries NO datatype, so ?v binds SIMPLE literals: SUM coerces them
+    numerically (lenient op:sum), while MIN/MAX order them as strings
+    per the §15.1 ordering — values are single digits, so lexicographic
+    and numeric order coincide and the naive model asserts the string."""
     rows, grouped, having = case
     triples = []
     for i, grp, val in rows:
@@ -309,8 +313,8 @@ def test_aggregates_match_naive(spark, case):
         row = (
             n,
             float(sum(vals)),
-            float(min(vals)) if vals else None,
-            float(max(vals)) if vals else None,
+            str(min(vals)) if vals else None,
+            str(max(vals)) if vals else None,
             len(set(vals)),
         )
         exp.add(row if not grouped else (gkey,) + row)
