@@ -521,7 +521,7 @@ for _op, _impl in (
     ("orconst", "or"),
     ("xorconst", "xor"),
 ):
-    _reg(f"st_rast_algebra_{_op}", RS.rastconst_udf(_impl), "rast", L(2.0))
+    _reg(f"st_rast_algebra_{_op}", RS.rastconst_udf(_impl), "rast", L(-1.0), L(2.0))
 _reg("st_rast_algebra_abs", RS.rast1_udf("abs"), "rast")
 _reg("st_rast_algebra_exp", RS.rast1_udf("exp"), "rast")
 _reg("st_rast_algebra_log", RS.rast1_udf("log"), "rast")

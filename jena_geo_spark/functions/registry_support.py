@@ -260,14 +260,20 @@ def rast1_udf(op: str):
 
 
 def rastconst_udf(op: str):
-    def fn(a: pd.Series, k: pd.Series) -> pd.Series:
+    # reference arity: exec(coverage, bandnum, const) — raster/algebra/
+    # MultConst.java:27-46 (bandnum < 0 → every band)
+    def fn(a: pd.Series, band: pd.Series, k: pd.Series) -> pd.Series:
         out = []
         for i, x in enumerate(a):
             if x is None:
                 out.append(None)
                 continue
             out.append(
-                WR.encode(RA.map_algebra_const(WR.decode(bytes(x)), op, float(k.iloc[i])))
+                WR.encode(
+                    RA.map_algebra_const(
+                        WR.decode(bytes(x)), op, float(k.iloc[i]), int(band.iloc[i])
+                    )
+                )
             )
         return pd.Series(out, dtype=object)
 

@@ -87,8 +87,31 @@ def map_algebra1(ra: WR.Raster, op: str) -> WR.Raster:
     return _apply_local1(ra, LOCAL1[op])
 
 
-def map_algebra_const(ra: WR.Raster, op: str, k: float) -> WR.Raster:
-    return _apply_local1(ra, lambda a: LOCAL2[op](a, np.float64(k)))
+def map_algebra_const(ra: WR.Raster, op: str, k: float, band: int = -1) -> WR.Raster:
+    """Raster ⊕ scalar (algebra/{Add,Subtract,Mult,Div,And,Or,Xor,
+    SubtractFrom}Const.java → JAI '<op>const').
+
+    ``band`` mirrors the reference's second argument: negative applies the
+    constant to every band; otherwise only to that band.  Divergence: the
+    reference fills the *other* bands' constant slot with a hardcoded value
+    that is only the op's neutral element for add/or/xor (0) and mult (1) —
+    SubtractConst/SubtractFromConst use 1 (shifts untargeted bands by one),
+    DivConst uses 0 (divides untargeted bands by zero), AndConst uses 1
+    (masks untargeted bands to their LSB).  We leave untargeted bands
+    UNCHANGED, which is what the neutral-element scheme clearly intends.
+    """
+    if band < 0:
+        return _apply_local1(ra, lambda a: LOCAL2[op](a, np.float64(k)))
+    out = WR.Raster(
+        ra.version, ra.scale_x, ra.scale_y, ra.ip_x, ra.ip_y, ra.skew_x, ra.skew_y,
+        ra.srid, ra.width, ra.height,
+    )
+    for i, ba in enumerate(ra.bands):
+        data = ba.data.astype(np.float64)
+        if i == band:
+            data = LOCAL2[op](data, np.float64(k))
+        out.bands.append(WR.Band(11, ba.nodata, data))
+    return out
 
 
 def binarize(ra: WR.Raster, threshold: float) -> WR.Raster:

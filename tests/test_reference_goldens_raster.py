@@ -247,3 +247,39 @@ def test_addband_and_fromwkb_goldens():
     assert np.all(after.bands[-1].data == 7.0)
     for bi in range(len(before.bands)):
         assert np.array_equal(after.bands[bi].data, before.bands[bi].data)
+
+
+def test_const_ops_band_targeting():
+    """{Add,Subtract,Mult,Div,And,Or,Xor,SubtractFrom}ConstTest.java: the
+    reference arity is exec(coverage, bandnum, const) and bandnum targets a
+    single band (negative = all bands, MultConst.java:33-45).  MultConst/
+    DivConst are the live tests (assertNotEquals on wkbString4/wkbString1
+    with const 10, band 0); And/Or/Xor/AddConst bodies are commented out
+    but the impls pin the same shape.  Divergence (documented in
+    map_algebra_const's docstring): the reference's untargeted-band
+    constants are only neutral for add/or/xor/mult — SubtractConst and
+    SubtractFromConst shift untargeted bands by 1, DivConst zero-divides
+    them, AndConst masks them to the LSB.  We keep untargeted bands
+    unchanged."""
+    r4 = R4()  # 3-band RGB — band targeting is observable
+    out = A.map_algebra_const(r4, "multiply", 10.0, band=0)
+    assert px(out, 0) == [v * 10 for v in px(R4(), 0)]  # MultConstTest
+    for b in (1, 2):
+        assert px(out, b) == px(R4(), b)
+    # DivConstTest: wkbString1 band 0, const 10
+    out = A.map_algebra_const(R1(), "divide", 10.0, band=0)
+    assert px(out) == [v / 10 for v in px(R1())]
+    # bandnum < 0 → every band (the r3-era all-band behaviour)
+    out = A.map_algebra_const(r4, "add", 1.0, band=-1)
+    for b in range(3):
+        assert px(out, b) == [v + 1 for v in px(R4(), b)]
+    # bitwise consts operate on integer pixel values (AndConst etc.)
+    out = A.map_algebra_const(R3(), "and", 10.0, band=0)
+    assert px(out) == [v & 10 for v in [-1, 0, -16, 127, 10, 2]]
+    out = A.map_algebra_const(R3(), "xor", 10.0, band=-1)
+    assert px(out) == [v ^ 10 for v in [-1, 0, -16, 127, 10, 2]]
+    out = A.map_algebra_const(R3(), "or", 8.0, band=0)
+    assert px(out) == [v | 8 for v in [-1, 0, -16, 127, 10, 2]]
+    # SubtractFromConstTest: const − pixel on the targeted band
+    out = A.map_algebra_const(R3(), "subtractfromconst", 5.0, band=0)
+    assert px(out) == [5 - v for v in [-1, 0, -16, 127, 10, 2]]
