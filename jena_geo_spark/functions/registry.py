@@ -387,7 +387,7 @@ _reg("st_addz", T2.st_addz, "g", L(5.0))
 _reg("st_ensureClosed", V.st_ensureclosed, "g")
 _reg("st_multiplyz", T2.st_multiplyz, "glz", L(2.0))
 _reg("st_removePoints", T2.st_removepoints, "gline", "g2")
-_reg("st_removeRepeatedPoints", V.st_removerepeatedpoints, "gline")
+_reg("st_removeRepeatedPoints", V.st_removerepeatedpoints, "gline", L(0.0))
 _reg("st_removegeometry", T2.st_removegeometry, "gcoll", L(0))
 _reg("st_setGeometry", T2.st_setgeometry, "gcoll", "gpt", L(0))
 _reg("st_addpoint", V.st_addpoint, "gline", L(9.0), L(9.0), L(-1))

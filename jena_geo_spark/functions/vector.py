@@ -786,20 +786,49 @@ def st_reverse(b: pd.Series) -> pd.Series:
 
 @pandas_udf(BinaryType())
 @null_safe
-def st_removerepeatedpoints(b: pd.Series) -> pd.Series:
-    def dedup(g: W.Geom) -> W.Geom:
-        def dr(c: np.ndarray) -> np.ndarray:
+def st_removerepeatedpoints(b: pd.Series, tol: pd.Series) -> pd.Series:
+    """RemoveRepeatedPoints.java:12-44 — for LineString/MultiPoint the
+    reference removes EVERY point that duplicates any other point within
+    ``tolerance`` (both copies go, JTS equals2D(c, tol): |dx|<=tol and
+    |dy|<=tol), pinned by RemoveRepeatedPointsTest.java's live golden
+    LINESTRING(0 0,1 1,2 4,1 1,6 8) -> (0 0,2 4,6 8).  Divergence: the
+    same code applied to a ring always deletes the closing vertex pair
+    (first==last) and hands JTS an unclosable coordinate list, so for
+    polygon rings we keep consecutive-duplicate removal (the PostGIS
+    ST_RemoveRepeatedPoints reading), preserving ring validity."""
+
+    def dedup(x: bytes, t: float) -> bytes:
+        g = W.from_wkb(x)
+
+        def dr(c: np.ndarray) -> np.ndarray:  # rings: consecutive dedup
             keep = np.ones(len(c), dtype=bool)
-            keep[1:] = (np.diff(c, axis=0) != 0).any(axis=1)
+            keep[1:] = (np.diff(c[:, :2], axis=0) != 0).any(axis=1)
             return c[keep]
 
-        if g.kind == "multipolygon":
-            return W.Geom(
-                g.kind, [[dr(r) for r in rings] for rings in g.parts], g.dims
-            )
-        return W.Geom(g.kind, [dr(p) for p in g.parts], g.dims)
+        def drg(c: np.ndarray) -> np.ndarray:  # global both-copy removal
+            if len(c) < 2:
+                return c
+            d = np.abs(c[:, None, :2] - c[None, :, :2])
+            eq = (d <= t).all(axis=2)
+            np.fill_diagonal(eq, False)
+            return c[~eq.any(axis=1)]
 
-    return b.map(lambda x: W.to_wkb(dedup(W.from_wkb(x))))
+        if g.kind == "point":
+            return x  # reference short-circuits points unchanged
+        if g.kind in ("polygon", "multipolygon"):
+            if g.kind == "multipolygon":
+                g = W.Geom(
+                    g.kind, [[dr(r) for r in rings] for rings in g.parts], g.dims
+                )
+            else:
+                g = W.Geom(g.kind, [dr(p) for p in g.parts], g.dims)
+        else:
+            g = W.Geom(g.kind, [drg(p) for p in g.parts], g.dims)
+        return W.to_wkb(g)
+
+    return pd.Series(
+        [dedup(x, float(tol.iloc[i])) for i, x in enumerate(b)], dtype=object
+    )
 
 
 @pandas_udf(BinaryType())

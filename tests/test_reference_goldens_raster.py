@@ -16,8 +16,12 @@ than replicated):
   (applied to one band); ours apply to every band — the reference's own
   JAI delegates operate on all bands anyway, the band argument is unused
   past validation.
-* ``raster/relation/{Greater,Smaller,Median}Intersects`` and
-  ``RasterEquals`` are NOT registered in PostGISConfig.java (dead code);
+* ``raster/algebra/Equal`` and ``raster/relation/{Greater,Smaller,
+  Median}Intersects`` and ``RasterEquals`` are NOT registered in
+  PostGISConfig.java (dead code); EqualTest.java additionally asserts
+  that Equal(r, r) *equals the input raster literal* — pixelwise
+  equality of r with itself is an all-ones raster, so the test
+  contradicts any equality semantics;
   their tests are inconsistent with their own impls (SmallerIntersects'
   same-bbox branch returns a raster literal where the test expects a
   boolean; GreaterIntersectsTest expects FALSE for min(0) > -1).  Only
@@ -283,3 +287,51 @@ def test_const_ops_band_targeting():
     # SubtractFromConstTest: const − pixel on the targeted band
     out = A.map_algebra_const(R3(), "subtractfromconst", 5.0, band=0)
     assert px(out) == [5 - v for v in [-1, 0, -16, 127, 10, 2]]
+
+
+def test_attribute_goldens_wkb1():
+    """raster/attribute/{Height,Width,NumBands,NumXTiles,TileWidth,
+    TileGridXOffset,ScaleX,ScaleY,SkewX,UpperLeftX,UpperLeftY,MemSize,
+    IsEmpty,HasNoBand,RasterToWorldCoordX,WorldToRasterCoordX}Test.java —
+    every one runs against wkbString1 (2x2 8BUI, scale 1/1, origin 0/0,
+    skew 0).  MemSizeTest pins the data-buffer element count (4), the
+    tile family pins the single-tile render (1 tile of 2x2 at offset 0).
+
+    Divergence: HasNoBand.java returns ``size() >= noband`` — inverted
+    logic (that's HASBAND for 1-indexed bands), so its own test asserts
+    HasNoBand(wkb1, 10) = FALSE on a raster that plainly has no band 10.
+    Ours answers the documented question ("true if there is no band with
+    the given band number", HasNoBand.java javadoc): no such 0-indexed
+    band → True."""
+    import pandas as pd
+
+    from jena_geo_spark.raster import attributes as RT
+
+    def u1(udf, *args):
+        return udf.func(*(pd.Series([a]) for a in args)).iloc[0]
+
+    wkb1 = bytes.fromhex(WKB1)
+    assert u1(RT.rt_height, wkb1) == 2
+    assert u1(RT.rt_width, wkb1) == 2
+    assert u1(RT.rt_numbands, wkb1) == 1
+    assert u1(RT.rt_scalex, wkb1) == 1.0
+    assert u1(RT.rt_scaley, wkb1) == 1.0
+    assert u1(RT.rt_skewx, wkb1) == 0.0
+    assert u1(RT.rt_upperleftx, wkb1) == 0.0
+    assert u1(RT.rt_upperlefty, wkb1) == 0.0
+    assert u1(RT.rt_memsize, wkb1) == 4
+    assert u1(RT.rt_isempty, wkb1) is False
+    assert u1(RT.rt_numxtiles, wkb1) == 1
+    assert u1(RT.rt_numytiles, wkb1) == 1
+    assert u1(RT.rt_tilewidth, wkb1) == 2
+    assert u1(RT.rt_tileheight, wkb1) == 2
+    assert u1(RT.rt_tilegridxoffset, wkb1) == 0
+    # HasNoBand: documented divergence (see docstring) — true semantics
+    assert u1(RT.rt_hasnoband, wkb1, 10) is True
+    assert u1(RT.rt_hasnoband, wkb1, 0) is False
+    # RasterToWorldCoordXTest: exec(cov, 1, 1) = 1.0 under unit transform
+    assert u1(RT.rt_rastertoworldcoordx, wkb1, 1, 1) == 1.0
+    assert u1(RT.rt_rastertoworldcoordy, wkb1, 1, 1) == 1.0
+    # WorldToRasterCoordXTest: exec(cov, 1.0, 1.0) = col 1
+    assert u1(RT.rt_worldtorastercoordx, wkb1, 1.0, 1.0) == 1
+    assert u1(RT.rt_worldtorastercoordy, wkb1, 1.0, 1.0) == 1
