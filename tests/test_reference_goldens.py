@@ -1965,3 +1965,19 @@ def test_segmentize_invariant():
     assert (seg <= 3.0 + 1e-12).all()
     for v in [(0, 0), (10, 0), (10, 8)]:
         assert (np.abs(c[:, :2] - np.array(v)) < 1e-12).all(axis=1).any()
+
+
+def test_addpoint_numinteriorrings_goldens():
+    """AddPointTest.java (disabled; its POINT literal "POINT Z (1, 2, 3)"
+    has commas and cannot parse) pins AddPoint(point, line) appending the
+    point to the line's end — ours is the PostGIS-shaped
+    (line, x, y, pos) with pos=-1 as append, same resulting coordinate
+    sequence.  NumInteriorRingsTest.java is an empty class; pin the
+    registered st_numInteriorRings directly."""
+    from jena_geo_spark.functions.vector import st_addpoint, st_numinteriorrings
+
+    out = u1(st_addpoint, wkb("LINESTRING(0 0, 1 1)"), 1.0, 2.0, -1)
+    assert W.to_wkt(W.from_wkb(out)) == "LINESTRING (0 0, 1 1, 1 2)"
+    hole = wkb("POLYGON((0 0,9 0,9 9,0 9,0 0),(1 1,2 1,2 2,1 2,1 1))")
+    assert u1(st_numinteriorrings, hole) == 1
+    assert u1(st_numinteriorrings, wkb("POLYGON((0 0,9 0,9 9,0 0))")) == 0
