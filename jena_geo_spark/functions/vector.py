@@ -797,37 +797,73 @@ def st_removerepeatedpoints(b: pd.Series, tol: pd.Series) -> pd.Series:
     polygon rings we keep consecutive-duplicate removal (the PostGIS
     ST_RemoveRepeatedPoints reading), preserving ring validity."""
 
-    def dedup(x: bytes, t: float) -> bytes:
-        g = W.from_wkb(x)
+    def dr(c: np.ndarray, t: float) -> np.ndarray:
+        """Ring path: within-tolerance consecutive dedup against the last
+        KEPT vertex, first and closing vertices pinned so closure
+        survives; rings that would fall under 4 points are returned
+        unchanged (PostGIS protects the ring minimum)."""
+        if len(c) < 3:
+            return c
+        keep = [0]
+        for i in range(1, len(c) - 1):
+            if (np.abs(c[i, :2] - c[keep[-1], :2]) > t).any():
+                keep.append(i)
+        keep.append(len(c) - 1)
+        # interior vertices that landed within tolerance of the pinned
+        # closing vertex are duplicates too
+        while len(keep) > 2 and (
+            np.abs(c[keep[-2], :2] - c[keep[-1], :2]) <= t
+        ).all():
+            del keep[-2]
+        return c[keep] if len(keep) >= 4 else c
 
-        def dr(c: np.ndarray) -> np.ndarray:  # rings: consecutive dedup
-            keep = np.ones(len(c), dtype=bool)
-            keep[1:] = (np.diff(c[:, :2], axis=0) != 0).any(axis=1)
-            return c[keep]
-
-        def drg(c: np.ndarray) -> np.ndarray:  # global both-copy removal
-            if len(c) < 2:
-                return c
-            d = np.abs(c[:, None, :2] - c[None, :, :2])
+    def drg(c: np.ndarray, t: float) -> np.ndarray:
+        """Global both-copy removal (the reference's i≠j pair scan) with
+        bounded memory: exact dups via unique-row counts at t == 0, a
+        row-chunked pair scan (O(n·CHUNK) memory) for t > 0."""
+        n = len(c)
+        if n < 2:
+            return c
+        xy = np.ascontiguousarray(c[:, :2])
+        if t == 0:
+            _, inv, counts = np.unique(
+                xy, axis=0, return_inverse=True, return_counts=True
+            )
+            return c[counts[inv] == 1]
+        rep = np.zeros(n, dtype=bool)
+        chunk = 2048
+        for s in range(0, n, chunk):
+            d = np.abs(xy[s : s + chunk, None, :] - xy[None, :, :])
             eq = (d <= t).all(axis=2)
-            np.fill_diagonal(eq, False)
-            return c[~eq.any(axis=1)]
+            eq[np.arange(eq.shape[0]), s + np.arange(eq.shape[0])] = False
+            rep[s : s + chunk] = eq.any(axis=1)
+        return c[~rep]
 
+    def dedup_geom(g: W.Geom, t: float) -> W.Geom:
         if g.kind == "point":
-            return x  # reference short-circuits points unchanged
-        if g.kind in ("polygon", "multipolygon"):
-            if g.kind == "multipolygon":
-                g = W.Geom(
-                    g.kind, [[dr(r) for r in rings] for rings in g.parts], g.dims
-                )
-            else:
-                g = W.Geom(g.kind, [dr(p) for p in g.parts], g.dims)
-        else:
-            g = W.Geom(g.kind, [drg(p) for p in g.parts], g.dims)
-        return W.to_wkb(g)
+            return g  # reference short-circuits points unchanged
+        if g.kind == "geometrycollection":
+            return W.Geom(g.kind, [dedup_geom(m, t) for m in g.parts], g.dims)
+        if g.kind == "multipolygon":
+            return W.Geom(
+                g.kind, [[dr(r, t) for r in rings] for rings in g.parts], g.dims
+            )
+        if g.kind == "polygon":
+            return W.Geom(g.kind, [dr(p, t) for p in g.parts], g.dims)
+        parts = [drg(p, t) for p in g.parts]
+        if g.kind in ("linestring", "multilinestring"):
+            # a part collapsed below 2 points is not a line any more —
+            # drop it (empty geometry if none survive) rather than emit
+            # invalid 1-point LINESTRING WKB
+            parts = [p for p in parts if len(p) >= 2]
+        return W.Geom(g.kind, parts, g.dims)
 
     return pd.Series(
-        [dedup(x, float(tol.iloc[i])) for i, x in enumerate(b)], dtype=object
+        [
+            W.to_wkb(dedup_geom(W.from_wkb(x), float(tol.iloc[i])))
+            for i, x in enumerate(b)
+        ],
+        dtype=object,
     )
 
 

@@ -271,6 +271,10 @@ def to_wkt(g: Geom) -> str:
     if not g.parts:
         return f"{tag} EMPTY"
     if k in ("point", "linestring", "multipoint"):
+        if len(g.parts[0]) == 0:
+            # WKB EMPTY decodes to one 0-point part; canonical WKT is
+            # EMPTY, never "LINESTRING ()"
+            return f"{tag} EMPTY"
         return f"{tag} ({_seq_to_wkt(g.parts[0])})"
     if k == "polygon":
         rings = ", ".join(f"({_seq_to_wkt(r)})" for r in g.parts)

@@ -102,15 +102,20 @@ def map_algebra_const(ra: WR.Raster, op: str, k: float, band: int = -1) -> WR.Ra
     """
     if band < 0:
         return _apply_local1(ra, lambda a: LOCAL2[op](a, np.float64(k)))
+    if band >= len(ra.bands):
+        raise ValueError(
+            f"band {band} out of range for a {len(ra.bands)}-band raster"
+        )
     out = WR.Raster(
         ra.version, ra.scale_x, ra.scale_y, ra.ip_x, ra.ip_y, ra.skew_x, ra.skew_y,
         ra.srid, ra.width, ra.height,
     )
     for i, ba in enumerate(ra.bands):
-        data = ba.data.astype(np.float64)
         if i == band:
-            data = LOCAL2[op](data, np.float64(k))
-        out.bands.append(WR.Band(11, ba.nodata, data))
+            data = LOCAL2[op](ba.data.astype(np.float64), np.float64(k))
+            out.bands.append(WR.Band(11, ba.nodata, data))
+        else:  # untargeted bands byte-exact, original pixel type included
+            out.bands.append(WR.Band(ba.pixtype, ba.nodata, ba.data, ba.nodata_raw))
     return out
 
 

@@ -1981,3 +1981,69 @@ def test_addpoint_numinteriorrings_goldens():
     hole = wkb("POLYGON((0 0,9 0,9 9,0 9,0 0),(1 1,2 1,2 2,1 2,1 1))")
     assert u1(st_numinteriorrings, hole) == 1
     assert u1(st_numinteriorrings, wkb("POLYGON((0 0,9 0,9 9,0 0))")) == 0
+
+
+def test_remove_repeated_points_review_edges():
+    """Review-pass pins for st_removerepeatedpoints: collection recursion,
+    sub-2-point collapse, ring tolerance honored with closure + minimum
+    protection, bounded-memory global scan at t>0."""
+    from jena_geo_spark.functions.vector import st_removerepeatedpoints
+
+    def run(w, t=0.0):
+        return W.to_wkt(
+            W.from_wkb(u1(st_removerepeatedpoints, W.to_wkb(W.from_wkt(w)), t))
+        )
+
+    # GEOMETRYCOLLECTION recurses per member
+    assert (
+        run("GEOMETRYCOLLECTION(LINESTRING(0 0,1 1,2 4,1 1,6 8),POINT(3 3))")
+        == "GEOMETRYCOLLECTION (LINESTRING (0 0, 2 4, 6 8), POINT (3 3))"
+    )
+    # a line part collapsing below 2 points drops (never 1-point WKB)
+    assert run("LINESTRING(0 0, 5 5, 0 0)") == "LINESTRING EMPTY"
+    assert (
+        run("MULTILINESTRING((0 0,5 5,0 0),(1 1,2 2))")
+        == "MULTILINESTRING ((1 1, 2 2))"
+    )
+    # ring honors the tolerance (one copy kept), keeps closure
+    assert (
+        run("POLYGON((0 0, 4 0, 4.0001 0.0001, 4 4, 0 0))", 0.01)
+        == "POLYGON ((0 0, 4 0, 4 4, 0 0))"
+    )
+    # an interior vertex within tolerance of the CLOSING vertex goes too
+    assert (
+        run("POLYGON((0 0, 4 0, 4 4, 0 0, 0 0))", 0.0)
+        == "POLYGON ((0 0, 4 0, 4 4, 0 0))"
+    )
+    # ring-minimum protection: a triangle never degenerates
+    assert (
+        run("POLYGON((0 0, 4 0, 4 0.001, 0 0))", 0.01)
+        == "POLYGON ((0 0, 4 0, 4 0.001, 0 0))"
+    )
+    # t>0 chunked scan agrees with the t=0 exact scan on exact dups
+    assert run("LINESTRING(0 0, 1 1, 2 4, 1 1, 6 8)", 1e-9) == "LINESTRING (0 0, 2 4, 6 8)"
+
+
+def test_map_algebra_const_review_edges():
+    """Review-pass pins for band-targeted const ops: out-of-range band is
+    loud; untargeted bands survive byte-exact (pixel type included)."""
+    import pytest as _pytest
+
+    from jena_geo_spark.raster import algebra as A
+    from jena_geo_spark.raster import wkb_raster as WR
+
+    r = WR.decode_hex(
+        "01" "0000" "0300"
+        "9A9999999999A93F" "9A9999999999A9BF" "000000E02B274A41" "0000000077195641"
+        "0000000000000000" "0000000000000000" "E6100000" "0500" "0500"
+        "44" "00" "FDFEFDFEFEFDFEFEFDF9FAFEFEFCF9FBFDFEFEFDFCFAFEFEFE"
+        "44" "00" "4E627AADD16076B4F9FE6370A9F5FE59637AB0E54F58617087"
+        "44" "00" "46566487A1506CA2E3FA5A6CAFFBFE4D566DA4CB3E454C5665"
+    )
+    with _pytest.raises(ValueError):
+        A.map_algebra_const(r, "add", 1.0, band=3)
+    out = A.map_algebra_const(r, "multiply", 10.0, band=1)
+    assert out.bands[0].pixtype == r.bands[0].pixtype  # 8BUI preserved
+    assert out.bands[2].pixtype == r.bands[2].pixtype
+    assert np.array_equal(out.bands[0].data, r.bands[0].data)
+    assert out.bands[1].pixtype == 11  # targeted band promoted to 64BF
