@@ -88,3 +88,49 @@ def test_wkt_wkb_cross(g):
     """WKT path and WKB path must agree bit-for-bit (modulo -0.0)."""
     g = _canon(g)
     assert W.to_wkb(W.from_wkt(W.to_wkt(g))) == W.to_wkb(g)
+
+
+# ---- st_removeRepeatedPoints structural properties (reference semantics) --
+
+
+@st.composite
+def _dup_lines(draw):
+    """Linestrings with injected duplicates at random positions."""
+    base = draw(pts(2, 8, 2))
+    dups = draw(st.integers(0, 3))
+    c = base
+    for _ in range(dups):
+        i = draw(st.integers(0, len(c) - 1))
+        j = draw(st.integers(0, len(c)))
+        c = np.insert(c, j, c[i], axis=0)
+    return W.Geom("linestring", [c])
+
+
+@given(_dup_lines(), st.sampled_from([0.0, 1e-9, 0.5]))
+@settings(max_examples=300, deadline=None)
+def test_remove_repeated_points_properties(g, tol):
+    """Idempotence + structural invariants of the reference's global
+    both-copy removal (RemoveRepeatedPointsTest.java semantics): no output
+    point is within tolerance of another, line parts never fall below 2
+    points, and a second application is the identity."""
+    import pandas as pd
+
+    from jena_geo_spark.functions.vector import st_removerepeatedpoints
+
+    def run(wkb_bytes):
+        return st_removerepeatedpoints.func(
+            pd.Series([wkb_bytes]), pd.Series([tol])
+        ).iloc[0]
+
+    out1 = run(W.to_wkb(g))
+    g1 = W.from_wkb(out1)
+    for p in g1.parts:
+        # a fully-collapsed line decodes from WKB as one 0-point part
+        # (canonical EMPTY) — the invariant is "never exactly 1 point"
+        assert len(p) != 1
+        if len(p) > 1:
+            d = np.abs(p[:, None, :2] - p[None, :, :2])
+            eq = (d <= tol).all(axis=2)
+            np.fill_diagonal(eq, False)
+            assert not eq.any(), "output still contains repeats"
+    assert run(out1) == out1, "not idempotent"
