@@ -1210,3 +1210,32 @@ def test_order_by_typed_numeric_is_by_value(spark):
         "SELECT ?x WHERE { ?x <urn:p:v> ?v } ORDER BY DESC(?v) LIMIT 2", tm
     )
     assert [r["x"] for r in df.collect()] == ["urn:n:30", "urn:n:10"]
+
+
+def test_minmax_value_vs_codepoint_order(spark):
+    """§18.5/§15.1 pin on a fixture where numeric and codepoint order
+    DIVERGE (the fuzz uses single digits where they coincide): a numeric
+    source column orders MIN/MAX by value (min of {9, 10} is 9); a plain
+    string column orders codepoint-wise (min of {"10", "9"} is "10").
+    SUM stays leniently numeric in both."""
+    df = spark.createDataFrame(
+        [(1, 9, "9"), (2, 10, "10")], "id int, nv int, sv string"
+    )
+    pt = S.PropertyTable(
+        df,
+        id_col="id",
+        props={
+            "http://ex.org/nv": S.PropSpec("nv"),
+            "http://ex.org/sv": S.PropSpec("sv"),
+        },
+    )
+    q = (
+        "PREFIX ex: <http://ex.org/> "
+        "SELECT (MIN(?n) AS ?mnn) (MAX(?n) AS ?mxn) (MIN(?s) AS ?mns) "
+        "(MAX(?s) AS ?mxs) (SUM(?s) AS ?sums) "
+        "WHERE { ?r ex:nv ?n . ?r ex:sv ?s }"
+    )
+    r = S.execute_query(spark, q, pt).collect()[0]
+    assert (float(r["mnn"]), float(r["mxn"])) == (9.0, 10.0)
+    assert (r["mns"], r["mxs"]) == ("10", "9")
+    assert float(r["sums"]) == 19.0
