@@ -376,7 +376,10 @@ class PathClosure:
     """Group item: ``s (p1|^p2|…){mod} o`` over atomic edge predicates."""
 
     s: object
-    edges: list  # alternatives, each a sequence of (pred_iri, inverted) steps
+    # flattened alternatives (each a sequence of (pred_iri, inverted)
+    # steps) — or, when the body nests ? * +, the raw path AST for
+    # recursive relation evaluation (_path_relation)
+    edges: object
     o: object
     mod: str  # '?' | '*' | '+'
 
@@ -838,7 +841,14 @@ class _Parser:
                 branches.append(bg)
             g.items.append(Union(branches))
         elif isinstance(p, PathMod):
-            g.items.append(PathClosure(s, _atomic_edges(p.path), o, p.mod))
+            try:
+                edges = _atomic_edges(p.path)
+            except NotImplementedError:
+                # nested modifier inside the closure body — no fixed edge
+                # LIST, but the body still denotes a fixed RELATION; keep
+                # the AST and evaluate it recursively (_path_relation)
+                edges = p.path
+            g.items.append(PathClosure(s, edges, o, p.mod))
         else:
             raise ValueError(f"unsupported path {p!r}")
 
@@ -957,11 +967,11 @@ def _atomic_edges(p) -> list:
     """Flatten the body of a closure mod into a list of ALTERNATIVES,
     each a sequence of (pred_iri, inverted) steps.
 
-    Closures are supported over predicates, inverses, alternatives and
-    sequences of those — every shape with a fixed edge relation (a
+    Flattening works for predicates, inverses, alternatives and
+    sequences of those — every shape with a fixed edge LIST (a
     sequence's edge relation is the relational composition of its
-    steps).  Nested mods inside ? * + have no fixed edge set and are
-    rejected."""
+    steps).  Nested mods inside ? * + raise here and the caller keeps
+    the path AST instead; _path_relation evaluates it recursively."""
     if isinstance(p, Iri):
         alts = [[(p.iri, False)]]
     elif isinstance(p, PathInv):
@@ -2047,11 +2057,75 @@ class _GroupCompiler:
             F.col("src").isNotNull() & F.col("dst").isNotNull()
         )
 
+    def _transitive_closure(self, edges: DataFrame) -> DataFrame:
+        """R⁺ by pointer doubling (R ∪ R∘R per round, O(log diameter)
+        rounds, eager localCheckpoint lineage truncation per round)."""
+        pairs = edges.distinct().localCheckpoint(eager=True)
+        n = pairs.count()
+        for _ in range(self._PATH_SQUARE_ROUNDS):
+            a, b = pairs.alias("a"), pairs.alias("b")
+            step = a.join(b, F.col("a.dst") == F.col("b.src")).select(
+                F.col("a.src").alias("src"), F.col("b.dst").alias("dst")
+            )
+            grown = pairs.unionByName(step).distinct().localCheckpoint(eager=True)
+            n2 = grown.count()
+            if n2 == n:
+                return pairs
+            pairs, n = grown, n2
+        raise RuntimeError(
+            f"path closure exceeded {self._PATH_SQUARE_ROUNDS} doubling rounds"
+        )
+
+    def _path_relation(self, p) -> DataFrame:
+        """(src, dst) relation of an arbitrary path AST — the recursive
+        generalisation of the flattened-alternatives edge frame, used
+        when a closure body itself contains ``? * +`` (ARQ evaluates
+        these with its ALP iterator; here every combinator is a
+        DataFrame operator: union for ``|``, composition join for
+        ``/``, swap for ``^``, pointer-doubling closure for the mods,
+        identity over the term domain for zero-length)."""
+        if isinstance(p, Iri):
+            return self._step_frame(p.iri, False)
+        if isinstance(p, PathInv):
+            r = self._path_relation(p.path)
+            return r.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        if isinstance(p, PathAlt):
+            rels = [self._path_relation(x) for x in p.parts]
+            out = rels[0]
+            for r in rels[1:]:
+                out = out.unionByName(r)
+            return out.distinct()
+        if isinstance(p, PathSeq):
+            out = self._path_relation(p.parts[0])
+            for part in p.parts[1:]:
+                nxt = self._path_relation(part).withColumnsRenamed(
+                    {"src": "__mid", "dst": "__nxt"}
+                )
+                out = (
+                    out.join(nxt, out["dst"] == nxt["__mid"])
+                    .select("src", F.col("__nxt").alias("dst"))
+                    .distinct()
+                )
+            return out
+        if isinstance(p, PathMod):
+            base = self._path_relation(p.path)
+            rel = self._transitive_closure(base) if p.mod in ("*", "+") else base
+            if p.mod in ("?", "*"):
+                nodes = self.model.nodes_frame()
+                ident = nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
+                rel = rel.unionByName(ident).distinct()
+            return rel
+        raise NotImplementedError(f"unsupported path shape {p!r}")
+
     def _path_edge_frame(self, pc: PathClosure) -> DataFrame:
         """Edge relation of the closure body: alternatives union, a
         sequence alternative composes its steps with equi-joins
         (src→mid₁→…→dst) — still a fixed relation, so the closure loops
-        (BFS / pointer doubling) are unchanged."""
+        (BFS / pointer doubling) are unchanged.  A body with nested
+        modifiers arrives as a path AST instead of a flattened list and
+        evaluates recursively."""
+        if not isinstance(pc.edges, list):
+            return self._path_relation(pc.edges)
         parts = []
         for steps in pc.edges:
             e = self._step_frame(*steps[0])
@@ -2146,22 +2220,7 @@ class _GroupCompiler:
                     F.col("dst").alias("src"), F.lit(o_const).alias("dst")
                 )
         elif pc.mod in ("+", "*"):
-            pairs = edges.localCheckpoint(eager=True)
-            n = pairs.count()
-            for _ in range(self._PATH_SQUARE_ROUNDS):
-                a, b = pairs.alias("a"), pairs.alias("b")
-                step = a.join(b, F.col("a.dst") == F.col("b.src")).select(
-                    F.col("a.src").alias("src"), F.col("b.dst").alias("dst")
-                )
-                grown = pairs.unionByName(step).distinct().localCheckpoint(eager=True)
-                n2 = grown.count()
-                if n2 == n:
-                    break
-                pairs, n = grown, n2
-            else:
-                raise RuntimeError(
-                    f"path closure exceeded {self._PATH_SQUARE_ROUNDS} doubling rounds"
-                )
+            pairs = self._transitive_closure(edges)
         else:  # '?': just the edges
             pairs = edges
 

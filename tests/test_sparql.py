@@ -1239,3 +1239,26 @@ def test_minmax_value_vs_codepoint_order(spark):
     assert (float(r["mnn"]), float(r["mxn"])) == (9.0, 10.0)
     assert (r["mns"], r["mxs"]) == ("10", "9")
     assert float(r["sums"]) == 19.0
+
+
+def test_path_closure_nested_modifiers(spark, chain):
+    """Nested ``? * +`` inside a closure body (ARQ ALP semantics):
+    the body denotes a fixed RELATION even when it has no fixed edge
+    list, so the closure runs over the recursively-evaluated relation.
+    Graph: a →next b →next c →next d, a →alt x."""
+    # inner ?: (next?)+ adds the identity over every graph term to the
+    # edge relation; from a the closure reaches a (zero-length) + chain
+    got = _rows(spark, chain, "SELECT ?b WHERE { ex:a (ex:next?)+ ?b }")
+    assert got == _n(("a",), ("b",), ("c",), ("d",))
+    # outer ? over a nested + composed with a plain step
+    got = _rows(spark, chain, "SELECT ?b WHERE { ex:a (ex:next+/ex:name)? ?b }")
+    assert got == sorted([("http://ex.org/a",), ("dname",)])
+    # alternative of a plain step and a nested closure
+    got = _rows(spark, chain, "SELECT ?b WHERE { ex:a (ex:next|ex:alt+)+ ?b }")
+    assert got == _n(("b",), ("c",), ("d",), ("x",))
+    # both-variable nested closure: full reachability of (next+)+ == next+
+    got = _rows(spark, chain, "SELECT ?a ?b WHERE { ?a (ex:next+)+ ?b }")
+    assert got == _n(
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+    )

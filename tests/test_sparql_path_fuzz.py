@@ -67,11 +67,12 @@ def path_ast(draw, depth=3):
     if kind == "inv":
         return ("inv", draw(path_ast(depth=depth - 1)))
     if kind == "mod":
-        return (
-            "mod",
-            draw(st.sampled_from(["?", "*", "+"])),
-            draw(fixed_edge_body()),
+        # bodies may themselves nest ? * + (the recursive _path_relation
+        # route); shallow depth keeps the distributed closure tractable
+        body = draw(
+            st.one_of(fixed_edge_body(), path_ast(depth=min(depth - 1, 1)))
         )
+        return ("mod", draw(st.sampled_from(["?", "*", "+"])), body)
     return (kind, draw(path_ast(depth=depth - 1)), draw(path_ast(depth=depth - 1)))
 
 
