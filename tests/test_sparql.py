@@ -616,11 +616,14 @@ def test_path_closure_over_sequence(spark, chain):
     assert sorted(got) == [("xname",)]
 
 
-def test_path_closure_nested_mod_rejected():
-    with pytest.raises(NotImplementedError):
-        S.parse_query(
-            "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ex:a (ex:p+/ex:q)+ ?o }"
-        )
+def test_path_closure_nested_mod_accepted(spark, chain):
+    # formerly a NotImplementedError boundary; nested mods inside a
+    # closure body now evaluate recursively (_path_relation) — see
+    # test_path_closure_nested_modifiers for the full matrix
+    got = _rows(
+        spark, chain, "SELECT ?o WHERE { ex:a (ex:next+/ex:name)+ ?o }"
+    )
+    assert got == [("dname",)]
 
 
 def test_path_plus_var_var(spark, chain):
