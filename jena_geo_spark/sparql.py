@@ -2076,56 +2076,68 @@ class _GroupCompiler:
             f"path closure exceeded {self._PATH_SQUARE_ROUNDS} doubling rounds"
         )
 
-    def _path_relation(self, p) -> DataFrame:
-        """(src, dst) relation of an arbitrary path AST — the recursive
-        generalisation of the flattened-alternatives edge frame, used
-        when a closure body itself contains ``? * +`` (ARQ evaluates
-        these with its ALP iterator; here every combinator is a
-        DataFrame operator: union for ``|``, composition join for
-        ``/``, swap for ``^``, pointer-doubling closure for the mods,
-        identity over the term domain for zero-length)."""
+    def _path_rel(self, p) -> tuple[DataFrame, bool]:
+        """(src, dst) relation of an arbitrary path AST, as the pair
+        (R, has_zero) where the denoted relation is R ∪ I·has_zero and
+        I is the zero-length identity — the recursive generalisation of
+        the flattened-alternatives edge frame, used when a closure body
+        itself contains ``? * +`` (ARQ evaluates these with its ALP
+        iterator; here every combinator is a DataFrame operator: union
+        for ``|``, composition join for ``/``, swap for ``^``,
+        pointer-doubling closure for the mods).
+
+        The identity is NEVER materialized into R: it would put the
+        whole term domain through every composition and doubling join,
+        and it is wrong for bound endpoints anyway (W3C ZeroLengthPath
+        matches a bound term whether or not it occurs in the graph, so
+        the caller must decide the identity domain).  Algebra used:
+        (R∪I)∘Q = R∘Q ∪ Q, closure(R∪I) = closure(R) ∪ I,
+        closure(closure(R)) = closure(R)."""
         if isinstance(p, Iri):
-            return self._step_frame(p.iri, False)
+            return self._step_frame(p.iri, False), False
         if isinstance(p, PathInv):
-            r = self._path_relation(p.path)
-            return r.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            r, z = self._path_rel(p.path)
+            return (
+                r.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+                z,
+            )
         if isinstance(p, PathAlt):
-            rels = [self._path_relation(x) for x in p.parts]
-            out = rels[0]
-            for r in rels[1:]:
-                out = out.unionByName(r)
-            return out.distinct()
-        if isinstance(p, PathSeq):
-            out = self._path_relation(p.parts[0])
+            ra, za = self._path_rel(p.parts[0])
             for part in p.parts[1:]:
-                nxt = self._path_relation(part).withColumnsRenamed(
-                    {"src": "__mid", "dst": "__nxt"}
+                rb, zb = self._path_rel(part)
+                ra, za = ra.unionByName(rb), za or zb
+            return ra.distinct(), za
+        if isinstance(p, PathSeq):
+            ra, za = self._path_rel(p.parts[0])
+            for part in p.parts[1:]:
+                rb, zb = self._path_rel(part)
+                nxt = rb.withColumnsRenamed({"src": "__mid", "dst": "__nxt"})
+                comp = ra.join(nxt, ra["dst"] == nxt["__mid"]).select(
+                    "src", F.col("__nxt").alias("dst")
                 )
-                out = (
-                    out.join(nxt, out["dst"] == nxt["__mid"])
-                    .select("src", F.col("__nxt").alias("dst"))
-                    .distinct()
-                )
-            return out
+                if za:  # (R∪I)∘Q ⊇ Q
+                    comp = comp.unionByName(rb)
+                if zb:  # R∘(Q∪I) ⊇ R
+                    comp = comp.unionByName(ra)
+                ra, za = comp.distinct(), za and zb
+            return ra, za
         if isinstance(p, PathMod):
-            base = self._path_relation(p.path)
+            base, z = self._path_rel(p.path)
             rel = self._transitive_closure(base) if p.mod in ("*", "+") else base
-            if p.mod in ("?", "*"):
-                nodes = self.model.nodes_frame()
-                ident = nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
-                rel = rel.unionByName(ident).distinct()
-            return rel
+            return rel, z or p.mod in ("?", "*")
         raise NotImplementedError(f"unsupported path shape {p!r}")
 
-    def _path_edge_frame(self, pc: PathClosure) -> DataFrame:
-        """Edge relation of the closure body: alternatives union, a
-        sequence alternative composes its steps with equi-joins
-        (src→mid₁→…→dst) — still a fixed relation, so the closure loops
-        (BFS / pointer doubling) are unchanged.  A body with nested
-        modifiers arrives as a path AST instead of a flattened list and
-        evaluates recursively."""
+    def _path_edge_frame(self, pc: PathClosure) -> tuple[DataFrame, bool]:
+        """Edge relation of the closure body as (R, has_zero):
+        alternatives union, a sequence alternative composes its steps
+        with equi-joins (src→mid₁→…→dst) — still a fixed relation, so
+        the closure loops (BFS / pointer doubling) are unchanged.  A
+        body with nested modifiers arrives as a path AST instead of a
+        flattened list and evaluates recursively; has_zero means the
+        body admits the zero-length path (the caller folds it into the
+        closure mod: edges∪I under ``+`` ≡ edges under ``*``)."""
         if not isinstance(pc.edges, list):
-            return self._path_relation(pc.edges)
+            return self._path_rel(pc.edges)
         parts = []
         for steps in pc.edges:
             e = self._step_frame(*steps[0])
@@ -2141,7 +2153,7 @@ class _GroupCompiler:
         e = parts[0]
         for p in parts[1:]:
             e = e.unionByName(p)
-        return e.distinct()
+        return e.distinct(), False
 
     def _path_closure_frame(self, pc: PathClosure):
         """``s path{mod} o`` → (pairs frame, binds) — or (pairs, None)
@@ -2179,7 +2191,14 @@ class _GroupCompiler:
             self.spark.conf.set(conf_key, prev_conf)
 
     def _path_closure_pairs(self, pc: PathClosure, s_const, o_const):
-        edges = self._path_edge_frame(pc)
+        edges, ez = self._path_edge_frame(pc)
+        # a zero-admitting body folds into the mod instead of inflating
+        # the edge relation with the identity: (R∪I)+ = (R∪I)* = R*,
+        # (R∪I)? = R? — the identity itself is added once below, with
+        # the CORRECT domain per endpoint shape (a bound endpoint's
+        # zero-length solution is that term whether or not it occurs in
+        # the graph, W3C §18.4 ZeroLengthPath)
+        mod = "*" if (ez and pc.mod == "+") else pc.mod
 
         def bfs(seed: str, forward: bool) -> DataFrame:
             e = (
@@ -2208,7 +2227,7 @@ class _GroupCompiler:
             )
 
         spark = self.spark
-        if pc.mod in ("+", "*") and (s_const is not None or o_const is not None):
+        if mod in ("+", "*") and (s_const is not None or o_const is not None):
             if s_const is not None:
                 reach = bfs(s_const, forward=True)  # column dst
                 pairs = reach.select(
@@ -2219,12 +2238,12 @@ class _GroupCompiler:
                 pairs = reach.select(
                     F.col("dst").alias("src"), F.lit(o_const).alias("dst")
                 )
-        elif pc.mod in ("+", "*"):
+        elif mod in ("+", "*"):
             pairs = self._transitive_closure(edges)
         else:  # '?': just the edges
             pairs = edges
 
-        if pc.mod in ("?", "*"):
+        if mod in ("?", "*"):
             if s_const is not None:
                 ident = spark.createDataFrame(
                     [(s_const, s_const)], schema="src string, dst string"

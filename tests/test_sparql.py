@@ -1265,3 +1265,17 @@ def test_path_closure_nested_modifiers(spark, chain):
         ("a", "b"), ("a", "c"), ("a", "d"),
         ("b", "c"), ("b", "d"), ("c", "d"),
     )
+
+
+def test_path_closure_zero_length_bound_absent_term(spark, chain):
+    """W3C §18.4 ZeroLengthPath: a BOUND endpoint matches itself whether
+    or not it occurs in the graph.  (ex:next?)+ from a term absent from
+    the graph must still yield the term (via the zero-length step) —
+    this requires folding the body's zero-admittance into the closure
+    mod rather than materializing the graph-term identity into the edge
+    relation (which would miss non-graph constants)."""
+    got = _rows(spark, chain, "SELECT ?b WHERE { ex:ghost (ex:next?)+ ?b }")
+    assert got == _n(("ghost",))
+    # and an absent term under a plain '*' closure (same identity rule)
+    got = _rows(spark, chain, "SELECT ?b WHERE { ex:ghost ex:next* ?b }")
+    assert got == _n(("ghost",))
