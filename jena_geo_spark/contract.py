@@ -2946,6 +2946,56 @@ def o_sparql_seq_path() -> str:
     )
 
 
+def q_sparql_nested_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closure whose BODY nests a modifier, ``(l?)+`` ≡ ``l*`` — the r4
+    recursive-relation route (_path_rel): the body's zero-admittance is
+    folded into the closure mod instead of materializing the term-domain
+    identity into the doubling join.  Result = every graph term's
+    identity pair ∪ the left-child transitive closure over the nation
+    binary tree (as sparql_seq_path)."""
+    from . import sparql as S
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cnt = nation.count()
+    tree = nation.select(
+        F.col("n_nationkey").alias("k"),
+        F.when(
+            F.col("n_nationkey") * 2 + 1 < cnt,
+            F.concat(F.lit("urn:n:"), (F.col("n_nationkey") * 2 + 1).cast("string")),
+        ).alias("l"),
+    )
+    EX = "http://example.org/tree#"
+    pt = S.PropertyTable(
+        tree,
+        id_col="k",
+        subject_prefix="urn:n:",
+        props={EX + "l": S.PropSpec("l")},
+    )
+    q = (
+        "PREFIX t: <http://example.org/tree#> "
+        "SELECT ?a ?b WHERE { ?a (t:l?)+ ?b }"
+    )
+    return S.execute_query(spark, q, pt)
+
+
+def o_sparql_nested_path() -> str:
+    return (
+        "WITH RECURSIVE e AS ("
+        "  SELECT n_nationkey AS a, 2 * n_nationkey + 1 AS b FROM nation "
+        "  WHERE 2 * n_nationkey + 1 < (SELECT COUNT(*) FROM nation)"
+        "), r AS ("
+        "  SELECT a, b FROM e "
+        "  UNION "
+        "  SELECT r.a, e.b FROM r JOIN e ON r.b = e.a"
+        ") "
+        "SELECT 'urn:n:' || CAST(a AS VARCHAR) AS a, "
+        "'urn:n:' || CAST(b AS VARCHAR) AS b FROM r "
+        "UNION "
+        "SELECT 'urn:n:' || CAST(n_nationkey AS VARCHAR) AS a, "
+        "'urn:n:' || CAST(n_nationkey AS VARCHAR) AS b FROM nation"
+    )
+
+
 def q_sparql_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``spatial:nearby`` with a result limit = k-nearest through the
     SPARQL surface (geosparql-jena 1.1.2's jena-spatial property function,
@@ -3060,6 +3110,7 @@ QUERIES = {
     "sparql_ask": q_sparql_ask,
     "sparql_construct": q_sparql_construct,
     "sparql_seq_path": q_sparql_seq_path,
+    "sparql_nested_path": q_sparql_nested_path,
     # -- family representatives (29) --
     "geo_cluster_within": q_geo_cluster_within,
     "doc_dedup_groups": q_doc_dedup_groups,
@@ -3182,6 +3233,7 @@ ORACLES = {
     "sparql_ask": o_sparql_ask(),
     "sparql_construct": o_sparql_construct(),
     "sparql_seq_path": o_sparql_seq_path(),
+    "sparql_nested_path": o_sparql_nested_path(),
     "sparql_nearby_km": o_sparql_nearby_km(),
     "sparql_within_box": o_sparql_within_box(),
     "sparql_group_concat": o_sparql_group_concat(),
