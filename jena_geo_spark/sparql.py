@@ -424,8 +424,9 @@ class Query:
     offset: int | None
     group_by: list = field(default_factory=list)
     having: object | None = None  # expression AST (constraints AND-ed)
-    form: str = "select"  # 'select' | 'ask' | 'construct'
+    form: str = "select"  # 'select' | 'ask' | 'construct' | 'describe'
     template: list = field(default_factory=list)  # CONSTRUCT triples
+    describe_terms: list = field(default_factory=list)  # Var/Iri; ["*"] = all
 
 
 # ------------------------------------------------------------ SPARQL parsing --
@@ -516,6 +517,8 @@ class _Parser:
             q = self.ask_query()
         elif self.kw("CONSTRUCT"):
             q = self.construct_query()
+        elif self.kw("DESCRIBE"):
+            q = self.describe_query()
         else:
             q = self.select_query()
         t = self.peek()
@@ -566,9 +569,54 @@ class _Parser:
             form="construct", template=template,
         )
 
+    def describe_query(self) -> Query:
+        """``DESCRIBE (VarOrIri+ | *) [WHERE {…}] [LIMIT/OFFSET]`` —
+        SPARQL 1.1 §16.4.  The description form is the subject-rooted
+        bounded description (ARQ's default DescribeHandler); the term
+        model here has no blank nodes, so that is exactly the resource's
+        subject triples."""
+        terms: list = []
+        while True:
+            t = self.peek()
+            if t[0] == "var":
+                terms.append(Var(self.next()[1][1:]))
+            elif t[0] == "iri":
+                terms.append(Iri(self.next()[1]))
+            elif t[0] == "pname":
+                terms.append(Iri(self.expand(self.next()[1])))
+            elif t == ("op", "*") and not terms:
+                self.next()
+                terms = ["*"]
+                break
+            else:
+                break
+        if not terms:
+            raise ValueError("DESCRIBE needs at least one variable or IRI")
+        where = None
+        if self.kw("WHERE") or self.peek() == ("punct", "{"):
+            where = self.group()
+        limit = offset = None
+        while True:
+            if self.kw("LIMIT"):
+                limit = int(self.expect("num")[1])
+            elif self.kw("OFFSET"):
+                offset = int(self.expect("num")[1])
+            else:
+                break
+        if terms == ["*"] and where is None:
+            raise ValueError("DESCRIBE * needs a WHERE pattern")
+        if where is None and any(isinstance(t, Var) for t in terms):
+            raise ValueError("DESCRIBE with variables needs a WHERE pattern")
+        return Query(
+            None, False, where, [], limit, offset,
+            form="describe", describe_terms=terms,
+        )
+
     def select_query(self) -> Query:
         if not self.kw("SELECT"):
-            raise ValueError("only SELECT/ASK/CONSTRUCT queries are supported")
+            raise ValueError(
+                "only SELECT/ASK/CONSTRUCT/DESCRIBE queries are supported"
+            )
         distinct = self.kw("DISTINCT")
         select: list | None = []
         if self.peek() == ("op", "*"):
@@ -3044,12 +3092,15 @@ def execute_query(spark: SparkSession, query: str, model) -> DataFrame:
     SELECT returns a DataFrame whose columns are the selected variable
     names; ASK returns a one-row ``ask boolean`` DataFrame; CONSTRUCT
     returns the instantiated-template graph as a distinct ``s p o``
-    triples DataFrame."""
+    triples DataFrame; DESCRIBE returns the resources' subject triples
+    the same way (§16.4, subject-rooted bounded description)."""
     q = parse_query(query)
     if q.form == "ask":
         return spark.createDataFrame([(_run_ask(spark, q, model),)], "ask boolean")
     if q.form == "construct":
         return _run_construct(spark, q, model)
+    if q.form == "describe":
+        return _run_describe(spark, q, model)
     return _run_select(spark, q, model)[0]
 
 
@@ -3102,6 +3153,57 @@ def _run_construct(spark: SparkSession, q: Query, model) -> DataFrame:
     for tri in outs[1:]:
         out = out.unionByName(tri)
     return out.distinct()
+
+
+def _run_describe(spark: SparkSession, q: Query, model) -> DataFrame:
+    """DESCRIBE: collect the resource set (constants + the WHERE
+    solutions' bindings of the named variables, or every visible
+    variable for ``*``), then emit each resource's subject triples as a
+    distinct ``s p o`` frame.  The triples come from the model's own
+    variable-predicate star (one scan on a TriplesModel, a wide-row
+    explode on a PropertyTable), semi-joined to the resource set — no
+    driver-side iteration over resources."""
+    parts = []
+    consts = [t.iri for t in q.describe_terms if isinstance(t, Iri)]
+    if consts:
+        parts.append(
+            spark.createDataFrame([(c,) for c in consts], "n string")
+        )
+    if q.where is not None:
+        frame, _ = _run_select(
+            spark, Query(None, True, q.where, [], q.limit, q.offset), model
+        )
+        if q.describe_terms == ["*"]:
+            dvars = list(frame.columns)
+        else:
+            dvars = [
+                t.name
+                for t in q.describe_terms
+                if isinstance(t, Var) and t.name in frame.columns
+            ]
+        for v in dvars:
+            parts.append(
+                frame.select(F.col(v).cast("string").alias("n")).where(
+                    F.col(v).isNotNull()
+                )
+            )
+    if not parts:
+        return spark.createDataFrame([], "s string, p string, o string")
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    res = res.distinct()
+    g = Group()
+    g.items.append(Triple(Var("__ds"), Var("__dp"), Var("__do")))
+    tri, binds, _ = _GroupCompiler(spark, model).compile(g)
+    tri = tri.select(
+        F.col(binds["__ds"]).cast("string").alias("s"),
+        F.col(binds["__dp"]).cast("string").alias("p"),
+        F.col(binds["__do"]).cast("string").alias("o"),
+    ).where(F.col("p").isNotNull() & F.col("o").isNotNull())
+    return (
+        tri.join(res, tri["s"] == res["n"], "left_semi").distinct()
+    )
 
 
 def query_service(

@@ -1279,3 +1279,67 @@ def test_path_closure_zero_length_bound_absent_term(spark, chain):
     # and an absent term under a plain '*' closure (same identity rule)
     got = _rows(spark, chain, "SELECT ?b WHERE { ex:ghost ex:next* ?b }")
     assert got == _n(("ghost",))
+
+
+def test_describe_query_forms(spark, chain):
+    """SPARQL 1.1 §16.4 DESCRIBE — subject-rooted bounded description
+    (ARQ's default DescribeHandler; no blank nodes in the term model, so
+    the description is exactly the resource's subject triples), with the
+    resource set drawn from constants, WHERE-bound variables, or every
+    visible variable for ``*``.  Completes the §16 query-form quartet
+    (SELECT/CONSTRUCT/ASK/DESCRIBE)."""
+    # constant, no WHERE
+    got = _rows(spark, chain, "DESCRIBE ex:a")
+    assert got == sorted(
+        [
+            ("http://ex.org/a", "http://ex.org/alt", "http://ex.org/x"),
+            ("http://ex.org/a", "http://ex.org/next", "http://ex.org/b"),
+        ]
+    )
+    # variable + WHERE; resources with no subject triples describe to nothing
+    got = _rows(spark, chain, 'DESCRIBE ?s WHERE { ?s ex:name "dname" }')
+    assert got == [("http://ex.org/d", "http://ex.org/name", "dname")]
+    # star form unions every visible variable's bindings
+    got = _rows(spark, chain, "DESCRIBE * WHERE { ?a ex:alt ?b }")
+    assert got == sorted(
+        [
+            ("http://ex.org/a", "http://ex.org/alt", "http://ex.org/x"),
+            ("http://ex.org/a", "http://ex.org/next", "http://ex.org/b"),
+            ("http://ex.org/x", "http://ex.org/name", "xname"),
+        ]
+    )
+    # constant + variable mix, and a literal-valued object stays a triple
+    got = _rows(spark, chain, 'DESCRIBE ex:d ?s WHERE { ?s ex:name "xname" }')
+    assert got == sorted(
+        [
+            ("http://ex.org/d", "http://ex.org/name", "dname"),
+            ("http://ex.org/x", "http://ex.org/name", "xname"),
+        ]
+    )
+    # grammar guards
+    with pytest.raises(ValueError):
+        S.parse_query("DESCRIBE * ")
+    with pytest.raises(ValueError):
+        S.parse_query("DESCRIBE ?x")
+
+
+def test_describe_on_property_table(spark):
+    df = spark.createDataFrame(
+        [(1, "v1", 7), (2, "v2", 8)], "id int, val string, n int"
+    )
+    pt = S.PropertyTable(
+        df,
+        id_col="id",
+        props={
+            "http://ex.org/val": S.PropSpec("val"),
+            "http://ex.org/n": S.PropSpec("n"),
+        },
+    )
+    got = sorted(
+        tuple(r)
+        for r in S.execute_query(spark, "DESCRIBE <urn:row:2>", pt).collect()
+    )
+    assert got == [
+        ("urn:row:2", "http://ex.org/n", "8"),
+        ("urn:row:2", "http://ex.org/val", "v2"),
+    ]
