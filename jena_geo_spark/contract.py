@@ -2996,6 +2996,50 @@ def o_sparql_nested_path() -> str:
     )
 
 
+def q_sparql_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE over the nation binary-tree PropertyTable (SPARQL 1.1
+    §16.4, subject-rooted bounded description): resources = every node
+    bound by the WHERE pattern (nodes with a left child under 5), each
+    described by its subject triples via the wide-row explode —
+    completes driver evidence for the §16 query-form quartet."""
+    from . import sparql as S
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cnt = nation.count()
+    tree = nation.select(
+        F.col("n_nationkey").alias("k"),
+        F.when(
+            F.col("n_nationkey") * 2 + 1 < cnt,
+            F.concat(F.lit("urn:n:"), (F.col("n_nationkey") * 2 + 1).cast("string")),
+        ).alias("l"),
+    )
+    EX = "http://example.org/tree#"
+    pt = S.PropertyTable(
+        tree,
+        id_col="k",
+        subject_prefix="urn:n:",
+        props={EX + "l": S.PropSpec("l")},
+    )
+    q = (
+        "PREFIX t: <http://example.org/tree#> "
+        'DESCRIBE ?n WHERE { ?n t:l ?c . FILTER(?c < "urn:n:5") }'
+    )
+    return S.execute_query(spark, q, pt)
+
+
+def o_sparql_describe() -> str:
+    return (
+        "WITH t AS ("
+        "  SELECT 'urn:n:' || CAST(n_nationkey AS VARCHAR) AS s, "
+        "  CASE WHEN 2 * n_nationkey + 1 < (SELECT COUNT(*) FROM nation) "
+        "  THEN 'urn:n:' || CAST(2 * n_nationkey + 1 AS VARCHAR) END AS l "
+        "  FROM nation"
+        ") "
+        "SELECT s, 'http://example.org/tree#l' AS p, l AS o FROM t "
+        "WHERE l IS NOT NULL AND s IN (SELECT s FROM t WHERE l < 'urn:n:5')"
+    )
+
+
 def q_sparql_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``spatial:nearby`` with a result limit = k-nearest through the
     SPARQL surface (geosparql-jena 1.1.2's jena-spatial property function,
@@ -3111,6 +3155,7 @@ QUERIES = {
     "sparql_construct": q_sparql_construct,
     "sparql_seq_path": q_sparql_seq_path,
     "sparql_nested_path": q_sparql_nested_path,
+    "sparql_describe": q_sparql_describe,
     # -- family representatives (29) --
     "geo_cluster_within": q_geo_cluster_within,
     "doc_dedup_groups": q_doc_dedup_groups,
@@ -3234,6 +3279,7 @@ ORACLES = {
     "sparql_construct": o_sparql_construct(),
     "sparql_seq_path": o_sparql_seq_path(),
     "sparql_nested_path": o_sparql_nested_path(),
+    "sparql_describe": o_sparql_describe(),
     "sparql_nearby_km": o_sparql_nearby_km(),
     "sparql_within_box": o_sparql_within_box(),
     "sparql_group_concat": o_sparql_group_concat(),
