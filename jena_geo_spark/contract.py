@@ -3127,12 +3127,14 @@ def o_sparql_within_box() -> str:
 QUERIES = {
     # ---- the driver's correctness gate samples the FIRST 50 entries.
     # r4 rotation (VERDICT r3 ask #2): the first block is every query that
-    # has never produced a CORRECTNESS_rN row (18 r3-tail entries + the 3
-    # new r4 sparql-spatial queries); the second block keeps one green
+    # has never produced a CORRECTNESS_rN row (the 23 original rotation
+    # entries plus the 7 added later in r4 — geo_triangle_centroid,
+    # geo_densify_points, geo_centroid_dist, geo_azimuth, geo_angle,
+    # geo_perimeter, sparql_agg_distinct); the second block keeps one green
     # representative per operator family from SURVEY §2 and the LLM
     # pipeline table.  Entries past 50 stay oracle-gated by pytest
     # (tests/test_driver_contract.py runs ALL entries, bit-exact).
-    # -- never-driver-run (21) --
+    # -- never-driver-run (30) --
     "sparql_knn": q_sparql_knn,
     "sparql_nearby_km": q_sparql_nearby_km,
     "sparql_within_box": q_sparql_within_box,
@@ -3156,7 +3158,14 @@ QUERIES = {
     "sparql_seq_path": q_sparql_seq_path,
     "sparql_nested_path": q_sparql_nested_path,
     "sparql_describe": q_sparql_describe,
-    # -- family representatives (29) --
+    "geo_triangle_centroid": q_geo_triangle_centroid,
+    "geo_densify_points": q_geo_densify_points,
+    "geo_centroid_dist": q_geo_centroid_dist,
+    "geo_azimuth": q_geo_azimuth,
+    "geo_angle": q_geo_angle,
+    "geo_perimeter": q_geo_perimeter,
+    "sparql_agg_distinct": q_sparql_agg_distinct,
+    # -- family representatives (20) --
     "geo_cluster_within": q_geo_cluster_within,
     "doc_dedup_groups": q_doc_dedup_groups,
     "geo_polygon_join": q_geo_polygon_join,
@@ -3169,26 +3178,26 @@ QUERIES = {
     "geo_pip_join": q_geo_pip_join,
     "geo_bbox_filter": q_geo_bbox_filter,
     "geo_envelope_agg": q_geo_envelope_agg,
-    "temporal_allen": q_temporal_allen,
     "geo_semi_anti": q_geo_semi_anti,
-    "geo_editors": q_geo_editors,
-    "geo_line_locate": q_geo_line_locate,
-    "geo_srid_meta": q_geo_srid_meta,
-    "geo_units": q_geo_units,
     "geo_overlay_halfplane": q_geo_overlay_halfplane,
-    "geo_mvt_coords": q_geo_mvt_coords,
-    "geo_transform_merc": q_geo_transform_merc,
     "sparql_bgp_join": q_sparql_bgp_join,
     "sparql_agg_group": q_sparql_agg_group,
-    "doc_dedup_exact": q_doc_dedup_exact,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "doc_token_stats": q_doc_token_stats,
-    "doc_langid": q_doc_langid,
     "emb_topk": q_emb_topk,
     # ---- tail (sampled-out this round; every family above keeps a green
     # representative, and each of these has an r3 driver row or a pytest
     # oracle gate) ----
+    "temporal_allen": q_temporal_allen,
+    "geo_editors": q_geo_editors,
+    "geo_line_locate": q_geo_line_locate,
+    "geo_srid_meta": q_geo_srid_meta,
+    "geo_units": q_geo_units,
+    "geo_mvt_coords": q_geo_mvt_coords,
+    "geo_transform_merc": q_geo_transform_merc,
+    "doc_dedup_exact": q_doc_dedup_exact,
+    "doc_langid": q_doc_langid,
     "emb_near_dup": q_emb_near_dup,
     "emb_ivf_exact": q_emb_ivf_exact,
     "emb_norm": q_emb_norm,
@@ -3210,13 +3219,6 @@ QUERIES = {
     "geo_buffer_area": q_geo_buffer_area,
     "doc_quality": q_doc_quality,
     "doc_fingerprint": q_doc_fingerprint,
-    "geo_triangle_centroid": q_geo_triangle_centroid,
-    "geo_densify_points": q_geo_densify_points,
-    "geo_centroid_dist": q_geo_centroid_dist,
-    "geo_azimuth": q_geo_azimuth,
-    "geo_angle": q_geo_angle,
-    "geo_perimeter": q_geo_perimeter,
-    "sparql_agg_distinct": q_sparql_agg_distinct,
 }
 
 ORACLES = {
