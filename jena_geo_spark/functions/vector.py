@@ -615,11 +615,20 @@ def _overlay_udf(op: str):
     @null_safe
     def wrapped(a: pd.Series, b: pd.Series) -> pd.Series:
         from ..geom import linework as L
+        from ..geom import mixed as M
         from ..geom import overlay as O
 
         out = []
         for x, y in zip(a, b):
             ga, gb = W.from_wkb(x), W.from_wkb(y)
+            mixed_dims = (
+                ga.kind != "geometrycollection"
+                and gb.kind != "geometrycollection"
+                and (
+                    M.dim_class(ga) != M.dim_class(gb)
+                    or M.dim_class(ga) == 0
+                )
+            )
             if ga.kind in _LINE_KINDS and gb.kind in _LINE_KINDS:
                 # 1D overlay (DifferenceTest.java golden) — the polygon
                 # kernel would misread the chains as rings
@@ -647,6 +656,11 @@ def _overlay_udf(op: str):
                     g = W.Geom("linestring", chains)
                 else:
                     g = W.Geom("multilinestring", chains)
+            elif mixed_dims:
+                # point×line / point×polygon / line×polygon / point×point
+                # — JTS OverlayOp mixed-dimension shaping (geom/mixed.py);
+                # the areal kernel would misread lower-dim chains as rings
+                g = M.overlay_mixed(ga, gb, op)
             else:
                 g = O.overlay_geoms(ga, gb, op)
             out.append(W.to_wkb(g))

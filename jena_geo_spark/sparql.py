@@ -62,6 +62,7 @@ query *string* is parsed on the driver; all evaluation is Catalyst.
 from __future__ import annotations
 
 import json
+import math
 import re
 from dataclasses import dataclass, field
 
@@ -125,6 +126,44 @@ _SF_FUNC = {
     "sfequals": "st_equals",
     "sfdisjoint": "st_disjoint",
 }
+
+# geof: names whose kernels live in the registry under st_* (the reference
+# SPARQL side gets these from geosparql-jena's FunctionRegistry; its SQL
+# side never registers the geof: spellings, so the alias lives here).
+_GEOF_ALIAS = {
+    "convexhull": "st_convexhull",
+    "boundary": "st_boundary",
+    "intersection": "st_intersection",
+    "union": "st_union",
+    "symdifference": "st_symdifference",
+}
+
+# GeoSPARQL Egenhofer (§9) / RCC8 (§10) relation families, OGC 11-052r4
+# tables 6-7 as DE-9IM patterns over the relate kernel.  ehMeet is the
+# three-pattern disjunction FT*******|F**T*****|F***T**** ≡ sfTouches and
+# dispatches to st_touches instead.
+_EH_RCC8 = {
+    "ehequals": "TFFFTFFFT",
+    "ehdisjoint": "FF*FF****",
+    "ehoverlap": "T*T***T**",
+    "ehcovers": "T*TFT*FF*",
+    "ehcoveredby": "TFF*TFT**",
+    "ehinside": "TFF*FFT**",
+    "ehcontains": "T*TFF*FF*",
+    "rcc8eq": "TFFFTFFFT",
+    "rcc8dc": "FFTFFTTTT",
+    "rcc8ec": "FFTFTTTTT",
+    "rcc8po": "TTTTTTTTT",
+    "rcc8tppi": "TTTFTTFFT",
+    "rcc8tpp": "TFFTTFTTT",
+    "rcc8ntpp": "TFFTFFTTT",
+    "rcc8ntppi": "TTTFFTFFT",
+}
+
+# metres per degree of arc on the mean-radius sphere — the same
+# kernel._EARTH_RADIUS_M the distance family uses, so a metre-unit
+# geof:buffer radius and a geof:distance result agree with each other.
+_M_PER_DEG = 6371008.7714 * math.pi / 180.0
 
 
 # ------------------------------------------------------------- turtle reader --
@@ -1625,8 +1664,13 @@ class _ExprCompiler:
             return c.try_cast(cast), "plain"
         name = _registry_name(e.iri)
         name = _SF_FUNC.get(name, name)
-        if e.iri.startswith(BUILTIN_PREFIXES["geof"]) and "geof_" + name in REG.REGISTRY:
-            name = "geof_" + name
+        if e.iri.startswith(BUILTIN_PREFIXES["geof"]):
+            name = _GEOF_ALIAS.get(name, name)
+            if "geof_" + name in REG.REGISTRY:
+                name = "geof_" + name
+            got = self._geof(name, e)
+            if got is not None:
+                return got
         if name not in REG.REGISTRY:
             raise KeyError(f"function {e.iri} not in the registry")
         fn, argspec = REG.REGISTRY[name]
@@ -1649,6 +1693,109 @@ class _ExprCompiler:
         out = fn(*cols)
         # geometry-returning functions yield WKB binary columns
         return out, "geom"
+
+    @staticmethod
+    def _uom(arg) -> tuple[str, float | None]:
+        """OGC uom IRI (or its plain-string form) → (unit key, metres per
+        unit).  ``degree``/``radian`` are the angular units (GeoSPARQL's
+        planar path); metre-family keys come from ``_SPATIAL_UNITS``."""
+        if isinstance(arg, Iri):
+            key = arg.iri
+        elif isinstance(arg, Lit):
+            key = str(arg.value)
+        else:
+            raise NotImplementedError(
+                "geof units argument must be an IRI or string literal"
+            )
+        key = re.split(r"[/#]", key)[-1].lower()
+        if key == "radian":
+            return "radian", None
+        if key not in _SPATIAL_UNITS:
+            raise NotImplementedError(f"geof unit {key!r}")
+        return _SPATIAL_UNITS[key]
+
+    def _geof(self, name: str, e: Func):
+        """GeoSPARQL filter functions the reference's SPARQL entry point
+        gets from geosparql-jena's FunctionRegistry but whose names are
+        absent from the SQL registry (``PostGISConfig.java`` registers
+        the sf* family + ``geof:distance`` there and nothing else from
+        §8-10): Egenhofer/RCC8 relations, 3-arg ``geof:relate``,
+        ``geof:buffer``/``envelope``/``difference`` (with uom
+        conversion), ``geof:getSRID``, and the units-IRI form of
+        ``geof:distance``.  Returns None when the plain registry path
+        already serves the name."""
+        from .functions import relate as REL
+        from .functions import transforms2 as T2
+        from .functions import vector as V
+
+        args = e.args
+
+        def geom(i):
+            c, k = self.compile(args[i])
+            if k != "geom":
+                c = REG.REGISTRY["st_geomfromtext"][0](c.cast("string"))
+            return c
+
+        if name in _EH_RCC8:
+            return (
+                REL.st_relate_match(geom(0), geom(1), F.lit(_EH_RCC8[name])),
+                "plain",
+            )
+        if name == "ehmeet":
+            return REG.REGISTRY["st_touches"][0](geom(0), geom(1)), "plain"
+        if name == "relate" and len(args) == 3:
+            # geof:relate(g1, g2, "DE-9IM pattern") → boolean; the 2-arg
+            # matrix form falls through to the registry's st_relate
+            pat = self.compile(args[2])[0].cast("string")
+            return REL.st_relate_match(geom(0), geom(1), pat), "plain"
+        if name == "envelope":
+            return V.st_envelope(geom(0)), "geom"
+        if name == "difference":
+            return V.st_difference(geom(0), geom(1)), "geom"
+        if name == "buffer":
+            if len(args) != 3:
+                raise NotImplementedError(
+                    "geof:buffer takes (geom, radius, unitsIRI)"
+                )
+            unit, m_per = self._uom(args[2])
+            dist = self.compile(args[1])[0].try_cast("double")
+            # CRS84 data: angular radii pass through, linear radii convert
+            # on the mean-radius sphere (same convention as the spatial:*
+            # property functions and geof:distance's geographic dispatch)
+            if unit == "radian":
+                dist = dist * F.lit(180.0 / math.pi)
+            elif unit != "degree":
+                dist = dist * F.lit(m_per / _M_PER_DEG)
+            return T2.st_buffer(geom(0), dist), "geom"
+        if name == "getsrid":
+            # PropertyTable WKT carries no <srsURI> prefix → the
+            # GeoSPARQL default CRS (OGC 11-052r4 req 10)
+            return (
+                F.lit("http://www.opengis.net/def/crs/OGC/1.3/CRS84"),
+                "plain",
+            )
+        if (
+            name == "geof_distance"
+            and len(args) == 3
+            and isinstance(args[2], (Iri, Lit))
+            and not (
+                isinstance(args[2], Lit)
+                and isinstance(args[2].value, (int, float))
+            )
+        ):
+            # units-IRI third argument (the geosparql-jena signature);
+            # a numeric literal keeps the registry's SRID-dispatch form
+            unit, m_per = self._uom(args[2])
+            if unit in ("degree", "radian"):
+                planar = REG.REGISTRY["st_distance"][0](geom(0), geom(1))
+                if unit == "radian":
+                    planar = planar * F.lit(math.pi / 180.0)
+                return planar, "plain"
+            metres = REG.REGISTRY["geof_distance"][0](
+                geom(0), geom(1), F.lit(4326)
+            )
+            return metres / F.lit(m_per), "plain"
+        return None
 
     @staticmethod
     def _regex_pattern(pat_arg, flags_arg) -> str:

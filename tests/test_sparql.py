@@ -1343,3 +1343,179 @@ def test_describe_on_property_table(spark):
         ("urn:row:2", "http://ex.org/n", "8"),
         ("urn:row:2", "http://ex.org/val", "v2"),
     ]
+
+
+# ------------------------------------------------- geof: filter functions --
+# GeoSPARQL §8-10 filter functions beyond the sf* family — the reference's
+# SPARQL side gets these from geosparql-jena's FunctionRegistry (its SQL
+# registry never carries them); sparql.py._geof dispatches them onto the
+# DE-9IM / overlay / buffer kernels.
+
+GEOF = "http://www.opengis.net/def/function/geosparql/"
+UOM = "http://www.opengis.net/def/uom/OGC/1.0/"
+
+
+@pytest.fixture(scope="module")
+def geof_pt(spark):
+    df = spark.createDataFrame(
+        [
+            # a: point inside its polygon; b: point on the boundary;
+            # c: point far outside; d: polygon sharing an edge with a's
+            (1, "POINT (1 1)", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+            (2, "POINT (0 1)", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+            (3, "POINT (9 9)", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+            (4, "POINT (3 1)", "POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))"),
+        ],
+        "id int, pt string, poly string",
+    )
+    return S.PropertyTable(
+        df,
+        id_col="id",
+        props={
+            "http://ex.org/pt": S.PropSpec("pt", kind="wkt_point"),
+            "http://ex.org/poly": S.PropSpec("poly", kind="wkt"),
+        },
+    )
+
+
+def _geof_rows(spark, geof_pt, expr, order="?id"):
+    q = (
+        f"SELECT ?id ({expr} AS ?r) WHERE {{ "
+        "?id <http://ex.org/pt> ?p . ?id <http://ex.org/poly> ?g . } "
+        f"ORDER BY {order}"
+    )
+    return S.execute_query(spark, q, geof_pt).collect()
+
+
+def test_geof_eh_rcc8_relations(spark, geof_pt):
+    # points in their polygon's interior (ids 1, 4) → ehInside true;
+    # boundary (2) / exterior (3) false
+    rows = _geof_rows(spark, geof_pt, f"<{GEOF}ehInside>(?p, ?g)")
+    assert [r.r for r in rows] == [True, False, False, True]
+    # ehContains is the converse
+    rows = _geof_rows(spark, geof_pt, f"<{GEOF}ehContains>(?g, ?p)")
+    assert [r.r for r in rows] == [True, False, False, True]
+    # ehDisjoint only for the far point
+    rows = _geof_rows(spark, geof_pt, f"<{GEOF}ehDisjoint>(?p, ?g)")
+    assert [r.r for r in rows] == [False, False, True, False]
+    # ehMeet ≡ touches: the boundary point
+    rows = _geof_rows(spark, geof_pt, f"<{GEOF}ehMeet>(?p, ?g)")
+    assert [r.r for r in rows] == [False, True, False, False]
+
+
+def test_geof_rcc8_on_regions(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))",  # ntpp in b
+             "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+            (2, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",  # tpp (shares edge)
+             "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+            (3, "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))",  # dc
+             "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+            (4, "POLYGON ((4 0, 6 0, 6 2, 4 2, 4 0))",  # ec (edge contact)
+             "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+            (5, "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))",  # po
+             "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+        ],
+        "id int, a string, b string",
+    )
+    pt = S.PropertyTable(
+        df,
+        id_col="id",
+        props={
+            "http://ex.org/a": S.PropSpec("a", kind="wkt"),
+            "http://ex.org/b": S.PropSpec("b", kind="wkt"),
+        },
+    )
+    for fn, want in [
+        ("rcc8ntpp", [True, False, False, False, False]),
+        ("rcc8tpp", [False, True, False, False, False]),
+        ("rcc8dc", [False, False, True, False, False]),
+        ("rcc8ec", [False, False, False, True, False]),
+        ("rcc8po", [False, False, False, False, True]),
+        ("rcc8ntppi", [False] * 5),
+    ]:
+        q = (
+            f"SELECT ?id (<{GEOF}{fn}>(?x, ?y) AS ?r) WHERE {{ "
+            "?id <http://ex.org/a> ?x . ?id <http://ex.org/b> ?y . } "
+            "ORDER BY ?id"
+        )
+        got = [r.r for r in S.execute_query(spark, q, pt).collect()]
+        assert got == want, fn
+
+
+def test_geof_relate_pattern(spark, geof_pt):
+    rows = _geof_rows(spark, geof_pt, f'<{GEOF}relate>(?p, ?g, "T*F*FF***")')
+    assert [r.r for r in rows] == [True, False, False, True]
+
+
+def test_geof_envelope_difference(spark, geof_pt):
+    # envelope of the square is itself; difference with the interior point
+    # leaves the polygon untouched (mixed-dimension overlay)
+    rows = _geof_rows(
+        spark,
+        geof_pt,
+        f"geo2:ST_Area(<{GEOF}difference>(?g, ?p))"
+        f" + geo2:ST_Area(<{GEOF}envelope>(?g))",
+    )
+    assert [r.r for r in rows] == [8.0, 8.0, 8.0, 8.0]
+
+
+def test_geof_intersection_point_in_polygon(spark, geof_pt):
+    # ST_Intersection(point, polygon) is the point itself when covered
+    rows = _geof_rows(
+        spark,
+        geof_pt,
+        f"geo2:ST_AsText(<{GEOF}intersection>(?p, ?g))",
+    )
+    assert [r.r for r in rows] == [
+        "POINT (1 1)",
+        "POINT (0 1)",
+        "MULTIPOINT EMPTY",
+        "POINT (3 1)",
+    ]
+
+
+def test_geof_buffer_units(spark, geof_pt):
+    import math
+
+    # metre radius converts on the mean-radius sphere: a 111195.0797… m
+    # buffer is a 1-degree buffer; compare areas of the two spellings
+    m_per_deg = 6371008.7714 * math.pi / 180.0
+    rows = _geof_rows(
+        spark,
+        geof_pt,
+        f"geo2:ST_Area(<{GEOF}buffer>(?p, 2.0, <{UOM}degree>))"
+        f" - geo2:ST_Area(<{GEOF}buffer>(?p, {2.0 * m_per_deg!r}, <{UOM}metre>))",
+    )
+    assert all(abs(r.r) < 1e-9 for r in rows)
+    # and the degree-unit disc has the expected area (32-gon of r=2)
+    rows = _geof_rows(
+        spark, geof_pt, f"geo2:ST_Area(<{GEOF}buffer>(?p, 2.0, <{UOM}degree>))"
+    )
+    n, r = 32, 2.0
+    want = 0.5 * n * r * r * math.sin(2 * math.pi / n)
+    assert all(abs(x.r - want) < 1e-9 for x in rows)
+
+
+def test_geof_distance_units(spark, geof_pt):
+    # km result is exactly metres/1000; degree unit is planar
+    rows = _geof_rows(
+        spark,
+        geof_pt,
+        f"<{GEOF}distance>(?p, ?g, <{UOM}metre>)"
+        f" - 1000.0 * <{GEOF}distance>(?p, ?g, <{UOM}kilometre>)",
+    )
+    assert all(abs(r.r) < 1e-6 for r in rows)
+    rows = _geof_rows(
+        spark, geof_pt, f"<{GEOF}distance>(?p, ?g, <{UOM}degree>)"
+    )
+    # planar point-polygon distance: covered points → 0, far point → dist
+    assert rows[0].r == 0.0 and rows[1].r == 0.0 and rows[2].r > 0
+
+
+def test_geof_getsrid_default_crs(spark, geof_pt):
+    rows = _geof_rows(spark, geof_pt, f"<{GEOF}getSRID>(?g)")
+    assert all(
+        r.r == "http://www.opengis.net/def/crs/OGC/1.3/CRS84" for r in rows
+    )
