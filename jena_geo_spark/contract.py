@@ -3124,6 +3124,116 @@ def o_sparql_within_box() -> str:
     )
 
 
+_RCC8_MOD = 167  # ~60 squares at sf0.01 → ~1.8k relate pairs, bounded
+
+
+def q_sparql_geof_rcc8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``geof:rcc8ntpp`` through the SPARQL surface (GeoSPARQL §10 — the
+    reference gets the RCC8 family from geosparql-jena's FunctionRegistry;
+    sparql.py dispatches the DE-9IM pattern TFFTFFTTT onto the relate
+    kernel).  Squares are snapped to 20°-cell centres with exact-binary
+    half-widths (n + 0.5), so the strict-containment classification is
+    float-exact and DuckDB can mirror it with coordinate inequalities."""
+    from . import sparql as S
+
+    pts = points_from_events(spark, sf_dir).filter(
+        F.col("event_id") % _RCC8_MOD == 0
+    )
+    cx = F.floor(F.col("lon") / 20.0) * 20.0 + 10.0
+    cy = F.floor(F.col("lat") / 20.0) * 20.0 + 10.0
+    w = (F.col("event_id") % 5).cast("double") * 2.0 + 0.5
+    x0, x1 = (cx - w).cast("string"), (cx + w).cast("string")
+    y0, y1 = (cy - w).cast("string"), (cy + w).cast("string")
+    sq = pts.select(
+        "event_id",
+        F.concat(
+            F.lit("POLYGON (("),
+            x0, F.lit(" "), y0, F.lit(", "),
+            x1, F.lit(" "), y0, F.lit(", "),
+            x1, F.lit(" "), y1, F.lit(", "),
+            x0, F.lit(" "), y1, F.lit(", "),
+            x0, F.lit(" "), y0,
+            F.lit("))"),
+        ).alias("wkt"),
+    )
+    EX = "http://example.org/sq#"
+    ppt = S.PropertyTable(
+        sq,
+        id_col="event_id",
+        subject_prefix="urn:sq:",
+        type_iri=EX + "Square",
+        props={
+            "http://www.opengis.net/ont/geosparql#asWKT": S.PropSpec(
+                "wkt", kind="wkt"
+            )
+        },
+    )
+    q = (
+        "PREFIX sq: <http://example.org/sq#> "
+        "PREFIX geof: <http://www.opengis.net/def/function/geosparql/> "
+        "SELECT ?a ?b WHERE { "
+        "?a a sq:Square . ?a geo:asWKT ?wa . "
+        "?b a sq:Square . ?b geo:asWKT ?wb . "
+        "FILTER(geof:rcc8ntpp(?wa, ?wb)) }"
+    )
+    return S.execute_query(spark, q, ppt)
+
+
+def o_sparql_geof_rcc8() -> str:
+    # NTPP of axis-aligned squares = strict containment on all four
+    # sides; centres (20°-cell midpoints) and half-widths (n + 0.5) are
+    # exact binary doubles, so the inequalities are float-safe
+    sq = (
+        f"sq AS (SELECT event_id, "
+        f"floor(lon / 20.0) * 20.0 + 10.0 AS cx, "
+        f"floor(lat / 20.0) * 20.0 + 10.0 AS cy, "
+        f"(event_id % 5)::DOUBLE * 2.0 + 0.5 AS w "
+        f"FROM pts WHERE event_id % {_RCC8_MOD} = 0)"
+    )
+    return (
+        f"WITH {_PTS_CTE}, {sq} "
+        "SELECT 'urn:sq:' || CAST(a.event_id AS VARCHAR) AS a, "
+        "'urn:sq:' || CAST(b.event_id AS VARCHAR) AS b "
+        "FROM sq a JOIN sq b ON "
+        "a.cx - a.w > b.cx - b.w AND a.cx + a.w < b.cx + b.w AND "
+        "a.cy - a.w > b.cy - b.w AND a.cy + a.w < b.cy + b.w"
+    )
+
+
+def q_sparql_geof_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The units-IRI form of ``geof:distance`` (geosparql-jena signature:
+    geom × geom × uom) — great-circle metres on the mean-radius sphere
+    divided by the kilometre factor, then §17.4.4 ROUND (ties toward
+    +inf, hence the oracle's floor(x + 0.5))."""
+    from . import sparql as S
+
+    q = (
+        "PREFIX ev: <http://example.org/ev#> "
+        "PREFIX geof: <http://www.opengis.net/def/function/geosparql/> "
+        "PREFIX uom: <http://www.opengis.net/def/uom/OGC/1.0/> "
+        "SELECT ?s (ROUND(geof:distance(?w, \"POINT (8.2835 49.9928)\", "
+        "uom:kilometre)) AS ?dkm) "
+        "WHERE { ?s a ev:Event . ?s geo:asWKT ?w . }"
+    )
+    return S.execute_query(spark, q, _events_pt(spark, sf_dir))
+
+
+def o_sparql_geof_distance() -> str:
+    lam2, phi2 = "radians(8.2835::DOUBLE)", "radians(49.9928::DOUBLE)"
+    vin = (
+        f"6371008.7714 * atan2(sqrt("
+        f"(cos({phi2}) * sin({lam2} - radians(lon))) * (cos({phi2}) * sin({lam2} - radians(lon)))"
+        f" + (cos(radians(lat)) * sin({phi2}) - sin(radians(lat)) * cos({phi2}) * cos({lam2} - radians(lon)))"
+        f" * (cos(radians(lat)) * sin({phi2}) - sin(radians(lat)) * cos({phi2}) * cos({lam2} - radians(lon)))"
+        f"), sin(radians(lat)) * sin({phi2}) + cos(radians(lat)) * cos({phi2}) * cos({lam2} - radians(lon)))"
+    )
+    return (
+        f"WITH {_PTS_CTE} "
+        f"SELECT 'urn:ev:' || CAST(event_id AS VARCHAR) AS s, "
+        f"floor({vin} / 1000.0 + 0.5) AS dkm FROM pts"
+    )
+
+
 QUERIES = {
     # ---- the driver's correctness gate samples the FIRST 50 entries.
     # r4 rotation (VERDICT r3 ask #2): the first block is every query that
@@ -3134,7 +3244,7 @@ QUERIES = {
     # representative per operator family from SURVEY §2 and the LLM
     # pipeline table.  Entries past 50 stay oracle-gated by pytest
     # (tests/test_driver_contract.py runs ALL entries, bit-exact).
-    # -- never-driver-run (30) --
+    # -- never-driver-run (32) --
     "sparql_knn": q_sparql_knn,
     "sparql_nearby_km": q_sparql_nearby_km,
     "sparql_within_box": q_sparql_within_box,
@@ -3165,7 +3275,9 @@ QUERIES = {
     "geo_angle": q_geo_angle,
     "geo_perimeter": q_geo_perimeter,
     "sparql_agg_distinct": q_sparql_agg_distinct,
-    # -- family representatives (20) --
+    "sparql_geof_rcc8": q_sparql_geof_rcc8,
+    "sparql_geof_distance": q_sparql_geof_distance,
+    # -- family representatives (18) --
     "geo_cluster_within": q_geo_cluster_within,
     "doc_dedup_groups": q_doc_dedup_groups,
     "geo_polygon_join": q_geo_polygon_join,
@@ -3173,7 +3285,6 @@ QUERIES = {
     "geo_knn_frames": q_geo_knn_frames,
     "raster_zonal_stats": q_raster_zonal_stats,
     "raster_map_algebra": q_raster_map_algebra,
-    "raster_value_rel": q_raster_value_rel,
     "stream_tile_hist": q_stream_tile_hist,
     "geo_pip_join": q_geo_pip_join,
     "geo_bbox_filter": q_geo_bbox_filter,
@@ -3184,11 +3295,12 @@ QUERIES = {
     "sparql_agg_group": q_sparql_agg_group,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
     "doc_minhash_pairs": q_doc_minhash_pairs,
-    "doc_token_stats": q_doc_token_stats,
     "emb_topk": q_emb_topk,
     # ---- tail (sampled-out this round; every family above keeps a green
     # representative, and each of these has an r3 driver row or a pytest
     # oracle gate) ----
+    "doc_token_stats": q_doc_token_stats,
+    "raster_value_rel": q_raster_value_rel,
     "temporal_allen": q_temporal_allen,
     "geo_editors": q_geo_editors,
     "geo_line_locate": q_geo_line_locate,
@@ -3284,6 +3396,8 @@ ORACLES = {
     "sparql_describe": o_sparql_describe(),
     "sparql_nearby_km": o_sparql_nearby_km(),
     "sparql_within_box": o_sparql_within_box(),
+    "sparql_geof_rcc8": o_sparql_geof_rcc8(),
+    "sparql_geof_distance": o_sparql_geof_distance(),
     "sparql_group_concat": o_sparql_group_concat(),
     "geo_affine": o_geo_affine(),
     "geo_dump_points": o_geo_dump_points(),

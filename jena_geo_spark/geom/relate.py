@@ -226,6 +226,17 @@ def _sweep_samples(g, other):
             yield px, py, 1, (0 if dim0 else 1)
 
 
+def _boundary_dim(g) -> int:
+    """Exact boundary dimension: 1 for areal, 0 for lineal with mod-2
+    boundary points (F for closed rings), F for puntal."""
+    d = _dim_class(g)
+    if d == 2:
+        return 1
+    if d == 1:
+        return 0 if _line_boundary_points(g) else _F
+    return _F
+
+
 def relate(ga, gb) -> str:
     """DE-9IM matrix string of two geometries (II IB IE BI BB BE EI EB EE).
 
@@ -243,7 +254,8 @@ def relate(ga, gb) -> str:
     # ST_Relate('POINT EMPTY', poly) = 'FFFFFF212'.  (Boundary dim for a
     # closed line is empty by the mod-2 rule — simplified to the open-line
     # 0 here, documented.)
-    ea, eb = len(ga.all_coords()) == 0, len(gb.all_coords()) == 0
+    ca, cb = ga.all_coords(), gb.all_coords()
+    ea, eb = len(ca) == 0, len(cb) == 0
     if ea or eb:
         _bdim = {0: _F, 1: 0, 2: 1}
         if not ea:  # A nonempty → its I/B intersect B's exterior
@@ -253,6 +265,25 @@ def relate(ga, gb) -> str:
             m[2][0] = db
             m[2][1] = _bdim[db]
         return "".join("F" if v == _F else str(v) for row in m for v in row)
+
+    # envelope short-circuit (what JTS RelateOp gets from its envelope
+    # check): strictly disjoint bounding boxes determine every entry
+    # without sweeping — I/B of each side fall entirely in the other's
+    # exterior.  Strict < so touching envelopes (possible corner contact)
+    # still take the exact sweep.  This is what makes scattered-pair
+    # relate batches (the rcc8*/eh* join families) scale: the common
+    # far-apart pair costs two bbox reductions, not a quadratic sweep.
+    if (
+        float(ca[:, 0].max()) < float(cb[:, 0].min())
+        or float(cb[:, 0].max()) < float(ca[:, 0].min())
+        or float(ca[:, 1].max()) < float(cb[:, 1].min())
+        or float(cb[:, 1].max()) < float(ca[:, 1].min())
+    ):
+        m[0][2] = da
+        m[1][2] = _boundary_dim(ga)
+        m[2][0] = db
+        m[2][1] = _boundary_dim(gb)
+        return "".join(_dimch(m[r][c]) for r in range(3) for c in range(3))
 
     # sweep A against B → (I/B of A) row × located column in B
     for px, py, role, dim in _sweep_samples(ga, gb):
