@@ -3234,6 +3234,71 @@ def o_sparql_geof_distance() -> str:
     )
 
 
+def q_sparql_spatialf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jena-spatial filter functions (``spatialF:`` — the second library
+    the reference's ``GeoSPARQLConfig.setupMemoryIndex()`` registers,
+    PostGISConfig.java:812): ``greatCircle`` (lat-lon spherical Vincenty
+    in kilometres) and ``azimuth`` (great-circle forward azimuth,
+    clockwise from north).  km rounded to 3 dp (≡ the whole-metre
+    libm-absorption pattern), azimuth in radians rounded to 1e-9 (the
+    geo_azimuth pattern; the degrees form is pytest-gated)."""
+    from . import sparql as S
+
+    pts = points_from_events(spark, sf_dir).select(
+        "event_id", "lon", "lat"
+    )
+    EX = "http://example.org/ev#"
+    ppt = S.PropertyTable(
+        pts,
+        id_col="event_id",
+        subject_prefix="urn:ev:",
+        type_iri=EX + "Event",
+        props={
+            EX + "lon": S.PropSpec("lon"),
+            EX + "lat": S.PropSpec("lat"),
+        },
+    )
+    q = (
+        "PREFIX ev: <http://example.org/ev#> "
+        "PREFIX spatialF: <http://jena.apache.org/function/spatial#> "
+        "PREFIX uom: <http://www.opengis.net/def/uom/OGC/1.0/> "
+        "SELECT ?s "
+        "(spatialF:greatCircle(?la, ?lo, 49.9928, 8.2835, uom:kilometre) AS ?gc) "
+        "(spatialF:azimuth(?la, ?lo, 49.9928, 8.2835) AS ?az) "
+        "WHERE { ?s a ev:Event . ?s ev:lon ?lo . ?s ev:lat ?la . }"
+    )
+    res = S.execute_query(spark, q, ppt)
+    return res.select(
+        "s",
+        F.round(F.col("gc"), 3).alias("gc_km"),
+        F.round(F.col("az"), 9).alias("az_rad"),
+    )
+
+
+def o_sparql_spatialf() -> str:
+    lam2, phi2 = "radians(8.2835::DOUBLE)", "radians(49.9928::DOUBLE)"
+    sin_dl = f"sin({lam2} - radians(lon))"
+    cos_dl = f"cos({lam2} - radians(lon))"
+    y = f"(cos({phi2}) * {sin_dl})"
+    x = (
+        f"(cos(radians(lat)) * sin({phi2}) - "
+        f"sin(radians(lat)) * cos({phi2}) * {cos_dl})"
+    )
+    vin = (
+        f"6371008.7714 * atan2(sqrt({y} * {y} + {x} * {x}), "
+        f"sin(radians(lat)) * sin({phi2}) + "
+        f"cos(radians(lat)) * cos({phi2}) * {cos_dl})"
+    )
+    az = f"atan2({y}, {x})"
+    az_n = f"CASE WHEN {az} < 0 THEN {az} + 2 * pi() ELSE {az} END"
+    return (
+        f"WITH {_PTS_CTE} "
+        f"SELECT 'urn:ev:' || CAST(event_id AS VARCHAR) AS s, "
+        f"round({vin} / 1000.0, 3) AS gc_km, "
+        f"round({az_n}, 9) AS az_rad FROM pts"
+    )
+
+
 QUERIES = {
     # ---- the driver's correctness gate samples the FIRST 50 entries.
     # r4 rotation (VERDICT r3 ask #2): the first block is every query that
@@ -3244,7 +3309,7 @@ QUERIES = {
     # representative per operator family from SURVEY §2 and the LLM
     # pipeline table.  Entries past 50 stay oracle-gated by pytest
     # (tests/test_driver_contract.py runs ALL entries, bit-exact).
-    # -- never-driver-run (32) --
+    # -- never-driver-run (33) --
     "sparql_knn": q_sparql_knn,
     "sparql_nearby_km": q_sparql_nearby_km,
     "sparql_within_box": q_sparql_within_box,
@@ -3277,7 +3342,8 @@ QUERIES = {
     "sparql_agg_distinct": q_sparql_agg_distinct,
     "sparql_geof_rcc8": q_sparql_geof_rcc8,
     "sparql_geof_distance": q_sparql_geof_distance,
-    # -- family representatives (18) --
+    "sparql_spatialf": q_sparql_spatialf,
+    # -- family representatives (17) --
     "geo_cluster_within": q_geo_cluster_within,
     "doc_dedup_groups": q_doc_dedup_groups,
     "geo_polygon_join": q_geo_polygon_join,
@@ -3293,12 +3359,12 @@ QUERIES = {
     "geo_overlay_halfplane": q_geo_overlay_halfplane,
     "sparql_bgp_join": q_sparql_bgp_join,
     "sparql_agg_group": q_sparql_agg_group,
-    "doc_jaccard_pairs": q_doc_jaccard_pairs,
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "emb_topk": q_emb_topk,
     # ---- tail (sampled-out this round; every family above keeps a green
     # representative, and each of these has an r3 driver row or a pytest
     # oracle gate) ----
+    "doc_jaccard_pairs": q_doc_jaccard_pairs,
     "doc_token_stats": q_doc_token_stats,
     "raster_value_rel": q_raster_value_rel,
     "temporal_allen": q_temporal_allen,
@@ -3398,6 +3464,7 @@ ORACLES = {
     "sparql_within_box": o_sparql_within_box(),
     "sparql_geof_rcc8": o_sparql_geof_rcc8(),
     "sparql_geof_distance": o_sparql_geof_distance(),
+    "sparql_spatialf": o_sparql_spatialf(),
     "sparql_group_concat": o_sparql_group_concat(),
     "geo_affine": o_geo_affine(),
     "geo_dump_points": o_geo_dump_points(),

@@ -602,6 +602,28 @@ def st_transform(b: pd.Series, from_srid: pd.Series, to_srid: pd.Series) -> pd.S
 
 
 @pandas_udf(DoubleType())
+def st_greatcircle_m(
+    lon1: pd.Series, lat1: pd.Series, lon2: pd.Series, lat2: pd.Series
+) -> pd.Series:
+    """Spherical Vincenty great-circle metres over coordinate columns —
+    ``spatialF:greatCircle``'s documented formula (geosparql-jena
+    ``GreatCircleDistance`` "Vincenty formula"; the same kernel the
+    distance dispatch's geographic branch uses).  Not a registry entry:
+    the reference's SQL surface has no such name — this backs the
+    jena-spatial filter-function dispatch in sparql.py only."""
+    from ..geom import kernel as K
+
+    return pd.Series(
+        K.vincenty_m(
+            lon1.to_numpy(np.float64),
+            lat1.to_numpy(np.float64),
+            lon2.to_numpy(np.float64),
+            lat2.to_numpy(np.float64),
+        )
+    )
+
+
+@pandas_udf(DoubleType())
 def st_azimuth(x1: pd.Series, y1: pd.Series, x2: pd.Series, y2: pd.Series) -> pd.Series:
     """Great-circle azimuth in radians clockwise from north, [0, 2π) —
     the reference delegates to jena-geosparql's spherical

@@ -165,6 +165,11 @@ _EH_RCC8 = {
 # geof:buffer radius and a geof:distance result agree with each other.
 _M_PER_DEG = 6371008.7714 * math.pi / 180.0
 
+# jena-spatial filter-function namespace — registered in the reference by
+# GeoSPARQLConfig.setupMemoryIndex() (PostGISConfig.java:812) from
+# geosparql-jena 1.1.2's spatial.filter_functions package
+SPATIALF_NS = "http://jena.apache.org/function/spatial#"
+
 
 # ------------------------------------------------------------- turtle reader --
 
@@ -1664,6 +1669,10 @@ class _ExprCompiler:
             return c.try_cast(cast), "plain"
         name = _registry_name(e.iri)
         name = _SF_FUNC.get(name, name)
+        if e.iri.startswith(SPATIALF_NS):
+            got = self._spatialf(name, e)
+            if got is not None:
+                return got
         if e.iri.startswith(BUILTIN_PREFIXES["geof"]):
             name = _GEOF_ALIAS.get(name, name)
             if "geof_" + name in REG.REGISTRY:
@@ -1795,6 +1804,116 @@ class _ExprCompiler:
                 geom(0), geom(1), F.lit(4326)
             )
             return metres / F.lit(m_per), "plain"
+        return None
+
+    def _spatialf(self, name: str, e: Func):
+        """jena-spatial filter functions (``spatialF:`` —
+        ``http://jena.apache.org/function/spatial#``), the second function
+        library ``GeoSPARQLConfig.setupMemoryIndex()`` registers in the
+        reference (PostGISConfig.java:812).  Coordinate-pair functions
+        take Jena's (lat, lon) argument order; geometry distances reuse
+        the SRID-keyed dispatch (vertex-pair spherical Vincenty on the
+        geographic branch); radius/distance units default to kilometres
+        (geosparql-jena's spatial default).  Returns None for unknown
+        names (→ precise registry KeyError downstream)."""
+        from .functions import transform as TRF
+
+        args = e.args
+        two_pi = 2.0 * math.pi
+
+        def num(i):
+            return self.compile(args[i])[0].try_cast("double")
+
+        def snum(i):
+            return num(i).cast("string")
+
+        def geom(i):
+            c, k = self.compile(args[i])
+            if k != "geom":
+                c = REG.REGISTRY["st_geomfromtext"][0](c.cast("string"))
+            return c
+
+        def m_per(i, default=1000.0):
+            if i >= len(args):
+                return default
+            unit, per = self._uom(args[i])
+            if per is None:
+                raise NotImplementedError(
+                    f"spatialF:{name} needs a linear unit"
+                )
+            return per
+
+        if name == "equals" and len(args) == 2:
+            return REG.REGISTRY["st_equals"][0](geom(0), geom(1)), "plain"
+        if name == "convertlatlon":
+            return (
+                F.concat(
+                    F.lit("POINT ("), snum(1), F.lit(" "), snum(0), F.lit(")")
+                ),
+                "wkt",
+            )
+        if name == "convertlatlonbox":
+            la0, lo0, la1, lo1 = snum(0), snum(1), snum(2), snum(3)
+            return (
+                F.concat(
+                    F.lit("POLYGON (("),
+                    lo0, F.lit(" "), la0, F.lit(", "),
+                    lo1, F.lit(" "), la0, F.lit(", "),
+                    lo1, F.lit(" "), la1, F.lit(", "),
+                    lo0, F.lit(" "), la1, F.lit(", "),
+                    lo0, F.lit(" "), la0,
+                    F.lit("))"),
+                ),
+                "wkt",
+            )
+        if name in ("azimuth", "azimuthdeg"):
+            # (lat1, lon1, lat2, lon2) → great-circle forward azimuth,
+            # clockwise from north in [0, 2π)
+            az = TRF.st_azimuth(num(1), num(0), num(3), num(2))
+            return (F.degrees(az) if name == "azimuthdeg" else az), "plain"
+        if name in ("angle", "angledeg"):
+            # (x1, y1, x2, y2) → planar angle clockwise from the y-axis
+            # (north) in [0, 2π): atan2(dx, dy), pure Catalyst
+            a = F.atan2(num(2) - num(0), num(3) - num(1))
+            a = F.when(a < 0, a + F.lit(two_pi)).otherwise(a)
+            return (F.degrees(a) if name == "angledeg" else a), "plain"
+        if name == "greatcircle":
+            # (lat1, lon1, lat2, lon2, units) — spherical Vincenty
+            m = TRF.st_greatcircle_m(num(1), num(0), num(3), num(2))
+            return m / F.lit(m_per(4)), "plain"
+        if name == "greatcirclegeom":
+            m = REG.REGISTRY["geof_distance"][0](
+                geom(0), geom(1), F.lit(4326)
+            )
+            return m / F.lit(m_per(2)), "plain"
+        if name == "nearby" and 3 <= len(args) <= 4:
+            m = REG.REGISTRY["geof_distance"][0](
+                geom(0), geom(1), F.lit(4326)
+            )
+            return m / F.lit(m_per(3)) <= num(2), "plain"
+        if name == "distance" and 2 <= len(args) <= 3:
+            if len(args) == 3:
+                got = self._geof("geof_distance", e)
+                if got is not None:
+                    return got
+            return (
+                REG.REGISTRY["geof_distance"][0](geom(0), geom(1), F.lit(4326)),
+                "plain",
+            )
+        if name in ("transform", "transformsrs", "transformdatum"):
+            # transform(geom[, datatypeURI], srsURI) — WKT literals are
+            # CRS84, so the source SRS is always 4326 here; the target is
+            # the trailing EPSG code of the SRS URI
+            srs = args[-1]
+            key = srs.iri if isinstance(srs, Iri) else str(srs.value)
+            tail = re.split(r"[/#:]", key)[-1]
+            srid = 4326 if tail.upper() == "CRS84" else int(tail)
+            return (
+                REG.REGISTRY["st_transform"][0](
+                    geom(0), F.lit(4326), F.lit(srid)
+                ),
+                "geom",
+            )
         return None
 
     @staticmethod

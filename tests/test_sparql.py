@@ -1519,3 +1519,106 @@ def test_geof_getsrid_default_crs(spark, geof_pt):
     assert all(
         r.r == "http://www.opengis.net/def/crs/OGC/1.3/CRS84" for r in rows
     )
+
+
+# ------------------------------------------------ spatialF: filter funcs --
+# jena-spatial filter functions (the second library the reference's
+# GeoSPARQLConfig.setupMemoryIndex() registers, PostGISConfig.java:812).
+
+SF = "http://jena.apache.org/function/spatial#"
+
+
+@pytest.fixture(scope="module")
+def spatialf_pt(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 8.2835, 49.9928, "POINT (8.2835 49.9928)"),
+            (2, 13.4050, 52.5200, "POINT (13.405 52.52)"),
+        ],
+        "id int, lon double, lat double, wkt string",
+    )
+    return S.PropertyTable(
+        df,
+        id_col="id",
+        props={
+            "http://ex.org/lon": S.PropSpec("lon"),
+            "http://ex.org/lat": S.PropSpec("lat"),
+            "http://www.opengis.net/ont/geosparql#asWKT": S.PropSpec(
+                "wkt", kind="wkt_point", lon="lon", lat="lat"
+            ),
+        },
+    )
+
+
+def _sf_rows(spark, spatialf_pt, expr):
+    q = (
+        f"SELECT ?id ({expr} AS ?r) WHERE {{ ?id <http://ex.org/lon> ?lo . "
+        "?id <http://ex.org/lat> ?la . ?id geo:asWKT ?w . } ORDER BY ?id"
+    )
+    return [r.r for r in S.execute_query(spark, q, spatialf_pt).collect()]
+
+
+def test_spatialf_convert_latlon(spark, spatialf_pt):
+    got = _sf_rows(spark, spatialf_pt, f"STR(<{SF}convertLatLon>(?la, ?lo))")
+    assert got == ["POINT (8.2835 49.9928)", "POINT (13.405 52.52)"]
+    box = _sf_rows(
+        spark, spatialf_pt,
+        f"STR(<{SF}convertLatLonBox>(40.0, 5.0, 55.0, 15.0))",
+    )[0]
+    assert box == (
+        "POLYGON ((5.0 40.0, 15.0 40.0, 15.0 55.0, 5.0 55.0, 5.0 40.0))"
+    )
+
+
+def test_spatialf_distance_family_consistency(spark, spatialf_pt):
+    import math
+
+    U = "http://www.opengis.net/def/uom/OGC/1.0/"
+    P = '"POINT (8.0 50.0)"'
+    dm = _sf_rows(spark, spatialf_pt, f"<{SF}distance>(?w, {P}, <{U}metre>)")
+    gck = _sf_rows(
+        spark, spatialf_pt,
+        f"<{SF}greatCircle>(?la, ?lo, 50.0, 8.0, <{U}kilometre>)",
+    )
+    gcg = _sf_rows(
+        spark, spatialf_pt,
+        f"<{SF}greatCircleGeom>(?w, {P}, <{U}kilometre>)",
+    )
+    for m, k1, k2 in zip(dm, gck, gcg):
+        assert math.isclose(m / 1000.0, k1, rel_tol=1e-12)
+        assert math.isclose(k1, k2, rel_tol=1e-12)
+    # point 1 is ~20 km from (8, 50); point 2 is ~469 km away
+    nb = _sf_rows(spark, spatialf_pt, f"<{SF}nearby>(?w, {P}, 50.0)")
+    assert nb == [True, False]
+
+
+def test_spatialf_angles(spark, spatialf_pt):
+    import math
+
+    # planar angle is clockwise from north: (0,0)→(1,1) = 45°,
+    # (0,0)→(-1,1) = 315°, (0,0)→(0,-1) = 180°
+    assert _sf_rows(spark, spatialf_pt, f"<{SF}angleDeg>(0.0, 0.0, 1.0, 1.0)")[0] == 45.0
+    assert _sf_rows(spark, spatialf_pt, f"<{SF}angleDeg>(0.0, 0.0, -1.0, 1.0)")[0] == 315.0
+    assert _sf_rows(spark, spatialf_pt, f"<{SF}angleDeg>(0.0, 0.0, 0.0, -1.0)")[0] == 180.0
+    a = _sf_rows(spark, spatialf_pt, f"<{SF}angle>(0.0, 0.0, 1.0, 1.0)")[0]
+    assert math.isclose(a, math.pi / 4, rel_tol=1e-12)
+    # azimuthDeg = degrees(azimuth), great-circle forward azimuth
+    az = _sf_rows(spark, spatialf_pt, f"<{SF}azimuth>(?la, ?lo, 50.0, 8.0)")
+    azd = _sf_rows(spark, spatialf_pt, f"<{SF}azimuthDeg>(?la, ?lo, 50.0, 8.0)")
+    for r, d in zip(az, azd):
+        assert math.isclose(math.degrees(r), d, rel_tol=1e-12)
+        assert 0.0 <= r < 2 * math.pi
+
+
+def test_spatialf_equals_and_transform(spark, spatialf_pt):
+    assert _sf_rows(spark, spatialf_pt, f"<{SF}equals>(?w, ?w)") == [True, True]
+    # CRS84 → web-mercator x = R · λ(rad); check point 1's x
+    import math
+
+    got = _sf_rows(
+        spark, spatialf_pt,
+        f"geo2:ST_X(geo2:ST_GeomFromWKB(<{SF}transformSRS>(?w, "
+        '<http://www.opengis.net/def/crs/EPSG/0/3857>)))',
+    )
+    want = 6378137.0 * math.radians(8.2835)
+    assert math.isclose(got[0], want, rel_tol=1e-9)
