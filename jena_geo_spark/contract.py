@@ -3299,6 +3299,30 @@ def o_sparql_spatialf() -> str:
     )
 
 
+def q_sparql_cardinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jena-spatial cardinal property functions (``spatial:north`` /
+    ``spatial:west`` — geosparql-jena ``SearchEnvelope.build`` spans the
+    full orthogonal axis, so each constrains one coordinate only) composed
+    on a single subject star: pure-Catalyst one-sided range filters."""
+    from . import sparql as S
+
+    q = (
+        "PREFIX ev: <http://example.org/ev#> "
+        "PREFIX spatial: <http://jena.apache.org/spatial#> "
+        "SELECT ?s ?t WHERE { ?s a ev:Event . ?s ev:type ?t . "
+        "?s spatial:north (20.0 0.0) . ?s spatial:west (0.0 -30.0) }"
+    )
+    return S.execute_query(spark, q, _events_pt(spark, sf_dir))
+
+
+def o_sparql_cardinal() -> str:
+    return (
+        f"WITH {_PTS_CTE} "
+        "SELECT 'urn:ev:' || CAST(event_id AS VARCHAR) AS s, event_type AS t "
+        "FROM pts WHERE lat >= 20.0 AND lon <= -30.0"
+    )
+
+
 QUERIES = {
     # ---- the driver's correctness gate samples the FIRST 50 entries.
     # r4 rotation (VERDICT r3 ask #2): the first block is every query that
@@ -3309,7 +3333,7 @@ QUERIES = {
     # representative per operator family from SURVEY §2 and the LLM
     # pipeline table.  Entries past 50 stay oracle-gated by pytest
     # (tests/test_driver_contract.py runs ALL entries, bit-exact).
-    # -- never-driver-run (33) --
+    # -- never-driver-run (34) --
     "sparql_knn": q_sparql_knn,
     "sparql_nearby_km": q_sparql_nearby_km,
     "sparql_within_box": q_sparql_within_box,
@@ -3343,7 +3367,8 @@ QUERIES = {
     "sparql_geof_rcc8": q_sparql_geof_rcc8,
     "sparql_geof_distance": q_sparql_geof_distance,
     "sparql_spatialf": q_sparql_spatialf,
-    # -- family representatives (17) --
+    "sparql_cardinal": q_sparql_cardinal,
+    # -- family representatives (16) --
     "geo_cluster_within": q_geo_cluster_within,
     "doc_dedup_groups": q_doc_dedup_groups,
     "geo_polygon_join": q_geo_polygon_join,
@@ -3359,11 +3384,11 @@ QUERIES = {
     "geo_overlay_halfplane": q_geo_overlay_halfplane,
     "sparql_bgp_join": q_sparql_bgp_join,
     "sparql_agg_group": q_sparql_agg_group,
-    "doc_minhash_pairs": q_doc_minhash_pairs,
     "emb_topk": q_emb_topk,
     # ---- tail (sampled-out this round; every family above keeps a green
     # representative, and each of these has an r3 driver row or a pytest
     # oracle gate) ----
+    "doc_minhash_pairs": q_doc_minhash_pairs,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
     "doc_token_stats": q_doc_token_stats,
     "raster_value_rel": q_raster_value_rel,
@@ -3465,6 +3490,7 @@ ORACLES = {
     "sparql_geof_rcc8": o_sparql_geof_rcc8(),
     "sparql_geof_distance": o_sparql_geof_distance(),
     "sparql_spatialf": o_sparql_spatialf(),
+    "sparql_cardinal": o_sparql_cardinal(),
     "sparql_group_concat": o_sparql_group_concat(),
     "geo_affine": o_geo_affine(),
     "geo_dump_points": o_geo_dump_points(),

@@ -106,7 +106,13 @@ GEO_PF = {
 SPATIAL_NS = "http://jena.apache.org/spatial#"
 SPATIAL_PF = {
     SPATIAL_NS + n: n.lower()
-    for n in ("nearby", "withinCircle", "withinBox", "intersectBox")
+    for n in (
+        "nearby", "withinCircle", "withinBox", "intersectBox",
+        "north", "south", "east", "west",
+        "nearbyGeom", "withinCircleGeom", "withinBoxGeom",
+        "intersectBoxGeom", "northGeom", "southGeom", "eastGeom",
+        "westGeom",
+    )
 }
 # unit IRI/string → (name, metres-per-unit); degree is the planar mode
 _SPATIAL_UNITS = {
@@ -2690,7 +2696,12 @@ class _GroupCompiler:
         metre units take a Catalyst TakeOrderedAndProject top-k; either
         way the data side is never shuffled.
         ``withinBox``/``intersectBox (latMin lonMin latMax lonMax)``:
-        pure-Catalyst range filter (identical predicates for points)."""
+        pure-Catalyst range filter (identical predicates for points).
+        ``north``/``south``/``east``/``west (lat lon [limit])``:
+        one-sided range filter — Jena's ``SearchEnvelope.build`` spans
+        the full orthogonal axis, so only the named axis constrains.
+        ``*Geom`` variants substitute the constant geometry literal's
+        coordinates (point) or envelope (boxes) for the numeric args."""
         frame = st["frame"]
         gv = pf.geom_var
         lon_c, lat_c = f"__lon_{gv}", f"__lat_{gv}"
@@ -2700,7 +2711,54 @@ class _GroupCompiler:
                 "lon/lat columns"
             )
         vals = pf.args
-        if pf.name in ("withinbox", "intersectbox"):
+        name = pf.name
+        if name.endswith("geom"):
+            from .geom import wkt as GW
+
+            if not vals or not isinstance(vals[0], Lit):
+                raise NotImplementedError(
+                    f"spatial:{pf.name} needs a constant geometry literal"
+                )
+            g = GW.from_wkt(str(vals[0].value))
+            coords = g.all_coords()
+            if len(coords) == 0:
+                raise ValueError(f"spatial:{pf.name}: empty geometry literal")
+            if name in ("withinboxgeom", "intersectboxgeom"):
+                vals = [
+                    Lit(float(coords[:, 1].min())),
+                    Lit(float(coords[:, 0].min())),
+                    Lit(float(coords[:, 1].max())),
+                    Lit(float(coords[:, 0].max())),
+                ]
+            else:
+                if g.kind != "point":
+                    raise NotImplementedError(
+                        f"spatial:{pf.name} needs a point literal"
+                    )
+                vals = [
+                    Lit(float(coords[0, 1])),
+                    Lit(float(coords[0, 0])),
+                ] + list(vals[1:])
+            name = name[: -len("geom")]
+        if name in ("north", "south", "east", "west"):
+            if not 2 <= len(vals) <= 3:
+                raise ValueError(
+                    f"spatial:{pf.name} takes (lat lon [limit])"
+                )
+            if len(vals) == 3:
+                raise NotImplementedError(
+                    f"spatial:{pf.name}: a result limit is unordered in "
+                    "the reference and not supported"
+                )
+            qlat, qlon = float(vals[0].value), float(vals[1].value)
+            cond = {
+                "north": F.col(lat_c) >= F.lit(qlat),
+                "south": F.col(lat_c) <= F.lit(qlat),
+                "east": F.col(lon_c) >= F.lit(qlon),
+                "west": F.col(lon_c) <= F.lit(qlon),
+            }[name]
+            return frame.filter(cond)
+        if name in ("withinbox", "intersectbox"):
             if len(vals) != 4:
                 raise NotImplementedError(
                     f"spatial:{pf.name} takes (latMin lonMin latMax lonMax); "

@@ -1622,3 +1622,49 @@ def test_spatialf_equals_and_transform(spark, spatialf_pt):
     )
     want = 6378137.0 * math.radians(8.2835)
     assert math.isclose(got[0], want, rel_tol=1e-9)
+
+
+def test_spatial_cardinal_and_geom_property_functions(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 8.0, 50.0, "POINT (8 50)"),
+            (2, -70.0, -30.0, "POINT (-70 -30)"),
+            (3, 140.0, 35.0, "POINT (140 35)"),
+        ],
+        "id int, lon double, lat double, wkt string",
+    )
+    pt = S.PropertyTable(
+        df,
+        id_col="id",
+        type_iri="http://ex.org/P",
+        props={
+            "http://www.opengis.net/ont/geosparql#asWKT": S.PropSpec(
+                "wkt", kind="wkt_point", lon="lon", lat="lat"
+            )
+        },
+    )
+
+    def run(pfcall):
+        q = (
+            "PREFIX spatial: <http://jena.apache.org/spatial#> "
+            f"SELECT ?s WHERE {{ ?s a <http://ex.org/P> . ?s {pfcall} . }} "
+            "ORDER BY ?s"
+        )
+        return [r.s for r in S.execute_query(spark, q, pt).collect()]
+
+    # Jena SearchEnvelope.build: only the named axis constrains
+    assert run("spatial:north (0.0 0.0)") == ["urn:row:1", "urn:row:3"]
+    assert run("spatial:south (0.0 0.0)") == ["urn:row:2"]
+    assert run("spatial:east (0.0 100.0)") == ["urn:row:3"]
+    assert run("spatial:west (0.0 0.0)") == ["urn:row:2"]
+    # boundary is inclusive (envelope containment)
+    assert run("spatial:north (35.0 0.0)") == ["urn:row:1", "urn:row:3"]
+    # *Geom variants substitute the literal's coords / envelope
+    assert run('spatial:northGeom ("POINT (0 34)")') == ["urn:row:1", "urn:row:3"]
+    assert run('spatial:nearbyGeom ("POINT (8.1 50.1)" 100.0)') == ["urn:row:1"]
+    assert run(
+        'spatial:withinBoxGeom ("POLYGON ((0 40, 20 40, 20 60, 0 60, 0 40))")'
+    ) == ["urn:row:1"]
+    assert run(
+        'spatial:intersectBoxGeom ("LINESTRING (130 30, 150 40)")'
+    ) == ["urn:row:3"]
