@@ -98,6 +98,13 @@ GEO_PF = {
     for n in (
         "sfWithin", "sfContains", "sfIntersects", "sfTouches",
         "sfCrosses", "sfOverlaps", "sfEquals", "sfDisjoint",
+        # Egenhofer (§9) and RCC8 (§10) property functions — same
+        # query-rewrite sugar, dispatched through the geof: filter
+        # surface's DE-9IM patterns
+        "ehEquals", "ehDisjoint", "ehMeet", "ehOverlap", "ehCovers",
+        "ehCoveredBy", "ehInside", "ehContains",
+        "rcc8eq", "rcc8dc", "rcc8ec", "rcc8po", "rcc8tppi", "rcc8tpp",
+        "rcc8ntpp", "rcc8ntppi",
     )
 }
 # jena-spatial property functions (geosparql-jena 1.1.2's second PF
@@ -2670,7 +2677,15 @@ class _GroupCompiler:
                     "property-function predicates need variable subject and object"
                 )
             args = [Var(geom_of(t.s)), Var(geom_of(t.o))]
-            out.items.append(Filter(Func(t.p.iri, args)))
+            fn_iri = t.p.iri
+            local = fn_iri.rsplit("#", 1)[-1]
+            if not local.startswith("sf"):
+                # eh*/rcc8* predicates resolve through the geof: filter
+                # function surface (DE-9IM pattern dispatch); the sf*
+                # names keep their registry spelling so the spatial
+                # cover-join rewrite still recognizes them
+                fn_iri = BUILTIN_PREFIXES["geof"] + local
+            out.items.append(Filter(Func(fn_iri, args)))
         for t in spf:
             if not isinstance(t.s, Var) or not isinstance(t.o, Coll):
                 raise NotImplementedError(

@@ -1668,3 +1668,52 @@ def test_spatial_cardinal_and_geom_property_functions(spark):
     assert run(
         'spatial:intersectBoxGeom ("LINESTRING (130 30, 150 40)")'
     ) == ["urn:row:3"]
+
+
+def test_eh_rcc8_property_function_triples(spark):
+    """``?a geo:ehInside ?b`` / ``?a geo:rcc8ntpp ?b`` triples desugar to
+    the geof: DE-9IM dispatch, like the sf* family (GeoSPARQL §9-10
+    property functions registered by GeoSPARQLConfig.setupMemoryIndex())."""
+    df = spark.createDataFrame(
+        [
+            (1, "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"),   # ntpp in 3
+            (2, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),   # tpp in 3
+            (3, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+            (4, "POLYGON ((9 9, 10 9, 10 10, 9 10, 9 9))"),  # dc from all
+        ],
+        "id int, wkt string",
+    )
+    pt = S.PropertyTable(
+        df,
+        id_col="id",
+        type_iri="http://ex.org/R",
+        props={
+            "http://www.opengis.net/ont/geosparql#asWKT": S.PropSpec(
+                "wkt", kind="wkt"
+            )
+        },
+    )
+
+    def run(pred):
+        q = (
+            "SELECT ?a ?b WHERE { ?a a <http://ex.org/R> . "
+            f"?b a <http://ex.org/R> . ?a geo:{pred} ?b . "
+            "FILTER(?a != ?b) } ORDER BY ?a ?b"
+        )
+        return [
+            (r.a, r.b) for r in S.execute_query(spark, q, pt).collect()
+        ]
+
+    assert run("rcc8ntpp") == [("urn:row:1", "urn:row:3")]
+    # square 1 shares its x=2 edge with square 2's boundary, and square 2
+    # rides square 3's x=0 / y=0 edges → both are tangential proper parts
+    assert run("rcc8tpp") == [
+        ("urn:row:1", "urn:row:2"),
+        ("urn:row:2", "urn:row:3"),
+    ]
+    assert run("ehInside") == [("urn:row:1", "urn:row:3")]
+    assert run("ehContains") == [("urn:row:3", "urn:row:1")]
+    dc = run("rcc8dc")
+    assert ("urn:row:4", "urn:row:1") in dc and ("urn:row:1", "urn:row:4") in dc
+    # sf* family still routes through the registry names
+    assert ("urn:row:1", "urn:row:3") in run("sfWithin")
