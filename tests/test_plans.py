@@ -178,3 +178,67 @@ def test_polygon_join_frames_plan_shape(spark, imgs):
     fplan = _plan(full)
     assert "BatchEvalPython" not in fplan
     assert fplan.count("ArrowEvalPython") == 1  # exact refine only
+
+
+def test_sparql_cardinal_is_pure_catalyst(spark, imgs):
+    """spatial:north/west compile to plain range filters: no Python
+    evaluation anywhere in the plan, and the range predicates reach the
+    parquet scan as PushedFilters on the lon/lat columns."""
+    from jena_geo_spark.sparql import PropSpec, PropertyTable, execute_query
+
+    pt = PropertyTable(
+        imgs,
+        id_col="image_id",
+        type_iri="http://ex.org/Img",
+        props={
+            "http://www.opengis.net/ont/geosparql#asWKT": PropSpec(
+                "geom_wkt", kind="wkt_point", lon="lon", lat="lat"
+            )
+        },
+    )
+    q = (
+        "PREFIX spatial: <http://jena.apache.org/spatial#> "
+        "SELECT ?s WHERE { ?s a <http://ex.org/Img> . "
+        "?s spatial:north (49.0 0.0) . ?s spatial:west (0.0 9.0) }"
+    )
+    df = execute_query(spark, q, pt)
+    plan = _plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "GreaterThanOrEqual(lat,49.0)" in plan  # reached the scan
+    import re
+
+    # both one-sided ranges are in the codegen'd Filter (the PushedFilters
+    # display elides its tail, so assert on the Filter node's predicates)
+    assert re.search(r"lat#\d+ >= 49\.0", plan)
+    assert re.search(r"lon#\d+ <= 9\.0", plan)
+
+
+def test_sparql_geof_relation_plan_single_python_stage(spark):
+    """An eh/rcc8 FILTER costs exactly one Arrow exchange for the DE-9IM
+    UDF (plus the WKT→WKB coercions batched in a sibling stage) — the
+    relation itself never forces a shuffle of either side."""
+    from jena_geo_spark.sparql import PropSpec, PropertyTable, execute_query
+
+    d = datagen.ensure_dataset(0.001)
+    zones = spark.read.parquet(f"{d}/zones.parquet")
+    pt = PropertyTable(
+        zones,
+        id_col="zone_id",
+        type_iri="http://ex.org/Zone",
+        props={
+            "http://www.opengis.net/ont/geosparql#asWKT": PropSpec(
+                "geom_wkt", kind="wkt"
+            )
+        },
+    )
+    q = (
+        "SELECT ?a ?b WHERE { ?a a <http://ex.org/Zone> . "
+        "?b a <http://ex.org/Zone> . ?a geo:ehOverlap ?b . "
+        "FILTER(?a != ?b) }"
+    )
+    plan = _plan(execute_query(spark, q, pt))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    # st_relate_match is evaluated once (one ArrowEvalPython carries it)
+    assert plan.count("st_relate_match") - plan.count(
+        "st_relate_match(") <= plan.count("ArrowEvalPython")
