@@ -193,3 +193,45 @@ def test_shortcircuit_translation_consistency(pa, pb):
     bboxes just barely stop overlapping (strict-inequality boundary)."""
     far = W.Geom("polygon", [np.asarray(pb.exterior()) + 1000.0])
     assert R.relate(pa, far) == "FF2FF1212"
+
+
+@settings(max_examples=60, deadline=None)
+@given(convex_polygon(), polyline())
+def test_relate_overlay_cross_kernel_consistency(poly, line):
+    """relate() and the mixed overlay are built from the same exact
+    primitives but composed differently — their verdicts must agree:
+    intersects ⇔ non-empty intersection, coveredBy ⇔ empty difference."""
+    inter = M.overlay_mixed(line, poly, "intersection")
+    diff = M.overlay_mixed(line, poly, "difference")
+    assert R.intersects(line, poly) == (not _is_empty_g(inter))
+    assert R.covered_by(line, poly) == _is_empty_g(diff)
+
+
+@settings(max_examples=60, deadline=None)
+@given(convex_polygon(), st.lists(point, min_size=1, max_size=5, unique=True))
+def test_relate_overlay_consistency_puntal(poly, pts):
+    mp = W.Geom("multipoint", [np.array(pts, dtype=np.float64)])
+    inter = M.overlay_mixed(mp, poly, "intersection")
+    diff = M.overlay_mixed(mp, poly, "difference")
+    assert R.intersects(mp, poly) == (not _is_empty_g(inter))
+    assert R.covered_by(mp, poly) == _is_empty_g(diff)
+
+
+def _is_empty_g(g) -> bool:
+    return len(g.all_coords()) == 0
+
+
+def test_mixed_overlay_empty_inputs():
+    POLY4 = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+    cases = [
+        ("POINT EMPTY", POLY4, "intersection", "MULTIPOINT EMPTY"),
+        ("POINT EMPTY", POLY4, "union", POLY4),
+        ("POINT (1 1)", "POLYGON EMPTY", "difference", "POINT (1 1)"),
+        ("POINT (1 1)", "POLYGON EMPTY", "intersection", "MULTIPOINT EMPTY"),
+        ("LINESTRING (0 0, 3 3)", "POLYGON EMPTY", "union", "LINESTRING (0 0, 3 3)"),
+        ("LINESTRING EMPTY", POLY4, "intersection", "MULTILINESTRING EMPTY"),
+        ("POINT EMPTY", "POINT EMPTY", "union", "MULTIPOINT EMPTY"),
+    ]
+    for a, b, op, want in cases:
+        got = W.to_wkt(M.overlay_mixed(W.from_wkt(a), W.from_wkt(b), op))
+        assert got == want, (a, op, b, got, want)
