@@ -2996,6 +2996,56 @@ def o_sparql_nested_path() -> str:
     )
 
 
+def q_sparql_nps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negated property set ``!(t:l|^t:r)`` over the nation binary tree
+    (SPARQL 1.1 §9.1; ARQ evaluates these with P_NegPropSet in
+    jena-arq PathEval).  The forward branch matches every edge whose
+    predicate is NOT t:l (= the right-child edges); the inverse branch
+    matches every INVERSE edge whose predicate is not t:r (= the
+    left-child edges, child→parent).  Desugars to a variable-predicate
+    explode + anti-isin FILTER UNION, no driver-side evaluation."""
+    from . import sparql as S
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cnt = nation.count()
+    tree = nation.select(
+        F.col("n_nationkey").alias("k"),
+        F.when(
+            F.col("n_nationkey") * 2 + 1 < cnt,
+            F.concat(F.lit("urn:n:"), (F.col("n_nationkey") * 2 + 1).cast("string")),
+        ).alias("l"),
+        F.when(
+            F.col("n_nationkey") * 2 + 2 < cnt,
+            F.concat(F.lit("urn:n:"), (F.col("n_nationkey") * 2 + 2).cast("string")),
+        ).alias("r"),
+    )
+    EX = "http://example.org/tree#"
+    pt = S.PropertyTable(
+        tree,
+        id_col="k",
+        subject_prefix="urn:n:",
+        props={EX + "l": S.PropSpec("l"), EX + "r": S.PropSpec("r")},
+    )
+    q = (
+        "PREFIX t: <http://example.org/tree#> "
+        "SELECT ?a ?b WHERE { ?a !(t:l|^t:r) ?b }"
+    )
+    return S.execute_query(spark, q, pt)
+
+
+def o_sparql_nps() -> str:
+    return (
+        "WITH n AS (SELECT COUNT(*) AS cnt FROM nation) "
+        "SELECT 'urn:n:' || CAST(n_nationkey AS VARCHAR) AS a, "
+        "'urn:n:' || CAST(2 * n_nationkey + 2 AS VARCHAR) AS b "
+        "FROM nation, n WHERE 2 * n_nationkey + 2 < cnt "
+        "UNION "
+        "SELECT 'urn:n:' || CAST(2 * n_nationkey + 1 AS VARCHAR) AS a, "
+        "'urn:n:' || CAST(n_nationkey AS VARCHAR) AS b "
+        "FROM nation, n WHERE 2 * n_nationkey + 1 < cnt"
+    )
+
+
 def q_sparql_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DESCRIBE over the nation binary-tree PropertyTable (SPARQL 1.1
     §16.4, subject-rooted bounded description): resources = every node
@@ -3333,7 +3383,7 @@ QUERIES = {
     # representative per operator family from SURVEY §2 and the LLM
     # pipeline table.  Entries past 50 stay oracle-gated by pytest
     # (tests/test_driver_contract.py runs ALL entries, bit-exact).
-    # -- never-driver-run (34) --
+    # -- never-driver-run (35) --
     "sparql_knn": q_sparql_knn,
     "sparql_nearby_km": q_sparql_nearby_km,
     "sparql_within_box": q_sparql_within_box,
@@ -3356,6 +3406,7 @@ QUERIES = {
     "sparql_construct": q_sparql_construct,
     "sparql_seq_path": q_sparql_seq_path,
     "sparql_nested_path": q_sparql_nested_path,
+    "sparql_nps": q_sparql_nps,
     "sparql_describe": q_sparql_describe,
     "geo_triangle_centroid": q_geo_triangle_centroid,
     "geo_densify_points": q_geo_densify_points,
@@ -3368,7 +3419,7 @@ QUERIES = {
     "sparql_geof_distance": q_sparql_geof_distance,
     "sparql_spatialf": q_sparql_spatialf,
     "sparql_cardinal": q_sparql_cardinal,
-    # -- family representatives (16) --
+    # -- family representatives (15) --
     "geo_cluster_within": q_geo_cluster_within,
     "doc_dedup_groups": q_doc_dedup_groups,
     "geo_polygon_join": q_geo_polygon_join,
@@ -3383,11 +3434,11 @@ QUERIES = {
     "geo_semi_anti": q_geo_semi_anti,
     "geo_overlay_halfplane": q_geo_overlay_halfplane,
     "sparql_bgp_join": q_sparql_bgp_join,
-    "sparql_agg_group": q_sparql_agg_group,
     "emb_topk": q_emb_topk,
     # ---- tail (sampled-out this round; every family above keeps a green
     # representative, and each of these has an r3 driver row or a pytest
     # oracle gate) ----
+    "sparql_agg_group": q_sparql_agg_group,
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
     "doc_token_stats": q_doc_token_stats,
@@ -3484,6 +3535,7 @@ ORACLES = {
     "sparql_construct": o_sparql_construct(),
     "sparql_seq_path": o_sparql_seq_path(),
     "sparql_nested_path": o_sparql_nested_path(),
+    "sparql_nps": o_sparql_nps(),
     "sparql_describe": o_sparql_describe(),
     "sparql_nearby_km": o_sparql_nearby_km(),
     "sparql_within_box": o_sparql_within_box(),

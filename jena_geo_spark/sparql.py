@@ -429,6 +429,19 @@ class PathMod:
 
 
 @dataclass
+class PathNPS:
+    """Negated property set ``!(p1|^p2|…)`` (SPARQL 1.1 §9.1 / §18.2.2.3).
+    The forward members match any triple whose predicate is NOT in
+    ``fwd``; the inverse members match any INVERSE triple whose predicate
+    is not in ``inv`` (W3C translation: ``!(F|^I)`` ≡ ``NPS(F) | ^NPS(I)``,
+    each branch present only when its member list is non-empty — except
+    ``!()`` which is the all-predicates forward match)."""
+
+    fwd: tuple  # forward IRIs excluded
+    inv: tuple  # inverse IRIs excluded
+
+
+@dataclass
 class PathClosure:
     """Group item: ``s (p1|^p2|…){mod} o`` over atomic edge predicates."""
 
@@ -495,11 +508,12 @@ _SPARQL_TOK = re.compile(
       | (?P<str>"(?:[^"\\]|\\.)*")
       | (?P<num>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
       | (?P<var>\?[A-Za-z_]\w*)
+      | (?P<bnode>_:[A-Za-z_]\w*)
       | (?P<pname>[A-Za-z_][\w.-]*:[A-Za-z_][\w-]*|[A-Za-z_][\w.-]*:|:[A-Za-z_][\w-]*|:)
       | (?P<word>[A-Za-z_][A-Za-z_0-9]*)
       | (?P<dtsep>\^\^)
       | (?P<op>&&|\|\||!=|<=|>=|[=<>!+\-*/|^?])
-      | (?P<punct>[{}().;,])
+      | (?P<punct>[{}()\[\].;,])
     """,
     re.VERBOSE,
 )
@@ -512,7 +526,7 @@ def _tokenize_sparql(text: str):
         if not m:
             raise ValueError(f"SPARQL tokenize error at {text[pos:pos+40]!r}")
         pos = m.end()
-        for name in ("iri", "str", "num", "var", "pname", "word", "dtsep", "op", "punct"):
+        for name in ("iri", "str", "num", "var", "bnode", "pname", "word", "dtsep", "op", "punct"):
             v = m.group(name)
             if v is not None:
                 if name == "iri":
@@ -602,13 +616,20 @@ class _Parser:
         # group() expands property paths into chains over fresh __pN
         # variables; a path in a CONSTRUCT template is invalid SPARQL and
         # would otherwise silently emit zero triples (fresh vars are never
-        # bound by the WHERE frame).
+        # bound by the WHERE frame).  Blank nodes in a template mean a
+        # FRESH bnode per solution (§16.2.1) — not implemented; rejecting
+        # beats silently dropping every row on the unbound existential.
         for t in template:
             for side in (t.s, t.p, t.o):
                 if isinstance(side, Var) and side.name.startswith("__p"):
                     raise ValueError(
                         "property paths are not allowed in a CONSTRUCT "
                         "template"
+                    )
+                if isinstance(side, Var) and side.name.startswith("__bn"):
+                    raise NotImplementedError(
+                        "blank nodes in a CONSTRUCT template (fresh bnode "
+                        "per solution) are not supported"
                     )
         if not self.kw("WHERE"):
             raise ValueError("CONSTRUCT without WHERE")
@@ -674,7 +695,11 @@ class _Parser:
             raise ValueError(
                 "only SELECT/ASK/CONSTRUCT/DESCRIBE queries are supported"
             )
-        distinct = self.kw("DISTINCT")
+        # REDUCED permits any duplicate elimination between none and all
+        # (§18.2.5.2) — evaluating it as DISTINCT is a conformant choice
+        # (ARQ's REDUCED drops adjacent duplicates; any cardinality in
+        # [distinct, bag] is valid)
+        distinct = self.kw("DISTINCT") or self.kw("REDUCED")
         select: list | None = []
         if self.peek() == ("op", "*"):
             self.next()
@@ -837,6 +862,10 @@ class _Parser:
         t = self.next()
         if t[0] == "var":
             return Var(t[1][1:])
+        if t[0] == "bnode":
+            # labeled blank node: an existential scoped to the query —
+            # a non-projectable variable (§18.2.1); one Var per label
+            return Var("__bn_" + t[1][2:])
         if t[0] == "iri":
             return Iri(t[1])
         if t[0] == "pname":
@@ -856,7 +885,29 @@ class _Parser:
         raise ValueError(f"unexpected term token {t}")
 
     def triples(self, g: Group):
-        s = self.term()
+        if self.peek() == ("punct", "["):
+            # BlankNodePropertyList subject: `[ p o ; … ] p2 o2 .` — the
+            # trailing predicate list is optional (Turtle/SPARQL grammar)
+            s = self._bnode_prop_list(g)
+            if self.peek() in (("punct", "."), ("punct", "}")):
+                return
+        else:
+            s = self.term()
+        self._pred_obj_list(s, g)
+
+    def _bnode_prop_list(self, g: Group) -> Var:
+        """``[ p o ; … ]`` — anonymous blank node: a fresh existential
+        variable carrying its own predicate-object list (``[]`` alone is
+        the bare anonymous node)."""
+        self.expect("punct", "[")
+        self._fresh += 1
+        v = Var(f"__bn{self._fresh}")
+        if self.peek() != ("punct", "]"):
+            self._pred_obj_list(v, g)
+        self.expect("punct", "]")
+        return v
+
+    def _pred_obj_list(self, s, g: Group):
         while True:
             p = self.path()
             while True:
@@ -868,6 +919,8 @@ class _Parser:
                         items.append(self.term())
                     self.next()
                     o = Coll(items)
+                elif self.peek() == ("punct", "["):
+                    o = self._bnode_prop_list(g)
                 else:
                     o = self.term()
                 self._expand_path(s, p, o, g)
@@ -877,7 +930,7 @@ class _Parser:
                 break
             if self.peek() == ("punct", ";"):
                 self.next()
-                if self.peek() in (("punct", "."), ("punct", "}")):
+                if self.peek() in (("punct", "."), ("punct", "}"), ("punct", "]")):
                     break
                 continue
             break
@@ -909,6 +962,9 @@ class _Parser:
             self.next()
             p = self.path()
             self.expect("punct", ")")
+        elif t == ("op", "!"):
+            self.next()
+            p = self._nps()
         elif t[0] == "iri":
             p = Iri(self.next()[1])
         elif t[0] == "pname":
@@ -923,6 +979,39 @@ class _Parser:
             self.next()
             p = PathMod(p, m[1])
         return PathInv(p) if inv else p
+
+    def _nps(self) -> "PathNPS":
+        """After ``!``: PathNegatedPropertySet — one PathOneInPropertySet
+        or a parenthesized ``|`` list of them (each ``iri | a | ^iri``)."""
+        fwd, invm = [], []
+
+        def one():
+            neg = self.peek() == ("op", "^")
+            if neg:
+                self.next()
+            tt = self.peek()
+            if tt[0] == "iri":
+                iri = self.next()[1]
+            elif tt[0] == "pname":
+                iri = self.expand(self.next()[1])
+            elif tt == ("word", "a"):
+                self.next()
+                iri = RDF_TYPE
+            else:
+                raise ValueError(f"unexpected token in !(…) property set: {tt}")
+            (invm if neg else fwd).append(iri)
+
+        if self.peek() == ("punct", "("):
+            self.next()
+            if self.peek() != ("punct", ")"):
+                one()
+                while self.peek() == ("op", "|"):
+                    self.next()
+                    one()
+            self.expect("punct", ")")
+        else:
+            one()
+        return PathNPS(tuple(fwd), tuple(invm))
 
     def _expand_path(self, s, p, o, g: Group):
         """Desugar a path triple: ^ swaps endpoints, / chains through
@@ -954,6 +1043,31 @@ class _Parser:
                 # the AST and evaluate it recursively (_path_relation)
                 edges = p.path
             g.items.append(PathClosure(s, edges, o, p.mod))
+        elif isinstance(p, PathNPS):
+            # !(F|^I) ≡ NPS(F) UNION ^NPS(I): each branch is a fresh
+            # variable-predicate triple (the backends enumerate actual
+            # (p, o) pairs) plus a term-inequality FILTER per excluded IRI
+            def nps_group(subj, excluded, obj) -> Group:
+                bg = Group()
+                pv = Var(self._freshvar())
+                bg.items.append(Triple(subj, pv, obj))
+                cond = None
+                for iri in excluded:
+                    c = Op2("!=", pv, Iri(iri))
+                    cond = c if cond is None else Op2("&&", cond, c)
+                if cond is not None:
+                    bg.items.append(Filter(cond))
+                return bg
+
+            branches = []
+            if p.fwd or not p.inv:  # !() matches every forward triple
+                branches.append(nps_group(s, p.fwd, o))
+            if p.inv:
+                branches.append(nps_group(o, p.inv, s))
+            if len(branches) == 1:
+                g.items.extend(branches[0].items)
+            else:
+                g.items.append(Union(branches))
         else:
             raise ValueError(f"unsupported path {p!r}")
 
@@ -1063,6 +1177,17 @@ class _Parser:
         raise ValueError(f"unexpected expression token {t}")
 
 
+def _internal_var(name: str) -> bool:
+    """Fresh variables the parser's desugars introduce — path-chain
+    middles (``__pN``) and blank-node existentials (``__bn*``).  They
+    join and filter like variables but are NOT in-scope user variables,
+    so ``SELECT *`` must not project them (§18.2.1; blank nodes in a
+    pattern are non-projectable existentials).  The ``__`` prefix is
+    reserved: a user variable literally named ``?__p1``/``?__bn1``
+    would collide."""
+    return bool(re.match(r"__p\d+$", name)) or name.startswith("__bn")
+
+
 def _invert_steps(steps: list) -> list:
     """Inverse of a step sequence: reverse the order, invert each step."""
     return [(pred, not iv) for pred, iv in reversed(steps)]
@@ -1091,8 +1216,8 @@ def _atomic_edges(p) -> list:
     else:
         raise NotImplementedError(
             "property-path closure (? * +) supports predicates, inverses, "
-            "alternatives and sequences of those; nested mods are not a "
-            "fixed edge relation"
+            "alternatives and sequences of those; nested mods and negated "
+            "property sets are not a fixed edge relation"
         )
     return alts
 
@@ -2422,6 +2547,28 @@ class _GroupCompiler:
         closure(closure(R)) = closure(R)."""
         if isinstance(p, Iri):
             return self._step_frame(p.iri, False), False
+        if isinstance(p, PathNPS):
+            f, b, _ = self.model.star_frame(
+                [Triple(Var("__ps"), Var("__pp"), Var("__po"))], "__ps"
+            )
+            base = f.select(
+                F.col(b["__ps"]).alias("src"),
+                F.col(b["__pp"]).alias("__pp"),
+                F.col(b["__po"]).alias("dst"),
+            ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            parts = []
+            if p.fwd or not p.inv:
+                e = base if not p.fwd else base.where(~F.col("__pp").isin(*p.fwd))
+                parts.append(e.select("src", "dst"))
+            if p.inv:
+                e = base.where(~F.col("__pp").isin(*p.inv))
+                parts.append(
+                    e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+                )
+            r = parts[0]
+            for q in parts[1:]:
+                r = r.unionByName(q)
+            return r.distinct(), False
         if isinstance(p, PathInv):
             r, z = self._path_rel(p.path)
             return (
@@ -3352,7 +3499,7 @@ def _run_select(spark: SparkSession, q: Query, model):
         sel_items = (
             q.select
             if q.select is not None
-            else [("var", v) for v in sorted(binds)]
+            else [("var", v) for v in sorted(binds) if not _internal_var(v)]
         )
         cols = []
         ec = _ExprCompiler(binds, kinds, frame)

@@ -692,6 +692,161 @@ def test_path_closure_on_property_table(spark):
     assert got == [("urn:row:2",), ("urn:row:3",)]
 
 
+# ------------------- blank nodes / REDUCED / SELECT * hygiene ---------------
+
+
+def test_bnode_anonymous_object(spark, chain):
+    # [ … ] is a fresh existential: ?s has an ex:next successor that
+    # itself has an ex:next successor
+    got = _rows(spark, chain, "SELECT ?s WHERE { ?s ex:next [ ex:next ?t ] }")
+    assert got == _n(("a",), ("b",))
+
+
+def test_bnode_subject_property_list(spark, chain):
+    # bnode subject with a trailing predicate list: the node with an
+    # ex:alt edge also names its target via ?v
+    got = _rows(spark, chain, "SELECT ?v WHERE { [ ex:alt ?v ] ex:next ex:b }")
+    assert got == _n(("x",))
+
+
+def test_bnode_labeled_shared(spark, chain):
+    # _:x is ONE existential across both triples (same Var per label)
+    got = _rows(
+        spark, chain, 'SELECT ?n WHERE { _:m ex:next ex:d . _:m ex:next/ex:name ?n }'
+    )
+    assert got == [("dname",)]
+
+
+def test_bnode_bare_anon_subject(spark, chain):
+    got = _rows(spark, chain, "SELECT ?o WHERE { [] ex:alt ?o }")
+    assert got == _n(("x",))
+
+
+def test_bnode_standalone_property_list(spark, chain):
+    # `[ p o ] .` with no trailing predicate list is a complete triple
+    got = _rows(spark, chain, 'SELECT ?n WHERE { [ ex:name ?n ] . }')
+    assert got == [("dname",), ("xname",)]
+
+
+def test_select_star_excludes_internal_vars(spark, chain):
+    df = S.execute_query(
+        spark,
+        "PREFIX ex: <http://ex.org/> SELECT * WHERE { ?s ex:next/ex:next ?o }",
+        chain,
+    )
+    # the fresh path-chain middle (__p1) and bnode existentials are not
+    # in-scope variables — SELECT * projects user variables only
+    assert sorted(df.columns) == ["o", "s"]
+    df2 = S.execute_query(
+        spark,
+        "PREFIX ex: <http://ex.org/> SELECT * WHERE { [] ex:name ?n }",
+        chain,
+    )
+    assert df2.columns == ["n"]
+
+
+def test_select_reduced(spark, chain):
+    # subjects with an ex:next edge are a/b/c; their predicates bag is
+    # {next×3, alt} — REDUCED (evaluated as DISTINCT) collapses it
+    got = _rows(spark, chain, "SELECT REDUCED ?p WHERE { ?s ?p ?o . ?s ex:next ?t }")
+    assert got == _n(("alt",), ("next",))
+
+
+def test_construct_template_bnode_rejected(spark, chain):
+    with pytest.raises(NotImplementedError):
+        S.execute_query(
+            spark,
+            "PREFIX ex: <http://ex.org/> "
+            "CONSTRUCT { [ ex:p ?s ] } WHERE { ?s ex:next ?o }",
+            chain,
+        )
+
+
+# --------------------------- negated property sets (SPARQL 1.1 §9.1) --------
+# ARQ evaluates !(…) via P_NegPropSet (jena-arq PathEval); here the forward
+# branch desugars to a fresh variable-predicate triple plus term-inequality
+# FILTERs, the inverse branch to the same with swapped endpoints, both to a
+# UNION when mixed (§18.2.2.3 translation).
+
+
+def test_nps_forward_single(spark, chain):
+    assert _rows(spark, chain, "SELECT ?o WHERE { ex:a !ex:next ?o }") == _n(
+        ("x",)
+    )
+    assert _rows(spark, chain, "SELECT ?o WHERE { ex:a !(ex:alt) ?o }") == _n(
+        ("b",)
+    )
+
+
+def test_nps_forward_all_excluded(spark, chain):
+    got = _rows(spark, chain, "SELECT ?o WHERE { ex:a !(ex:next|ex:alt) ?o }")
+    assert got == []
+
+
+def test_nps_inverse_only(spark, chain):
+    # only-inverse set has NO forward branch: matches inverse triples
+    # whose predicate is not ex:name — x's sole incoming edge is ex:alt
+    got = _rows(spark, chain, "SELECT ?o WHERE { ex:x !(^ex:name) ?o }")
+    assert got == _n(("a",))
+
+
+def test_nps_mixed_directions(spark, chain):
+    # forward-from-b excluding name (b next c) UNION inverse-to-b
+    # excluding alt (a next b)
+    got = _rows(spark, chain, "SELECT ?o WHERE { ex:b !(ex:name|^ex:alt) ?o }")
+    assert got == _n(("a",), ("c",))
+
+
+def test_nps_empty_set_matches_all_forward(spark, chain):
+    got = _rows(spark, chain, "SELECT ?o WHERE { ex:a !() ?o }")
+    assert got == _n(("b",), ("x",))
+
+
+def test_nps_outer_inverse(spark, chain):
+    # ^!(p) ≡ inverse of the whole NPS relation
+    got = _rows(spark, chain, "SELECT ?o WHERE { ex:b ^!(ex:name) ?o }")
+    assert got == _n(("a",))
+
+
+def test_nps_in_sequence(spark, chain):
+    got = _rows(spark, chain, "SELECT ?n WHERE { ex:c !(ex:alt)/ex:name ?n }")
+    assert got == [("dname",)]
+
+
+def test_nps_under_closure(spark, chain):
+    """!(…)* — no fixed edge LIST, so the closure keeps the path AST and
+    the recursive relation evaluator (_path_rel) builds the edge frame
+    from a variable-predicate scan with an anti-isin filter."""
+    got = _rows(spark, chain, "SELECT ?o WHERE { ex:a !(ex:name)* ?o }")
+    assert got == _n(("a",), ("b",), ("c",), ("d",), ("x",))
+
+
+def test_nps_var_var_endpoints(spark, chain):
+    got = _rows(spark, chain, "SELECT ?s ?o WHERE { ?s !(ex:next|ex:name) ?o }")
+    assert got == _n(("a", "x"))
+
+
+def test_nps_on_property_table(spark):
+    df = spark.createDataFrame(
+        [(1, "urn:row:2", "one"), (2, "urn:row:3", "two"), (3, None, "three")],
+        "id long, nxt string, label string",
+    )
+    pt = S.PropertyTable(
+        df,
+        id_col="id",
+        props={
+            "http://ex.org/next": S.PropSpec("nxt"),
+            "http://ex.org/label": S.PropSpec("label"),
+        },
+    )
+    got = _rows(spark, pt, "SELECT ?o WHERE { <urn:row:1> !ex:label ?o }")
+    assert got == [("urn:row:2",)]
+    got = _rows(spark, pt, "SELECT ?o WHERE { <urn:row:2> !(ex:next)* ?o }")
+    # edges excluding next are the label literals; closure from row:2
+    # reaches itself (zero-length) and its label
+    assert got == [("two",), ("urn:row:2",)]
+
+
 # ------------------------------------- builtins / HAVING / subqueries (§17) --
 
 

@@ -2,8 +2,9 @@
 
 Random small directed multigraphs (cycles, self-loops, diamonds,
 disconnected nodes) × random path expressions from the supported
-grammar — atoms, ``^``, ``/``, ``|``, and ``? * +`` closures over
-fixed-edge bodies — executed through the distributed compiler
+grammar — atoms, ``^``, ``/``, ``|``, negated property sets
+``!(p|^q)``, and ``? * +`` closures over fixed-edge bodies — executed
+through the distributed compiler
 (TriplesModel backend: UNION desugar for ``|``, fresh-variable chains
 for ``/``, the checkpointed BFS / O(log d) squaring reachability for
 closures) AND through a naive Python fixpoint evaluator implementing
@@ -41,13 +42,24 @@ PREDS = [f"urn:p:{i}" for i in range(3)]
 
 
 @st.composite
+def nps_ast(draw):
+    """Negated property set !(p|^q|…) — forward/inverse excluded sets,
+    both possibly empty (``!()`` = the all-predicates forward match)."""
+    fwd = tuple(sorted(draw(st.sets(st.sampled_from(PREDS), max_size=2))))
+    inv = tuple(sorted(draw(st.sets(st.sampled_from(PREDS), max_size=2))))
+    return ("nps", fwd, inv)
+
+
+@st.composite
 def fixed_edge_body(draw, depth=2):
-    """A path with a fixed edge relation (no mods): atom, ^, /, | only."""
+    """A path with a fixed edge relation (no mods): atom, ^, /, |, !()."""
     if depth == 0:
         return ("atom", draw(st.sampled_from(PREDS)))
-    kind = draw(st.sampled_from(["atom", "inv", "seq", "alt"]))
+    kind = draw(st.sampled_from(["atom", "inv", "seq", "alt", "nps"]))
     if kind == "atom":
         return ("atom", draw(st.sampled_from(PREDS)))
+    if kind == "nps":
+        return draw(nps_ast())
     if kind == "inv":
         return ("inv", draw(fixed_edge_body(depth=depth - 1)))
     return (
@@ -61,9 +73,11 @@ def fixed_edge_body(draw, depth=2):
 def path_ast(draw, depth=3):
     if depth == 0:
         return ("atom", draw(st.sampled_from(PREDS)))
-    kind = draw(st.sampled_from(["atom", "inv", "seq", "alt", "mod"]))
+    kind = draw(st.sampled_from(["atom", "inv", "seq", "alt", "mod", "nps"]))
     if kind == "atom":
         return ("atom", draw(st.sampled_from(PREDS)))
+    if kind == "nps":
+        return draw(nps_ast())
     if kind == "inv":
         return ("inv", draw(path_ast(depth=depth - 1)))
     if kind == "mod":
@@ -80,6 +94,9 @@ def render_path(p) -> str:
     k = p[0]
     if k == "atom":
         return f"<{p[1]}>"
+    if k == "nps":
+        members = [f"<{i}>" for i in p[1]] + [f"^<{i}>" for i in p[2]]
+        return "!(" + "|".join(members) + ")"
     if k == "inv":
         return f"^({render_path(p[1])})"
     if k == "seq":
@@ -97,6 +114,16 @@ def eval_path(p, edges: set[tuple[str, str, str]], terms: set[str]) -> Counter:
     k = p[0]
     if k == "atom":
         return Counter((s, o) for s, pr, o in edges if pr == p[1])
+    if k == "nps":
+        # §18.2.2.3: !(F|^I) ≡ alt(NPS(F), inv(NPS(I))) — bag SUM when
+        # both branches are present (a self-loop matching both counts 2)
+        fwd, inv = p[1], p[2]
+        out: Counter = Counter()
+        if fwd or not inv:
+            out += Counter((s, o) for s, pr, o in edges if pr not in fwd)
+        if inv:
+            out += Counter((o, s) for s, pr, o in edges if pr not in inv)
+        return out
     if k == "inv":
         return Counter({(o, s): c for (s, o), c in eval_path(p[1], edges, terms).items()})
     if k == "seq":
