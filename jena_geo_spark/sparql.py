@@ -193,7 +193,12 @@ def parse_turtle(text: str) -> list[tuple[str, str, str, str | None]]:
     Covers what the reference's own ``.ttl`` models use
     (``owl/testdata.ttl``): ``@prefix``/``@base``, IRIs, prefixed names,
     ``;`` predicate lists, ``,`` object lists, plain/typed/numeric
-    literals, the ``a`` keyword, comments.  Driver-side by design — the
+    literals, the ``a`` keyword, labeled ``_:b`` and anonymous
+    ``[ p o ; … ]`` blank nodes, comments.  Blank nodes become ``_:``
+    terms in the triples table (anonymous ones get fresh ``_:__anonN``
+    labels) — opaque strings a query VARIABLE binds but a query-side
+    blank node never equates to (correct: query bnodes are
+    existentials, not references).  Driver-side by design — the
     reference also parses models in one JVM (dim-scale configuration
     data); frame-scale facts belong in a :class:`PropertyTable`.
     """
@@ -201,9 +206,21 @@ def parse_turtle(text: str) -> list[tuple[str, str, str, str | None]]:
     toks = _tokenize_ttl(text)
     out: list[tuple[str, str, str, str | None]] = []
     i = 0
+    anon = [0]
 
     def term(j):
         t = toks[j]
+        if t[0] == "bnode":
+            return ("iri", t[1]), j + 1
+        if t[0] == "lbrk":
+            anon[0] += 1
+            label = f"_:__anon{anon[0]}"
+            j += 1
+            if toks[j][0] != "rbrk":
+                j = pred_obj_list(label, j)
+            if toks[j][0] != "rbrk":
+                raise ValueError(f"unterminated [ …: {toks[j]}")
+            return ("iri", label), j + 1
         if t[0] == "iri":
             return ("iri", t[1]), j + 1
         if t[0] == "pname":
@@ -230,6 +247,27 @@ def parse_turtle(text: str) -> list[tuple[str, str, str, str | None]]:
             f"unexpected turtle token {t} (context: {toks[max(0, j-6):j+3]})"
         )
 
+    def pred_obj_list(subj: str, j: int) -> int:
+        while True:
+            pred, j = term(j)
+            while True:
+                obj, j = term(j)
+                o_lex = obj[1]
+                o_dt = obj[2] if obj[0] == "lit" else None
+                out.append((subj, pred[1], o_lex, o_dt))
+                if j < len(toks) and toks[j][0] == "comma":
+                    j += 1
+                    continue
+                break
+            if j < len(toks) and toks[j][0] == "semi":
+                j += 1
+                # trailing ';' before '.' / ']'
+                if j < len(toks) and toks[j][0] in ("dot", "rbrk"):
+                    break
+                continue
+            break
+        return j
+
     while i < len(toks):
         t = toks[i]
         if t[0] == "kw" and t[1] in ("@prefix", "@base"):
@@ -242,25 +280,12 @@ def parse_turtle(text: str) -> list[tuple[str, str, str, str | None]]:
             if i < len(toks) and toks[i][0] == "dot":
                 i += 1
             continue
+        was_bnpl = t[0] == "lbrk"
         subj, i = term(i)
-        while True:
-            pred, i = term(i)
-            while True:
-                obj, i = term(i)
-                o_lex = obj[1]
-                o_dt = obj[2] if obj[0] == "lit" else None
-                out.append((subj[1], pred[1], o_lex, o_dt))
-                if i < len(toks) and toks[i][0] == "comma":
-                    i += 1
-                    continue
-                break
-            if i < len(toks) and toks[i][0] == "semi":
-                i += 1
-                # trailing ';' before '.'
-                if i < len(toks) and toks[i][0] == "dot":
-                    break
-                continue
-            break
+        # `[ p o ; … ] .` — the trailing predicate list is optional for
+        # a blankNodePropertyList subject (Turtle grammar [10])
+        if not (was_bnpl and i < len(toks) and toks[i][0] == "dot"):
+            i = pred_obj_list(subj[1], i)
         if i < len(toks) and toks[i][0] == "dot":
             i += 1
     return out
@@ -276,6 +301,7 @@ def _tokenize_ttl(text: str):
           | (?P<lstr>"{3}(?:[^"\\]|\\.|"(?!"{2}))*"{3})
           | (?P<str>"(?:[^"\\]|\\.)*")
           | (?P<num>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+          | (?P<bnode>_:[A-Za-z_]\w*)
           | (?P<pname>[A-Za-z_][\w.-]*:[A-Za-z_](?:[\w.-]*[\w-])?
                       |[A-Za-z_][\w.-]*:
                       |:[A-Za-z_](?:[\w.-]*[\w-])?
@@ -284,6 +310,8 @@ def _tokenize_ttl(text: str):
           | (?P<semi>;)
           | (?P<comma>,)
           | (?P<dot>\.)
+          | (?P<lbrk>\[)
+          | (?P<rbrk>\])
         """,
         re.VERBOSE,
     )
@@ -293,7 +321,7 @@ def _tokenize_ttl(text: str):
         if not m:
             raise ValueError(f"turtle tokenize error at {text[pos:pos+40]!r}")
         pos = m.end()
-        for name in ("kw", "lang", "iri", "lstr", "str", "num", "pname", "dtsep", "semi", "comma", "dot"):
+        for name in ("kw", "lang", "iri", "lstr", "str", "num", "bnode", "pname", "dtsep", "semi", "comma", "dot", "lbrk", "rbrk"):
             v = m.group(name)
             if v is not None:
                 if name == "lang":

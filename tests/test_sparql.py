@@ -368,6 +368,54 @@ def test_turtle_pname_trailing_dot():
     assert ("http://e.org/s2", "http://e.org/p", "4.5", None) in tris
 
 
+def test_turtle_blank_nodes():
+    tris = S.parse_turtle(
+        "@prefix ex: <http://ex.org/> .\n"
+        'ex:a ex:knows _:b1 .\n_:b1 ex:name "anon" ; ex:age 41 .\n'
+        'ex:c ex:addr [ ex:city "Mainz" ; ex:zip "55116" ] .\n'
+        "[ ex:p ex:q ] .\n"
+        "[ ex:r ex:s ] ex:t ex:u .\n"
+        "ex:d ex:nested [ ex:inner [ ex:leaf 7 ] ] .\n"
+    )
+    E = "http://ex.org/"
+    assert (E + "a", E + "knows", "_:b1", None) in tris
+    assert ("_:b1", E + "age", "41", None) in tris
+    # anonymous [ … ] gets a fresh label shared by its inner triples and
+    # the triple that references it
+    (addr,) = [o for s, p, o, _ in tris if p == E + "addr"]
+    assert addr.startswith("_:") and (addr, E + "city", "Mainz", None) in tris
+    # standalone blankNodePropertyList (no trailing predicate list)
+    assert any(p == E + "p" and o == E + "q" for _, p, o, _ in tris)
+    # bnpl subject WITH a trailing predicate list shares one label
+    (rs,) = [s for s, p, o, _ in tris if p == E + "r"]
+    assert (rs, E + "t", E + "u", None) in tris
+    # nesting chains through two fresh labels
+    (inner,) = [o for s, p, o, _ in tris if p == E + "inner"]
+    assert (inner, E + "leaf", "7", None) in tris
+
+
+def test_turtle_bnode_queryable(spark):
+    """Data-side blank nodes are opaque terms: a query VARIABLE binds
+    them, and they join across triples like any term."""
+    m = S.TriplesModel(
+        S.triples_from_turtle(
+            spark,
+            "@prefix ex: <http://ex.org/> .\n"
+            'ex:a ex:addr [ ex:city "Mainz" ] .\n',
+        )
+    )
+    got = sorted(
+        tuple(r)
+        for r in S.execute_query(
+            spark,
+            "PREFIX ex: <http://ex.org/> "
+            "SELECT ?c WHERE { ex:a ex:addr ?x . ?x ex:city ?c }",
+            m,
+        ).collect()
+    )
+    assert got == [("Mainz",)]
+
+
 def test_property_table_rdf_type(spark, images_pt):
     q = ("PREFIX img: <http://example.org/img#> "
          "SELECT ?t WHERE { ?s a ?t . ?s img:caption ?cap } LIMIT 1")
