@@ -1123,6 +1123,29 @@ class _Parser:
         if t[0] == "op" and t[1] in ("=", "!=", "<", ">", "<=", ">="):
             self.next()
             return Op2(t[1], e, self._add())
+        if t[0] == "word" and t[1].upper() in ("IN", "NOT"):
+            # §17.4.1.9/10: `e IN (e1, …)` ≡ `e = e1 || …` (empty list =
+            # false); NOT IN negates — the =/|| desugar reproduces the
+            # spec's error propagation through Kleene logic exactly
+            negated = t[1].upper() == "NOT"
+            self.next()
+            if negated and not self.kw("IN"):
+                raise ValueError("expected IN after NOT in expression")
+            self.expect("punct", "(")
+            items = []
+            if self.peek() != ("punct", ")"):
+                items.append(self.expr())
+                while self.peek() == ("punct", ","):
+                    self.next()
+                    items.append(self.expr())
+            self.expect("punct", ")")
+            out = None
+            for it in items:
+                c = Op2("=", e, it)
+                out = c if out is None else Op2("||", out, c)
+            if out is None:
+                out = Lit(False, "http://www.w3.org/2001/XMLSchema#boolean")
+            return Op1("!", out) if negated else out
         return e
 
     def _add(self):

@@ -740,6 +740,45 @@ def test_path_closure_on_property_table(spark):
     assert got == [("urn:row:2",), ("urn:row:3",)]
 
 
+# ----------------------------- IN / NOT IN (§17.4.1.9/10) -------------------
+
+
+def test_expr_in(spark, chain):
+    got = _rows(
+        spark, chain, 'SELECT ?n WHERE { ?x ex:name ?n . FILTER(?n IN ("dname", "zz")) }'
+    )
+    assert got == [("dname",)]
+    # IRI members compare by term
+    got = _rows(
+        spark, chain, "SELECT ?o WHERE { ?s ex:next ?o . FILTER(?s IN (ex:a, ex:c)) }"
+    )
+    assert got == _n(("b",), ("d",))
+
+
+def test_expr_not_in(spark, chain):
+    got = _rows(
+        spark, chain, 'SELECT ?n WHERE { ?x ex:name ?n . FILTER(?n NOT IN ("dname")) }'
+    )
+    assert got == [("xname",)]
+
+
+def test_expr_in_empty_lists(spark, chain):
+    assert _rows(spark, chain, "SELECT ?n WHERE { ?x ex:name ?n . FILTER(?n IN ()) }") == []
+    got = _rows(spark, chain, "SELECT ?n WHERE { ?x ex:name ?n . FILTER(?n NOT IN ()) }")
+    assert got == [("dname",), ("xname",)]
+
+
+def test_expr_in_arithmetic_members(spark, chain):
+    # members are full expressions, evaluated per §17.4.1.9's = desugar
+    got = _rows(
+        spark,
+        chain,
+        "SELECT ?n WHERE { ?x ex:name ?n . "
+        'FILTER(STRLEN(?n) IN (2 + 3, 10)) }',
+    )
+    assert got == [("dname",), ("xname",)]
+
+
 # ------------------- blank nodes / REDUCED / SELECT * hygiene ---------------
 
 
