@@ -632,7 +632,40 @@ class _Parser:
 
     def construct_query(self) -> Query:
         """``CONSTRUCT { template } WHERE { … } [LIMIT/OFFSET]`` —
-        SPARQL 1.1 §16.2.  The template is a plain triple block."""
+        SPARQL 1.1 §16.2.  The template is a plain triple block; template
+        blank nodes mean a FRESH bnode per solution (§16.2.1).  The
+        ``CONSTRUCT WHERE { … }`` shorthand (§16.2.4) uses one triple
+        block as both template and pattern."""
+        if self.kw("WHERE"):
+            # §16.2.4 short form: the pattern doubles as the template and
+            # must be triple patterns only (no FILTER/BIND/paths/groups)
+            where = self.group()
+            template = [it for it in where.items if isinstance(it, Triple)]
+            if len(template) != len(where.items) or any(
+                isinstance(t.o, Coll) for t in template
+            ):
+                raise ValueError(
+                    "CONSTRUCT WHERE {} allows only triple patterns"
+                )
+            for t in template:
+                for side in (t.s, t.p, t.o):
+                    if isinstance(side, Var) and side.name.startswith("__p"):
+                        raise ValueError(
+                            "property paths are not allowed in "
+                            "CONSTRUCT WHERE {}"
+                        )
+            limit = offset = None
+            while True:
+                if self.kw("LIMIT"):
+                    limit = int(self.expect("num")[1])
+                elif self.kw("OFFSET"):
+                    offset = int(self.expect("num")[1])
+                else:
+                    break
+            return Query(
+                None, False, where, [], limit, offset,
+                form="construct", template=template,
+            )
         tg = self.group()
         template = [it for it in tg.items if isinstance(it, Triple)]
         if len(template) != len(tg.items) or any(
@@ -644,9 +677,7 @@ class _Parser:
         # group() expands property paths into chains over fresh __pN
         # variables; a path in a CONSTRUCT template is invalid SPARQL and
         # would otherwise silently emit zero triples (fresh vars are never
-        # bound by the WHERE frame).  Blank nodes in a template mean a
-        # FRESH bnode per solution (§16.2.1) — not implemented; rejecting
-        # beats silently dropping every row on the unbound existential.
+        # bound by the WHERE frame).
         for t in template:
             for side in (t.s, t.p, t.o):
                 if isinstance(side, Var) and side.name.startswith("__p"):
@@ -654,14 +685,25 @@ class _Parser:
                         "property paths are not allowed in a CONSTRUCT "
                         "template"
                     )
-                if isinstance(side, Var) and side.name.startswith("__bn"):
-                    raise NotImplementedError(
-                        "blank nodes in a CONSTRUCT template (fresh bnode "
-                        "per solution) are not supported"
-                    )
         if not self.kw("WHERE"):
             raise ValueError("CONSTRUCT without WHERE")
         where = self.group()
+        # §19.6: a bnode label is scoped to one basic graph pattern —
+        # reusing a template label inside the WHERE pattern is a syntax
+        # error in ARQ, and silently joining on the existential would be
+        # wrong anyway (template bnodes are always FRESH per solution).
+        tmpl_labels = {
+            side.name
+            for t in template
+            for side in (t.s, t.p, t.o)
+            if isinstance(side, Var) and side.name.startswith("__bn_")
+        }
+        if tmpl_labels and tmpl_labels & _collect_var_names(where):
+            shared = sorted(tmpl_labels & _collect_var_names(where))
+            raise ValueError(
+                "blank node label used in both CONSTRUCT template and "
+                f"WHERE pattern: {', '.join(n[5:] for n in shared)}"
+            )
         limit = offset = None
         while True:
             if self.kw("LIMIT"):
@@ -1226,6 +1268,22 @@ class _Parser:
             self.expect("punct", ")")
             return Func(iri, args, distinct)
         raise ValueError(f"unexpected expression token {t}")
+
+
+def _collect_var_names(node) -> set:
+    """Every ``Var`` name reachable in an AST subtree (generic dataclass
+    walk) — used for the §19.6 template/pattern bnode-label scope check."""
+    out: set = set()
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, Var):
+            out.add(n.name)
+        elif isinstance(n, (list, tuple)):
+            stack.extend(n)
+        elif hasattr(n, "__dataclass_fields__"):
+            stack.extend(getattr(n, f) for f in n.__dataclass_fields__)
+    return out
 
 
 def _internal_var(name: str) -> bool:
@@ -3659,15 +3717,41 @@ def _run_ask(spark: SparkSession, q: Query, model) -> bool:
 def _run_construct(spark: SparkSession, q: Query, model) -> DataFrame:
     """CONSTRUCT: run the WHERE pattern as SELECT *, instantiate every
     template triple per solution, drop triples with unbound terms
-    (§16.2), and ``distinct`` — a graph is a set of triples."""
+    (§16.2), and ``distinct`` — a graph is a set of triples.
+
+    Template blank nodes (labeled ``_:x`` or anonymous ``[…]``) mean a
+    FRESH blank node per solution (§16.2.1): the same label shares one
+    node within a solution and never across solutions.  Labels are minted
+    distributedly from a per-row id — no driver round trip — so two
+    template triples over label ``_:x`` stay connected row-wise."""
     frame, _ = _run_select(
         spark, Query(None, False, q.where, [], q.limit, q.offset), model
     )
+    bn_labels = sorted(
+        {
+            side.name
+            for t in q.template
+            for side in (t.s, t.p, t.o)
+            if isinstance(side, Var) and side.name.startswith("__bn")
+        }
+    )
+    if bn_labels:
+        # monotonically_increasing_id is unique per row (partition id in
+        # the high bits); bnode identity only needs per-solution freshness,
+        # not stability across runs — labels are existentials.
+        frame = frame.withColumn("__sol", F.monotonically_increasing_id())
     outs = []
     for t in q.template:
         cols = []
         for term in (t.s, t.p, t.o):
-            if isinstance(term, Var):
+            if isinstance(term, Var) and term.name.startswith("__bn"):
+                i = bn_labels.index(term.name)
+                cols.append(
+                    F.concat(
+                        F.lit(f"_:c{i}v"), F.col("__sol").cast("string")
+                    )
+                )
+            elif isinstance(term, Var):
                 if term.name not in frame.columns:
                     cols = None  # variable never bound: pattern yields nothing
                     break

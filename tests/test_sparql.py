@@ -839,12 +839,66 @@ def test_select_reduced(spark, chain):
     assert got == _n(("alt",), ("next",))
 
 
-def test_construct_template_bnode_rejected(spark, chain):
-    with pytest.raises(NotImplementedError):
+def test_construct_template_bnode_fresh_per_solution(spark, chain):
+    # §16.2.1: a template blank node mints a FRESH node per solution; the
+    # same label shares ONE node within a solution, never across solutions.
+    q = (
+        "PREFIX ex: <http://ex.org/> "
+        "CONSTRUCT { _:m ex:from ?a . _:m ex:to ?b } WHERE { ?a ex:next ?b }"
+    )
+    rows = S.execute_query(spark, q, chain).collect()
+    assert len(rows) == 6  # 3 edges × 2 template triples
+    froms = {r["o"]: r["s"] for r in rows if r["p"].endswith("from")}
+    tos = {r["o"]: r["s"] for r in rows if r["p"].endswith("to")}
+    assert all(b.startswith("_:") for b in list(froms.values()) + list(tos.values()))
+    assert len(set(froms.values())) == 3  # fresh per solution
+    E = "http://ex.org/"
+    for s, o in (("a", "b"), ("b", "c"), ("c", "d")):
+        # the edge's two template triples hang off the SAME bnode
+        assert froms[E + s] == tos[E + o]
+
+
+def test_construct_template_anonymous_bnode(spark, chain):
+    q = (
+        "PREFIX ex: <http://ex.org/> "
+        "CONSTRUCT { [ ex:p ?s ] } WHERE { ?s ex:next ?o }"
+    )
+    rows = S.execute_query(spark, q, chain).collect()
+    assert len(rows) == 3
+    assert all(r["s"].startswith("_:") for r in rows)
+    assert len({r["s"] for r in rows}) == 3
+    assert sorted(r["o"] for r in rows) == [
+        f"http://ex.org/{x}" for x in ("a", "b", "c")
+    ]
+
+
+def test_construct_bnode_label_shared_with_pattern_rejected(spark, chain):
+    # §19.6: a bnode label is scoped to one basic graph pattern — reuse
+    # across the template and the WHERE pattern is a syntax error (ARQ
+    # rejects it too; silently joining on the existential would be wrong).
+    with pytest.raises(ValueError, match="blank node label"):
         S.execute_query(
             spark,
             "PREFIX ex: <http://ex.org/> "
-            "CONSTRUCT { [ ex:p ?s ] } WHERE { ?s ex:next ?o }",
+            "CONSTRUCT { _:x ex:p ?o } WHERE { _:x ex:next ?o }",
+            chain,
+        )
+
+
+def test_construct_where_shorthand(spark, chain):
+    # §16.2.4 short form: the pattern doubles as the template.
+    q = "PREFIX ex: <http://ex.org/> CONSTRUCT WHERE { ?a ex:next ?b }"
+    got = sorted(tuple(r) for r in S.execute_query(spark, q, chain).collect())
+    E = "http://ex.org/"
+    assert got == sorted(
+        (E + s, E + "next", E + o) for s, o in (("a", "b"), ("b", "c"), ("c", "d"))
+    )
+    # only triple patterns are allowed inside the short form
+    with pytest.raises(ValueError, match="triple patterns"):
+        S.execute_query(
+            spark,
+            "PREFIX ex: <http://ex.org/> "
+            "CONSTRUCT WHERE { ?a ex:next ?b FILTER(?b = ex:d) }",
             chain,
         )
 
