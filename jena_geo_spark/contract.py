@@ -2501,6 +2501,33 @@ def o_emb_ivf_exact() -> str:
     )
 
 
+def q_emb_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (IVFADC) with every list probed and a shortlist larger than
+    the table: the ADC stage may rank candidates by lossy code scores, but
+    the exact re-rank then sees EVERY candidate, so the output must equal
+    brute-force top-k regardless of the trained quantizers — an equality
+    oracle over the whole compressed-index plan (PQ encode, probe fan-out,
+    LUT gather, shortlist window, id-join re-rank;
+    pipelines/similarity.ivf_pq_topk)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.train_ivf_centroids(emb, n_centroids=8)
+    books = similarity.train_pq_codebooks(emb, cents, m_sub=8, n_codes=16)
+    out = similarity.ivf_pq_topk(
+        emb,
+        list(range(8)),
+        k=8,
+        nprobe=8,
+        rerank=1000,
+        centroids=cents,
+        codebooks=books,
+    )
+    return out.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+
+
+def o_emb_pq_exact() -> str:
+    return o_emb_ivf_exact()
+
+
 def q_sparql_bgp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SPARQL entry point (sparql.py) under the oracle gate.
 
@@ -3419,7 +3446,10 @@ QUERIES = {
     "sparql_geof_distance": q_sparql_geof_distance,
     "sparql_spatialf": q_sparql_spatialf,
     "sparql_cardinal": q_sparql_cardinal,
-    # -- family representatives (15) --
+    "emb_pq_exact": q_emb_pq_exact,
+    # -- family representatives (14; emb_topk rotates to the tail — it has
+    # a green r3 driver row, and emb_pq_exact's gate subsumes the exact
+    # top-k plumbing) --
     "geo_cluster_within": q_geo_cluster_within,
     "doc_dedup_groups": q_doc_dedup_groups,
     "geo_polygon_join": q_geo_polygon_join,
@@ -3434,10 +3464,10 @@ QUERIES = {
     "geo_semi_anti": q_geo_semi_anti,
     "geo_overlay_halfplane": q_geo_overlay_halfplane,
     "sparql_bgp_join": q_sparql_bgp_join,
-    "emb_topk": q_emb_topk,
     # ---- tail (sampled-out this round; every family above keeps a green
     # representative, and each of these has an r3 driver row or a pytest
     # oracle gate) ----
+    "emb_topk": q_emb_topk,
     "sparql_agg_group": q_sparql_agg_group,
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
@@ -3511,6 +3541,7 @@ ORACLES = {
     "geo_srid_meta": o_geo_srid_meta(),
     "geo_coord_aggs": o_geo_coord_aggs(),
     "emb_ivf_exact": o_emb_ivf_exact(),
+    "emb_pq_exact": o_emb_pq_exact(),
     "geo_mvt_coords": o_geo_mvt_coords(),
     "stream_tile_hist": o_stream_tile_hist(),
     "geo_mp_pip_join": o_geo_mp_pip_join(),

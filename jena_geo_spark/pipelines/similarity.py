@@ -19,6 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -492,6 +493,247 @@ def ivf_topk(
 
     scored = cand.select("query_id", id_col, vec_col).mapInPandas(rerank, _TOPK_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
+# -------------------------------------------------------------- IVF-PQ ANN --
+
+
+def _hash_sample_matrix(
+    df: DataFrame, sample: int, id_col: str, vec_col: str
+) -> np.ndarray:
+    """Bounded, order-independent training sample: the ``sample`` rows with
+    the smallest ``xxhash64(id) mod p`` (ties by id) — a fixed-size sketch
+    whatever the table size, collected once to the driver."""
+    frac_mod = F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_003))
+    rows = (
+        df.select(id_col, vec_col, frac_mod.alias("_h"))
+        .orderBy("_h", id_col)
+        .limit(sample)
+        .collect()
+    )
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    n = np.linalg.norm(x, axis=1)
+    n[n == 0] = 1.0
+    return x / n[:, None]
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    centroids: np.ndarray,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Product-quantization codebooks over coarse residuals (Jégou,
+    Douze & Schmid, "Product Quantization for Nearest Neighbor Search",
+    IEEE TPAMI 2011 — the IVFADC layout).  Each normalized vector's
+    residual against its nearest coarse centroid is split into ``m_sub``
+    contiguous subvectors; a per-subspace Lloyd loop learns ``n_codes``
+    centroids.  Driver-side on the same bounded hash-sample as
+    ``train_ivf_centroids`` (a fixed-size sketch at any table size);
+    returns float64 (m_sub, n_codes, dim // m_sub)."""
+    x = _hash_sample_matrix(df, sample, id_col, vec_col)
+    dim = x.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+    res = x - centroids[np.argmax(x @ centroids.T, axis=1)]
+    rng = np.random.default_rng(seed)
+    books = np.empty((m_sub, min(n_codes, len(x)), dsub), dtype=np.float64)
+    for m in range(m_sub):
+        sub = res[:, m * dsub : (m + 1) * dsub]
+        kc = books.shape[1]
+        cents = sub[rng.choice(len(sub), size=kc, replace=False)]
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(kc):
+                msk = assign == c
+                if msk.any():
+                    cents[c] = sub[msk].mean(axis=0)
+        books[m] = cents
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The compressed IVF-PQ index as a DataFrame: (id, list_id, codes).
+
+    ``codes`` is ``m_sub`` small ints per vector (nearest codebook entry
+    per residual subvector) — at 10^12 rows this table is the thing that
+    gets scanned (m_sub bytes/row), NOT the raw float vectors; encoding
+    is one broadcast-codebook numpy pass per Arrow batch."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((centroids, codebooks))
+    m_sub, _, dsub = codebooks.shape
+    schema = StructType(
+        [
+            StructField("_pq_id", LongType()),
+            StructField("list_id", LongType()),
+            StructField("codes", ArrayType(LongType())),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents, books = bc.value
+        for pdf in batches:
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(v, axis=1)
+            norms[norms == 0] = 1.0
+            v = v / norms[:, None]
+            lists = np.argmax(v @ cents.T, axis=1)
+            res = v - cents[lists]
+            codes = np.empty((len(v), m_sub), dtype=np.int64)
+            for m in range(m_sub):
+                sub = res[:, m * dsub : (m + 1) * dsub]
+                # ||s - c||^2 = ||s||^2 - 2 s·c + ||c||^2 → argmin over c
+                dots = sub @ books[m].T
+                c2 = (books[m] ** 2).sum(axis=1)
+                codes[:, m] = np.argmin(c2[None, :] - 2.0 * dots, axis=1)
+            yield pd.DataFrame(
+                {
+                    "_pq_id": pdf[id_col].astype(np.int64),
+                    "list_id": lists.astype(np.int64),
+                    "codes": list(codes),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(encode, schema).withColumnRenamed(
+        "_pq_id", id_col
+    )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 32,
+    nprobe: int = 4,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-PQ (IVFADC) approximate top-k: probe ``nprobe`` coarse lists,
+    score candidates from their PQ codes alone by asymmetric distance
+    computation (per-query lookup tables, one ``LUT[m, code]`` gather —
+    no raw vectors touched), shortlist the best ``rerank * k`` per query,
+    then exact-cosine re-rank only the shortlist (one id-join back to the
+    float vectors).  Output schema matches ``cosine_topk``.
+
+    ADC inner product: with normalized query q, candidate ≈ c_list + r̂,
+    q·v ≈ q·c_list + Σ_m q_m·book_m[code_m] — exact for the reconstruction,
+    lossy only in r̂.  Setting nprobe == n_centroids and rerank*k ≥ n makes
+    the shortlist the full table, so the result must equal brute force —
+    the contract equality gate; recall at lossy settings is pytest-reported."""
+    spark = df.sparkSession
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            df, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            df, centroids, m_sub=m_sub, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+        )
+    m_dims, _, dsub = codebooks.shape
+    encoded = pq_encode(df, centroids, codebooks, id_col, vec_col)
+
+    qids, qm = _collect_queries(df, query_ids, id_col, vec_col)
+    probes = np.argsort(-(qm @ centroids.T), axis=1)[:, :nprobe]
+    probe_df = spark.createDataFrame(
+        [(int(q), int(c)) for i, q in enumerate(qids) for c in probes[i]],
+        "query_id long, list_id long",
+    )
+    cand = encoded.join(F.broadcast(probe_df), "list_id").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+
+    # Per-query ADC tables: luts[q] (m_sub, n_codes) = q_m · book_m[j];
+    # coarse[q] (n_centroids,) = q · c.  Broadcast once, gathered per batch.
+    luts = {
+        int(q): np.stack(
+            [qm[i, m * dsub : (m + 1) * dsub] @ codebooks[m].T for m in range(m_dims)]
+        )
+        for i, q in enumerate(qids)
+    }
+    coarse = {int(q): qm[i] @ centroids.T for i, q in enumerate(qids)}
+    badc = spark.sparkContext.broadcast((luts, coarse))
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        luts_l, coarse_l = badc.value
+        marange = np.arange(m_dims)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            lists = pdf["list_id"].to_numpy(dtype=np.int64)
+            out = np.empty(len(pdf), dtype=np.float64)
+            for q, idx in pdf.groupby("query_id").indices.items():
+                lut = luts_l[int(q)]
+                out[idx] = lut[marange[None, :], codes[idx]].sum(axis=1)
+                out[idx] += coarse_l[int(q)][lists[idx]]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].astype(np.int64),
+                    "vec_id": pdf[id_col].astype(np.int64),
+                    "score": out,
+                }
+            )
+
+    approx = cand.select("query_id", id_col, "list_id", "codes").mapInPandas(
+        adc, _TOPK_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    shortlist = (
+        approx.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank * k)
+        .select("query_id", "vec_id")
+    )
+
+    qmap = {int(q): qm[i] for i, q in enumerate(qids)}
+    bq = spark.sparkContext.broadcast(qmap)
+
+    def exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qm_l = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            m = m / norms[:, None]
+            qarr = np.array([qm_l[int(q)] for q in pdf["query_id"]])
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].astype(np.int64),
+                    "vec_id": pdf[id_col].astype(np.int64),
+                    "score": (qarr * m).sum(axis=1),
+                }
+            )
+
+    rer = shortlist.join(
+        df.select(F.col(id_col).alias("vec_id"), vec_col), "vec_id"
+    ).select("query_id", F.col("vec_id").alias(id_col), vec_col)
+    scored = rer.mapInPandas(exact, _TOPK_SCHEMA)
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -250,3 +250,68 @@ def test_ivf_topk_recall_and_exact_scores(spark):
     assert sorted((r.query_id, r.vec_id, r.rank) for r in again.collect()) == sorted(
         (r.query_id, r.vec_id, r.rank) for r in rows
     )
+
+
+def test_ivf_pq_topk_recall_rerank_and_exact_gate(spark):
+    """IVF-PQ (pipelines/similarity.ivf_pq_topk): the ADC shortlist is
+    lossy, the re-rank exact.  Gates: (a) probing every list with a
+    table-sized shortlist reproduces brute force exactly (the emb_pq_exact
+    contract shape); (b) recall at lossy settings clears a floor and the
+    emitted scores are exact cosines; (c) widening the shortlist cannot
+    lower recall on the same trained index; (d) codes are m_sub ints in
+    [0, n_codes)."""
+    import numpy as np
+
+    from jena_geo_spark.pipelines import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qids = list(range(10))
+    k = 10
+    exact = similarity.cosine_topk(emb, qids, k=k)
+    exact_keys = sorted((r.query_id, r.vec_id, r.rank) for r in exact.collect())
+    exact_sets = {}
+    for q, v, _ in exact_keys:
+        exact_sets.setdefault(q, set()).add(v)
+
+    cents = similarity.train_ivf_centroids(emb, n_centroids=16)
+    books = similarity.train_pq_codebooks(emb, cents, m_sub=8, n_codes=16)
+
+    # (a) full probe + oversized shortlist == brute force, rank for rank
+    full = similarity.ivf_pq_topk(
+        emb, qids, k=k, nprobe=16, rerank=1000, centroids=cents, codebooks=books
+    )
+    assert sorted((r.query_id, r.vec_id, r.rank) for r in full.collect()) == exact_keys
+
+    # (d) the compressed index shape
+    enc = similarity.pq_encode(emb, cents, books).limit(50).collect()
+    for r in enc:
+        assert len(r.codes) == 8 and all(0 <= c < 16 for c in r.codes)
+
+    def run(rerank):
+        rows = similarity.ivf_pq_topk(
+            emb, qids, k=k, nprobe=8, rerank=rerank,
+            centroids=cents, codebooks=books,
+        ).collect()
+        got = {}
+        for r in rows:
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        hits = sum(len(got.get(q, set()) & exact_sets[q]) for q in exact_sets)
+        return hits / sum(len(s) for s in exact_sets.values()), rows
+
+    r_narrow, _ = run(2)
+    r_wide, rows = run(8)
+    assert r_wide >= 0.6, f"IVF-PQ recall {r_wide:.2f} too low at rerank=8k"
+    # (c) a wider ADC shortlist can only add true neighbours
+    assert r_wide >= r_narrow
+
+    # (b) re-rank scores are exact cosines
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+
+    def cos(a, b):
+        return float((a / np.linalg.norm(a) * (b / np.linalg.norm(b))).sum())
+
+    for r in rows[:100]:
+        assert abs(r.score - cos(vecs[r.query_id], vecs[r.vec_id])) < 1e-12
