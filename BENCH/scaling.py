@@ -218,8 +218,18 @@ have; the (2, 8) pair keeps both levels well inside the box.
 
 Reproduce: `python BENCH/scaling.py --sf {args.sf} --pairs {args.pairs} --rounds {args.rounds}`
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    # Only the generated header/table is overwritten: everything at and
+    # after the marker (hand-maintained evidence — CPU breakdown, prior
+    # windows, components bench) is carried over from the existing file.
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    marker = "<!-- hand-maintained sections below: preserved by scaling.py -->"
+    tail = ""
+    if os.path.exists(path):
+        prev = open(path).read()
+        if marker in prev:
+            tail = "\n" + marker + prev.split(marker, 1)[1]
+    with open(path, "w") as f:
+        f.write(md + tail)
 
 
 if __name__ == "__main__":
