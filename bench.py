@@ -263,6 +263,18 @@ def run(sf_dir: str, cpus: int) -> dict:
             )
         ),
     )
+    # compressed-index path: ADC over PQ codes (m_sub ints/vector scanned,
+    # not the raw floats), exact re-rank of a 4k shortlist
+    pq_books = _sim.train_pq_codebooks(emb, ivf_cents, m_sub=8, n_codes=16)
+    timed(
+        "emb_pq_topk",
+        lambda: _noop(
+            _sim.ivf_pq_topk(
+                emb, list(range(10)), k=10, nprobe=8, rerank=4,
+                centroids=ivf_cents, codebooks=pq_books,
+            )
+        ),
+    )
 
     total = round(sum(timings.values()), 3)
     join_rps = round(n_images / timings["flagship_join_tile"], 1)
