@@ -218,9 +218,11 @@ have; the (2, 8) pair keeps both levels well inside the box.
 
 Reproduce: `python BENCH/scaling.py --sf {args.sf} --pairs {args.pairs} --rounds {args.rounds}`
 """
-    # Only the generated header/table is overwritten: everything at and
-    # after the marker (hand-maintained evidence — CPU breakdown, prior
-    # windows, components bench) is carried over from the existing file.
+    # Everything ABOVE the marker is regenerated (header + table + raw
+    # runs) — hand-written narrative placed there is lost on re-run.
+    # Hand-maintained evidence (window interpretation, CPU breakdown,
+    # prior windows, components bench) must live at/below the marker;
+    # that part is carried over from the existing file verbatim.
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     marker = "<!-- hand-maintained sections below: preserved by scaling.py -->"
     tail = ""

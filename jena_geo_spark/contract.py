@@ -2512,12 +2512,16 @@ def q_emb_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents = similarity.train_ivf_centroids(emb, n_centroids=8)
     books = similarity.train_pq_codebooks(emb, cents, m_sub=8, n_codes=16)
+    # the shortlist must cover the whole table for the equality gate to
+    # hold at ANY sf — derive it from the count instead of a constant
+    k = 8
+    rerank = -(-emb.count() // k)  # ceil(n / k) → rerank*k ≥ n
     out = similarity.ivf_pq_topk(
         emb,
         list(range(8)),
-        k=8,
+        k=k,
         nprobe=8,
-        rerank=1000,
+        rerank=rerank,
         centroids=cents,
         codebooks=books,
     )

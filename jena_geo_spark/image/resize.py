@@ -60,9 +60,14 @@ def resize_bilinear(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     x1 = np.minimum(x0 + 1, w - 1)
     wy = (fy - y0)[:, None, None]
     wx = (fx - x0)[None, :, None]
-    a = arr.astype(np.float64)
-    top = a[y0][:, x0] * (1.0 - wx) + a[y0][:, x1] * wx
-    bot = a[y1][:, x0] * (1.0 - wx) + a[y1][:, x1] * wx
+    # gather only the four (out_h, out_w, c) corner planes — never a
+    # float64 copy of the full source or an (out_h, w, c) row slice
+    ia = arr[y0[:, None], x0[None, :]].astype(np.float64)
+    ib = arr[y0[:, None], x1[None, :]].astype(np.float64)
+    ic = arr[y1[:, None], x0[None, :]].astype(np.float64)
+    id_ = arr[y1[:, None], x1[None, :]].astype(np.float64)
+    top = ia * (1.0 - wx) + ib * wx
+    bot = ic * (1.0 - wx) + id_ * wx
     out = top * (1.0 - wy) + bot * wy
     return np.clip(out + 0.5, 0.0, 255.0).astype(np.uint8)
 
@@ -105,9 +110,10 @@ def resize_images(
     so the verify gate (image/spark.with_phash_verified) holds on the
     output table too.  Caption and image_id pass through untouched
     (caption equality through every stage is the north-rule invariant).
-    Rows that fail to decode pass through with NULL bytes/phash rather
-    than killing the batch.  Already-small images are NOT upscaled but
-    are still transcoded to ``out_fmt``."""
+    Rows that fail to decode pass through with NULL bytes/phash and
+    their ORIGINAL (w, h, fmt) — the metadata needed to retry or inspect
+    the failure — rather than killing the batch.  Already-small images
+    are NOT upscaled but are still transcoded to ``out_fmt``."""
     if out_fmt not in ("png", "raw", "jpg"):
         raise ValueError(f"unknown out_fmt {out_fmt}")
 
@@ -148,19 +154,29 @@ def resize_images(
                 hashes = codec.phash64_batch(np.stack(planes))
                 for j, i in enumerate(keep):
                     out_ph[i] = int(hashes[j])
+            decoded = [b is not None for b in out_b]
             yield pd.DataFrame(
                 {
                     "image_id": pdf["image_id"],
                     "bytes": out_b,
                     "w": pd.array(
-                        [int(x) if b is not None else None for x, b in zip(out_w, out_b)],
+                        [
+                            int(out_w[i]) if decoded[i] else int(ws[i])
+                            for i in range(n)
+                        ],
                         dtype="Int32",
                     ),
                     "h": pd.array(
-                        [int(x) if b is not None else None for x, b in zip(out_h, out_b)],
+                        [
+                            int(out_h[i]) if decoded[i] else int(hs[i])
+                            for i in range(n)
+                        ],
                         dtype="Int32",
                     ),
-                    "fmt": out_fmt,
+                    # failed rows keep their INPUT fmt (self-describing)
+                    "fmt": [
+                        out_fmt if decoded[i] else fmts[i] for i in range(n)
+                    ],
                     "caption": pdf["caption"],
                     "phash": pd.array(out_ph, dtype="Int64"),
                 }
@@ -219,9 +235,14 @@ def sample_frames(
                 "caption": [],
             }
             for r in pdf.itertuples(index=False):
-                frames = decoder(r.bytes, int(r.w), int(r.h))
-                frames = np.asarray(frames, dtype=np.uint8)
-                if frames.ndim != 4 or frames.shape[3] != 3:
+                frames = np.asarray(decoder(r.bytes, int(r.w), int(r.h)))
+                # validate BEFORE any cast: silently uint8-casting a
+                # float-frame decoder would emit garbage payloads
+                if (
+                    frames.dtype != np.uint8
+                    or frames.ndim != 4
+                    or frames.shape[3] != 3
+                ):
                     raise ValueError("decoder must return (n, h, w, 3) uint8")
                 idxs = np.arange(0, len(frames), every_n)[:max_frames]
                 for i in idxs:

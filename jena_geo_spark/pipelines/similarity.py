@@ -44,6 +44,48 @@ def _collect_queries(df: DataFrame, query_ids: list[int], id_col: str, vec_col: 
     return qids, qm
 
 
+def _exact_rerank(
+    cand: DataFrame, qmap: dict, k: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Exact-cosine re-rank of (query_id, id, vec) candidate rows →
+    top-k (query_id, vec_id, score, rank) with the deterministic
+    (score desc, vec_id asc) tie-break — the shared tail of ``lsh_topk``,
+    ``ivf_topk`` and ``ivf_pq_topk``, kept in ONE place so the zero-norm
+    guard and tie-break cannot drift between the ANN variants."""
+    spark = cand.sparkSession
+    bq = spark.sparkContext.broadcast(qmap)
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qm_l = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            m = m / norms[:, None]
+            qarr = np.array([qm_l[int(q)] for q in pdf["query_id"]])
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].astype(np.int64),
+                    "vec_id": pdf[id_col].astype(np.int64),
+                    "score": (qarr * m).sum(axis=1),
+                }
+            )
+
+    scored = cand.select("query_id", id_col, vec_col).mapInPandas(
+        rerank, _TOPK_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
 def cosine_topk(
     df: DataFrame,
     query_ids: list[int],
@@ -328,37 +370,9 @@ def lsh_topk(
         .select("query_id", id_col, vec_col)
         .dropDuplicates(["query_id", id_col])
     )
-    spark = df.sparkSession
     qids, qm = _collect_queries(df, query_ids, id_col, vec_col)
     qmap = {int(q): qm[i] for i, q in enumerate(qids)}
-    bq = spark.sparkContext.broadcast(qmap)
-
-    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qm_l = bq.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            norms = np.linalg.norm(m, axis=1)
-            norms[norms == 0] = 1.0
-            m = m / norms[:, None]
-            qarr = np.array([qm_l[int(q)] for q in pdf["query_id"]])
-            scores = (qarr * m).sum(axis=1)
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].astype(np.int64),
-                    "vec_id": pdf[id_col].astype(np.int64),
-                    "score": scores,
-                }
-            )
-
-    scored = cand.mapInPandas(rerank, _TOPK_SCHEMA)
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "score", "rank")
-    )
+    return _exact_rerank(cand, qmap, k, id_col, vec_col)
 
 
 # ----------------------------------------------------------------- IVF ANN --
@@ -376,18 +390,11 @@ def train_ivf_centroids(
     """Deterministic spherical k-means on a bounded sample — the IVF coarse
     quantizer.  Training is a driver-side numpy Lloyd loop over ≤``sample``
     vectors (hash-selected, order-independent); at 10^12 rows the sample is
-    a fixed-size sketch, the expensive assignment stays distributed."""
-    frac_mod = F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_003))
-    rows = (
-        df.select(id_col, vec_col, frac_mod.alias("_h"))
-        .orderBy("_h", id_col)
-        .limit(sample)
-        .collect()
-    )
-    x = np.array([r[1] for r in rows], dtype=np.float64)
-    n = np.linalg.norm(x, axis=1)
-    n[n == 0] = 1.0
-    x = x / n[:, None]
+    a fixed-size sketch, the expensive assignment stays distributed.
+    The sample is ``_hash_sample_matrix`` — the SAME sketch
+    ``train_pq_codebooks`` trains on (the IVFADC residual codebooks must
+    see the vector set the coarse centroids were fit to)."""
+    x = _hash_sample_matrix(df, sample, id_col, vec_col)
     rng = np.random.default_rng(seed)
     k = min(n_centroids, len(x))
     cents = x[rng.choice(len(x), size=k, replace=False)]
@@ -469,35 +476,8 @@ def ivf_topk(
     cand = assigned.join(F.broadcast(probe_df), "list_id").filter(
         F.col(id_col) != F.col("query_id")
     )
-
     qmap = {int(q): qm[i] for i, q in enumerate(qids)}
-    bq = spark.sparkContext.broadcast(qmap)
-
-    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qm_l = bq.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            norms = np.linalg.norm(m, axis=1)
-            norms[norms == 0] = 1.0
-            m = m / norms[:, None]
-            qarr = np.array([qm_l[int(q)] for q in pdf["query_id"]])
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].astype(np.int64),
-                    "vec_id": pdf[id_col].astype(np.int64),
-                    "score": (qarr * m).sum(axis=1),
-                }
-            )
-
-    scored = cand.select("query_id", id_col, vec_col).mapInPandas(rerank, _TOPK_SCHEMA)
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "score", "rank")
-    )
+    return _exact_rerank(cand, qmap, k, id_col, vec_col)
 
 
 # -------------------------------------------------------------- IVF-PQ ANN --
@@ -708,34 +688,8 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= rerank * k)
         .select("query_id", "vec_id")
     )
-
-    qmap = {int(q): qm[i] for i, q in enumerate(qids)}
-    bq = spark.sparkContext.broadcast(qmap)
-
-    def exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qm_l = bq.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            norms = np.linalg.norm(m, axis=1)
-            norms[norms == 0] = 1.0
-            m = m / norms[:, None]
-            qarr = np.array([qm_l[int(q)] for q in pdf["query_id"]])
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].astype(np.int64),
-                    "vec_id": pdf[id_col].astype(np.int64),
-                    "score": (qarr * m).sum(axis=1),
-                }
-            )
-
     rer = shortlist.join(
         df.select(F.col(id_col).alias("vec_id"), vec_col), "vec_id"
     ).select("query_id", F.col("vec_id").alias(id_col), vec_col)
-    scored = rer.mapInPandas(exact, _TOPK_SCHEMA)
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "score", "rank")
-    )
+    qmap = {int(q): qm[i] for i, q in enumerate(qids)}
+    return _exact_rerank(rer, qmap, k, id_col, vec_col)

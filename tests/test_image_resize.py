@@ -145,14 +145,31 @@ def test_resize_images_bad_rows_pass_through_null(spark):
         )
     )
     rows = {r.image_id: r for r in resize_images(df, 16).collect()}
-    assert rows["bad_img_0"].bytes is None and rows["bad_img_0"].phash is None
+    bad = rows["bad_img_0"]
+    assert bad.bytes is None and bad.phash is None
+    # failed rows keep their ORIGINAL metadata so the failure is
+    # self-describing (retryable), not stamped with the target fmt/dims
+    assert (bad.w, bad.h, bad.fmt) == (40, 28, "png")
     assert rows["img_0"].bytes is not None  # good rows unaffected
+    assert (rows["img_0"].w, rows["img_0"].h) == (16, 11)
 
 
 def test_sample_frames_default_decoder_is_stub(spark):
     df = _images_df(spark, n=1)
     with pytest.raises(Exception, match="video codec"):
         sample_frames(df).collect()
+
+
+def test_sample_frames_rejects_non_uint8_decoder(spark):
+    """A decoder returning normalized float frames must fail LOUDLY —
+    casting it to uint8 would silently emit near-black garbage."""
+
+    def float_decoder(data: bytes, w: int, h: int) -> np.ndarray:
+        return np.random.default_rng(0).random((4, h, w, 3), dtype=np.float32)
+
+    df = _images_df(spark, n=1, w=6, h=4)
+    with pytest.raises(Exception, match="uint8"):
+        sample_frames(df, decoder=float_decoder).collect()
 
 
 def test_sample_frames_fake_decoder_explode_shape(spark):
