@@ -2919,19 +2919,35 @@ class _GroupCompiler:
             ):
                 aswkt.setdefault(it.s.name, it.o.name)
         out = Group([it for it in g.items if it not in pf and it not in spf])
+        const_geom: dict[str, str] = {}
 
         def geom_of(side) -> str:
-            if side.name not in aswkt:
-                fresh = f"__g_{side.name}"
-                out.items.append(Triple(side, Iri(GEO_ASWKT), Var(fresh)))
-                aswkt[side.name] = fresh
-            return aswkt[side.name]
+            if isinstance(side, Var):
+                if side.name not in aswkt:
+                    fresh = f"__g_{side.name}"
+                    out.items.append(Triple(side, Iri(GEO_ASWKT), Var(fresh)))
+                    aswkt[side.name] = fresh
+                return aswkt[side.name]
+            # constant term (ARQ property functions evaluate per-binding,
+            # so constants are first-class on the reference surface): a
+            # wktLiteral binds directly; an IRI feature anchors an asWKT
+            # pattern at the constant
+            key = _term_str(side)
+            if key not in const_geom:
+                fresh = f"__g_c{len(const_geom)}"
+                if isinstance(side, Lit):
+                    if not (side.dt or "").lower().endswith("wktliteral"):
+                        raise NotImplementedError(
+                            "constant property-function arguments must be "
+                            "wktLiterals or feature/geometry IRIs"
+                        )
+                    out.items.append(Bind(side, fresh))
+                else:
+                    out.items.append(Triple(side, Iri(GEO_ASWKT), Var(fresh)))
+                const_geom[key] = fresh
+            return const_geom[key]
 
         for t in pf:
-            if not (isinstance(t.s, Var) and isinstance(t.o, Var)):
-                raise NotImplementedError(
-                    "property-function predicates need variable subject and object"
-                )
             args = [Var(geom_of(t.s)), Var(geom_of(t.o))]
             fn_iri = t.p.iri
             local = fn_iri.rsplit("#", 1)[-1]

@@ -533,6 +533,44 @@ def test_distance_filter_rewrite(spark, images_pt):
     assert got == exp and len(got) > 0
 
 
+def test_property_function_constant_object_iri(spark, model):
+    """``?a geo:sfWithin :house_1_geom`` — constant feature/geometry IRI
+    in object position (ARQ property functions evaluate per-binding, so
+    constants are first-class on the reference surface); the desugar
+    anchors an asWKT pattern at the constant."""
+    q = ("PREFIX : <http://example.org/> SELECT ?a WHERE { "
+         "?a a geo2:Geometry . ?a geo:sfWithin :house_1_geom . "
+         "FILTER(?a != :house_1_geom) }")
+    rows = S.execute_query(spark, q, model).collect()
+    got = {r["a"].rsplit("/", 1)[-1] for r in rows}
+    assert got == {"pt_1_geom", "small_geom"}
+
+
+def test_property_function_constant_subject_iri(spark, model):
+    """Constant subject: ``:pt_1_geom geo:sfWithin ?b``."""
+    q = ("PREFIX : <http://example.org/> SELECT ?b WHERE { "
+         "?b a geo2:Geometry . :pt_1_geom geo:sfWithin ?b . "
+         "FILTER(?b != :pt_1_geom) }")
+    rows = S.execute_query(spark, q, model).collect()
+    got = {r["b"].rsplit("/", 1)[-1] for r in rows}
+    # pt (1 1) is interior to the 4x4 house but ON the unit square's
+    # corner — boundary contact is not sfWithin (no interior∩interior)
+    assert got == {"house_1_geom"}
+
+
+def test_property_function_constant_wkt_literal(spark, model):
+    """Constant wktLiteral object: the geometry is BIND-ed, no graph
+    lookup — the half-plane x<=2 clips pt (1 1) and the unit square in,
+    the 4x4 house square out."""
+    q = ('PREFIX : <http://example.org/> SELECT ?a WHERE { '
+         '?a a geo2:Geometry . '
+         '?a geo:sfWithin "POLYGON((-10 -10, 2 -10, 2 10, -10 10, -10 -10))"'
+         '^^geo:wktLiteral }')
+    rows = S.execute_query(spark, q, model).collect()
+    got = {r["a"].rsplit("/", 1)[-1] for r in rows}
+    assert got == {"pt_1_geom", "small_geom"}
+
+
 def test_property_function_triples_backend(spark, model):
     # no declared point kinds on the triples backend → falls back to the
     # cross+filter shape, still correct
