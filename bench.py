@@ -160,6 +160,24 @@ def run(sf_dir: str, cpus: int) -> dict:
         return _flagship(v)
 
     timed("flagship_verify_join_tile", lambda: _noop(_verify_pipeline()))
+
+    # decode → aspect-fit bilinear resize → re-encode over the full
+    # payload table (factorized per distinct payload, like the verify
+    # stage; output phash recomputed from the resized pixels)
+    from jena_geo_spark.image.resize import resize_images
+
+    timed(
+        "images_resize",
+        lambda: _noop(
+            resize_images(
+                imgs_full.select(
+                    "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
+                ),
+                max_side=8,
+                out_fmt="raw",
+            )
+        ),
+    )
     timed(
         "flagship_join_tile_salted",
         lambda: _noop(_flagship(imgs, strategy="salted")),

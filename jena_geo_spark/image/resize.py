@@ -128,32 +128,46 @@ def resize_images(
             ws = pdf["w"].to_numpy()
             hs = pdf["h"].to_numpy()
             fmts = pdf["fmt"].tolist()
-            planes = []
-            keep = []
+            # Factorize on (payload, w, h, fmt): each distinct image is
+            # decoded/resized/re-encoded ONCE per Arrow batch (the same
+            # contract as the phash verify path — synthetic and scraped
+            # corpora pool payloads via parquet dictionary encoding;
+            # unique-payload data degenerates to one cache miss per row).
+            cache: dict = {}
+            planes: list = []
+            new_keys: list = []
             for i in range(n):
+                key = (bs[i], int(ws[i]), int(hs[i]), fmts[i])
+                if key in cache:
+                    continue
                 try:
                     arr = codec.decode(bs[i], int(ws[i]), int(hs[i]), fmts[i])
                 except Exception:
+                    cache[key] = None
                     continue
                 nw, nh = fit_within(arr.shape[1], arr.shape[0], max_side)
                 arr = resize_bilinear(arr, nh, nw)
                 if out_fmt == "png":
-                    out_b[i] = codec.encode_png(arr)
+                    payload = codec.encode_png(arr)
                 elif out_fmt == "raw":
-                    out_b[i] = codec.encode_raw(arr)
+                    payload = codec.encode_raw(arr)
                 else:
                     from . import jpeg
 
-                    out_b[i] = jpeg.encode_jpeg(arr, quality=jpeg_quality)
+                    payload = jpeg.encode_jpeg(arr, quality=jpeg_quality)
                     # the stored phash must describe the lossy payload
-                    arr = jpeg.decode_jpeg(out_b[i])
-                out_w[i], out_h[i] = arr.shape[1], arr.shape[0]
+                    arr = jpeg.decode_jpeg(payload)
+                cache[key] = [payload, arr.shape[1], arr.shape[0], None]
                 planes.append(codec.gray32(arr))
-                keep.append(i)
-            if keep:
+                new_keys.append(key)
+            if new_keys:
                 hashes = codec.phash64_batch(np.stack(planes))
-                for j, i in enumerate(keep):
-                    out_ph[i] = int(hashes[j])
+                for j, key in enumerate(new_keys):
+                    cache[key][3] = int(hashes[j])
+            for i in range(n):
+                hit = cache[(bs[i], int(ws[i]), int(hs[i]), fmts[i])]
+                if hit is not None:
+                    out_b[i], out_w[i], out_h[i], out_ph[i] = hit
             decoded = [b is not None for b in out_b]
             yield pd.DataFrame(
                 {

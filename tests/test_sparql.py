@@ -2051,3 +2051,54 @@ def test_eh_rcc8_property_function_triples(spark):
     assert ("urn:row:4", "urn:row:1") in dc and ("urn:row:1", "urn:row:4") in dc
     # sf* family still routes through the registry names
     assert ("urn:row:1", "urn:row:3") in run("sfWithin")
+
+
+def test_property_function_families_match_filter_form(spark):
+    """Differential check across the property-function desugar: for a
+    random small geometry graph, every ``?a <pf> ?b`` triple (sf*, eh*,
+    rcc8*) must produce exactly the rows of the explicit
+    ``FILTER(geof:<pf>(?ga, ?gb))`` form — the two take different plan
+    paths (the sf* triples are eligible for the cover-join rewrite; the
+    FILTER form evaluates as a plain predicate), same kernels."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    lines = [
+        "@prefix geo: <http://www.opengis.net/ont/geosparql#> .",
+        "@prefix geo2: <http://www.opengis.net/ont/geosparqlplus#> .",
+        "@prefix : <http://example.org/> .",
+    ]
+    for i in range(10):
+        if i % 3 == 0:
+            x, y = rng.uniform(0, 4, 2).round(2)
+            wkt = f"POINT ({x} {y})"
+        else:
+            x, y = rng.uniform(0, 3, 2).round(2)
+            s = float(rng.choice([0.5, 1.0, 2.0]))
+            wkt = (f"POLYGON(({x} {y}, {x + s} {y}, {x + s} {y + s}, "
+                   f"{x} {y + s}, {x} {y}))")
+        lines.append(
+            f':g{i} geo:asWKT "{wkt}"^^geo:wktLiteral ; a geo2:Geometry .'
+        )
+    m = S.TriplesModel(S.triples_from_turtle(spark, "\n".join(lines)))
+
+    def run(q):
+        return {(r["a"], r["b"]) for r in S.execute_query(spark, q, m).collect()}
+
+    P = "PREFIX : <http://example.org/> "
+    for pf in ["sfWithin", "sfContains", "sfIntersects", "sfDisjoint",
+               "ehMeet", "rcc8po"]:
+        got = run(P + "SELECT ?a ?b WHERE { ?a a geo2:Geometry . "
+                      f"?b a geo2:Geometry . ?a geo:{pf} ?b }}")
+        exp = run(P + "SELECT ?a ?b WHERE { ?a a geo2:Geometry . "
+                      "?a geo:asWKT ?ga . ?b a geo2:Geometry . "
+                      f"?b geo:asWKT ?gb . FILTER(geof:{pf}(?ga, ?gb)) }}")
+        assert got == exp, f"{pf}: {got ^ exp}"
+
+    # constant-object variant: pin one geometry as the right side
+    got = run(P + "SELECT ?a (:g1 AS ?b) WHERE { ?a a geo2:Geometry . "
+                  "?a geo:sfIntersects :g1 }")
+    exp = run(P + "SELECT ?a (:g1 AS ?b) WHERE { ?a a geo2:Geometry . "
+                  "?a geo:asWKT ?ga . :g1 geo:asWKT ?gb . "
+                  "FILTER(geof:sfIntersects(?ga, ?gb)) }")
+    assert got == exp and len(got) > 0
