@@ -1229,6 +1229,24 @@ def o_doc_jaccard_pairs() -> str:
     )
 
 
+def q_doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequent n-grams (boilerplate detection): document
+    frequency per distinct 3-gram, df >= 3 — one map-side-combinable
+    hash aggregation (pipelines/dedup.boilerplate_ngrams)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.boilerplate_ngrams(docs, n=3, min_df=3)
+
+
+def o_doc_boilerplate() -> str:
+    return (
+        "WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1), "
+        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS shingle "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)) "
+        "SELECT shingle, count(*)::BIGINT AS df FROM sh GROUP BY shingle "
+        "HAVING count(*) >= 3"
+    )
+
+
 def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return text.lang_id(docs)
@@ -3451,6 +3469,7 @@ QUERIES = {
     "sparql_spatialf": q_sparql_spatialf,
     "sparql_cardinal": q_sparql_cardinal,
     "emb_pq_exact": q_emb_pq_exact,
+    "doc_boilerplate": q_doc_boilerplate,
     # -- family representatives (14; emb_topk rotates to the tail — it has
     # a green r3 driver row, and emb_pq_exact's gate subsumes the exact
     # top-k plumbing) --
@@ -3546,6 +3565,7 @@ ORACLES = {
     "geo_coord_aggs": o_geo_coord_aggs(),
     "emb_ivf_exact": o_emb_ivf_exact(),
     "emb_pq_exact": o_emb_pq_exact(),
+    "doc_boilerplate": o_doc_boilerplate(),
     "geo_mvt_coords": o_geo_mvt_coords(),
     "stream_tile_hist": o_stream_tile_hist(),
     "geo_mp_pip_join": o_geo_mp_pip_join(),

@@ -97,6 +97,30 @@ def shingle_df(
     )
 
 
+def boilerplate_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    min_df: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-frequent word n-grams — boilerplate/template detection for
+    training-data curation: the document frequency of every distinct
+    shingle, kept where df ≥ ``min_df``.  Output (shingle, df).
+
+    Scale shape: ``shingle_df`` emits each shingle at most once per doc,
+    so one hash ``groupBy(shingle).count()`` IS the document frequency —
+    a single map-side-combinable aggregation, no joins, no doc×doc
+    blowup; at 100 TB the combiner collapses each partition to its
+    distinct-shingle histogram before the shuffle."""
+    return (
+        shingle_df(df, n, text_col, id_col)
+        .groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+
+
 def jaccard_dedup_pairs(
     df: DataFrame,
     n: int = 3,

@@ -315,3 +315,15 @@ def test_ivf_pq_topk_recall_rerank_and_exact_gate(spark):
 
     for r in rows[:100]:
         assert abs(r.score - cos(vecs[r.query_id], vecs[r.vec_id])) < 1e-12
+
+
+def test_boilerplate_ngrams_hand_case(spark):
+    from jena_geo_spark.pipelines.dedup import boilerplate_ngrams
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c x"), (2, "a b c d")],
+        "doc_id long, text string",
+    )
+    got = {(r.shingle, r.df) for r in boilerplate_ngrams(docs, n=3, min_df=2).collect()}
+    # df counts DOCUMENTS (shingles are distinct per doc), not occurrences
+    assert got == {("a b c", 3), ("b c d", 2)}
