@@ -242,3 +242,20 @@ def test_sparql_geof_relation_plan_single_python_stage(spark):
     # st_relate_match is evaluated once (one ArrowEvalPython carries it)
     assert plan.count("st_relate_match") - plan.count(
         "st_relate_match(") <= plan.count("ArrowEvalPython")
+
+
+def test_resize_plan_is_narrow_single_python_stage(spark, imgs):
+    """resize_images is one mapInPandas over the scan: exactly one Python
+    stage, no shuffle (Exchange), no row-at-a-time Python — the 100-TB
+    posture for a full-corpus payload transform."""
+    from jena_geo_spark.image.resize import resize_images
+
+    out = resize_images(
+        imgs.select("image_id", "bytes", "w", "h", "fmt", "caption", "phash"),
+        max_side=8,
+        out_fmt="raw",
+    )
+    plan = _plan(out)
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan  # narrow: no shuffle anywhere
+    assert "BatchEvalPython" not in plan
