@@ -1247,6 +1247,27 @@ def o_doc_boilerplate() -> str:
     )
 
 
+def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level boilerplate location: (doc_id, pos, shingle) for every
+    token position whose 3-gram has df >= 3 — broadcast of the shingle
+    histogram against a positional explode (pipelines/dedup.dup_spans)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.dup_spans(docs, n=3, min_df=3)
+
+
+def o_doc_dup_spans() -> str:
+    return (
+        "WITH pos AS (SELECT doc_id, i - 1 AS pos, "
+        "toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS shingle "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+        "unnest(range(1, len(toks) - 1)) AS t(i)), "
+        "hot AS (SELECT shingle FROM (SELECT DISTINCT doc_id, shingle FROM pos) "
+        "GROUP BY shingle HAVING count(*) >= 3) "
+        "SELECT p.doc_id, p.pos::BIGINT AS pos, p.shingle FROM pos p "
+        "JOIN hot USING (shingle)"
+    )
+
+
 def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return text.lang_id(docs)
@@ -3470,6 +3491,7 @@ QUERIES = {
     "sparql_cardinal": q_sparql_cardinal,
     "emb_pq_exact": q_emb_pq_exact,
     "doc_boilerplate": q_doc_boilerplate,
+    "doc_dup_spans": q_doc_dup_spans,
     # -- family representatives (14; emb_topk rotates to the tail — it has
     # a green r3 driver row, and emb_pq_exact's gate subsumes the exact
     # top-k plumbing) --
@@ -3566,6 +3588,7 @@ ORACLES = {
     "emb_ivf_exact": o_emb_ivf_exact(),
     "emb_pq_exact": o_emb_pq_exact(),
     "doc_boilerplate": o_doc_boilerplate(),
+    "doc_dup_spans": o_doc_dup_spans(),
     "geo_mvt_coords": o_geo_mvt_coords(),
     "stream_tile_hist": o_stream_tile_hist(),
     "geo_mp_pip_join": o_geo_mp_pip_join(),

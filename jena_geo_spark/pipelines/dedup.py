@@ -121,6 +121,45 @@ def boilerplate_ngrams(
     )
 
 
+def dup_spans(
+    df: DataFrame,
+    n: int = 3,
+    min_df: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Locate corpus-frequent n-grams INSIDE each document: (id, pos,
+    shingle) rows for every token position whose n-gram has document
+    frequency ≥ ``min_df`` — the span-level view a curation pipeline
+    needs to STRIP boilerplate rather than drop whole documents
+    (exact-substring dedup in the spirit of Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022, §4.1).
+
+    Scale shape: the df histogram is one map-side-combinable aggregation
+    (``boilerplate_ngrams``); hot shingles are then broadcast back
+    against a positional explode — no doc×doc join.  ``pos`` is the
+    0-based token offset of the n-gram start."""
+    base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+    toks = F.col("_toks")
+    idx = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    positions = base.select(
+        F.col(id_col),
+        F.posexplode(grams).alias("pos", "shingle"),
+    )
+    hot = boilerplate_ngrams(df, n, min_df, text_col, id_col).select("shingle")
+    return positions.join(F.broadcast(hot), "shingle").select(
+        id_col, F.col("pos").cast("long").alias("pos"), "shingle"
+    )
+
+
 def jaccard_dedup_pairs(
     df: DataFrame,
     n: int = 3,

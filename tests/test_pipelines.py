@@ -327,3 +327,16 @@ def test_boilerplate_ngrams_hand_case(spark):
     got = {(r.shingle, r.df) for r in boilerplate_ngrams(docs, n=3, min_df=2).collect()}
     # df counts DOCUMENTS (shingles are distinct per doc), not occurrences
     assert got == {("a b c", 3), ("b c d", 2)}
+
+
+def test_dup_spans_hand_case(spark):
+    from jena_geo_spark.pipelines.dedup import dup_spans
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "x a b c"), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.pos, r.shingle) for r in dup_spans(docs, n=3, min_df=3).collect()}
+    # "a b c" appears in all 3 docs: at pos 0, 1, 0 — positions count
+    # token offsets, and NON-distinct occurrences all surface
+    assert got == {(0, 0, "a b c"), (1, 1, "a b c"), (2, 0, "a b c")}
