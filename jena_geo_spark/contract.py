@@ -3461,8 +3461,6 @@ QUERIES = {
     "geo_affine": q_geo_affine,
     "geo_coord_aggs": q_geo_coord_aggs,
     "geo_line_length": q_geo_line_length,
-    "geo_boundary_len": q_geo_boundary_len,
-    "geo_dump_points": q_geo_dump_points,
     "geo_maxdistance": q_geo_maxdistance,
     "geo_closest_point": q_geo_closest_point,
     "geo_geodesic_dist": q_geo_geodesic_dist,
@@ -3513,6 +3511,8 @@ QUERIES = {
     # representative, and each of these has an r3 driver row or a pytest
     # oracle gate) ----
     "emb_topk": q_emb_topk,
+    "geo_boundary_len": q_geo_boundary_len,
+    "geo_dump_points": q_geo_dump_points,
     "sparql_agg_group": q_sparql_agg_group,
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
