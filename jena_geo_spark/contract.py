@@ -1177,6 +1177,25 @@ def o_doc_token_stats() -> str:
     )
 
 
+def q_doc_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer token count (lookaround-free GPT-2 shape, so
+    Java regex and RE2 agree match-for-match) next to the whitespace
+    count — the corpus-scale LLM-token-budget proxy
+    (pipelines/text.subword_token_stats, pure Catalyst)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.subword_token_stats(docs)
+
+
+def o_doc_subword_tokens() -> str:
+    from .pipelines.text import BPE_ISH_PATTERN
+
+    return (
+        f"SELECT doc_id, len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))::BIGINT "
+        "AS n_subword, len(string_split(text, ' '))::BIGINT AS n_whitespace "
+        "FROM documents"
+    )
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return text.quality_score(docs)
@@ -3490,6 +3509,7 @@ QUERIES = {
     "emb_pq_exact": q_emb_pq_exact,
     "doc_boilerplate": q_doc_boilerplate,
     "doc_dup_spans": q_doc_dup_spans,
+    "doc_subword_tokens": q_doc_subword_tokens,
     # -- family representatives (14; emb_topk rotates to the tail — it has
     # a green r3 driver row, and emb_pq_exact's gate subsumes the exact
     # top-k plumbing) --
@@ -3588,6 +3608,7 @@ ORACLES = {
     "emb_ivf_exact": o_emb_ivf_exact(),
     "emb_pq_exact": o_emb_pq_exact(),
     "doc_boilerplate": o_doc_boilerplate(),
+    "doc_subword_tokens": o_doc_subword_tokens(),
     "doc_dup_spans": o_doc_dup_spans(),
     "geo_mvt_coords": o_geo_mvt_coords(),
     "stream_tile_hist": o_stream_tile_hist(),

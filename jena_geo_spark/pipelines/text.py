@@ -37,6 +37,30 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+# GPT-2-style pre-tokenizer shape WITHOUT lookarounds or contraction
+# classes, so Spark's Java regex and the DuckDB oracle's RE2 agree
+# match-for-match: runs of letters / digits / other-non-space, each
+# optionally absorbing one preceding space (standalone space runs are
+# not tokens).
+BPE_ISH_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+"
+
+
+def subword_token_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """BPE-ish pre-tokenizer token count per doc — the cheap corpus-scale
+    proxy for an LLM token budget (whitespace counting under-counts
+    punctuation-heavy text).  Pure Catalyst: one ``regexp_extract_all``
+    per row, no UDF."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), F.lit(0))
+    ws = tokens_col(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_subword"),
+        F.size(ws).cast("long").alias("n_whitespace"),
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality score in [0,1]: stopword ratio + length band +
     repetition penalty.  Deterministic integer/exact-double arithmetic so a

@@ -340,3 +340,17 @@ def test_dup_spans_hand_case(spark):
     # "a b c" appears in all 3 docs: at pos 0, 1, 0 — positions count
     # token offsets, and NON-distinct occurrences all surface
     assert got == {(0, 0, "a b c"), (1, 1, "a b c"), (2, 0, "a b c")}
+
+
+def test_subword_token_stats_punctuation(spark):
+    from jena_geo_spark.pipelines.text import subword_token_stats
+
+    docs = spark.createDataFrame(
+        [(0, "hello, world!!"), (1, "a1b2"), (2, "x y")],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.n_subword, r.n_whitespace)
+           for r in subword_token_stats(docs).collect()}
+    # "hello" "," " world" "!!" = 4 subword vs 2 whitespace tokens;
+    # "a1b2" splits letter/digit runs: "a" "1" "b" "2"
+    assert got == {(0, 4, 2), (1, 4, 1), (2, 2, 2)}
