@@ -1177,6 +1177,39 @@ def o_doc_token_stats() -> str:
     )
 
 
+def q_doc_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The strip step of the boilerplate curation loop: tokens covered
+    by any df>=3 3-gram span are removed, clean docs pass through
+    verbatim (pipelines/dedup.strip_boilerplate — Catalyst lambda token
+    filter, no UDF)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.strip_boilerplate(docs, n=3, min_df=3)
+
+
+def o_doc_strip_boilerplate() -> str:
+    return (
+        "WITH pos AS (SELECT doc_id, i - 1 AS pos, "
+        "toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS shingle "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+        "unnest(range(1, len(toks) - 1)) AS t(i)), "
+        "hot AS (SELECT shingle FROM (SELECT DISTINCT doc_id, shingle FROM pos) "
+        "GROUP BY shingle HAVING count(*) >= 3), "
+        "covered AS (SELECT DISTINCT p.doc_id, c AS ti FROM pos p JOIN hot USING (shingle), "
+        "unnest(range(p.pos, p.pos + 3)) AS cc(c)), "
+        "tok AS (SELECT doc_id, i - 1 AS ti, t[i] AS tok "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+        "unnest(range(1, len(t) + 1)) AS u(i)), "
+        "kept AS (SELECT tok.doc_id, ti, tok FROM tok WHERE NOT EXISTS "
+        "(SELECT 1 FROM covered c WHERE c.doc_id = tok.doc_id AND c.ti = tok.ti)), "
+        "agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS text_clean "
+        "FROM kept GROUP BY doc_id), "
+        "ncov AS (SELECT doc_id, count(*) AS n_removed FROM covered GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean, "
+        "coalesce(n.n_removed, 0)::BIGINT AS n_removed "
+        "FROM documents d LEFT JOIN agg a USING (doc_id) LEFT JOIN ncov n USING (doc_id)"
+    )
+
+
 def q_doc_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish pre-tokenizer token count (lookaround-free GPT-2 shape, so
     Java regex and RE2 agree match-for-match) next to the whitespace
@@ -3481,7 +3514,6 @@ QUERIES = {
     "geo_coord_aggs": q_geo_coord_aggs,
     "geo_line_length": q_geo_line_length,
     "geo_maxdistance": q_geo_maxdistance,
-    "geo_closest_point": q_geo_closest_point,
     "geo_geodesic_dist": q_geo_geodesic_dist,
     "tpch_q1": q_tpch_q1,
     "events_window": q_events_window,
@@ -3510,6 +3542,7 @@ QUERIES = {
     "doc_boilerplate": q_doc_boilerplate,
     "doc_dup_spans": q_doc_dup_spans,
     "doc_subword_tokens": q_doc_subword_tokens,
+    "doc_strip_boilerplate": q_doc_strip_boilerplate,
     # -- family representatives (14; emb_topk rotates to the tail — it has
     # a green r3 driver row, and emb_pq_exact's gate subsumes the exact
     # top-k plumbing) --
@@ -3531,6 +3564,7 @@ QUERIES = {
     # representative, and each of these has an r3 driver row or a pytest
     # oracle gate) ----
     "emb_topk": q_emb_topk,
+    "geo_closest_point": q_geo_closest_point,
     "geo_boundary_len": q_geo_boundary_len,
     "geo_dump_points": q_geo_dump_points,
     "sparql_agg_group": q_sparql_agg_group,
@@ -3609,6 +3643,7 @@ ORACLES = {
     "emb_pq_exact": o_emb_pq_exact(),
     "doc_boilerplate": o_doc_boilerplate(),
     "doc_subword_tokens": o_doc_subword_tokens(),
+    "doc_strip_boilerplate": o_doc_strip_boilerplate(),
     "doc_dup_spans": o_doc_dup_spans(),
     "geo_mvt_coords": o_geo_mvt_coords(),
     "stream_tile_hist": o_stream_tile_hist(),

@@ -160,6 +160,49 @@ def dup_spans(
     )
 
 
+def strip_boilerplate(
+    df: DataFrame,
+    n: int = 3,
+    min_df: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove every token covered by a corpus-frequent n-gram span —
+    the STRIP step of the detect (``boilerplate_ngrams``) → locate
+    (``dup_spans``) → strip curation loop.  Output (id, text_clean,
+    n_removed); documents with no hot span pass through verbatim.
+
+    Scale shape: hot spans per doc collapse to one covered-position
+    array (bounded by the doc's own token count), joined back LEFT so
+    clean docs never shuffle their text through an aggregation; the
+    token filter is a Catalyst lambda over the split array — no UDF."""
+    spans = dup_spans(df, n, min_df, text_col, id_col)
+    covered = spans.groupBy(id_col).agg(
+        F.array_distinct(
+            F.flatten(
+                F.collect_list(F.sequence(F.col("pos"), F.col("pos") + (n - 1)))
+            )
+        ).alias("_covered")
+    )
+    toks = F.split(F.col(text_col), " ")
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.coalesce(
+            F.array_contains(F.col("_covered"), i.cast("bigint")), F.lit(False)
+        ),
+    )
+    return (
+        df.join(covered, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.array_join(kept, " ").alias("text_clean"),
+            F.coalesce(F.size("_covered"), F.lit(0))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
 def jaccard_dedup_pairs(
     df: DataFrame,
     n: int = 3,

@@ -354,3 +354,18 @@ def test_subword_token_stats_punctuation(spark):
     # "hello" "," " world" "!!" = 4 subword vs 2 whitespace tokens;
     # "a1b2" splits letter/digit runs: "a" "1" "b" "2"
     assert got == {(0, 4, 2), (1, 4, 1), (2, 2, 2)}
+
+
+def test_strip_boilerplate_hand_case(spark):
+    from jena_geo_spark.pipelines.dedup import strip_boilerplate
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "x a b c"), (2, "a b c"), (3, "p q r s")],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.text_clean, r.n_removed)
+           for r in strip_boilerplate(docs, n=3, min_df=3).collect()}
+    # "a b c" is hot (df=3): covered spans strip tokens 0-2 / 1-3 / 0-2
+    # ("x" in doc 1 survives — "x a b" has df 1); doc 3 has no hot span
+    # and passes through verbatim
+    assert got == {(0, "d e", 3), (1, "x", 3), (2, "", 3), (3, "p q r s", 0)}
