@@ -259,3 +259,25 @@ def test_resize_plan_is_narrow_single_python_stage(spark, imgs):
     assert plan.count("MapInPandas") == 1
     assert "Exchange" not in plan  # narrow: no shuffle anywhere
     assert "BatchEvalPython" not in plan
+
+
+def test_ivf_pq_plan_shape(spark):
+    """IVF-PQ physical plan: exactly 3 Arrow stages (encode, ADC,
+    exact re-rank), probe fan-out and id-join both broadcast-hash, no
+    CartesianProduct, no row-at-a-time Python — the compressed-index
+    posture (codes scanned, floats touched only for the shortlist)."""
+    from jena_geo_spark.pipelines import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = similarity.train_ivf_centroids(emb, n_centroids=4)
+    books = similarity.train_pq_codebooks(emb, cents, m_sub=8, n_codes=8)
+    out = similarity.ivf_pq_topk(
+        emb, [0, 1], k=3, nprobe=2, rerank=2, centroids=cents, codebooks=books
+    )
+    plan = _plan(out)
+    assert plan.count("MapInPandas") == 3
+    assert "CartesianProduct" not in plan
+    # the probe fan-out must broadcast (the shortlist id-join is also
+    # broadcast at this scale, but that one is AQE's size-based call)
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BatchEvalPython" not in plan
