@@ -74,26 +74,37 @@ def exact_dedup(
 # ------------------------------------------------------- shingles / jaccard --
 
 
-def shingle_df(
-    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+def _tok_grams(
+    df: DataFrame, n: int, text_col: str, id_col: str
 ) -> DataFrame:
-    """(id, shingle) rows — distinct word n-grams per doc, pure Catalyst:
-    transform over token indices, then explode."""
-    # materialise the token array once — referencing F.split(...) inside the
-    # transform lambda would re-split the text per element access (O(n²))
+    """(id, _grams) — the word-n-gram array per doc, built ONCE for every
+    shingle consumer (``shingle_df`` and ``dup_spans`` must stay
+    join-key-identical).
+    The token array is materialised first — referencing F.split(...)
+    inside the transform lambda would re-split the text per element
+    access (O(n²))."""
     base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
     toks = F.col("_toks")
     idx = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)).otherwise(
         F.array().cast("array<int>")
     )
-    shingles = F.transform(
+    grams = F.transform(
         idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
         ),
     )
-    return base.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle")
+    return base.select(F.col(id_col), grams.alias("_grams"))
+
+
+def shingle_df(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, shingle) rows — distinct word n-grams per doc, pure Catalyst:
+    transform over token indices, then explode (in-row array_distinct,
+    no shuffle)."""
+    return _tok_grams(df, n, text_col, id_col).select(
+        F.col(id_col), F.explode(F.array_distinct(F.col("_grams"))).alias("shingle")
     )
 
 
@@ -135,26 +146,25 @@ def dup_spans(
     (exact-substring dedup in the spirit of Lee et al., "Deduplicating
     Training Data Makes Language Models Better", ACL 2022, §4.1).
 
-    Scale shape: the df histogram is one map-side-combinable aggregation
-    (``boilerplate_ngrams``); hot shingles are then broadcast back
-    against a positional explode — no doc×doc join.  ``pos`` is the
-    0-based token offset of the n-gram start."""
-    base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
-    toks = F.col("_toks")
-    idx = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)).otherwise(
-        F.array().cast("array<int>")
+    Scale shape: the corpus is tokenized ONCE — the positional frame is
+    materialised (eager localCheckpoint, the jaccard_dedup_pairs
+    precedent) and feeds BOTH the df histogram (distinct-per-doc →
+    map-side-combinable count) and the span join, instead of two full
+    scan+split+gram passes; hot shingles broadcast back against the
+    positions — no doc×doc join.  ``pos`` is the 0-based token offset of
+    the n-gram start."""
+    positions = (
+        _tok_grams(df, n, text_col, id_col)
+        .select(F.col(id_col), F.posexplode(F.col("_grams")).alias("pos", "shingle"))
+        .localCheckpoint(eager=True)
     )
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
+    hot = (
+        positions.dropDuplicates([id_col, "shingle"])
+        .groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("shingle")
     )
-    positions = base.select(
-        F.col(id_col),
-        F.posexplode(grams).alias("pos", "shingle"),
-    )
-    hot = boilerplate_ngrams(df, n, min_df, text_col, id_col).select("shingle")
     return positions.join(F.broadcast(hot), "shingle").select(
         id_col, F.col("pos").cast("long").alias("pos"), "shingle"
     )
