@@ -268,6 +268,68 @@ def run(sf_dir: str, cpus: int) -> dict:
             )
         ),
     )
+    # raster family representative: (A + B) * 3 map algebra + summary
+    # stats over 100k 8x8 tiles.  The synthetic tile PAIR table is
+    # materialized once outside the timer (generation is not the
+    # operator); the timed pass is decode -> algebra -> encode -> stats.
+    from jena_geo_spark.contract import (
+        _RAST_H, _RAST_MOD, _RAST_MULT_A, _RAST_MULT_B, _RAST_W,
+        _RASTB_MOD, _RASTB_MULT,
+    )
+    from jena_geo_spark.functions import registry_support as _RS
+    from jena_geo_spark.raster import transform as _RT
+    from jena_geo_spark.raster import wkb_raster as _WR
+
+    def _mk_tile_udf(mult: int, mod: int):
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import BinaryType
+
+        def f(event_id):
+            out = []
+            idx = np.arange(_RAST_W * _RAST_H, dtype=np.int64)
+            for eid in event_id:
+                v = (int(eid) * mult + idx * _RAST_MULT_B) % mod
+                out.append(_WR.encode(_WR.Raster(
+                    0, 1.0, -1.0, 0.0, 0.0, 0.0, 0.0, 4326, _RAST_W, _RAST_H,
+                    [_WR.Band(7, None,
+                              v.reshape(_RAST_H, _RAST_W).astype(np.int32), 0)],
+                )))
+            return pd.Series(out)
+
+        return pandas_udf(f, BinaryType())
+
+    _tiles = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id")
+        .withColumn("ra", _mk_tile_udf(_RAST_MULT_A, _RAST_MOD)("event_id"))
+        .withColumn("rb", _mk_tile_udf(_RASTB_MULT, _RASTB_MOD)("event_id"))
+        .localCheckpoint(eager=True)
+    )
+    _add = _RS.rast2_udf("add")
+    _mulc = _RS.rastconst_udf("multiply")
+
+    def _raster_algebra_chained():
+        # the GENERIC composed surface: each chained raster UDF pays a
+        # WKB re-encode/re-decode between Python stages
+        c = _mulc(_add(F.col("ra"), F.col("rb")), F.lit(-1), F.lit(3.0))
+        return _tiles.select("event_id", _RT.st_summarystats(c).alias("s")).select(
+            "event_id", F.col("s.sum").alias("px_sum")
+        )
+
+    timed("raster_algebra_chained", lambda: _noop(_raster_algebra_chained()))
+
+    _fused = _RT.fused_algebra_stats_udf([("add", None), ("multiply_const", 3.0)])
+
+    def _raster_algebra_fused():
+        # codec-boundary fusion: one decode per input, no intermediate
+        # encode — the shape a 100 TB raster pipeline should compile to
+        return _tiles.select(
+            "event_id", _fused(F.col("ra"), F.col("rb")).alias("s")
+        ).select("event_id", F.col("s.sum").alias("px_sum"))
+
+    timed("raster_algebra_fused", lambda: _noop(_raster_algebra_fused()))
     timed("emb_topk", lambda: _noop(q_emb_topk(spark, sf_dir)))
     from jena_geo_spark.pipelines import similarity as _sim
 

@@ -131,3 +131,42 @@ def test_covjson_band_order_ten_plus_bands():
         r.bands.append(Band(11, None, np.full((2, 2), float(i))))
     out = covjson_to_raster(raster_to_covjson(r))
     assert [b.data[0, 0] for b in out.bands] == [float(i) for i in range(12)]
+
+
+def test_fused_algebra_stats_matches_per_tile(spark):
+    """fused_algebra_stats_udf: the homogeneous-batch matrix fast path
+    and the per-tile fallback must both equal the unfused reference
+    chain (map_algebra2 -> map_algebra_const -> summary_stats) exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from jena_geo_spark.raster import algebra as RA
+    from jena_geo_spark.raster import transform as RT
+    from jena_geo_spark.raster import wkb_raster as WR
+
+    def mk(seed, w=6, h=4):
+        v = (np.arange(w * h, dtype=np.int64) * 37 + seed * 101) % 251
+        return WR.Raster(
+            0, 1.0, -1.0, float(seed), 0.0, 0.0, 0.0, 4326, w, h,
+            [WR.Band(7, None, v.reshape(h, w).astype(np.int32), 0)],
+        )
+
+    def expected(ra, rb):
+        rc = RA.map_algebra_const(RA.map_algebra2(ra, rb, "add"), "multiply", 3.0)
+        return RT.summary_stats(rc)
+
+    fused = RT.fused_algebra_stats_udf([("add", None), ("multiply_const", 3.0)])
+
+    for shapes in [[(6, 4)] * 5, [(6, 4), (6, 4), (8, 3), (6, 4), (8, 3)]]:
+        ras = [mk(i, w, h) for i, (w, h) in enumerate(shapes)]
+        rbs = [mk(i + 50, w, h) for i, (w, h) in enumerate(shapes)]
+        rows = [(i, WR.encode(ras[i]), WR.encode(rbs[i])) for i in range(len(ras))]
+        df = spark.createDataFrame(rows, "i long, ra binary, rb binary")
+        got = {
+            r.i: r.s.asDict()
+            for r in df.select("i", fused("ra", "rb").alias("s")).collect()
+        }
+        for i in range(len(ras)):
+            exp = expected(ras[i], rbs[i])
+            for k, v in exp.items():
+                assert got[i][k] == v, (shapes[0] == shapes[-1], i, k, got[i][k], v)
