@@ -56,10 +56,80 @@ def zonal_stats(
 
     schema = "zone_id string, n long, px_sum double, px_min double, px_max double"
 
+    def _batch_arrays(col) -> tuple | None:
+        """Vectorized batch parse for a homogeneous single-band batch
+        (same shape/pixel type, hasNodata unset; geotransform and srid
+        are free to VARY per tile — the norm for a tiled coverage):
+        returns (vals (n, px) float64, px, py same-shape pixel-center
+        coordinate matrices) or None to use the per-tile loop."""
+        blobs = [bytes(x) for x in col if x is not None]
+        if not blobs or len({len(x) for x in blobs}) != 1:
+            return None
+        m = np.frombuffer(b"".join(blobs), dtype=np.uint8).reshape(len(blobs), -1)
+        hdr = np.concatenate([m[:, 0:5], m[:, 57:62]], axis=1)
+        if not (hdr == hdr[0]).all():
+            return None
+        first = WR.decode(m[0].tobytes())
+        if len(first.bands) != 1 or first.bands[0].nodata is not None:
+            return None
+        dt, sz = WR.PIXEL_DTYPES[first.bands[0].pixtype]
+        e = "<" if m[0, 0] == 1 else ">"
+        n_px = first.width * first.height
+        vals = (
+            np.ascontiguousarray(m[:, 62 + sz : 62 + sz + n_px * sz])
+            .view(e + dt)
+            .astype(np.float64)
+        )
+        gt = np.ascontiguousarray(m[:, 5:53]).view(e + "f8")  # (n, 6)
+        cols = np.tile(np.arange(first.width, dtype=np.float64), first.height)
+        rows = np.repeat(np.arange(first.height, dtype=np.float64), first.width)
+        # gt columns: scale_x, scale_y, ip_x, ip_y, skew_x, skew_y
+        px = gt[:, 2:3] + cols[None, :] * gt[:, 0:1] + rows[None, :] * gt[:, 4:5]
+        py = gt[:, 3:4] + rows[None, :] * gt[:, 1:2] + cols[None, :] * gt[:, 5:6]
+        return vals, px, py
+
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rings, boxes = bz.value
         for pdf in batches:
             acc: dict[str, list] = {}
+            fast = _batch_arrays(pdf[raster_col])
+            if fast is not None:
+                vals, pxm, pym = fast
+                txmin, txmax = pxm.min(axis=1), pxm.max(axis=1)
+                tymin, tymax = pym.min(axis=1), pym.max(axis=1)
+                for zid, polys in rings.items():
+                    bxmin, bymin, bxmax, bymax = boxes[zid]
+                    cand = ~(
+                        (txmax < bxmin)
+                        | (txmin > bxmax)
+                        | (tymax < bymin)
+                        | (tymin > bymax)
+                    )
+                    if not cand.any():
+                        continue
+                    fx = pxm[cand].ravel()
+                    fy = pym[cand].ravel()
+                    inside = np.zeros(len(fx), dtype=bool)
+                    for member in polys:
+                        ins = K.points_in_polygon(fx, fy, member[0])
+                        for hole in member[1:]:
+                            ins &= ~K.points_in_polygon(fx, fy, hole)
+                        inside |= ins
+                    if not inside.any():
+                        continue
+                    v = vals[cand].ravel()[inside]
+                    acc[zid] = [int(inside.sum()), v.sum(), v.min(), v.max()]
+                if acc:
+                    yield pd.DataFrame(
+                        {
+                            "zone_id": list(acc),
+                            "n": [a[0] for a in acc.values()],
+                            "px_sum": [a[1] for a in acc.values()],
+                            "px_min": [a[2] for a in acc.values()],
+                            "px_max": [a[3] for a in acc.values()],
+                        }
+                    )
+                continue
             for blob in pdf[raster_col]:
                 if blob is None:
                     continue

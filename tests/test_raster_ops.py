@@ -52,3 +52,37 @@ def test_spark_retile(spark):
         total += t.width * t.height
     assert total == 25
     assert {(r.tile_col, r.tile_row) for r in out} == {(0, 0), (1, 0), (0, 1), (1, 1)}
+
+
+def test_zonal_stats_fast_path_matches_per_tile(spark):
+    """zonal_stats: the homogeneous-batch matrix path and the per-tile
+    fallback (forced by mixing tile shapes) must agree exactly on the
+    shared tiles."""
+    import numpy as np
+
+    from jena_geo_spark.raster import wkb_raster as WR
+    from jena_geo_spark.raster.zonal import zonal_stats
+
+    def mk(seed, w=8, h=8):
+        v = (np.arange(w * h, dtype=np.int64) * 13 + seed * 7) % 97
+        return WR.encode(WR.Raster(
+            0, 0.25, -0.25, float(seed % 5), float(seed % 3), 0.0, 0.0,
+            4326, w, h, [WR.Band(7, None, v.reshape(h, w).astype(np.int32), 0)],
+        ))
+
+    zones = [("z", "POLYGON((0.5 -1.5, 4 -1.5, 4 2, 0.5 2, 0.5 -1.5))")]
+    homo = spark.createDataFrame([(mk(i),) for i in range(40)], "rast binary")
+    # one odd-shaped tile far outside the zone forces the fallback loop
+    # without changing which pixels the zone covers
+    far = WR.encode(WR.Raster(
+        0, 0.25, -0.25, 500.0, 500.0, 0.0, 0.0, 4326, 4, 4,
+        [WR.Band(7, None, np.zeros((4, 4), dtype=np.int32), 0)],
+    ))
+    mixed = spark.createDataFrame(
+        [(mk(i),) for i in range(40)] + [(far,)], "rast binary"
+    ).coalesce(1)
+    a = {r.zone_id: (r.n, r.px_sum, r.px_min, r.px_max)
+         for r in zonal_stats(homo, zones).collect()}
+    b = {r.zone_id: (r.n, r.px_sum, r.px_min, r.px_max)
+         for r in zonal_stats(mixed, zones).collect()}
+    assert a == b and a["z"][0] > 0
