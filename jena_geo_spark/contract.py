@@ -1177,6 +1177,72 @@ def o_doc_token_stats() -> str:
     )
 
 
+def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (pipelines/text.scrub_pii — chained Catalyst
+    regexp_count/regexp_replace, Java-regex ∩ RE2 pattern subset).  The
+    synthetic documents carry no PII, so every third doc gets a
+    deterministic email + IPv4 + phone appended INSIDE the query — both
+    engines build the same text, then the redaction itself is compared
+    byte-for-byte."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" mail u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1 tel +1-555-123-4567"),
+    )
+    seeded = docs.withColumn(
+        "text", F.when(F.col("doc_id") % 3 == 0, pii).otherwise(F.col("text"))
+    )
+    return text.scrub_pii(seeded)
+
+
+def o_doc_pii_scrub() -> str:
+    pats = {name: pat for name, pat, _ in text.PII_PATTERNS}
+    return (
+        "WITH d2 AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "
+        "text || ' mail u' || doc_id::VARCHAR || '@example.com ip 10.' || "
+        "(doc_id % 256)::VARCHAR || '.0.1 tel +1-555-123-4567' "
+        "ELSE text END AS t0 FROM documents), "
+        f"s1 AS (SELECT doc_id, len(regexp_extract_all(t0, '{pats['email']}'))::BIGINT AS n_email, "
+        f"regexp_replace(t0, '{pats['email']}', '<EMAIL>', 'g') AS t1 FROM d2), "
+        f"s2 AS (SELECT doc_id, n_email, len(regexp_extract_all(t1, '{pats['phone']}'))::BIGINT AS n_phone, "
+        f"regexp_replace(t1, '{pats['phone']}', '<PHONE>', 'g') AS t2 FROM s1) "
+        f"SELECT doc_id, regexp_replace(t2, '{pats['ipv4']}', '<IP>', 'g') AS text_redacted, "
+        f"n_email, n_phone, len(regexp_extract_all(t2, '{pats['ipv4']}'))::BIGINT AS n_ipv4 FROM s2"
+    )
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style word-n-gram repetition signals (pipelines/
+    text.repetition_stats): top-2-gram occurrence fraction + fraction of
+    3-gram occurrences that repeat.  Explode → two map-side-combinable
+    hash aggs keyed (doc, gram) then (doc); no Python, no non-spine
+    joins."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.repetition_stats(docs)
+
+
+def o_doc_repetition() -> str:
+    return (
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+        "bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g "
+        "FROM toks, unnest(range(1, len(t))) AS u(i)), "
+        "bga AS (SELECT doc_id, count(*) AS c FROM bg GROUP BY doc_id, g), "
+        "b2 AS (SELECT doc_id, max(c)::DOUBLE / sum(c)::DOUBLE AS top2 FROM bga GROUP BY doc_id), "
+        "tg AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g "
+        "FROM toks, unnest(range(1, len(t) - 1)) AS u(i)), "
+        "tga AS (SELECT doc_id, count(*) AS c FROM tg GROUP BY doc_id, g), "
+        "t3 AS (SELECT doc_id, sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::DOUBLE / sum(c)::DOUBLE AS dup3 "
+        "FROM tga GROUP BY doc_id) "
+        "SELECT d.doc_id, round(coalesce(b2.top2, 0.0), 6) AS top_bigram_frac, "
+        "round(coalesce(t3.dup3, 0.0), 6) AS dup_trigram_frac "
+        "FROM documents d LEFT JOIN b2 USING (doc_id) LEFT JOIN t3 USING (doc_id)"
+    )
+
+
 def q_doc_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The strip step of the boilerplate curation loop: tokens covered
     by any df>=3 3-gram span are removed, clean docs pass through
@@ -3505,7 +3571,7 @@ QUERIES = {
     # representative per operator family from SURVEY §2 and the LLM
     # pipeline table.  Entries past 50 stay oracle-gated by pytest
     # (tests/test_driver_contract.py runs ALL entries, bit-exact).
-    # -- never-driver-run (35) --
+    # -- never-driver-run (37) --
     "sparql_knn": q_sparql_knn,
     "sparql_nearby_km": q_sparql_nearby_km,
     "sparql_within_box": q_sparql_within_box,
@@ -3543,10 +3609,11 @@ QUERIES = {
     "doc_dup_spans": q_doc_dup_spans,
     "doc_subword_tokens": q_doc_subword_tokens,
     "doc_strip_boilerplate": q_doc_strip_boilerplate,
+    "doc_pii_scrub": q_doc_pii_scrub,
+    "doc_repetition": q_doc_repetition,
     # -- family representatives (14; emb_topk rotates to the tail — it has
     # a green r3 driver row, and emb_pq_exact's gate subsumes the exact
     # top-k plumbing) --
-    "geo_cluster_within": q_geo_cluster_within,
     "doc_dedup_groups": q_doc_dedup_groups,
     "geo_polygon_join": q_geo_polygon_join,
     "geo_dwithin_frames": q_geo_dwithin_frames,
@@ -3554,7 +3621,6 @@ QUERIES = {
     "raster_zonal_stats": q_raster_zonal_stats,
     "raster_map_algebra": q_raster_map_algebra,
     "stream_tile_hist": q_stream_tile_hist,
-    "geo_pip_join": q_geo_pip_join,
     "geo_bbox_filter": q_geo_bbox_filter,
     "geo_envelope_agg": q_geo_envelope_agg,
     "geo_semi_anti": q_geo_semi_anti,
@@ -3563,6 +3629,8 @@ QUERIES = {
     # ---- tail (sampled-out this round; every family above keeps a green
     # representative, and each of these has an r3 driver row or a pytest
     # oracle gate) ----
+    "geo_pip_join": q_geo_pip_join,
+    "geo_cluster_within": q_geo_cluster_within,
     "emb_topk": q_emb_topk,
     "geo_closest_point": q_geo_closest_point,
     "geo_boundary_len": q_geo_boundary_len,
@@ -3644,6 +3712,8 @@ ORACLES = {
     "doc_boilerplate": o_doc_boilerplate(),
     "doc_subword_tokens": o_doc_subword_tokens(),
     "doc_strip_boilerplate": o_doc_strip_boilerplate(),
+    "doc_pii_scrub": o_doc_pii_scrub(),
+    "doc_repetition": o_doc_repetition(),
     "doc_dup_spans": o_doc_dup_spans(),
     "geo_mvt_coords": o_geo_mvt_coords(),
     "stream_tile_hist": o_stream_tile_hist(),

@@ -169,3 +169,87 @@ def fingerprint_col(text: Column) -> Column:
 
 def doc_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col), fingerprint_col(F.col(text_col)).alias("fingerprint"))
+
+
+# --------------------------------------------------------------- PII scrub --
+# Patterns are written in the Java-regex ∩ RE2 common subset (no
+# lookaround, no backrefs, ASCII \d and \b) so the Spark engine and the
+# DuckDB contract oracle match byte-for-byte.  Applied IN ORDER — emails
+# first (their local parts can contain dotted digit runs that would
+# otherwise feed the IPv4 pattern), then phones, then bare IPv4s.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"(?:\+?\d{1,3}-)?\d{3}-\d{3}-\d{4}", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails / phone numbers / IPv4s — the standard pre-training
+    privacy pass.  Pure Catalyst (``regexp_count`` + ``regexp_replace``
+    chained in pattern order, whole-stage codegen, no Python in the hot
+    path); each count is taken on the text state *before* its own replace,
+    so counts compose sequentially exactly like the replaces do."""
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, rep in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, rep)
+    return df.select(F.col(id_col), cur.alias("text_redacted"), *counts)
+
+
+# ------------------------------------------------- repetition (Gopher-ish) --
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc n-gram repetition signals (Rae et al. 2021 "Gopher" §A1.1
+    shape, word n-grams): ``top_bigram_frac`` — occurrences of the most
+    frequent 2-gram over all 2-gram occurrences; ``dup_trigram_frac`` —
+    fraction of 3-gram occurrences whose 3-gram occurs more than once.
+
+    Shape at scale: explode → two hash aggregations keyed (doc, gram) then
+    (doc) — both map-side combinable, no joins against anything but the
+    doc spine.  No Python."""
+    toks = tokens_col(F.col(text_col))
+
+    def grams(k: int) -> Column:
+        # positions 0..size-k; concat_ws over a sliced window.  Guarded:
+        # sequence(0, n) steps BACKWARDS for n < 0, so short docs must
+        # yield an empty gram list, not [0, -1, ...].
+        return F.when(
+            F.size(toks) >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - k),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def frac(k: int, out: str, top_only: bool) -> DataFrame:
+        g = (
+            df.select(F.col(id_col), F.explode(grams(k)).alias("g"))
+            .groupBy(id_col, "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        num = (
+            F.max("c")
+            if top_only
+            else F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0)))
+        )
+        return g.groupBy(id_col).agg(
+            F.round(num.cast("double") / F.sum("c").cast("double"), 6).alias(out)
+        )
+
+    spine = df.select(F.col(id_col))
+    b2 = frac(2, "top_bigram_frac", top_only=True)
+    t3 = frac(3, "dup_trigram_frac", top_only=False)
+    return (
+        spine.join(b2, id_col, "left")
+        .join(t3, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+            F.coalesce("dup_trigram_frac", F.lit(0.0)).alias("dup_trigram_frac"),
+        )
+    )

@@ -369,3 +369,49 @@ def test_strip_boilerplate_hand_case(spark):
     # ("x" in doc 1 survives — "x a b" has df 1); doc 3 has no hot span
     # and passes through verbatim
     assert got == {(0, "d e", 3), (1, "x", 3), (2, "", 3), (3, "p q r s", 0)}
+
+
+def test_scrub_pii_hand_case(spark):
+    from jena_geo_spark.pipelines.text import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (0, "write a.b+c%d@mail-host.example.org or bob@x.io today"),
+            (1, "tel +49-555-123-4567 backup 555-123-4567 done"),
+            (2, "hosts 10.0.0.1 and 192.168.255.3; version 1.2 is not an ip"),
+            (3, "clean text"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {tuple(r) for r in scrub_pii(docs).collect()}
+    assert got == {
+        (0, "write <EMAIL> or <EMAIL> today", 2, 0, 0),
+        # "+49-..." matches with the optional +CC, bare "555-123-4567" too
+        (1, "tel <PHONE> backup <PHONE> done", 0, 2, 0),
+        (2, "hosts <IP> and <IP>; version 1.2 is not an ip", 0, 0, 2),
+        (3, "clean text", 0, 0, 0),
+        (4, "", 0, 0, 0),
+    }
+
+
+def test_repetition_stats_hand_case(spark):
+    from jena_geo_spark.pipelines.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),  # bigrams ababab: 3x"a b" 2x"b a" -> 3/5
+            (1, "u v w x y z"),  # all unique -> top 1/5, dup3 0
+            (2, "t"),            # too short for any gram
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {tuple(r) for r in repetition_stats(docs).collect()}
+    # doc0 trigrams: "a b a","b a b","a b a","b a b" -> all repeated -> 1.0
+    assert got == {
+        (0, 0.6, 1.0),
+        (1, 0.2, 0.0),
+        (2, 0.0, 0.0),
+        (3, 0.0, 0.0),
+    }
