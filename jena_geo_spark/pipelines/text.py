@@ -209,47 +209,52 @@ def repetition_stats(
     frequent 2-gram over all 2-gram occurrences; ``dup_trigram_frac`` —
     fraction of 3-gram occurrences whose 3-gram occurs more than once.
 
-    Shape at scale: explode → two hash aggregations keyed (doc, gram) then
-    (doc) — both map-side combinable, no joins against anything but the
-    doc spine.  No Python."""
+    Shape at scale: ONE text scan — bigrams and trigrams explode together
+    under a k tag — then two map-side-combinable hash aggregations keyed
+    (doc, k, gram) and (doc), plus one column-pruned doc_id spine scan for
+    gram-less docs.  No Python."""
     toks = tokens_col(F.col(text_col))
 
     def grams(k: int) -> Column:
-        # positions 0..size-k; concat_ws over a sliced window.  Guarded:
-        # sequence(0, n) steps BACKWARDS for n < 0, so short docs must
-        # yield an empty gram list, not [0, -1, ...].
+        # (k, gram) structs at positions 0..size-k.  Guarded: sequence(0, n)
+        # steps BACKWARDS for n < 0, so short docs must yield an empty gram
+        # list, not [0, -1, ...].
         return F.when(
             F.size(toks) >= k,
             F.transform(
                 F.sequence(F.lit(0), F.size(toks) - k),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+                lambda i: F.struct(
+                    F.lit(k).alias("k"),
+                    F.concat_ws(" ", F.slice(toks, i + 1, k)).alias("g"),
+                ),
             ),
-        ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<struct<k:int,g:string>>"))
 
-    def frac(k: int, out: str, top_only: bool) -> DataFrame:
-        g = (
-            df.select(F.col(id_col), F.explode(grams(k)).alias("g"))
-            .groupBy(id_col, "g")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        num = (
-            F.max("c")
-            if top_only
-            else F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0)))
-        )
-        return g.groupBy(id_col).agg(
-            F.round(num.cast("double") / F.sum("c").cast("double"), 6).alias(out)
-        )
+    counted = (
+        df.select(F.col(id_col), F.explode(F.concat(grams(2), grams(3))).alias("kg"))
+        .groupBy(id_col, "kg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    k = F.col("kg.k")
 
+    def tot(kk: int) -> Column:
+        return F.sum(F.when(k == kk, F.col("c"))).cast("double")
+
+    per_doc = counted.groupBy(id_col).agg(
+        F.round(F.max(F.when(k == 2, F.col("c"))).cast("double") / tot(2), 6).alias(
+            "top_bigram_frac"
+        ),
+        F.round(
+            F.coalesce(
+                F.sum(F.when((k == 3) & (F.col("c") >= 2), F.col("c"))), F.lit(0)
+            ).cast("double")
+            / tot(3),
+            6,
+        ).alias("dup_trigram_frac"),
+    )
     spine = df.select(F.col(id_col))
-    b2 = frac(2, "top_bigram_frac", top_only=True)
-    t3 = frac(3, "dup_trigram_frac", top_only=False)
-    return (
-        spine.join(b2, id_col, "left")
-        .join(t3, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
-            F.coalesce("dup_trigram_frac", F.lit(0.0)).alias("dup_trigram_frac"),
-        )
+    return spine.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        F.coalesce("dup_trigram_frac", F.lit(0.0)).alias("dup_trigram_frac"),
     )
