@@ -178,6 +178,18 @@ def run(sf_dir: str, cpus: int) -> dict:
             )
         ),
     )
+    # perceptual dedup groups over the stored phash: pigeonhole hamming
+    # pairs on DISTINCT hashes → connected components → label join back
+    from jena_geo_spark.image.spark import phash_dedup_groups
+
+    timed(
+        "images_phash_groups",
+        lambda: _noop(
+            phash_dedup_groups(
+                imgs_full.select("image_id", "phash"), max_hamming=6
+            )
+        ),
+    )
     timed(
         "flagship_join_tile_salted",
         lambda: _noop(_flagship(imgs, strategy="salted")),

@@ -188,3 +188,55 @@ def decode_feature_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(stats, schema)
+
+
+def phash_near_dup(
+    df: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "image_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: hamming(phash) ≤ r over the
+    stored 64-bit DCT phash — NO pixel decode in the pair search.  The
+    pigeonhole block join (``pipelines.dedup.hamming_pairs``) gives 100%
+    recall at radius r with r+1 equi-joins instead of an all-pairs
+    comparison; candidates are verified with an exact JVM-side popcount.
+    Output: (id_a, id_b, hamming)."""
+    from ..pipelines.dedup import hamming_pairs
+
+    return hamming_pairs(
+        df.select(id_col, hash_col), hash_col, id_col, max_hamming, n_bits=64
+    )
+
+
+def phash_dedup_groups(
+    df: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "image_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """(image_id, group_id) perceptual-dup groups — the scale-correct
+    composition for image dedup.  Pair LISTING over the raw table is
+    quadratic in duplication (k copies of one image → k²/2 pairs), so the
+    near-dup relation is built over the DISTINCT phash table instead
+    (``hamming_pairs`` pigeonhole join), closed into components
+    (pointer-jumping ``connected_components``, O(log n) rounds), and only
+    then mapped back to images with one equi-join (AQE broadcasts the
+    label side when the distinct-hash table is small, as it typically
+    is).  group_id = min phash of the component (canonical,
+    deterministic)."""
+    from ..operators.components import connected_components
+    from ..pipelines.dedup import hamming_pairs
+
+    hashes = df.select(F.col(hash_col).alias("hid")).distinct()
+    pairs = hamming_pairs(
+        hashes.withColumn("hv", F.col("hid")), "hv", "hid", max_hamming, n_bits=64
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    labels = (
+        hashes.join(comp, hashes["hid"] == comp["node"], "left")
+        .select("hid", F.coalesce("component", "hid").alias("group_id"))
+    )
+    return df.select(id_col, hash_col).join(
+        labels, F.col(hash_col) == F.col("hid")
+    ).select(id_col, "group_id")

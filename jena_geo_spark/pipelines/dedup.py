@@ -502,26 +502,26 @@ def simhash_block_layout(n_bits: int, blocks: int) -> list[tuple[int, int]]:
     return layout
 
 
-def simhash_pairs(
-    df: DataFrame,
-    max_hamming: int = 3,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    hash_fn: str = "xxhash64",
+def hamming_pairs(
+    h: DataFrame,
+    hash_col: str,
+    id_col: str,
+    max_hamming: int,
+    n_bits: int = 64,
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) ≤ r via pigeonhole block join:
-    partition the hash bits into r+1 blocks; any pair within r shares ≥1
-    full block → equi-join per block, then exact popcount filter.  100%
-    recall by construction (the emitted set IS all pairs within r)."""
+    """All (id_a, id_b, hamming) pairs with hamming(hash) ≤ r over a table
+    of 64-bit-ish hashes, via pigeonhole block join: partition the hash
+    bits into r+1 blocks; any pair within r shares ≥1 full block →
+    equi-join per block, then exact popcount filter.  100% recall by
+    construction (the emitted set IS all pairs within r).  Shared core of
+    ``simhash_pairs`` (text) and ``image.spark.phash_near_dup`` (images)."""
     blocks = max_hamming + 1
-    n_bits = 62 if hash_fn == "arith" else 64
-    h = simhash_df(df, text_col, id_col, hash_fn=hash_fn)
     parts = F.explode(
         F.array(
             *[
                 F.struct(
                     F.lit(bi).alias("blk"),
-                    F.shiftrightunsigned(F.col("sh"), off)
+                    F.shiftrightunsigned(F.col(hash_col), off)
                     .bitwiseAND(F.lit((1 << width) - 1))
                     .alias("key"),
                 )
@@ -529,8 +529,8 @@ def simhash_pairs(
             ]
         )
     )
-    banded = h.select(id_col, "sh", parts.alias("p")).select(
-        id_col, "sh", F.col("p.blk").alias("blk"), F.col("p.key").alias("key")
+    banded = h.select(id_col, hash_col, parts.alias("p")).select(
+        id_col, hash_col, F.col("p.blk").alias("blk"), F.col("p.key").alias("key")
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -544,8 +544,8 @@ def simhash_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
+            F.col(f"a.{hash_col}").alias("sh_a"),
+            F.col(f"b.{hash_col}").alias("sh_b"),
         )
         .distinct()
     )
@@ -553,3 +553,17 @@ def simhash_pairs(
     return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
         "id_a", "id_b", "hamming"
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ r — ``simhash_df`` then the
+    pigeonhole ``hamming_pairs`` core."""
+    n_bits = 62 if hash_fn == "arith" else 64
+    h = simhash_df(df, text_col, id_col, hash_fn=hash_fn)
+    return hamming_pairs(h, "sh", id_col, max_hamming, n_bits=n_bits)

@@ -415,3 +415,58 @@ def test_repetition_stats_hand_case(spark):
         (2, 0.0, 0.0),
         (3, 0.0, 0.0),
     }
+
+
+def test_phash_near_dup_exact_vs_bruteforce(spark):
+    """Pigeonhole phash join must emit EXACTLY the brute-force pair set
+    (recall is structural, precision via the popcount verify)."""
+    import itertools
+    import random
+
+    from jena_geo_spark.image.spark import phash_near_dup
+
+    rng = random.Random(7)
+    base = [rng.getrandbits(64) for _ in range(40)]
+    hashes = list(base)
+    for i, h in enumerate(base[:15]):
+        flipped = h
+        for b in rng.sample(range(64), rng.randint(0, 6)):
+            flipped ^= 1 << b
+        hashes.append(flipped)
+    rows = [(i, h - (1 << 64) if h >= 1 << 63 else h) for i, h in enumerate(hashes)]
+    df = spark.createDataFrame(rows, "image_id long, phash long")
+
+    r = 6
+    got = {(a, b, hm) for a, b, hm in phash_near_dup(df, max_hamming=r).collect()}
+    want = set()
+    for (ia, ha), (ib, hb) in itertools.combinations(enumerate(hashes), 2):
+        hm = bin(ha ^ hb).count("1")
+        if hm <= r:
+            want.add((min(ia, ib), max(ia, ib), hm))
+    assert got == want and len(want) >= 10
+
+
+def test_phash_dedup_groups_matches_bruteforce_components(spark):
+    from jena_geo_spark.image.spark import phash_dedup_groups
+
+    # three perceptual clusters + one isolate, with heavy duplication
+    h = {
+        "a0": 0x0123456789ABCDEF,
+        "a1": 0x0123456789ABCDEC,  # hamming 2 from a0
+        "b0": 0x7FFFFFFF00000000,
+        "b1": 0x7FFFFFFF00000003,  # hamming 2 from b0
+        "c0": -0x5000000000000000,
+    }
+    rows = []
+    for i in range(60):
+        key = ["a0", "a1", "b0", "b1", "c0"][i % 5]
+        rows.append((i, h[key]))
+    df = spark.createDataFrame(rows, "image_id long, phash long")
+    got = {(r.image_id, r.group_id) for r in phash_dedup_groups(df, max_hamming=3).collect()}
+    # group label = min phash of the cluster (signed long ordering)
+    ga = min(h["a0"], h["a1"]); gb = min(h["b0"], h["b1"])
+    want = set()
+    for i in range(60):
+        key = ["a0", "a1", "b0", "b1", "c0"][i % 5]
+        want.add((i, {"a0": ga, "a1": ga, "b0": gb, "b1": gb, "c0": h["c0"]}[key]))
+    assert got == want
