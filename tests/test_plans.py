@@ -281,3 +281,40 @@ def test_ivf_pq_plan_shape(spark):
     # broadcast at this scale, but that one is AQE's size-based call)
     assert plan.count("BroadcastHashJoin") >= 1
     assert "BatchEvalPython" not in plan
+
+
+def test_scrub_pii_is_pure_catalyst(spark):
+    """PII scrub: whole-stage codegen end to end — no Python stages, no
+    shuffle (per-row regexp only)."""
+    from jena_geo_spark.pipelines.text import scrub_pii
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(scrub_pii(docs))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "Exchange" not in plan
+    assert plan.lstrip().startswith("*(1)")  # one whole-stage-codegen span
+
+
+def test_repetition_stats_single_scan(spark):
+    """Fused bigram+trigram pass: ONE Generate (tagged explode) and one
+    gram scan + one column-pruned spine scan; no Python anywhere."""
+    from jena_geo_spark.pipelines.text import repetition_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(repetition_stats(docs))
+    assert plan.count("Generate") == 1
+    assert plan.count("Scan parquet") <= 2
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_phash_groups_no_cartesian_no_python(spark):
+    """Perceptual dedup groups: block equi-joins only (no
+    CartesianProduct), JVM-side popcount verify, no Python stages."""
+    from jena_geo_spark.image.spark import phash_dedup_groups
+
+    imgs = spark.createDataFrame(
+        [(i, (i % 7) * 1234567) for i in range(100)], "image_id long, phash long"
+    )
+    plan = _plan(phash_dedup_groups(imgs, max_hamming=3))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
