@@ -173,14 +173,20 @@ def doc_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 # --------------------------------------------------------------- PII scrub --
 # Patterns are written in the Java-regex ∩ RE2 common subset (no
-# lookaround, no backrefs, ASCII \d and \b) so the Spark engine and the
-# DuckDB contract oracle match byte-for-byte.  Applied IN ORDER — emails
-# first (their local parts can contain dotted digit runs that would
-# otherwise feed the IPv4 pattern), then phones, then bare IPv4s.
+# lookaround, no backrefs, ASCII \d) so the Spark engine and the DuckDB
+# contract oracle match byte-for-byte.  \b is NOT in that subset: Java's
+# \b is Unicode-aware (é counts as a word char, so 'é1.2.3.4' has no
+# boundary before the 1) while RE2's is ASCII-only — the differential
+# fuzz (tests/test_text_fuzz.py) caught the two engines disagreeing on
+# exactly that input, so the patterns use no boundary guards at all;
+# for PII the resulting over-redaction is the safe direction.  Applied
+# IN ORDER — emails first (their local parts can contain dotted digit
+# runs that would otherwise feed the IPv4 pattern), then phones, then
+# bare IPv4s.
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("phone", r"(?:\+?\d{1,3}-)?\d{3}-\d{3}-\d{4}", "<PHONE>"),
-    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ipv4", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
 ]
 
 
