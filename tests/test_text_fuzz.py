@@ -59,3 +59,29 @@ def test_scrub_pii_matches_duckdb_on_adversarial_text(spark, seed):
     con = duckdb.connect()
     want = _oracle_rows(con, rows)
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [5])
+def test_subword_tokens_match_duckdb_on_adversarial_text(spark, seed):
+    """Same engine-boundary treatment for the BPE-ish pre-tokenizer: the
+    doc_subword_tokens contract row only sees corpus text, this fuzz
+    feeds punctuation/digit/unicode boundaries to both engines."""
+    from jena_geo_spark.pipelines.text import BPE_ISH_PATTERN, subword_token_stats
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(300):
+        n = rng.randint(0, 12)
+        joiner = rng.choice([" ", " ", "", ","])
+        rows.append((i, joiner.join(rng.choice(FRAGMENTS) for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_id, r.n_subword, r.n_whitespace)
+           for r in subword_token_stats(df).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fz(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO fz VALUES (?, ?)", rows)
+    want = set(con.execute(
+        f"SELECT doc_id, len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))::BIGINT, "
+        "len(string_split(text, ' '))::BIGINT FROM fz"
+    ).fetchall())
+    assert got == want
