@@ -1243,6 +1243,62 @@ def o_doc_repetition() -> str:
     )
 
 
+def q_doc_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pass (pipelines/curate.curate_documents):
+    quality floor + repetition ceilings + PII scrub + exact-dup canonical
+    selection in one program — row-local derivations ride one projection,
+    then exactly two agg+join exchanges (dedup key, repetition).  The
+    oracle replays the whole chain: every gate column AND the final kept
+    verdict must match bit-for-bit."""
+    from .pipelines.curate import curate_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return curate_documents(
+        docs, min_quality=0.65, max_top_bigram=0.2, max_dup_trigram=0.2
+    )
+
+
+def o_doc_curate() -> str:
+    pats = {name: pat for name, pat, _ in text.PII_PATTERNS}
+    stops = ", ".join(f"'{s}'" for s in text.STOPWORDS)
+    return (
+        f"WITH s1 AS (SELECT doc_id, len(regexp_extract_all(text, '{pats['email']}'))::BIGINT AS ne, "
+        f"regexp_replace(text, '{pats['email']}', '<EMAIL>', 'g') AS t1 FROM documents), "
+        f"s2 AS (SELECT doc_id, ne, len(regexp_extract_all(t1, '{pats['phone']}'))::BIGINT AS np, "
+        f"regexp_replace(t1, '{pats['phone']}', '<PHONE>', 'g') AS t2 FROM s1), "
+        f"s3 AS (SELECT doc_id, regexp_replace(t2, '{pats['ipv4']}', '<IP>', 'g') AS text_clean, "
+        f"ne + np + len(regexp_extract_all(t2, '{pats['ipv4']}'))::BIGINT AS n_pii FROM s2), "
+        "q AS (SELECT doc_id, round("
+        "(CASE WHEN len(toks) >= 20 AND len(toks) <= 1000 THEN 0.5::DOUBLE ELSE 0.0::DOUBLE END)"
+        " + (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE) * 0.3::DOUBLE"
+        f" + (len(list_intersect(toks, [{stops}]))::DOUBLE / {float(len(text.STOPWORDS))!r}::DOUBLE) * 0.2::DOUBLE"
+        ", 6) AS quality "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)), "
+        "keyed AS (SELECT doc_id, "
+        "array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS k FROM documents), "
+        "canon AS (SELECT k, min(doc_id) AS canonical_id FROM keyed GROUP BY k), "
+        "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+        "bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g FROM toks, unnest(range(1, len(t))) AS u(i)), "
+        "bga AS (SELECT doc_id, count(*) AS c FROM bg GROUP BY doc_id, g), "
+        "b2 AS (SELECT doc_id, max(c)::DOUBLE / sum(c)::DOUBLE AS top2 FROM bga GROUP BY doc_id), "
+        "tg AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g "
+        "FROM toks, unnest(range(1, len(t) - 1)) AS u(i)), "
+        "tga AS (SELECT doc_id, count(*) AS c FROM tg GROUP BY doc_id, g), "
+        "t3 AS (SELECT doc_id, sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::DOUBLE / sum(c)::DOUBLE AS dup3 "
+        "FROM tga GROUP BY doc_id) "
+        "SELECT d.doc_id, s3.text_clean, q.quality, "
+        "round(coalesce(b2.top2, 0.0), 6) AS top_bigram_frac, "
+        "round(coalesce(t3.dup3, 0.0), 6) AS dup_trigram_frac, "
+        "s3.n_pii, (d.doc_id = canon.canonical_id) AS is_canonical, "
+        "(q.quality >= 0.65 AND round(coalesce(b2.top2, 0.0), 6) <= 0.2 "
+        "AND round(coalesce(t3.dup3, 0.0), 6) <= 0.2 "
+        "AND d.doc_id = canon.canonical_id) AS kept "
+        "FROM documents d JOIN s3 USING (doc_id) JOIN q USING (doc_id) "
+        "JOIN keyed USING (doc_id) JOIN canon ON keyed.k = canon.k "
+        "LEFT JOIN b2 USING (doc_id) LEFT JOIN t3 USING (doc_id)"
+    )
+
+
 def q_doc_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The strip step of the boilerplate curation loop: tokens covered
     by any df>=3 3-gram span are removed, clean docs pass through
@@ -3571,7 +3627,7 @@ QUERIES = {
     # representative per operator family from SURVEY §2 and the LLM
     # pipeline table.  Entries past 50 stay oracle-gated by pytest
     # (tests/test_driver_contract.py runs ALL entries, bit-exact).
-    # -- never-driver-run (37) --
+    # -- never-driver-run (38) --
     "sparql_knn": q_sparql_knn,
     "sparql_nearby_km": q_sparql_nearby_km,
     "sparql_within_box": q_sparql_within_box,
@@ -3611,10 +3667,13 @@ QUERIES = {
     "doc_strip_boilerplate": q_doc_strip_boilerplate,
     "doc_pii_scrub": q_doc_pii_scrub,
     "doc_repetition": q_doc_repetition,
-    # -- family representatives (14; emb_topk rotates to the tail — it has
-    # a green r3 driver row, and emb_pq_exact's gate subsumes the exact
-    # top-k plumbing) --
-    "doc_dedup_groups": q_doc_dedup_groups,
+    "doc_curate": q_doc_curate,
+    # -- family representatives (emb_topk, geo_pip_join, geo_cluster_within
+    # and doc_dedup_groups rotate to the tail: each already has a green r3
+    # driver row, their families stay covered in-window — emb_pq_exact
+    # subsumes exact top-k, polygon/dwithin/knn frames cover spatial join,
+    # doc_curate exercises the dedup canonical selection — and all tail
+    # entries stay oracle-gated by pytest) --
     "geo_polygon_join": q_geo_polygon_join,
     "geo_dwithin_frames": q_geo_dwithin_frames,
     "geo_knn_frames": q_geo_knn_frames,
@@ -3630,6 +3689,7 @@ QUERIES = {
     # representative, and each of these has an r3 driver row or a pytest
     # oracle gate) ----
     "geo_pip_join": q_geo_pip_join,
+    "doc_dedup_groups": q_doc_dedup_groups,
     "geo_cluster_within": q_geo_cluster_within,
     "emb_topk": q_emb_topk,
     "geo_closest_point": q_geo_closest_point,
@@ -3714,6 +3774,7 @@ ORACLES = {
     "doc_strip_boilerplate": o_doc_strip_boilerplate(),
     "doc_pii_scrub": o_doc_pii_scrub(),
     "doc_repetition": o_doc_repetition(),
+    "doc_curate": o_doc_curate(),
     "doc_dup_spans": o_doc_dup_spans(),
     "geo_mvt_coords": o_geo_mvt_coords(),
     "stream_tile_hist": o_stream_tile_hist(),

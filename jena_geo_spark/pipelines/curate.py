@@ -1,0 +1,75 @@
+"""End-to-end document curation: the composed pass a training-data
+pipeline actually runs, built from the individually-oracled stages.
+
+One call chains: quality gate (``text.quality_col``), repetition gates
+(``text.repetition_frame``), PII scrub (``text.scrub_cols``), and
+exact-dup representative selection (same normalized token-set key as
+``dedup.exact_dedup``).  Every input doc comes back with its gate
+verdicts and curated text; ``filter("kept")`` is the output corpus.
+
+Shape at scale: the row-local derivations (quality, scrub, dedup key)
+ride ONE projection over the corpus scan — no self-joins for per-row
+columns.  The canonical member per dedup group is a window min over the
+key (one exchange, no second corpus scan, no self-join), and the only
+join is the repetition frame keyed on doc id.  Two corpus scans total
+(base + grams), no Python anywhere — plan-gated in tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import quality_col, repetition_frame, scrub_cols
+
+
+def curate_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    max_top_bigram: float = 0.4,
+    max_dup_trigram: float = 0.5,
+) -> DataFrame:
+    """(doc_id, text_clean, quality, top_bigram_frac, dup_trigram_frac,
+    n_pii, is_canonical, kept) for every input doc.
+
+    ``kept`` = passes the quality floor AND both repetition ceilings AND
+    is its exact-dup group's canonical (min-id) member.  ``text_clean``
+    is the PII-redacted text regardless of the verdict, so callers can
+    keep rejected docs for audit without re-running the scrub."""
+    text = F.col(text_col)
+    red, counts = scrub_cols(text)
+    n_pii = sum((c.cast("long") for c in counts), F.lit(0).cast("long"))
+    key = F.array_join(F.array_sort(F.array_distinct(F.split(text, " "))), " ")
+    base = df.select(
+        F.col(id_col),
+        red.alias("text_clean"),
+        quality_col(text).alias("quality"),
+        n_pii.alias("n_pii"),
+        key.alias("dedup_key"),
+    )
+    canon = base.withColumn(
+        "canonical_id", F.min(id_col).over(Window.partitionBy("dedup_key"))
+    )
+    rep = repetition_frame(df, text_col, id_col)
+    out = canon.join(rep, id_col, "left")
+    top2 = F.coalesce("top_bigram_frac", F.lit(0.0))
+    dup3 = F.coalesce("dup_trigram_frac", F.lit(0.0))
+    is_canon = F.col(id_col) == F.col("canonical_id")
+    kept = (
+        (F.col("quality") >= F.lit(min_quality))
+        & (top2 <= F.lit(max_top_bigram))
+        & (dup3 <= F.lit(max_dup_trigram))
+        & is_canon
+    )
+    return out.select(
+        F.col(id_col),
+        "text_clean",
+        "quality",
+        top2.alias("top_bigram_frac"),
+        dup3.alias("dup_trigram_frac"),
+        "n_pii",
+        is_canon.alias("is_canonical"),
+        kept.alias("kept"),
+    )

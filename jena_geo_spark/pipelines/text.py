@@ -61,11 +61,10 @@ def subword_token_stats(
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic quality score in [0,1]: stopword ratio + length band +
-    repetition penalty.  Deterministic integer/exact-double arithmetic so a
-    SQL oracle can reproduce it bit-for-bit."""
-    toks = tokens_col(F.col(text_col))
+def quality_col(text: Column) -> Column:
+    """The quality score as a row-local Column (see ``quality_score``) —
+    composable into wider selects (``curate.curate_documents``)."""
+    toks = tokens_col(text)
     n = F.size(toks)
     n_stop = F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in STOPWORDS])))
     # NOTE: array_intersect dedups; count stopword *types* present, not hits
@@ -76,7 +75,14 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         + distinct_ratio * F.lit(0.3)
         + (n_stop.cast("double") / F.lit(float(len(STOPWORDS)))) * F.lit(0.2)
     )
-    return df.select(F.col(id_col), F.round(score, 6).alias("quality"))
+    return F.round(score, 6)
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality score in [0,1]: stopword ratio + length band +
+    repetition penalty.  Deterministic integer/exact-double arithmetic so a
+    SQL oracle can reproduce it bit-for-bit."""
+    return df.select(F.col(id_col), quality_col(F.col(text_col)).alias("quality"))
 
 
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -190,35 +196,39 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+def scrub_cols(text: Column) -> tuple[Column, list[Column]]:
+    """(redacted text Column, [n_<type> count Columns]) — the row-local
+    pieces of ``scrub_pii``, composable into wider selects.  Each count is
+    taken on the text state *before* its own replace, so counts compose
+    sequentially exactly like the replaces do."""
+    cur = text
+    counts = []
+    for name, pat, rep in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, rep)
+    return cur, counts
+
+
 def scrub_pii(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Redact emails / phone numbers / IPv4s — the standard pre-training
     privacy pass.  Pure Catalyst (``regexp_count`` + ``regexp_replace``
     chained in pattern order, whole-stage codegen, no Python in the hot
-    path); each count is taken on the text state *before* its own replace,
-    so counts compose sequentially exactly like the replaces do."""
-    cur = F.col(text_col)
-    counts = []
-    for name, pat, rep in PII_PATTERNS:
-        counts.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}"))
-        cur = F.regexp_replace(cur, pat, rep)
-    return df.select(F.col(id_col), cur.alias("text_redacted"), *counts)
+    path)."""
+    red, counts = scrub_cols(F.col(text_col))
+    return df.select(F.col(id_col), red.alias("text_redacted"), *counts)
 
 
 # ------------------------------------------------- repetition (Gopher-ish) --
-def repetition_stats(
+def repetition_frame(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Per-doc n-gram repetition signals (Rae et al. 2021 "Gopher" §A1.1
-    shape, word n-grams): ``top_bigram_frac`` — occurrences of the most
-    frequent 2-gram over all 2-gram occurrences; ``dup_trigram_frac`` —
-    fraction of 3-gram occurrences whose 3-gram occurs more than once.
-
-    Shape at scale: ONE text scan — bigrams and trigrams explode together
-    under a k tag — then two map-side-combinable hash aggregations keyed
-    (doc, k, gram) and (doc), plus one column-pruned doc_id spine scan for
-    gram-less docs.  No Python."""
+    """Per-doc repetition fracs WITHOUT the gram-less-doc spine: only docs
+    with at least one bigram appear.  ``repetition_stats`` left-joins this
+    against the doc spine; composers that already hold a per-doc frame
+    (``curate.curate_documents``) join it directly and coalesce, saving a
+    corpus scan."""
     toks = tokens_col(F.col(text_col))
 
     def grams(k: int) -> Column:
@@ -246,7 +256,7 @@ def repetition_stats(
     def tot(kk: int) -> Column:
         return F.sum(F.when(k == kk, F.col("c"))).cast("double")
 
-    per_doc = counted.groupBy(id_col).agg(
+    return counted.groupBy(id_col).agg(
         F.round(F.max(F.when(k == 2, F.col("c"))).cast("double") / tot(2), 6).alias(
             "top_bigram_frac"
         ),
@@ -258,6 +268,21 @@ def repetition_stats(
             6,
         ).alias("dup_trigram_frac"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc n-gram repetition signals (Rae et al. 2021 "Gopher" §A1.1
+    shape, word n-grams): ``top_bigram_frac`` — occurrences of the most
+    frequent 2-gram over all 2-gram occurrences; ``dup_trigram_frac`` —
+    fraction of 3-gram occurrences whose 3-gram occurs more than once.
+
+    Shape at scale: ONE text scan — bigrams and trigrams explode together
+    under a k tag (``repetition_frame``) — then two map-side-combinable
+    hash aggregations keyed (doc, k, gram) and (doc), plus one
+    column-pruned doc_id spine scan for gram-less docs.  No Python."""
+    per_doc = repetition_frame(df, text_col, id_col)
     spine = df.select(F.col(id_col))
     return spine.join(per_doc, id_col, "left").select(
         F.col(id_col),

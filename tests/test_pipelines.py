@@ -470,3 +470,32 @@ def test_phash_dedup_groups_matches_bruteforce_components(spark):
         key = ["a0", "a1", "b0", "b1", "c0"][i % 5]
         want.add((i, {"a0": ga, "a1": ga, "b0": gb, "b1": gb, "c0": h["c0"]}[key]))
     assert got == want
+
+
+def test_curate_documents_hand_case(spark):
+    from jena_geo_spark.pipelines.curate import curate_documents
+
+    good = "the quick brown fox jumps over a lazy dog and then runs far " \
+           "away to find some more of those things it likes to chase daily"
+    docs = spark.createDataFrame(
+        [
+            (0, good),                      # long, diverse, stopwords -> kept
+            (1, good),                      # exact dup of 0 -> not canonical
+            (2, " ".join(reversed(good.split()))),  # same token SET, shuffled
+            (3, "spam spam spam spam spam spam spam spam spam spam spam spam "
+                "spam spam spam spam spam spam spam spam spam"),  # repetitive
+            (4, "short text"),              # fails length band
+            (5, "mail me at bob@x.io " + good),  # PII scrubbed, still kept
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in curate_documents(docs).collect()}
+    assert rows[0].kept and rows[0].is_canonical
+    assert not rows[1].kept and not rows[1].is_canonical
+    assert rows[1].quality == rows[0].quality
+    assert not rows[3].kept  # top_bigram_frac == 1.0 > ceiling
+    assert rows[3].top_bigram_frac == 1.0 and rows[3].dup_trigram_frac == 1.0
+    assert not rows[4].kept and rows[4].quality < 0.5
+    assert rows[5].n_pii == 1 and "<EMAIL>" in rows[5].text_clean and rows[5].kept
+    # doc 2 shares doc 0's normalized token set -> same group, not canonical
+    assert not rows[2].is_canonical

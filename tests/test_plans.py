@@ -318,3 +318,16 @@ def test_phash_groups_no_cartesian_no_python(spark):
     plan = _plan(phash_dedup_groups(imgs, max_hamming=3))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_curate_two_scans_no_python(spark):
+    """Composed curation: row-local derivations ride one projection,
+    canonical selection is a window (no self-join), repetition is the
+    only join — exactly two corpus scans, no Python stages."""
+    from jena_geo_spark.pipelines.curate import curate_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(curate_documents(docs))
+    assert plan.count("Scan parquet") == 2
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
