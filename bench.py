@@ -280,6 +280,16 @@ def run(sf_dir: str, cpus: int) -> dict:
             )
         ),
     )
+    # the composed curation pass (quality + repetition + PII + dedup
+    # canonical) — two corpus scans, no Python
+    from jena_geo_spark.pipelines.curate import curate_documents
+
+    timed(
+        "doc_curate",
+        lambda: _noop(
+            curate_documents(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+        ),
+    )
     # raster family representative: (A + B) * 3 map algebra + summary
     # stats over 100k 8x8 tiles.  The synthetic tile PAIR table is
     # materialized once outside the timer (generation is not the

@@ -228,8 +228,17 @@ def repetition_frame(
     with at least one bigram appear.  ``repetition_stats`` left-joins this
     against the doc spine; composers that already hold a per-doc frame
     (``curate.curate_documents``) join it directly and coalesce, saving a
-    corpus scan."""
-    toks = tokens_col(F.col(text_col))
+    corpus scan.
+
+    The token array is MATERIALIZED in a projection before the gram
+    transform — referencing ``F.split(...)`` inside the lambda would
+    re-split the text per element access, O(n²) per doc (same hazard
+    ``dedup._tok_grams`` documents; measured 3.3× on the sf0.1 corpus at
+    only ~54 tokens/doc, and quadratically worse on long docs)."""
+    base = df.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
 
     def grams(k: int) -> Column:
         # (k, gram) structs at positions 0..size-k.  Guarded: sequence(0, n)
@@ -247,7 +256,7 @@ def repetition_frame(
         ).otherwise(F.array().cast("array<struct<k:int,g:string>>"))
 
     counted = (
-        df.select(F.col(id_col), F.explode(F.concat(grams(2), grams(3))).alias("kg"))
+        base.select(F.col(id_col), F.explode(F.concat(grams(2), grams(3))).alias("kg"))
         .groupBy(id_col, "kg")
         .agg(F.count(F.lit(1)).alias("c"))
     )
