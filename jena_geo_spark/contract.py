@@ -1299,6 +1299,42 @@ def o_doc_curate() -> str:
     )
 
 
+def q_doc_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language mixture sampling
+    (pipelines/curate.mixture_sample): keep-rate per lang via a
+    SQL-reproducible hash bucket on "<doc_id>:<salt>" — no RNG, nested
+    samples by construction, row-local filter with no shuffle.  The
+    oracle replays the polynomial fold and the CASE thresholds; kept
+    rows AND their buckets must match exactly."""
+    from .pipelines.curate import mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = {"en": 1.0, "fr": 0.5, "de": 0.5, "es": 0.25, "zh": 0.1}
+    out = mixture_sample(docs, rates, key_col="lang", salt="r4")
+    return out.select("doc_id", "lang", F.col("sample_bucket").cast("long").alias("sample_bucket"))
+
+
+def o_doc_mixture() -> str:
+    from .pipelines import text as _t
+
+    def fold(base: int) -> str:
+        return (
+            "list_reduce(list_prepend(0::BIGINT, codes), "
+            f"(acc, x) -> (acc * {base} + x) % {_t._FP_P})"
+        )
+
+    h = f"{fold(_t._FP_BASE1)} * {1 << 31} + {fold(_t._FP_BASE2)}"
+    return (
+        "WITH c AS (SELECT doc_id, lang, "
+        "list_transform(string_split(doc_id::VARCHAR || ':r4', ''), ch -> ascii(ch)::BIGINT) AS codes "
+        "FROM documents), "
+        f"b AS (SELECT doc_id, lang, ({h}) % 10000 AS sample_bucket FROM c) "
+        "SELECT doc_id, lang, sample_bucket FROM b WHERE sample_bucket < "
+        "(CASE lang WHEN 'en' THEN 10000 WHEN 'fr' THEN 5000 WHEN 'de' THEN 5000 "
+        "WHEN 'es' THEN 2500 WHEN 'zh' THEN 1000 ELSE 0 END)"
+    )
+
+
 def q_doc_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The strip step of the boilerplate curation loop: tokens covered
     by any df>=3 3-gram span are removed, clean docs pass through
@@ -3627,7 +3663,7 @@ QUERIES = {
     # representative per operator family from SURVEY §2 and the LLM
     # pipeline table.  Entries past 50 stay oracle-gated by pytest
     # (tests/test_driver_contract.py runs ALL entries, bit-exact).
-    # -- never-driver-run (38) --
+    # -- never-driver-run (39) --
     "sparql_knn": q_sparql_knn,
     "sparql_nearby_km": q_sparql_nearby_km,
     "sparql_within_box": q_sparql_within_box,
@@ -3668,13 +3704,13 @@ QUERIES = {
     "doc_pii_scrub": q_doc_pii_scrub,
     "doc_repetition": q_doc_repetition,
     "doc_curate": q_doc_curate,
+    "doc_mixture": q_doc_mixture,
     # -- family representatives (emb_topk, geo_pip_join, geo_cluster_within
     # and doc_dedup_groups rotate to the tail: each already has a green r3
     # driver row, their families stay covered in-window — emb_pq_exact
     # subsumes exact top-k, polygon/dwithin/knn frames cover spatial join,
     # doc_curate exercises the dedup canonical selection — and all tail
     # entries stay oracle-gated by pytest) --
-    "geo_polygon_join": q_geo_polygon_join,
     "geo_dwithin_frames": q_geo_dwithin_frames,
     "geo_knn_frames": q_geo_knn_frames,
     "raster_zonal_stats": q_raster_zonal_stats,
@@ -3689,6 +3725,7 @@ QUERIES = {
     # representative, and each of these has an r3 driver row or a pytest
     # oracle gate) ----
     "geo_pip_join": q_geo_pip_join,
+    "geo_polygon_join": q_geo_polygon_join,
     "doc_dedup_groups": q_doc_dedup_groups,
     "geo_cluster_within": q_geo_cluster_within,
     "emb_topk": q_emb_topk,
@@ -3775,6 +3812,7 @@ ORACLES = {
     "doc_pii_scrub": o_doc_pii_scrub(),
     "doc_repetition": o_doc_repetition(),
     "doc_curate": o_doc_curate(),
+    "doc_mixture": o_doc_mixture(),
     "doc_dup_spans": o_doc_dup_spans(),
     "geo_mvt_coords": o_geo_mvt_coords(),
     "stream_tile_hist": o_stream_tile_hist(),

@@ -17,7 +17,7 @@ join is the repetition frame keyed on doc id.  Two corpus scans total
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import quality_col, repetition_frame, scrub_cols
@@ -72,4 +72,43 @@ def curate_documents(
         "n_pii",
         is_canon.alias("is_canonical"),
         kept.alias("kept"),
+    )
+
+
+def sample_bucket_col(id_col: Column, salt: str, buckets: int = 10000) -> Column:
+    """Deterministic sampling bucket in [0, buckets): the SQL-reproducible
+    62-bit polynomial hash (``dedup.arith_hash62_col``) over
+    ``"<id>:<salt>"``.  No RNG, no partition-order dependence — the same
+    row lands in the same bucket on every run, any cluster size, and in
+    the DuckDB oracle."""
+    from .dedup import arith_hash62_col
+
+    return F.pmod(
+        arith_hash62_col(F.concat(id_col.cast("string"), F.lit(":" + salt))),
+        F.lit(buckets),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic per-group mixture sampling — the corpus-assembly step
+    that weights data sources for training (e.g. keep 100% en, 10% zh).
+    A row is kept iff its hash bucket falls below ``rates[key]``
+    (basis-point threshold; unlisted keys drop).  Pure Catalyst row-local
+    filter: no shuffle, no RNG, reproducible by construction; rerunning
+    with a higher rate yields a SUPERSET of the lower rate's sample
+    (nested samples, the property mixture tuning needs)."""
+    bucket = sample_bucket_col(F.col(id_col), salt)
+    thresh = F.lit(0)
+    for key, rate in sorted(rates.items()):
+        thresh = F.when(F.col(key_col) == key, F.lit(int(round(rate * 10000)))).otherwise(
+            thresh
+        )
+    return df.withColumn("sample_bucket", bucket).filter(
+        F.col("sample_bucket") < thresh
     )

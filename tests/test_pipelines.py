@@ -499,3 +499,25 @@ def test_curate_documents_hand_case(spark):
     assert rows[5].n_pii == 1 and "<EMAIL>" in rows[5].text_clean and rows[5].kept
     # doc 2 shares doc 0's normalized token set -> same group, not canonical
     assert not rows[2].is_canonical
+
+
+def test_mixture_sample_deterministic_and_nested(spark):
+    from jena_geo_spark.pipelines.curate import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(i, ["en", "fr", "zh"][i % 3]) for i in range(900)],
+        "doc_id long, lang string",
+    )
+    lo = mixture_sample(docs, {"en": 0.3, "fr": 0.1}, key_col="lang")
+    hi = mixture_sample(docs, {"en": 0.6, "fr": 0.4, "zh": 0.2}, key_col="lang")
+    lo_ids = {r.doc_id for r in lo.collect()}
+    hi_ids = {r.doc_id for r in hi.collect()}
+    # determinism: identical on re-evaluation
+    assert lo_ids == {r.doc_id for r in lo.collect()}
+    # nesting: raising every rate yields a superset
+    assert lo_ids <= hi_ids
+    # unlisted key drops entirely at the low setting
+    assert not any(i % 3 == 2 for i in lo_ids)
+    # rates land in the right ballpark (hash uniformity, 300 docs/lang)
+    n_en = sum(1 for i in lo_ids if i % 3 == 0)
+    assert 60 <= n_en <= 120  # 0.3 of 300 ± generous tolerance
