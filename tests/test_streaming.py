@@ -201,3 +201,38 @@ def test_batch_sessionize_is_superset_of_streaming_closed_visits(spark):
     }
     open_tail = {(1, "B", t0 + 2120, t0 + 2120, 1), (2, "A", t0 + 90, t0 + 90, 1)}
     assert batch == closed | open_tail
+
+
+def test_curation_stages_run_on_streams(spark, tmp_path_factory):
+    """The stateless curation stages (PII scrub, mixture sampling) are
+    streaming-compatible by construction — row-local Catalyst only.
+    availableNow drain over a file stream must equal the batch answer."""
+    from jena_geo_spark.pipelines.curate import mixture_sample
+    from jena_geo_spark.pipelines.text import scrub_pii
+
+    d = str(tmp_path_factory.mktemp("doc_stream"))
+    batch = spark.createDataFrame(
+        [(i, f"doc {i} mail u{i}@x.io", ["en", "zh"][i % 2]) for i in range(400)],
+        "doc_id long, text string, lang string",
+    )
+    batch.repartition(4).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    out = mixture_sample(
+        scrub_pii(stream).withColumn("lang", F.lit("en")),
+        {"en": 0.5},
+        key_col="lang",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("curate_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.doc_id, r.text_redacted, r.sample_bucket)
+           for r in spark.sql("SELECT * FROM curate_stream").collect()}
+    want = {(r.doc_id, r.text_redacted, r.sample_bucket)
+            for r in mixture_sample(
+                scrub_pii(batch).withColumn("lang", F.lit("en")),
+                {"en": 0.5}, key_col="lang").collect()}
+    assert got == want and len(want) > 100
