@@ -224,11 +224,17 @@ def phash_dedup_groups(
     then mapped back to images with one equi-join (AQE broadcasts the
     label side when the distinct-hash table is small, as it typically
     is).  group_id = min phash of the component (canonical,
-    deterministic)."""
+    deterministic).  Rows with a NULL phash (undecodable payloads, per
+    ``with_phash_verified``) cannot be grouped: they pass through with
+    group_id NULL instead of silently vanishing."""
     from ..operators.components import connected_components
     from ..pipelines.dedup import hamming_pairs
 
-    hashes = df.select(F.col(hash_col).alias("hid")).distinct()
+    hashes = (
+        df.select(F.col(hash_col).alias("hid"))
+        .filter(F.col("hid").isNotNull())
+        .distinct()
+    )
     pairs = hamming_pairs(
         hashes.withColumn("hv", F.col("hid")), "hv", "hid", max_hamming, n_bits=64
     )
@@ -238,5 +244,5 @@ def phash_dedup_groups(
         .select("hid", F.coalesce("component", "hid").alias("group_id"))
     )
     return df.select(id_col, hash_col).join(
-        labels, F.col(hash_col) == F.col("hid")
+        labels, F.col(hash_col) == F.col("hid"), "left"
     ).select(id_col, "group_id")

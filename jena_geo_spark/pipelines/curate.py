@@ -38,10 +38,12 @@ def curate_documents(
     is its exact-dup group's canonical (min-id) member.  ``text_clean``
     is the PII-redacted text regardless of the verdict, so callers can
     keep rejected docs for audit without re-running the scrub."""
+    from .dedup import dedup_key_col
+
     text = F.col(text_col)
     red, counts = scrub_cols(text)
     n_pii = sum((c.cast("long") for c in counts), F.lit(0).cast("long"))
-    key = F.array_join(F.array_sort(F.array_distinct(F.split(text, " "))), " ")
+    key = dedup_key_col(text)
     base = df.select(
         F.col(id_col),
         red.alias("text_clean"),

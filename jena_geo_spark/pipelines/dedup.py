@@ -52,18 +52,20 @@ def arith_hash62_col(s: Column) -> Column:
 # ------------------------------------------------------------ exact dedup --
 
 
+def dedup_key_col(text: Column) -> Column:
+    """The normalized exact-dedup key: the sorted distinct token set
+    (order/multiplicity insensitive — catches shuffled bag-of-words
+    duplicates).  Shared by ``exact_dedup`` and
+    ``curate.curate_documents`` so their groupings can never diverge."""
+    return F.array_join(F.array_sort(F.array_distinct(F.split(text, " "))), " ")
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", normalize: bool = True
 ) -> DataFrame:
-    """Map every doc to the canonical (min-id) doc with the same key.
-
-    ``normalize=True`` keys on the sorted distinct token set (order/multiplicity
-    insensitive — catches shuffled bag-of-words duplicates)."""
-    key = (
-        F.array_join(F.array_sort(F.array_distinct(F.split(F.col(text_col), " "))), " ")
-        if normalize
-        else F.col(text_col)
-    )
+    """Map every doc to the canonical (min-id) doc with the same key
+    (``dedup_key_col`` when ``normalize=True``)."""
+    key = dedup_key_col(F.col(text_col)) if normalize else F.col(text_col)
     keyed = df.select(F.col(id_col), key.alias("dedup_key"))
     canon = keyed.groupBy("dedup_key").agg(
         F.min(id_col).alias("canonical_id"), F.count("*").alias("group_size")

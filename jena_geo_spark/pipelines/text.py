@@ -269,12 +269,18 @@ def repetition_frame(
         F.round(F.max(F.when(k == 2, F.col("c"))).cast("double") / tot(2), 6).alias(
             "top_bigram_frac"
         ),
-        F.round(
-            F.coalesce(
-                F.sum(F.when((k == 3) & (F.col("c") >= 2), F.col("c"))), F.lit(0)
-            ).cast("double")
-            / tot(3),
-            6,
+        # a doc with bigrams but no trigrams (exactly 2 tokens) has a
+        # well-defined dup fraction of 0.0 — without the outer coalesce
+        # 0/NULL would surface as NULL and silently fail <= filters
+        F.coalesce(
+            F.round(
+                F.coalesce(
+                    F.sum(F.when((k == 3) & (F.col("c") >= 2), F.col("c"))), F.lit(0)
+                ).cast("double")
+                / tot(3),
+                6,
+            ),
+            F.lit(0.0),
         ).alias("dup_trigram_frac"),
     )
 

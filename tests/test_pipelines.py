@@ -521,3 +521,22 @@ def test_mixture_sample_deterministic_and_nested(spark):
     # rates land in the right ballpark (hash uniformity, 300 docs/lang)
     n_en = sum(1 for i in lo_ids if i % 3 == 0)
     assert 60 <= n_en <= 120  # 0.3 of 300 ± generous tolerance
+
+
+def test_phash_groups_null_hash_passthrough(spark):
+    from jena_geo_spark.image.spark import phash_dedup_groups
+
+    df = spark.createDataFrame(
+        [(0, 100), (1, 100), (2, None)], "image_id long, phash long"
+    )
+    rows = {r.image_id: r.group_id for r in phash_dedup_groups(df).collect()}
+    assert rows[0] == 100 and rows[1] == 100
+    assert 2 in rows and rows[2] is None  # undecodable row visible, ungrouped
+
+
+def test_repetition_frame_two_token_doc_has_zero_dup3(spark):
+    from jena_geo_spark.pipelines.text import repetition_frame
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    r = repetition_frame(df).first()
+    assert r.top_bigram_frac == 1.0 and r.dup_trigram_frac == 0.0
