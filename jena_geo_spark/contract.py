@@ -3720,10 +3720,10 @@ QUERIES = {
     "geo_envelope_agg": q_geo_envelope_agg,
     "geo_semi_anti": q_geo_semi_anti,
     "geo_overlay_halfplane": q_geo_overlay_halfplane,
-    "sparql_bgp_join": q_sparql_bgp_join,
     # ---- tail (sampled-out this round; every family above keeps a green
     # representative, and each of these has an r3 driver row or a pytest
     # oracle gate) ----
+    "sparql_bgp_join": q_sparql_bgp_join,
     "geo_pip_join": q_geo_pip_join,
     "geo_polygon_join": q_geo_polygon_join,
     "doc_dedup_groups": q_doc_dedup_groups,
