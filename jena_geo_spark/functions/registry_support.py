@@ -229,8 +229,36 @@ def st_distancesphere_geom(a: pd.Series, b: pd.Series) -> pd.Series:
 # --------------------------------------------------------- raster algebra --
 
 
+def _splice_encoded_batch(out_px, raw_in, template: bytes) -> pd.Series:
+    """Batch-encode float64 outputs: every output tile shares the
+    template's layout (same w/h/pixtype-11 band) but keeps its OWN
+    geotransform+srid bytes (cols 5..57) from the input row.  Bit-exact
+    with per-tile ``WR.encode(map_algebra*(...))`` by construction — the
+    template IS row 0's per-tile encoding."""
+    t = np.frombuffer(template, np.uint8)
+    n, n_px = out_px.shape
+    res = np.tile(t, (n, 1))
+    res[:, 5:57] = raw_in[:, 5:57]
+    res[:, -n_px * 8:] = (
+        out_px.astype("<f8").view(np.uint8).reshape(n, n_px * 8)
+    )
+    return pd.Series([r.tobytes() for r in res], dtype=object)
+
+
 def rast2_udf(op: str):
     def fn(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a):
+            ma, mb = WR.batch_decode_matrix(a), WR.batch_decode_matrix(b)
+            if ma is not None and mb is not None and ma[0].shape == mb[0].shape:
+                # vectorized: ONE numpy op over the whole Arrow batch;
+                # encode splices payloads under row-0's template header
+                out = RA.LOCAL2[op](ma[0], mb[0])
+                template = WR.encode(
+                    RA.map_algebra2(
+                        WR.decode(ma[1][0].tobytes()), WR.decode(mb[1][0].tobytes()), op
+                    )
+                )
+                return _splice_encoded_batch(out, ma[1], template)
         out = []
         for x, y in zip(a, b):
             if x is None or y is None:
@@ -263,6 +291,17 @@ def rastconst_udf(op: str):
     # reference arity: exec(coverage, bandnum, const) — raster/algebra/
     # MultConst.java:27-46 (bandnum < 0 → every band)
     def fn(a: pd.Series, band: pd.Series, k: pd.Series) -> pd.Series:
+        if len(a) and (band.to_numpy() < 0).all():
+            ma = WR.batch_decode_matrix(a)
+            if ma is not None:
+                kv = k.to_numpy(dtype=np.float64)[:, None]
+                out = RA.LOCAL2[op](ma[0], kv)
+                template = WR.encode(
+                    RA.map_algebra_const(
+                        WR.decode(ma[1][0].tobytes()), op, float(k.iloc[0]), -1
+                    )
+                )
+                return _splice_encoded_batch(out, ma[1], template)
         out = []
         for i, x in enumerate(a):
             if x is None:

@@ -151,3 +151,35 @@ def decode_hex(s: str) -> Raster:
 
 def encode_hex(r: Raster, little: bool = True) -> str:
     return encode(r, little).hex().upper()
+
+
+def batch_decode_matrix(col) -> "tuple | None":
+    """Homogeneous-batch fast-path decode for a pandas Series of WKB
+    rasters: returns ``(px, raw)`` where ``px`` is the (n, w*h) float64
+    pixel matrix and ``raw`` the (n, len) uint8 byte matrix — or None
+    when the batch is not a same-shaped little-endian single-band
+    no-nodata column (callers fall back per-tile).  Shared by the fused
+    algebra+stats UDF and the per-stage algebra UDF fast paths."""
+    import numpy as np
+
+    if any(x is None for x in col):
+        return None
+    lens = {len(x) for x in col}
+    if len(lens) != 1:
+        return None
+    raw = np.frombuffer(b"".join(bytes(x) for x in col), dtype=np.uint8).reshape(
+        len(col), lens.pop()
+    )
+    hdr = np.concatenate([raw[:, 0:5], raw[:, 57:62]], axis=1)  # endian,
+    # version, nBands | w, h, band flags (geotransform/srid may vary)
+    if not (hdr == hdr[0]).all() or raw[0, 0] != 1:  # little-endian only
+        return None
+    first = decode(raw[0].tobytes())
+    if len(first.bands) != 1 or first.bands[0].nodata is not None:
+        return None
+    dt, sz = PIXEL_DTYPES[first.bands[0].pixtype]
+    n_px = first.width * first.height
+    if n_px == 0 or raw.shape[1] != 62 + sz + n_px * sz:
+        return None
+    px = raw[:, 62 + sz : 62 + sz + n_px * sz]
+    return np.ascontiguousarray(px).view("<" + dt).astype(np.float64), raw

@@ -170,3 +170,78 @@ def test_fused_algebra_stats_matches_per_tile(spark):
             exp = expected(ras[i], rbs[i])
             for k, v in exp.items():
                 assert got[i][k] == v, (shapes[0] == shapes[-1], i, k, got[i][k], v)
+
+
+def test_stage_udf_batch_fast_path_bit_exact(spark):
+    """rast2_udf / rastconst_udf homogeneous-batch vectorization must be
+    BYTE-exact with the per-tile path (template-splice encode), and fall
+    back untouched on heterogeneous/None batches."""
+    import numpy as np
+
+    from jena_geo_spark.functions import registry_support as RS
+    from jena_geo_spark.raster import algebra as RA
+    from jena_geo_spark.raster import wkb_raster as WR
+
+    rng = np.random.default_rng(3)
+
+    def tile(w, h, ip):
+        r = WR.Raster(0, 1.0, -1.0, float(ip), float(-ip), 0.0, 0.0, 4326, w, h)
+        r.bands.append(WR.Band(5, None, rng.integers(-40, 90, (h, w)).astype(np.int16)))
+        return WR.encode(r)
+
+    homo = [(i, tile(6, 4, i), tile(6, 4, 100 + i)) for i in range(40)]
+    hetero = homo[:3] + [(90, tile(3, 3, 9), tile(3, 3, 10)), (91, None, tile(6, 4, 1))]
+
+    for rows in (homo, hetero):
+        df = spark.createDataFrame(rows, "id long, ra binary, rb binary")
+        got = {
+            r.id: (bytes(r.o2) if r.o2 is not None else None,
+                   bytes(r.oc) if r.oc is not None else None)
+            for r in df.select(
+                "id",
+                RS.rast2_udf("add")(F.col("ra"), F.col("rb")).alias("o2"),
+                RS.rastconst_udf("divide")(F.col("ra"), F.lit(-1), (F.col("id") % 5).cast("double")).alias("oc"),
+            ).collect()
+        }
+        for i, a, b in rows:
+            if a is None or b is None:
+                # rast2 yields NULL on any NULL input; rastconst only
+                # depends on ra
+                expc = (
+                    None
+                    if a is None
+                    else WR.encode(
+                        RA.map_algebra_const(WR.decode(bytes(a)), "divide", float(i % 5), -1)
+                    )
+                )
+                assert got[i] == (None, expc)
+                continue
+            exp2 = WR.encode(RA.map_algebra2(WR.decode(bytes(a)), WR.decode(bytes(b)), "add"))
+            expc = WR.encode(RA.map_algebra_const(WR.decode(bytes(a)), "divide", float(i % 5), -1))
+            assert got[i] == (exp2, expc), f"mismatch at id {i}"
+
+
+def test_summarystats_batch_fast_path_value_exact(spark):
+    """Matrix-stats fast path must equal the per-tile summary_stats
+    values exactly (same numpy reductions, same float64 inputs)."""
+    import numpy as np
+
+    from jena_geo_spark.raster import wkb_raster as WR
+    from jena_geo_spark.raster.transform import st_summarystats, summary_stats
+
+    rng = np.random.default_rng(11)
+
+    def tile(w, h, i):
+        r = WR.Raster(0, 1.0, -1.0, float(i), 0.0, 0.0, 0.0, 4326, w, h)
+        r.bands.append(WR.Band(10, None, rng.normal(size=(h, w)).astype(np.float32)))
+        return WR.encode(r)
+
+    rows = [(i, tile(7, 5, i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, r binary")
+    got = {r.id: r.s.asDict() for r in df.select("id", st_summarystats(F.col("r")).alias("s")).collect()}
+    for i, t in rows:
+        exp = summary_stats(WR.decode(bytes(t)))
+        g = got[i]
+        assert g["count"] == exp["count"]
+        for k in ("sum", "mean", "stddev", "min", "max"):
+            assert g[k] == exp[k], (i, k, g[k], exp[k])
