@@ -128,3 +128,52 @@ def test_jpeg_shape_totality(h, w, seed):
     dec = jpeg.decode_jpeg(jpeg.encode_jpeg(arr, quality=95))
     assert dec.shape == arr.shape and dec.dtype == np.uint8
     assert codec.psnr(arr, dec) >= 40.0
+
+
+def test_stage_udf_splice_fuzz_all_pixtypes(spark):
+    """Property fuzz of the homogeneous-batch splice encoder: across
+    every pixel type, random shapes/geotransforms and every LOCAL2 op,
+    the batch path must be byte-identical to the per-tile path (both
+    produce 64BF outputs; the splice keeps each tile's own
+    geotransform+srid)."""
+    import random
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from jena_geo_spark.functions import registry_support as RS
+    from jena_geo_spark.raster import algebra as RA
+    from jena_geo_spark.raster import wkb_raster as WR
+
+    rng = np.random.default_rng(29)
+    pyr = random.Random(31)
+
+    def tile(pixtype, w, h, i):
+        dt, _ = WR.PIXEL_DTYPES[pixtype]
+        r = WR.Raster(
+            0, pyr.uniform(0.5, 2.0), -1.0, float(i), float(10 * i),
+            0.0, 0.0, pyr.choice([4326, 3857, 0]), w, h,
+        )
+        if dt.startswith("f"):
+            data = rng.normal(size=(h, w)).astype(dt)
+        else:
+            info = np.iinfo(dt)
+            lo, hi = max(info.min, -3), min(info.max, 97)
+            data = rng.integers(lo, hi + 1, (h, w)).astype(dt)
+        r.bands.append(WR.Band(pixtype, None, data))
+        return WR.encode(r)
+
+    for pixtype in sorted(WR.PIXEL_DTYPES):
+        w, h = pyr.randint(1, 9), pyr.randint(1, 9)
+        op = pyr.choice(sorted(RA.LOCAL2))
+        if op == "subtractfromconst":
+            continue  # const-only op, not exposed via rast2_udf
+        rows = [(i, tile(pixtype, w, h, i), tile(pixtype, w, h, 50 + i)) for i in range(12)]
+        df = spark.createDataFrame(rows, "id long, ra binary, rb binary")
+        got = {
+            r.id: bytes(r.o)
+            for r in df.select("id", RS.rast2_udf(op)(F.col("ra"), F.col("rb")).alias("o")).collect()
+        }
+        for i, a, b in rows:
+            exp = WR.encode(RA.map_algebra2(WR.decode(bytes(a)), WR.decode(bytes(b)), op))
+            assert got[i] == exp, (pixtype, op, i)
