@@ -275,6 +275,12 @@ def rast2_udf(op: str):
 
 def rast1_udf(op: str):
     def fn(a: pd.Series) -> pd.Series:
+        if len(a):
+            ma = WR.batch_decode_matrix(a)
+            if ma is not None:
+                out = RA.LOCAL1[op](ma[0])
+                template = WR.encode(RA.map_algebra1(WR.decode(ma[1][0].tobytes()), op))
+                return _splice_encoded_batch(out, ma[1], template)
         out = []
         for x in a:
             if x is None:

@@ -540,3 +540,11 @@ def test_repetition_frame_two_token_doc_has_zero_dup3(spark):
     df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     r = repetition_frame(df).first()
     assert r.top_bigram_frac == 1.0 and r.dup_trigram_frac == 0.0
+
+
+def test_curate_and_mixture_on_empty_input(spark):
+    from jena_geo_spark.pipelines.curate import curate_documents, mixture_sample
+
+    empty = spark.createDataFrame([], "doc_id long, text string, lang string")
+    assert curate_documents(empty).count() == 0
+    assert mixture_sample(empty, {"en": 1.0}).count() == 0

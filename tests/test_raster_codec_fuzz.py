@@ -177,3 +177,26 @@ def test_stage_udf_splice_fuzz_all_pixtypes(spark):
         for i, a, b in rows:
             exp = WR.encode(RA.map_algebra2(WR.decode(bytes(a)), WR.decode(bytes(b)), op))
             assert got[i] == exp, (pixtype, op, i)
+
+
+def test_stage_udf_unary_splice_matches_per_tile(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from jena_geo_spark.functions import registry_support as RS
+    from jena_geo_spark.raster import algebra as RA
+    from jena_geo_spark.raster import wkb_raster as WR
+
+    rng = np.random.default_rng(41)
+
+    def tile(i):
+        r = WR.Raster(0, 1.0, -1.0, float(i), 0.0, 0.0, 0.0, 4326, 5, 4)
+        r.bands.append(WR.Band(5, None, rng.integers(-9, 60, (4, 5)).astype(np.int16)))
+        return WR.encode(r)
+
+    rows = [(i, tile(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, r binary")
+    for op in sorted(RA.LOCAL1):
+        got = {r.id: bytes(r.o) for r in df.select("id", RS.rast1_udf(op)(F.col("r")).alias("o")).collect()}
+        for i, t in rows:
+            assert got[i] == WR.encode(RA.map_algebra1(WR.decode(bytes(t)), op)), (op, i)
