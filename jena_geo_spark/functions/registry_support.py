@@ -248,16 +248,19 @@ def _splice_encoded_batch(out_px, raw_in, template: bytes) -> pd.Series:
 def rast2_udf(op: str):
     def fn(a: pd.Series, b: pd.Series) -> pd.Series:
         if len(a):
-            ma, mb = WR.batch_decode_matrix(a), WR.batch_decode_matrix(b)
-            if ma is not None and mb is not None and ma[0].shape == mb[0].shape:
+            ma = WR.batch_decode_matrix(a)
+            mb = WR.batch_decode_matrix(b) if ma is not None else None
+            if (
+                ma is not None
+                and mb is not None
+                and ma[0].shape == mb[0].shape
+                and ma[3]
+                and mb[3]  # splice requires little-endian (see decoder doc)
+            ):
                 # vectorized: ONE numpy op over the whole Arrow batch;
                 # encode splices payloads under row-0's template header
                 out = RA.LOCAL2[op](ma[0], mb[0])
-                template = WR.encode(
-                    RA.map_algebra2(
-                        WR.decode(ma[1][0].tobytes()), WR.decode(mb[1][0].tobytes()), op
-                    )
-                )
+                template = WR.encode(RA.map_algebra2(ma[2], mb[2], op))
                 return _splice_encoded_batch(out, ma[1], template)
         out = []
         for x, y in zip(a, b):
@@ -277,9 +280,9 @@ def rast1_udf(op: str):
     def fn(a: pd.Series) -> pd.Series:
         if len(a):
             ma = WR.batch_decode_matrix(a)
-            if ma is not None:
+            if ma is not None and ma[3]:  # splice requires little-endian
                 out = RA.LOCAL1[op](ma[0])
-                template = WR.encode(RA.map_algebra1(WR.decode(ma[1][0].tobytes()), op))
+                template = WR.encode(RA.map_algebra1(ma[2], op))
                 return _splice_encoded_batch(out, ma[1], template)
         out = []
         for x in a:
@@ -299,13 +302,11 @@ def rastconst_udf(op: str):
     def fn(a: pd.Series, band: pd.Series, k: pd.Series) -> pd.Series:
         if len(a) and (band.to_numpy() < 0).all():
             ma = WR.batch_decode_matrix(a)
-            if ma is not None:
+            if ma is not None and ma[3]:  # splice requires little-endian
                 kv = k.to_numpy(dtype=np.float64)[:, None]
                 out = RA.LOCAL2[op](ma[0], kv)
                 template = WR.encode(
-                    RA.map_algebra_const(
-                        WR.decode(ma[1][0].tobytes()), op, float(k.iloc[0]), -1
-                    )
+                    RA.map_algebra_const(ma[2], op, float(k.iloc[0]), -1)
                 )
                 return _splice_encoded_batch(out, ma[1], template)
         out = []

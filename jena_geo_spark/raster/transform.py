@@ -172,25 +172,37 @@ _STATS_T = StructType(
 )
 
 
+def _matrix_stats(px) -> pd.DataFrame:
+    """Row-wise summary stats of a (n, n_px) float64 pixel matrix —
+    value-identical to per-tile ``summary_stats`` on no-nodata bands
+    (same numpy reductions over the same float64 rows).  Shared by
+    ``st_summarystats`` and ``fused_algebra_stats_udf``."""
+    return pd.DataFrame(
+        {
+            "count": np.full(len(px), px.shape[1], dtype=np.int64),
+            "sum": px.sum(axis=1),
+            "mean": px.mean(axis=1),
+            "stddev": px.std(axis=1),
+            "min": px.min(axis=1),
+            "max": px.max(axis=1),
+        }
+    )
+
+
+_STATS_COLS = ["count", "sum", "mean", "stddev", "min", "max"]
+
+
 @pandas_udf(_STATS_T)
 @null_safe
 def st_summarystats(b: pd.Series) -> pd.DataFrame:
     if len(b):
         m = WR.batch_decode_matrix(b)
         if m is not None:  # homogeneous no-nodata batch → matrix stats
-            px = m[0]
-            return pd.DataFrame(
-                {
-                    "count": np.full(len(px), px.shape[1], dtype=np.int64),
-                    "sum": px.sum(axis=1),
-                    "mean": px.mean(axis=1),
-                    "stddev": px.std(axis=1),
-                    "min": px.min(axis=1),
-                    "max": px.max(axis=1),
-                }
-            )
+            return _matrix_stats(m[0])
     rows = [summary_stats(WR.decode(bytes(x))) for x in b]
-    return pd.DataFrame(rows)
+    # empty subset (e.g. an all-NULL Arrow batch under null_safe) must
+    # still carry the 6 result columns, not a 0-column frame
+    return pd.DataFrame(rows, columns=_STATS_COLS)
 
 
 def fused_algebra_stats_udf(ops: list):
@@ -228,7 +240,7 @@ def fused_algebra_stats_udf(ops: list):
         """(n, w*h) float64 pixel matrix via the shared homogeneous-batch
         decoder (WR.batch_decode_matrix — also the rast2/rastconst stage
         fast path), else None."""
-        m = WR.batch_decode_matrix(col)
+        m = WR.batch_decode_matrix(col)  # matrix-only: any endianness OK
         return m[0] if m is not None else None
 
     def fn(a: pd.Series, b: pd.Series) -> pd.DataFrame:
@@ -236,17 +248,7 @@ def fused_algebra_stats_udf(ops: list):
             av = _batch_matrix(a)
             bv = _batch_matrix(b)
             if av is not None and bv is not None and av.shape == bv.shape:
-                c = _chain(av, bv)
-                return pd.DataFrame(
-                    {
-                        "count": np.full(len(c), c.shape[1], dtype=np.int64),
-                        "sum": c.sum(axis=1),
-                        "mean": c.mean(axis=1),
-                        "stddev": c.std(axis=1),
-                        "min": c.min(axis=1),
-                        "max": c.max(axis=1),
-                    }
-                )
+                return _matrix_stats(_chain(av, bv))
         rows = []
         for x, y in zip(a, b):
             r = WR.decode(bytes(x))

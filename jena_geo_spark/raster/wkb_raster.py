@@ -155,13 +155,17 @@ def encode_hex(r: Raster, little: bool = True) -> str:
 
 def batch_decode_matrix(col) -> "tuple | None":
     """Homogeneous-batch fast-path decode for a pandas Series of WKB
-    rasters: returns ``(px, raw)`` where ``px`` is the (n, w*h) float64
-    pixel matrix and ``raw`` the (n, len) uint8 byte matrix — or None
-    when the batch is not a same-shaped little-endian single-band
-    no-nodata column (callers fall back per-tile).  Shared by the fused
-    algebra+stats UDF and the per-stage algebra UDF fast paths."""
-    import numpy as np
-
+    rasters: returns ``(px, raw, first, little)`` where ``px`` is the
+    (n, w*h) float64 pixel matrix, ``raw`` the (n, len) uint8 byte
+    matrix, ``first`` the decoded row-0 Raster (already paid for by the
+    validation pass) and ``little`` the batch's endianness — or None
+    when the batch is not a same-shaped single-band no-nodata column
+    (callers fall back per-tile).  Matrix-only consumers (stats, fusion)
+    accept either endianness; the template-splice ENCODERS must require
+    ``little`` (splicing big-endian geotransform bytes into the
+    little-endian template row-0 encode would corrupt the header).
+    Shared by the fused algebra+stats UDF and the per-stage algebra UDF
+    fast paths."""
     if any(x is None for x in col):
         return None
     lens = {len(x) for x in col}
@@ -172,7 +176,7 @@ def batch_decode_matrix(col) -> "tuple | None":
     )
     hdr = np.concatenate([raw[:, 0:5], raw[:, 57:62]], axis=1)  # endian,
     # version, nBands | w, h, band flags (geotransform/srid may vary)
-    if not (hdr == hdr[0]).all() or raw[0, 0] != 1:  # little-endian only
+    if not (hdr == hdr[0]).all():
         return None
     first = decode(raw[0].tobytes())
     if len(first.bands) != 1 or first.bands[0].nodata is not None:
@@ -181,5 +185,12 @@ def batch_decode_matrix(col) -> "tuple | None":
     n_px = first.width * first.height
     if n_px == 0 or raw.shape[1] != 62 + sz + n_px * sz:
         return None
+    little = raw[0, 0] == 1
+    e = "<" if little else ">"
     px = raw[:, 62 + sz : 62 + sz + n_px * sz]
-    return np.ascontiguousarray(px).view("<" + dt).astype(np.float64), raw
+    return (
+        np.ascontiguousarray(px).view(e + dt).astype(np.float64),
+        raw,
+        first,
+        little,
+    )

@@ -245,3 +245,42 @@ def test_summarystats_batch_fast_path_value_exact(spark):
         assert g["count"] == exp["count"]
         for k in ("sum", "mean", "stddev", "min", "max"):
             assert g[k] == exp[k], (i, k, g[k], exp[k])
+
+
+def test_summarystats_all_null_batch_yields_null_structs(spark):
+    from jena_geo_spark.raster.transform import st_summarystats
+
+    df = spark.createDataFrame([(0, None), (1, None)], "id long, r binary")
+    rows = {r.id: r.s for r in df.select("id", st_summarystats(F.col("r")).alias("s")).collect()}
+    # null_safe struct convention: masked rows become all-NULL-field rows
+    # (previously this batch failed the task with a 0-column frame)
+    for i in (0, 1):
+        assert rows[i].sum is None and rows[i].mean is None
+
+
+def test_stage_and_stats_big_endian_fallback_correct(spark):
+    """Big-endian tiles must NOT take the splice path (header corruption
+    hazard) but must still produce per-tile-correct results; the
+    matrix-only stats path may vectorize them."""
+    import numpy as np
+
+    from jena_geo_spark.functions import registry_support as RS
+    from jena_geo_spark.raster import algebra as RA
+    from jena_geo_spark.raster import wkb_raster as WR
+    from jena_geo_spark.raster.transform import st_summarystats, summary_stats
+
+    rng = np.random.default_rng(53)
+
+    def tile_be(i):
+        r = WR.Raster(0, 1.0, -1.0, float(i), 0.0, 0.0, 0.0, 4326, 4, 3)
+        r.bands.append(WR.Band(5, None, rng.integers(0, 50, (3, 4)).astype(np.int16)))
+        return WR.encode(r, little=False)
+
+    rows = [(i, tile_be(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, r binary")
+    got_abs = {r.id: bytes(r.o) for r in df.select("id", RS.rast1_udf("abs")(F.col("r")).alias("o")).collect()}
+    got_stats = {r.id: r.s.asDict() for r in df.select("id", st_summarystats(F.col("r")).alias("s")).collect()}
+    for i, t in rows:
+        assert got_abs[i] == WR.encode(RA.map_algebra1(WR.decode(bytes(t)), "abs"))
+        exp = summary_stats(WR.decode(bytes(t)))
+        assert got_stats[i]["sum"] == exp["sum"] and got_stats[i]["count"] == exp["count"]
