@@ -85,3 +85,34 @@ def test_subword_tokens_match_duckdb_on_adversarial_text(spark, seed):
         "len(string_split(text, ' '))::BIGINT FROM fz"
     ).fetchall())
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [17])
+def test_curate_matches_duckdb_on_adversarial_text(spark, seed):
+    """End-to-end differential gate for the COMPOSED curation chain:
+    regex scrub + quality + tagged-gram repetition + window-min dedup
+    + rounding + boolean gates, all replayed by the contract oracle on
+    adversarial text (the sf0.01 corpus never exercises unicode/PII/
+    short-doc edges together)."""
+    from jena_geo_spark.contract import o_doc_curate
+    from jena_geo_spark.pipelines.curate import curate_documents
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(250):
+        n = rng.randint(0, 30)
+        joiner = rng.choice([" ", " ", " ", "", ","])
+        rows.append((i, joiner.join(rng.choice(FRAGMENTS) for _ in range(n))))
+    # seed exact dups (same fragments re-joined) and short docs
+    for i in range(250, 280):
+        rows.append((i, rows[i - 250][1]))
+    rows += [(300, ""), (301, "x"), (302, "a b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {tuple(r) for r in curate_documents(
+        df, min_quality=0.65, max_top_bigram=0.2, max_dup_trigram=0.2
+    ).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = {tuple(r) for r in con.execute(o_doc_curate()).fetchall()}
+    assert got == want
