@@ -238,7 +238,9 @@ def phash_dedup_groups(
     pairs = hamming_pairs(
         hashes.withColumn("hv", F.col("hid")), "hv", "hid", max_hamming, n_bits=64
     )
-    comp = connected_components(pairs, src="id_a", dst="id_b")
+    comp = connected_components(
+        pairs, src="id_a", dst="id_b", small_graph_edges=200_000
+    )
     labels = (
         hashes.join(comp, hashes["hid"] == comp["node"], "left")
         .select("hid", F.coalesce("component", "hid").alias("group_id"))

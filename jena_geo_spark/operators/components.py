@@ -39,6 +39,30 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _local_union_find(pairs: list) -> dict:
+    """Min-label union-find over collected (a, b) pairs — the bounded
+    driver-side endgame for provably small graphs."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
 
 
 def connected_components(
@@ -47,6 +71,7 @@ def connected_components(
     dst: str = "dst",
     max_iters: int = 50,
     stats: dict | None = None,
+    small_graph_edges: int | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; component
     = min node id of its connected component.  Node ids may be any
@@ -58,10 +83,38 @@ def connected_components(
     O(log n) convergence claim (measured: see COVERAGE.md's components
     row).
 
+    ``small_graph_edges``, when set, is a BOUNDED driver-side fast path
+    for callers whose edge table is provably tiny relative to the corpus
+    (e.g. pairs over DISTINCT perceptual hashes): if a count confirms
+    the edge table is within the bound, the pairs are collected and
+    labeled with a local union-find instead of paying ~log n distributed
+    rounds of scheduling latency — the same bounded-driver-work pattern
+    as IVF training's capped sample.  Above the bound (or when None,
+    the default — all contract paths), pointer jumping runs unchanged.
+
     Raises ``RuntimeError`` if ``max_iters`` rounds pass without reaching
     the fixpoint (pointer jumping converges in O(log n) rounds, so
     exhaustion means the input is pathological — silently returning
     partial labels would corrupt downstream dedup groups)."""
+    if small_graph_edges is not None:
+        head = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).limit(
+            small_graph_edges + 1
+        )
+        rows = head.collect()  # bounded by limit(), never the full graph
+        if len(rows) <= small_graph_edges:
+            if stats is not None:
+                stats["rounds"] = 0
+            lbl = _local_union_find([(r.a, r.b) for r in rows])
+            spark = edges.sparkSession
+            node_t = edges.schema[src].dataType
+            schema = T.StructType(
+                [
+                    T.StructField("node", node_t),
+                    T.StructField("component", node_t),
+                ]
+            )
+            return spark.createDataFrame(list(lbl.items()), schema=schema)
+        # over the bound: fall through to the distributed path
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))

@@ -96,3 +96,29 @@ def test_components_round_count_logarithmic(spark):
     assert stats["rounds"] <= 12
     # measured at scale (local[32]): 1M-node chain -> 20 rounds (= log2 n,
     # vs 10^6 for plain propagation); 2M-node/4M-edge clustered graph -> 9
+
+
+def test_small_graph_fast_path_equals_distributed(spark):
+    from jena_geo_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20), (4, 3)], "src long, dst long"
+    )
+    stats_fast: dict = {}
+    fast = {
+        (r.node, r.component)
+        for r in connected_components(
+            edges, small_graph_edges=100, stats=stats_fast
+        ).collect()
+    }
+    dist = {
+        (r.node, r.component)
+        for r in connected_components(edges).collect()
+    }
+    assert fast == dist and stats_fast["rounds"] == 0
+    # over-bound input falls through to the distributed path
+    over = {
+        (r.node, r.component)
+        for r in connected_components(edges, small_graph_edges=2).collect()
+    }
+    assert over == dist
