@@ -548,3 +548,16 @@ def test_curate_and_mixture_on_empty_input(spark):
     empty = spark.createDataFrame([], "doc_id long, text string, lang string")
     assert curate_documents(empty).count() == 0
     assert mixture_sample(empty, {"en": 1.0}).count() == 0
+
+
+def test_phash_groups_no_near_dups_all_singletons(spark):
+    """No pairs within radius → every image labels itself (exercises the
+    empty-edge-frame path through the small-graph components branch)."""
+    from jena_geo_spark.image.spark import phash_dedup_groups
+
+    # pairwise hamming 4/8/4 — nothing within radius 1
+    df = spark.createDataFrame(
+        [(0, 0), (1, 15), (2, 255)], "image_id long, phash long"
+    )
+    rows = {r.image_id: r.group_id for r in phash_dedup_groups(df, max_hamming=1).collect()}
+    assert rows == {0: 0, 1: 15, 2: 255}
