@@ -3655,16 +3655,66 @@ def o_sparql_cardinal() -> str:
 
 QUERIES = {
     # ---- the driver's correctness gate samples the FIRST 50 entries.
-    # r4 rotation (VERDICT r3 ask #2): the first block is every query that
-    # has never produced a CORRECTNESS_rN row (the 23 original rotation
-    # entries plus the 7 added later in r4 — geo_triangle_centroid,
-    # geo_densify_points, geo_centroid_dist, geo_azimuth, geo_angle,
-    # geo_perimeter, sparql_agg_distinct); the second block keeps one green
-    # representative per operator family from SURVEY §2 and the LLM
-    # pipeline table.  Entries past 50 stay oracle-gated by pytest
-    # (tests/test_driver_contract.py runs ALL entries, bit-exact).
-    # -- never-driver-run (39) --
+    # r5 rotation (VERDICT r4 ask #1): the first block is every query whose
+    # newest driver row predates r4 (44 queries, led by the flagship spatial
+    # joins and the r4-churned families: kNN ring guard, raster fusion,
+    # curation canonical selection).  The second block keeps one green r4
+    # representative per family.  Entries past 50 stay oracle-gated by
+    # pytest (tests/test_driver_contract.py runs ALL entries, bit-exact).
+    # -- latest driver row r1-r3 (44) --
+    "geo_pip_join": q_geo_pip_join,
+    "geo_knn": q_geo_knn,
+    "geo_polygon_join": q_geo_polygon_join,
+    "sparql_bgp_join": q_sparql_bgp_join,
+    "emb_topk": q_emb_topk,
+    "emb_ivf_exact": q_emb_ivf_exact,
+    "doc_dedup_groups": q_doc_dedup_groups,
+    "raster_sample_points": q_raster_sample_points,
+    "geo_visit_sessions": q_geo_visit_sessions,
+    "temporal_allen": q_temporal_allen,
+    "geo_units": q_geo_units,
+    "geo_srid_meta": q_geo_srid_meta,
+    "doc_dedup_exact": q_doc_dedup_exact,
+    "doc_fingerprint": q_doc_fingerprint,
+    "doc_jaccard_pairs": q_doc_jaccard_pairs,
+    "doc_langid": q_doc_langid,
+    "doc_minhash_pairs": q_doc_minhash_pairs,
+    "doc_quality": q_doc_quality,
+    "doc_token_stats": q_doc_token_stats,
+    "emb_near_dup": q_emb_near_dup,
+    "emb_norm": q_emb_norm,
+    "geo_boundary_len": q_geo_boundary_len,
+    "geo_bounds_box": q_geo_bounds_box,
+    "geo_buffer_area": q_geo_buffer_area,
+    "geo_clip_area": q_geo_clip_area,
+    "geo_closest_point": q_geo_closest_point,
+    "geo_cluster_within": q_geo_cluster_within,
+    "geo_dump_points": q_geo_dump_points,
+    "geo_dwithin": q_geo_dwithin,
+    "geo_editors": q_geo_editors,
+    "geo_hausdorff": q_geo_hausdorff,
+    "geo_haversine": q_geo_haversine,
+    "geo_line_locate": q_geo_line_locate,
+    "geo_mbc_radius": q_geo_mbc_radius,
+    "geo_mp_pip_join": q_geo_mp_pip_join,
+    "geo_mvt_coords": q_geo_mvt_coords,
+    "geo_tile_hist": q_geo_tile_hist,
+    "geo_transform_merc": q_geo_transform_merc,
+    "geo_triangle_area": q_geo_triangle_area,
+    "raster_resize": q_raster_resize,
+    "raster_stats": q_raster_stats,
+    "raster_value_rel": q_raster_value_rel,
+    "sparql_agg_group": q_sparql_agg_group,
+    "sparql_path_closure": q_sparql_path_closure,
+    # -- green-r4 family representatives --
     "sparql_knn": q_sparql_knn,
+    "raster_grid_literals": q_raster_grid_literals,
+    "doc_curate": q_doc_curate,
+    "emb_pq_exact": q_emb_pq_exact,
+    "stream_tile_hist": q_stream_tile_hist,
+    "geo_dwithin_frames": q_geo_dwithin_frames,
+    # ---- tail (sampled-out this round; every entry here has a green r4
+    # driver row and stays oracle-gated by pytest) ----
     "sparql_nearby_km": q_sparql_nearby_km,
     "sparql_within_box": q_sparql_within_box,
     "doc_simhash_pairs": q_doc_simhash_pairs,
@@ -3676,7 +3726,6 @@ QUERIES = {
     "tpch_q1": q_tpch_q1,
     "events_window": q_events_window,
     "orders_agg": q_orders_agg,
-    "raster_grid_literals": q_raster_grid_literals,
     "sparql_dwithin": q_sparql_dwithin,
     "sparql_group_concat": q_sparql_group_concat,
     "sparql_ask": q_sparql_ask,
@@ -3696,77 +3745,20 @@ QUERIES = {
     "sparql_geof_distance": q_sparql_geof_distance,
     "sparql_spatialf": q_sparql_spatialf,
     "sparql_cardinal": q_sparql_cardinal,
-    "emb_pq_exact": q_emb_pq_exact,
     "doc_boilerplate": q_doc_boilerplate,
     "doc_dup_spans": q_doc_dup_spans,
     "doc_subword_tokens": q_doc_subword_tokens,
     "doc_strip_boilerplate": q_doc_strip_boilerplate,
     "doc_pii_scrub": q_doc_pii_scrub,
     "doc_repetition": q_doc_repetition,
-    "doc_curate": q_doc_curate,
     "doc_mixture": q_doc_mixture,
-    # -- family representatives (emb_topk, geo_pip_join, geo_cluster_within
-    # and doc_dedup_groups rotate to the tail: each already has a green r3
-    # driver row, their families stay covered in-window — emb_pq_exact
-    # subsumes exact top-k, polygon/dwithin/knn frames cover spatial join,
-    # doc_curate exercises the dedup canonical selection — and all tail
-    # entries stay oracle-gated by pytest) --
-    "geo_dwithin_frames": q_geo_dwithin_frames,
     "geo_knn_frames": q_geo_knn_frames,
     "raster_zonal_stats": q_raster_zonal_stats,
     "raster_map_algebra": q_raster_map_algebra,
-    "stream_tile_hist": q_stream_tile_hist,
     "geo_bbox_filter": q_geo_bbox_filter,
     "geo_envelope_agg": q_geo_envelope_agg,
     "geo_semi_anti": q_geo_semi_anti,
     "geo_overlay_halfplane": q_geo_overlay_halfplane,
-    # ---- tail (sampled-out this round; every family above keeps a green
-    # representative, and each of these has an r3 driver row or a pytest
-    # oracle gate) ----
-    "sparql_bgp_join": q_sparql_bgp_join,
-    "geo_pip_join": q_geo_pip_join,
-    "geo_polygon_join": q_geo_polygon_join,
-    "doc_dedup_groups": q_doc_dedup_groups,
-    "geo_cluster_within": q_geo_cluster_within,
-    "emb_topk": q_emb_topk,
-    "geo_closest_point": q_geo_closest_point,
-    "geo_boundary_len": q_geo_boundary_len,
-    "geo_dump_points": q_geo_dump_points,
-    "sparql_agg_group": q_sparql_agg_group,
-    "doc_minhash_pairs": q_doc_minhash_pairs,
-    "doc_jaccard_pairs": q_doc_jaccard_pairs,
-    "doc_token_stats": q_doc_token_stats,
-    "raster_value_rel": q_raster_value_rel,
-    "temporal_allen": q_temporal_allen,
-    "geo_editors": q_geo_editors,
-    "geo_line_locate": q_geo_line_locate,
-    "geo_srid_meta": q_geo_srid_meta,
-    "geo_units": q_geo_units,
-    "geo_mvt_coords": q_geo_mvt_coords,
-    "geo_transform_merc": q_geo_transform_merc,
-    "doc_dedup_exact": q_doc_dedup_exact,
-    "doc_langid": q_doc_langid,
-    "emb_near_dup": q_emb_near_dup,
-    "emb_ivf_exact": q_emb_ivf_exact,
-    "emb_norm": q_emb_norm,
-    "geo_knn": q_geo_knn,
-    "geo_tile_hist": q_geo_tile_hist,
-    "geo_visit_sessions": q_geo_visit_sessions,
-    "sparql_path_closure": q_sparql_path_closure,
-    "raster_sample_points": q_raster_sample_points,
-    "raster_stats": q_raster_stats,
-    "raster_resize": q_raster_resize,
-    "geo_haversine": q_geo_haversine,
-    "geo_hausdorff": q_geo_hausdorff,
-    "geo_mbc_radius": q_geo_mbc_radius,
-    "geo_triangle_area": q_geo_triangle_area,
-    "geo_bounds_box": q_geo_bounds_box,
-    "geo_mp_pip_join": q_geo_mp_pip_join,
-    "geo_dwithin": q_geo_dwithin,
-    "geo_clip_area": q_geo_clip_area,
-    "geo_buffer_area": q_geo_buffer_area,
-    "doc_quality": q_doc_quality,
-    "doc_fingerprint": q_doc_fingerprint,
 }
 
 ORACLES = {
