@@ -243,6 +243,7 @@ def fused_algebra_stats_udf(ops: list):
         m = WR.batch_decode_matrix(col)  # matrix-only: any endianness OK
         return m[0] if m is not None else None
 
+    @null_safe  # NULL tiles → NULL stats row, matching st_summarystats
     def fn(a: pd.Series, b: pd.Series) -> pd.DataFrame:
         if len(a):
             av = _batch_matrix(a)
@@ -258,7 +259,7 @@ def fused_algebra_stats_udf(ops: list):
                 else:
                     r = RA.map_algebra2(r, WR.decode(bytes(y)), name)
             rows.append(summary_stats(r))
-        return pd.DataFrame(rows)
+        return pd.DataFrame(rows, columns=_STATS_COLS)
 
     fn.__name__ = "fused_algebra_stats"
     return pandas_udf(fn, _STATS_T)

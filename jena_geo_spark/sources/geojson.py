@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql import types as T
 from pyspark.sql.types import BinaryType
 
 from ..geom import wkt as W
@@ -57,11 +58,24 @@ def _lift_features(feats: DataFrame, spark: SparkSession, sample: int) -> DataFr
     id/properties is inferred from a BOUNDED driver sample; geometry
     goes through the codec UDF to WKB."""
     head = [r.value for r in feats.limit(sample).collect()]
-    props_schema = spark.read.json(
-        spark.sparkContext.parallelize(
-            [json.dumps(json.loads(x).get("properties") or {}) for x in head]
-        )
-    ).schema
+    prop_docs = []
+    for x in head:
+        try:
+            props = json.loads(x).get("properties") or {}
+        except (json.JSONDecodeError, AttributeError):
+            continue  # malformed sample line: skip for inference; the
+            # distributed from_json below still NULLs it per-row
+        if isinstance(props, dict):
+            prop_docs.append(json.dumps(props))
+    if not prop_docs:
+        # empty file / zero-feature collection / all-malformed sample:
+        # spark.read.json on an empty RDD raises "unable to infer schema"
+        # — return the contract columns with an empty properties struct.
+        props_schema = T.StructType([])
+    else:
+        props_schema = spark.read.json(
+            spark.sparkContext.parallelize(prop_docs)
+        ).schema
     parsed = feats.select(
         F.get_json_object("value", "$.id").alias("feature_id"),
         F.from_json(F.get_json_object("value", "$.properties"), props_schema).alias(

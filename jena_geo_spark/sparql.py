@@ -3754,8 +3754,16 @@ def _run_construct(spark: SparkSession, q: Query, model) -> DataFrame:
     if bn_labels:
         # monotonically_increasing_id is unique per row (partition id in
         # the high bits); bnode identity only needs per-solution freshness,
-        # not stability across runs — labels are existentials.
-        frame = frame.withColumn("__sol", F.monotonically_increasing_id())
+        # not stability across runs — labels are existentials.  The frame
+        # fans out into one union branch per template triple below, and
+        # each branch would otherwise re-execute the WHERE subtree with
+        # its own (shuffle-order-dependent) intra-partition row order —
+        # so the ids are pinned with localCheckpoint, the same pattern as
+        # the spatial-rewrite zone ids above: same-label bnodes must stay
+        # connected row-wise across branches.
+        frame = frame.withColumn(
+            "__sol", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=True)
     outs = []
     for t in q.template:
         cols = []

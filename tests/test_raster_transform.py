@@ -172,6 +172,47 @@ def test_fused_algebra_stats_matches_per_tile(spark):
                 assert got[i][k] == v, (shapes[0] == shapes[-1], i, k, got[i][k], v)
 
 
+def test_fused_algebra_stats_null_tiles(spark):
+    """A NULL raster on either side yields a NULL stats row (null_safe,
+    same contract as st_summarystats) instead of failing the batch; the
+    non-NULL rows still match the unfused reference chain exactly."""
+    import numpy as np
+
+    from jena_geo_spark.raster import algebra as RA
+    from jena_geo_spark.raster import transform as RT
+    from jena_geo_spark.raster import wkb_raster as WR
+
+    def mk(seed, w=6, h=4):
+        v = (np.arange(w * h, dtype=np.int64) * 37 + seed * 101) % 251
+        return WR.Raster(
+            0, 1.0, -1.0, float(seed), 0.0, 0.0, 0.0, 4326, w, h,
+            [WR.Band(7, None, v.reshape(h, w).astype(np.int32), 0)],
+        )
+
+    ras = [mk(i) for i in range(4)]
+    rbs = [mk(i + 50) for i in range(4)]
+    rows = [
+        (0, WR.encode(ras[0]), WR.encode(rbs[0])),
+        (1, None, WR.encode(rbs[1])),  # NULL left
+        (2, WR.encode(ras[2]), None),  # NULL right
+        (3, WR.encode(ras[3]), WR.encode(rbs[3])),
+    ]
+    df = spark.createDataFrame(rows, "i long, ra binary, rb binary").repartition(1)
+    fused = RT.fused_algebra_stats_udf([("add", None), ("multiply_const", 3.0)])
+    got = {r.i: r.s for r in df.select("i", fused("ra", "rb").alias("s")).collect()}
+    for i in (1, 2):
+        s = got[i]
+        assert s is None or all(
+            v is None or (isinstance(v, float) and v != v) for v in s.asDict().values()
+        ), (i, s)
+    for i in (0, 3):
+        exp = RT.summary_stats(
+            RA.map_algebra_const(RA.map_algebra2(ras[i], rbs[i], "add"), "multiply", 3.0)
+        )
+        for k, v in exp.items():
+            assert got[i].asDict()[k] == v, (i, k)
+
+
 def test_stage_udf_batch_fast_path_bit_exact(spark):
     """rast2_udf / rastconst_udf homogeneous-batch vectorization must be
     BYTE-exact with the per-tile path (template-splice encode), and fall

@@ -103,3 +103,31 @@ def test_sink_source_roundtrip(spark, tmp_path):
         for r in back2.collect()
     )
     assert got2 == got
+
+
+def test_empty_and_malformed_inputs(spark, tmp_path):
+    """Degenerate inputs return empty/partial frames instead of raising:
+    an empty GeoJSONL file, a zero-feature FeatureCollection, and a
+    malformed line inside the schema sample (ADVICE r4)."""
+    empty = tmp_path / "empty.geojsonl"
+    empty.write_text("")
+    df = read_geojsonl(spark, str(empty))
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == [
+        "feature_id", "properties", "geom_wkb",
+    ]
+
+    coll = tmp_path / "zero.geojson"
+    coll.write_text('{"type": "FeatureCollection", "features": []}')
+    assert read_geojson_collection(spark, str(coll)).count() == 0
+
+    mixed = tmp_path / "mixed.geojsonl"
+    mixed.write_text(
+        "{not json at all\n"
+        '{"type": "Feature", "id": "a", "properties": {"n": 7}, '
+        '"geometry": {"type": "Point", "coordinates": [1.0, 2.0]}}\n'
+    )
+    out = read_geojsonl(spark, str(mixed))
+    rows = {r.feature_id: r for r in out.collect()}
+    assert rows["a"].properties.n == 7
+    assert W.to_wkt(W.from_wkb(bytes(rows["a"].geom_wkb))) == "POINT (1 2)"

@@ -896,6 +896,35 @@ def test_construct_template_bnode_fresh_per_solution(spark, chain):
         assert froms[E + s] == tos[E + o]
 
 
+def test_construct_bnode_connected_multi_partition(spark):
+    # ADVICE r4 (medium): the solution frame fans into one union branch
+    # per template triple; without pinning the __sol ids
+    # (localCheckpoint), each branch re-executes the WHERE subtree and
+    # shuffle fetch order can hand the same solution different ids across
+    # branches — same-label bnodes silently disconnect.  A shuffling
+    # multi-partition WHERE (distinct over 8 partitions) exercises it.
+    n = 500
+    df = spark.createDataFrame(
+        [(f"http://ex.org/n{i}", "http://ex.org/next",
+          f"http://ex.org/n{i + 1}", None) for i in range(n)],
+        "s string, p string, o string, dt string",
+    ).repartition(8)
+    model = S.TriplesModel(df)
+    q = (
+        "PREFIX ex: <http://ex.org/> "
+        "CONSTRUCT { _:m ex:from ?a . _:m ex:to ?b } "
+        "WHERE { ?a ex:next ?b . ?b ex:next ?c }"
+    )
+    rows = S.execute_query(spark, q, model).collect()
+    assert len(rows) == 2 * (n - 1)
+    froms = {r["o"]: r["s"] for r in rows if r["p"].endswith("from")}
+    tos = {r["o"]: r["s"] for r in rows if r["p"].endswith("to")}
+    assert len(set(froms.values())) == n - 1  # fresh per solution
+    for i in range(n - 1):
+        # each edge's two template triples hang off ONE shared bnode
+        assert froms[f"http://ex.org/n{i}"] == tos[f"http://ex.org/n{i + 1}"], i
+
+
 def test_construct_template_anonymous_bnode(spark, chain):
     q = (
         "PREFIX ex: <http://ex.org/> "
