@@ -1,0 +1,33 @@
+"""Central tuning knobs (one config surface, VERDICT r4 ask #7).
+
+Each knob has an engine default and an environment override
+(``SPARK_GRAFT_<NAME>``), read at CALL time so a long-lived session or a
+test can retune without re-importing.  Knobs are physical-plan choices
+(which side to broadcast, when to leave the dimension-table path) — not
+data semantics: changing one never changes query results, only the plan.
+"""
+
+from __future__ import annotations
+
+import os
+
+DEFAULTS: dict[str, int] = {
+    # operators/knn.py endgame pivot: a pending set at or under this row
+    # count is broadcast against a streamed right side; above it, the
+    # pending set only survives to the endgame when the right side has
+    # fewer than k rows, so the (provably tiny) right side is broadcast
+    # instead and the pending rows stream.
+    "KNN_ENDGAME_BROADCAST_ROWS": 200_000,
+    # sparql spatial-FILTER rewrite: polygon sides at or under this row
+    # count take the collect/broadcast cover path (dimension-table shape:
+    # zones, admin boundaries); larger sides route to the frame-scale
+    # mapInPandas cover join with NO driver-side collect.
+    "SPATIAL_DIM_MAX": 10_000,
+}
+
+
+def knob(name: str) -> int:
+    """Resolve a tuning knob: ``SPARK_GRAFT_<name>`` env override if set,
+    else the engine default.  Unknown names raise KeyError."""
+    v = os.environ.get("SPARK_GRAFT_" + name)
+    return int(v) if v is not None else DEFAULTS[name]

