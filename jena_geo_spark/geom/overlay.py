@@ -387,21 +387,53 @@ def interior_point(ring: np.ndarray) -> tuple:
     return float((xs[0] + xs[1]) / 2.0), float(ym)
 
 
+def _probe_off_boundary(ri: np.ndarray, rj: np.ndarray):
+    """A point of ring i strictly off ring j's boundary: among ring i's
+    edge midpoints and vertices, the candidate FARTHEST from ∂j (a fixed
+    first-edge midpoint can lie exactly ON a collinear shared edge —
+    e.g. a difference hole flush against the shell — and ray-cast parity
+    on a boundary point misclassifies the shell; caught by the exact-
+    rational relate differential fuzz, r5).  None when every candidate is
+    on ∂j (coincident rings)."""
+    ri = np.asarray(ri, dtype=np.float64)
+    rj = np.asarray(rj, dtype=np.float64)
+    cand = np.vstack([(ri + np.roll(ri, -1, axis=0)) / 2.0, ri])
+    a = rj
+    b = np.roll(rj, -1, axis=0)
+    ab = b - a
+    L2 = (ab**2).sum(1)
+    L2[L2 == 0.0] = 1.0
+    ap = cand[:, None, :] - a[None, :, :]
+    t = np.clip((ap * ab[None]).sum(2) / L2[None], 0.0, 1.0)
+    proj = a[None] + t[..., None] * ab[None]
+    d = np.sqrt(((cand[:, None, :] - proj) ** 2).sum(2)).min(1)
+    k = int(np.argmax(d))
+    span = max(
+        float(np.ptp(ri[:, 0])), float(np.ptp(ri[:, 1])),
+        float(np.ptp(rj[:, 0])), float(np.ptp(rj[:, 1])), 1e-300,
+    )
+    if d[k] <= 1e-12 * span:
+        return None
+    return float(cand[k, 0]), float(cand[k, 1])
+
+
 def ring_depths(rings: list) -> list:
     """Containment depth per ring (0 = outer shell, odd = hole, ...).
 
     Overlay output rings never cross, so ring-in-ring containment is
-    decided by ONE boundary point — an edge midpoint, NOT an interior
-    point (a shell's interior point could fall inside its own hole and
-    misclassify the shell).  Midpoints of traced edges avoid the shared
-    intersection vertices; ray-cast parity over the candidate container is
-    exact for points strictly off its boundary."""
+    decided by ONE boundary point of ring i strictly off ring j's
+    boundary (see _probe_off_boundary); ray-cast parity over the
+    candidate container is exact for points strictly off its boundary.
+    Coincident rings count as not-contained (their areas cancel either
+    way)."""
     depths = []
     for i, r in enumerate(rings):
-        mid = (r[0] + r[1]) / 2.0 if len(r) >= 2 else r[0]
         d = 0
         for j, other in enumerate(rings):
-            if i != j and _point_in(float(mid[0]), float(mid[1]), other):
+            if i == j:
+                continue
+            p = _probe_off_boundary(r, other)
+            if p is not None and _point_in(p[0], p[1], other):
                 d += 1
         depths.append(d)
     return depths
