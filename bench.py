@@ -217,6 +217,15 @@ def run(sf_dir: str, cpus: int) -> dict:
 
     timed("images_knn_frames", _knn_frames)
     timed("events_pip_join", lambda: _noop(q_geo_pip_join(spark, sf_dir)))
+    # r5: generalized NON-POINT spatial property function — the SPARQL
+    # surface cost of spatial:nearby over polygon subjects (per-row
+    # geof_distance filter; no join, no driver collect)
+    from jena_geo_spark.contract import q_sparql_nearby_poly
+
+    timed(
+        "sparql_nearby_poly",
+        lambda: _noop(q_sparql_nearby_poly(spark, sf_dir)),
+    )
     # frame-scale polygon×polygon self-join (mapInPandas covers →
     # ancestor-emission equi-join → factorized batch refine).  Polygons are
     # locally-sized triangles (~0.5° envelope) anchored at event points —

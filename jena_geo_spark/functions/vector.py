@@ -240,6 +240,53 @@ def st_distance_sphere(lon1: pd.Series, lat1: pd.Series, lon2: pd.Series, lat2: 
 
 
 @pandas_udf(DoubleType())
+def spatial_nearby_distance_m(wkt: pd.Series, qlon: pd.Series, qlat: pd.Series) -> pd.Series:
+    """Great-circle metres from a WKT geometry column to a per-row query
+    point — the fused kernel behind the generalized ``spatial:nearby``
+    property function on non-point subjects.  Semantics identical to
+    ``geof_distance(st_geomfromtext(wkt), st_makepoint(qlon, qlat),
+    4326)`` (nearest planar VERTEX pair, then spherical Vincenty —
+    ``GeometryWrapper.java:616-629``) but ONE Arrow stage: the WKT parse
+    happens once (no WKB encode/decode round trip) and the
+    nearest-vertex search + Vincenty run batch-vectorized over the
+    concatenated coordinate matrix (~2× less Python per row, one Python
+    exchange instead of two)."""
+    n = len(wkt)
+    out = np.full(n, np.nan)
+    coords = []
+    counts = np.zeros(n, dtype=np.int64)
+    for i, s in enumerate(wkt):
+        if s is None:
+            coords.append(np.empty((0, 2)))
+            continue
+        c = W.from_wkt(s).all_coords()
+        coords.append(np.asarray(c, dtype=np.float64)[:, :2])
+        counts[i] = len(c)
+    valid = counts > 0
+    if not valid.any():
+        return pd.Series(out)
+    allc = np.concatenate([c for c in coords if len(c)])
+    qx = np.repeat(qlon.to_numpy(np.float64), counts)
+    qy = np.repeat(qlat.to_numpy(np.float64), counts)
+    d2 = (allc[:, 0] - qx) ** 2 + (allc[:, 1] - qy) ** 2
+    offsets = np.zeros(int(valid.sum()) + 1, dtype=np.int64)
+    np.cumsum(counts[valid], out=offsets[1:])
+    vx = np.empty(int(valid.sum()))
+    vy = np.empty(int(valid.sum()))
+    for j in range(len(offsets) - 1):
+        s0, e0 = offsets[j], offsets[j + 1]
+        k = s0 + int(np.argmin(d2[s0:e0]))  # FIRST minimum, like argmin
+        vx[j], vy[j] = allc[k, 0], allc[k, 1]
+    qv = qlon.to_numpy(np.float64)[valid]
+    qw = qlat.to_numpy(np.float64)[valid]
+    same = (vx == qv) & (vy == qw)
+    dist = K.vincenty_m(vx, vy, qv, qw)
+    dist[same] = 0.0  # geof_distance's identical-vertex short-circuit
+    out[valid] = dist
+    return pd.Series(out)
+
+
+@pandas_udf(DoubleType())
 @empty_geom_null
 def geof_distance(a: pd.Series, b: pd.Series, srid: pd.Series) -> pd.Series:
     """geof:distance with the reference's SRID-keyed dispatch

@@ -3052,6 +3052,24 @@ class _GroupCompiler:
 
             return st_bounds(wkb_col())
 
+        def parallel(f):
+            """The general (non-point) paths insert a per-row Python
+            kernel; a dimension-sized scan often arrives as 1-2 input
+            splits (one small parquet file), which would serialize the
+            Arrow stage.  Repartition up to the session's parallelism
+            ONLY when the frame is under-split — on a real cluster the
+            scan already carries hundreds of partitions and this is a
+            no-op (no shuffle added)."""
+            target = f.sparkSession.sparkContext.defaultParallelism
+            if f.rdd.getNumPartitions() * 2 < target:
+                # localCheckpoint: Catalyst pushes a deterministic filter
+                # straight back through a bare repartition (observed:
+                # Exchange ABOVE the Arrow filter), re-serializing the
+                # Python stage — the checkpoint pins the repartitioned
+                # layout so the kernel actually fans out.
+                return f.repartition(target).localCheckpoint(eager=True)
+            return f
+
         vals = pf.args
         name = pf.name
         if name.endswith("geom"):
@@ -3101,6 +3119,7 @@ class _GroupCompiler:
                     "west": F.col(lon_c) <= qlon,
                 }[name]
             else:
+                frame = parallel(frame)
                 env = env_col()
                 cond = {
                     "north": env["ymax"] >= qlat,
@@ -3124,6 +3143,7 @@ class _GroupCompiler:
                     & (F.col(lon_c) >= lon_min)
                     & (F.col(lon_c) <= lon_max)
                 )
+            frame = parallel(frame)
             env = env_col()
             if name == "withinbox":
                 cond = (
@@ -3171,6 +3191,7 @@ class _GroupCompiler:
                 dy = F.col(lat_c) - qlat_c
                 dist = F.sqrt(dx * dx + dy * dy)
             else:
+                frame = parallel(frame)
                 pt = REG.REGISTRY["st_makepoint"][0](qlon_c, qlat_c)
                 dist = REG.REGISTRY["st_distance"][0](wkb_col(), pt)
             if limit is None:
@@ -3216,9 +3237,11 @@ class _GroupCompiler:
                 F.col(lon_c), F.col(lat_c), qlon_c, qlat_c
             )
         else:
-            pt = REG.REGISTRY["st_makepoint"][0](qlon_c, qlat_c)
-            dist_m = REG.REGISTRY["geof_distance"][0](
-                wkb_col(), pt, F.lit(4326)
+            from .functions.vector import spatial_nearby_distance_m
+
+            frame = parallel(frame)
+            dist_m = spatial_nearby_distance_m(
+                F.col(st["binds"][gv]).cast("string"), qlon_c, qlat_c
             )
         out = frame.filter(dist_m <= rad_c * F.lit(m_per))
         if limit is not None:
