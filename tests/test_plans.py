@@ -331,3 +331,34 @@ def test_curate_two_scans_no_python(spark):
     assert plan.count("Scan parquet") == 2
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_spatial_nearby_nonpoint_fused_single_python_stage(spark):
+    """Generalized spatial:nearby on a non-point subject: ONE fused
+    Arrow stage (spatial_nearby_distance_m — WKT parse + nearest-vertex
+    + Vincenty in one exchange, no st_geomfromtext→geof_distance WKB
+    round trip), no CartesianProduct, no row-at-a-time Python; the
+    under-split input is repartitioned so the kernel fans out."""
+    from jena_geo_spark import sparql as S
+
+    df = spark.createDataFrame(
+        [(i, f"POLYGON (({i} 0, {i + 1} 0, {i} 1, {i} 0))") for i in range(50)],
+        "id int, wkt string",
+    )
+    pt = S.PropertyTable(
+        df, id_col="id", type_iri="http://ex.org/P",
+        props={"http://www.opengis.net/ont/geosparql#asWKT": S.PropSpec(
+            "wkt", kind="wkt")},
+    )
+    q = (
+        "PREFIX spatial: <http://jena.apache.org/spatial#> "
+        "SELECT ?s WHERE { ?s a <http://ex.org/P> . "
+        "?s spatial:nearby (0.5 2.0 500.0) . }"
+    )
+    out = S.execute_query(spark, q, pt)
+    plan = _plan(out)
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "spatial_nearby_distance_m" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert out.count() > 0
