@@ -342,6 +342,20 @@ def exact_relate(ga, gb) -> str:
         return _transpose(_seg_poly(vb, va))
     if ka == "poly" and kb == "poly":
         return _poly_poly(va, vb)
+    # chains (multi-segment polylines); a segment is the 1-segment chain
+    def as_chain(k, v):
+        return list(v) if k == "chain" else [v[0], v[1]]
+
+    if ka == "point" and kb == "chain":
+        return _pt_chain(va, vb)
+    if ka == "chain" and kb == "point":
+        return _transpose(_pt_chain(vb, va))
+    if ka == "chain" and kb == "poly":
+        return _chain_poly(va, vb)
+    if ka == "poly" and kb == "chain":
+        return _transpose(_chain_poly(vb, va))
+    if ka in ("chain", "seg") and kb in ("chain", "seg"):
+        return _chain_chain(as_chain(ka, va), as_chain(kb, vb))
     raise ValueError((ka, kb))
 
 
@@ -355,5 +369,171 @@ def to_wkt(g) -> str:
         return f"POINT ({c(v)})"
     if k == "seg":
         return f"LINESTRING ({c(v[0])}, {c(v[1])})"
+    if k == "chain":
+        return "LINESTRING (" + ", ".join(c(p) for p in v) + ")"
     ring = ", ".join(c(p) for p in list(v) + [v[0]])
     return f"POLYGON (({ring}))"
+
+
+# ------------------------------------------------------- lineal chains ------
+# A 'chain' is a simple open polyline [v0..vn] (generator guarantees
+# x-monotone, so no self-intersection).  Boundary = the two ENDS (the
+# mod-2 rule for a simple open line); every interior vertex belongs to
+# the INTERIOR — the cell most likely to trip a sweep that treats all
+# vertices alike.
+
+
+def _chain_segs(ch):
+    return [(ch[i], ch[i + 1]) for i in range(len(ch) - 1)]
+
+
+def locate_on_chain(pt, ch) -> str:
+    if pt == ch[0] or pt == ch[-1]:
+        return "B"
+    for p, q in _chain_segs(ch):
+        if pt == p or pt == q:
+            return "I"  # interior vertex
+        if _cross(p, q, pt) == 0:
+            d = (q[0] - p[0], q[1] - p[1])
+            t = (pt[0] - p[0]) * d[0] + (pt[1] - p[1]) * d[1]
+            if 0 < t < d[0] * d[0] + d[1] * d[1]:
+                return "I"
+    return "E"
+
+
+def _seg_crossing_point(sa, sb):
+    """Unique intersection point of two NON-collinear closed segments,
+    or None."""
+    p1, q1 = sa
+    p2, q2 = sb
+    d1 = (q1[0] - p1[0], q1[1] - p1[1])
+    d2 = (q2[0] - p2[0], q2[1] - p2[1])
+    den = d1[0] * d2[1] - d1[1] * d2[0]
+    if den == 0:
+        return None
+    t = ((p2[0] - p1[0]) * d2[1] - (p2[1] - p1[1]) * d2[0])
+    u = ((p2[0] - p1[0]) * d1[1] - (p2[1] - p1[1]) * d1[0])
+    t = Fr(t) / den
+    u = Fr(u) / den
+    if 0 <= t <= 1 and 0 <= u <= 1:
+        return (p1[0] + t * d1[0], p1[1] + t * d1[1])
+    return None
+
+
+def _collinear_overlap_interval(seg, other):
+    """Param interval of `seg` covered by a collinear `other`, or None."""
+    p, q = seg
+    if _cross(p, q, other[0]) != 0 or _cross(p, q, other[1]) != 0:
+        return None
+    d = (q[0] - p[0], q[1] - p[1])
+    L = d[0] * d[0] + d[1] * d[1]
+
+    def t_of(x):
+        return Fr((x[0] - p[0]) * d[0] + (x[1] - p[1]) * d[1]) / L
+
+    u0, u1 = sorted((t_of(other[0]), t_of(other[1])))
+    lo, hi = max(Fr(0), u0), min(Fr(1), u1)
+    return (lo, hi) if hi >= lo else None
+
+
+def _covers_unit(intervals) -> bool:
+    """Do the closed intervals cover [0, 1]?"""
+    ivs = sorted(i for i in intervals if i is not None)
+    reach = Fr(0)
+    for lo, hi in ivs:
+        if lo > reach:
+            return False
+        reach = max(reach, hi)
+        if reach >= 1:
+            return True
+    return reach >= 1
+
+
+def _chain_chain(ca, cb):
+    segs_a, segs_b = _chain_segs(ca), _chain_segs(cb)
+    ii = F_
+    for sa in segs_a:
+        for sb in segs_b:
+            ov = _collinear_overlap_interval(sa, sb)
+            if ov is not None and ov[1] > ov[0]:
+                ii = 1
+                break
+        if ii == 1:
+            break
+    if ii == F_:
+        for sa in segs_a:
+            for sb in segs_b:
+                p = _seg_crossing_point(sa, sb)
+                if p is not None and locate_on_chain(p, ca) == "I" \
+                        and locate_on_chain(p, cb) == "I":
+                    ii = 0
+                    break
+            if ii == 0:
+                break
+    ends_a = (ca[0], ca[-1])
+    ends_b = (cb[0], cb[-1])
+    ib = 0 if any(locate_on_chain(x, ca) == "I" for x in ends_b) else F_
+    bi = 0 if any(locate_on_chain(x, cb) == "I" for x in ends_a) else F_
+    bb = 0 if any(x == y for x in ends_a for y in ends_b) else F_
+
+    def _subset(segs, other_segs):
+        for s in segs:
+            ivs = [_collinear_overlap_interval(s, o) for o in other_segs]
+            if not _covers_unit(ivs):
+                return False
+        return True
+
+    ie = F_ if _subset(segs_a, segs_b) else 1
+    ei = F_ if _subset(segs_b, segs_a) else 1
+    be = 0 if any(locate_on_chain(x, cb) == "E" for x in ends_a) else F_
+    eb = 0 if any(locate_on_chain(x, ca) == "E" for x in ends_b) else F_
+    return _m([ii, ib, ie, bi, bb, be, ei, eb, 2])
+
+
+def _pt_chain(pt, ch):
+    loc = locate_on_chain(pt, ch)
+    row1 = {"I": [0, F_, F_], "B": [F_, 0, F_], "E": [F_, F_, 0]}[loc]
+    return _m(row1 + [F_, F_, F_] + [1, 0, 2])
+
+
+def _chain_poly(ch, poly):
+    segs = _chain_segs(ch)
+    ii = 1 if any(
+        _clip_interval(p, q, poly, strict=True) is not None for p, q in segs
+    ) else F_
+    ib = F_
+    for s in segs:
+        for e in _edges(poly):
+            ov = _collinear_overlap_len2(s, e)
+            if ov > 0:
+                ib = 1
+                break
+        if ib == 1:
+            break
+    if ib == F_:
+        # isolated boundary touches at clip-interval endpoints or chain
+        # vertices that sit on the ring while being chain-INTERIOR
+        cands = []
+        for p, q in segs:
+            c = _clip_interval(p, q, poly, strict=False)
+            if c is not None:
+                d = (q[0] - p[0], q[1] - p[1])
+                for t in set(c):
+                    cands.append((p[0] + t * d[0], p[1] + t * d[1]))
+        cands += list(ch[1:-1])
+        for x in cands:
+            if locate_on_chain(x, ch) == "I" and locate_in_poly(x, poly) == "B":
+                ib = 0
+                break
+    covered = all(
+        (lambda c: c is not None and c[0] <= 0 and c[1] >= 1)(
+            _clip_interval(p, q, poly, strict=False)
+        )
+        for p, q in segs
+    )
+    ie = F_ if covered else 1
+    la, lb_ = locate_in_poly(ch[0], poly), locate_in_poly(ch[-1], poly)
+    bi = 0 if "I" in (la, lb_) else F_
+    bb = 0 if "B" in (la, lb_) else F_
+    be = 0 if "E" in (la, lb_) else F_
+    return _m([ii, ib, ie, bi, bb, be, 2, 1, 2])

@@ -53,12 +53,26 @@ def _rand_poly(rng):
             ]
 
 
+def _rand_chain(rng):
+    """x-monotone 3-vertex polyline (simple by construction; collinear
+    triples allowed — a subdivided segment probes the mod-2 boundary
+    rule: the MIDDLE vertex must be interior, not boundary)."""
+    while True:
+        xs = sorted(rng.sample(range(0, SPAN + 1), 3))
+        ys = [rng.randint(0, SPAN) for _ in range(3)]
+        ch = [(Fr(x), Fr(y)) for x, y in zip(xs, ys)]
+        if ch[0] != ch[1] and ch[1] != ch[2]:
+            return ch
+
+
 def _rand_geom(rng):
     r = rng.random()
-    if r < 0.2:
+    if r < 0.15:
         return ("point", _rand_point(rng))
-    if r < 0.5:
+    if r < 0.40:
         return ("seg", _rand_seg(rng))
+    if r < 0.60:
+        return ("chain", _rand_chain(rng))
     return ("poly", _rand_poly(rng))
 
 
