@@ -2141,6 +2141,40 @@ def test_spatial_pf_nonpoint_subjects(spark):
     assert run(f"spatial:withinCircle (50.0 6.9 0.5 {uom})") == ["urn:row:1"]
 
 
+def test_spatial_pf_geom_variants_nonpoint_subjects(spark):
+    """*Geom argument variants (constant geometry literal → coords /
+    envelope) compose with the generalized non-point subject path."""
+    df = spark.createDataFrame(
+        [
+            (1, "POLYGON ((7 49, 9 49, 9 51, 7 51, 7 49))"),
+            (2, "LINESTRING (-75 -35, -65 -25)"),
+        ],
+        "id int, wkt string",
+    )
+    pt = S.PropertyTable(
+        df, id_col="id", type_iri="http://ex.org/P",
+        props={"http://www.opengis.net/ont/geosparql#asWKT": S.PropSpec(
+            "wkt", kind="wkt")},
+    )
+
+    def run(pfcall):
+        q = (
+            "PREFIX spatial: <http://jena.apache.org/spatial#> "
+            f"SELECT ?s WHERE {{ ?s a <http://ex.org/P> . ?s {pfcall} . }} "
+            "ORDER BY ?s"
+        )
+        return [r.s for r in S.execute_query(spark, q, pt).collect()]
+
+    assert run('spatial:nearbyGeom ("POINT (8 50.9)" 100.0)') == ["urn:row:1"]
+    assert run(
+        'spatial:withinBoxGeom ("POLYGON ((0 40, 20 40, 20 60, 0 60, 0 40))")'
+    ) == ["urn:row:1"]
+    assert run(
+        'spatial:intersectBoxGeom ("LINESTRING (-70 -45, -60 -30)")'
+    ) == ["urn:row:2"]
+    assert run('spatial:northGeom ("POINT (0 0)")') == ["urn:row:1"]
+
+
 def test_spatial_pf_variable_arguments(spark):
     """ARQ evaluates property functions per solution binding: numeric
     arguments bound in the subject's star compile to per-row column
