@@ -35,14 +35,41 @@ def _rand_seg(rng):
             return (p, q)
 
 
+def _hull(pts):
+    """Andrew monotone chain (exact, Fraction coords)."""
+    pts = sorted(set(pts))
+    if len(pts) < 3:
+        return []
+    def build(seq):
+        out = []
+        for p in seq:
+            while len(out) >= 2 and (
+                (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])
+            ) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+    lo = build(pts)
+    hi = build(reversed(pts))
+    return lo[:-1] + hi[:-1]
+
+
 def _rand_poly(rng):
-    """Convex CCW polygon: a random triangle or axis-aligned rectangle."""
-    if rng.random() < 0.5:
+    """Convex CCW polygon: a random triangle, a general convex hull of
+    4-5 points, or an axis-aligned rectangle."""
+    r = rng.random()
+    if r < 0.35:
         while True:
             a, b, c = (_rand_point(rng) for _ in range(3))
             s = _area2([a, b, c])
             if s != 0:
                 return [a, b, c] if s > 0 else [a, c, b]
+    if r < 0.6:
+        while True:
+            h = _hull([_rand_point(rng) for _ in range(rng.randint(4, 5))])
+            if len(h) >= 3 and _area2(h) > 0:
+                return h
     while True:
         x0, x1 = sorted(rng.randint(0, SPAN) for _ in range(2))
         y0, y1 = sorted(rng.randint(0, SPAN) for _ in range(2))
