@@ -23,6 +23,11 @@ DEFAULTS: dict[str, int] = {
     # zones, admin boundaries); larger sides route to the frame-scale
     # mapInPandas cover join with NO driver-side collect.
     "SPATIAL_DIM_MAX": 10_000,
+    # partitioning.widen_if_narrow (r6): 1 = round-robin repartition scans
+    # that arrive with fewer partitions than the cluster parallelism (the
+    # unsplittable-single-file guard, guide §2.5); 0 = leave scan layout
+    # untouched.  Plan-only — results are unchanged either way.
+    "WIDEN_NARROW_SCANS": 1,
 }
 
 

@@ -271,12 +271,20 @@ def spatial_nearby_distance_m(wkt: pd.Series, qlon: pd.Series, qlat: pd.Series) 
     d2 = (allc[:, 0] - qx) ** 2 + (allc[:, 1] - qy) ** 2
     offsets = np.zeros(int(valid.sum()) + 1, dtype=np.int64)
     np.cumsum(counts[valid], out=offsets[1:])
-    vx = np.empty(int(valid.sum()))
-    vy = np.empty(int(valid.sum()))
-    for j in range(len(offsets) - 1):
-        s0, e0 = offsets[j], offsets[j + 1]
-        k = s0 + int(np.argmin(d2[s0:e0]))  # FIRST minimum, like argmin
-        vx[j], vy[j] = allc[k, 0], allc[k, 1]
+    # vectorised per-geometry FIRST-minimum (r6, VERDICT #6): segment min
+    # via np.minimum.reduceat, then the smallest index attaining it — the
+    # argmin tie order is load-bearing vs the oracle, and a NaN distance
+    # must select the first NaN position exactly like np.argmin (NaN →
+    # -inf keeps that property: the first -inf is the segment min).
+    starts = offsets[:-1]
+    if np.isnan(d2).any():
+        d2 = np.where(np.isnan(d2), -np.inf, d2)
+    seg_min = np.minimum.reduceat(d2, starts)
+    at_min = d2 == np.repeat(seg_min, np.diff(offsets))
+    pos = np.where(at_min, np.arange(len(d2)), len(d2))
+    k = np.minimum.reduceat(pos, starts)
+    vx = allc[k, 0]
+    vy = allc[k, 1]
     qv = qlon.to_numpy(np.float64)[valid]
     qw = qlat.to_numpy(np.float64)[valid]
     same = (vx == qv) & (vy == qw)

@@ -367,6 +367,12 @@ def spatial_join_candidates(
     )
     levels = sorted(levels)
 
+    # NOTE (r6): widening an under-split point scan here was tried and
+    # REVERTED — the broadcast-probe stage is cheap enough that the added
+    # round-robin Exchange + extra stage cost more than the 1→N-core gain
+    # (interleaved A/B at sf0.1: pip_join 0.74 s unwidened vs 1.22 s
+    # widened; flagship 1.15 vs 1.35).  The doc pipelines keep the widen
+    # (their per-row work is 5-10× heavier, see partitioning.py).
     pts = with_point_cells(points, lon, lat, fine_res)
     # one candidate row per cover level: point's ancestor cell at that level
     anc = F.array(*[ancestor_col(F.col("cell_fine"), fine_res, r) for r in levels])
@@ -943,15 +949,23 @@ def dwithin_join_points_points(
 
     Plan (zero Python, one equi-join, both sides fully distributed):
     pick the coarsest grid resolution whose cell height ≥ radius, key the
-    LEFT side by its (ix, iy) grid cell — plain floor arithmetic in
-    whole-stage codegen — and explode the RIGHT side to its 3×3 cell
+    RIGHT side by its (ix, iy) grid cell — plain floor arithmetic in
+    whole-stage codegen — and explode the LEFT side to its 3×3 cell
     neighborhood (9 rows).  Any pair within ``radius`` shares a key in
     exactly one of the 9 offsets (cell ≥ radius ⇒ neighbors can't be
-    further than one cell away), and the 9 neighbor keys of a right row
+    further than one cell away), and the 9 neighbor keys of a left row
     are distinct ⇒ each qualifying pair matches exactly once — no dedup
     shuffle.  Exact refine: ``sqrt(dx²+dy²) ≤ radius`` in codegen.
     Equi-join on int64 keys ⇒ broadcastable when one side is small, AQE
     skew-split otherwise.
+
+    r6: the EXPLODED side switched right → left.  The planner builds its
+    hash relation (broadcast or per-partition) from the side it thinks
+    smaller; exploding the build side multiplied that relation 9× (at
+    sf0.1 the broadcast build held 1.8 M exploded rows where 200 k
+    un-exploded ones suffice).  Exploding the probe side instead keeps
+    whichever side gets built 9× leaner and shuffles the same bytes
+    (the knn_join_frames rounds already use this orientation).
 
     Returns left columns + right id + ``dist``; with ``right_keep``,
     carries those right columns through instead of the aliased id (the
@@ -1000,22 +1014,22 @@ def dwithin_join_points_points(
         )
 
     lx, ly = ix_iy(left)
-    l = left.withColumn("_k", lx * F.lit(n) + ly)
-    rx, ry = ix_iy(right)
     offsets = F.array(
         *[
-            (rx + F.lit(di)) * F.lit(n) + (ry + F.lit(dj))
+            (lx + F.lit(di)) * F.lit(n) + (ly + F.lit(dj))
             for di in (-1, 0, 1)
             for dj in (-1, 0, 1)
         ]
     )
+    l = left.withColumn("_k", F.explode(offsets))
+    rx, ry = ix_iy(right)
     r = (
         right.select(
             F.col(right_id).alias("_rid"),
             F.col(lon).alias("_rlon"),
             F.col(lat).alias("_rlat"),
             *(right_keep or []),
-            F.explode(offsets).alias("_k"),
+            (rx * F.lit(n) + ry).alias("_k"),
         )
     )
     cand = l.join(r, "_k")

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import quality_col, repetition_frame, scrub_cols
+from .text import quality_col, repetition_cols_from_tokens, scrub_cols, tokens_col
 
 
 def curate_documents(
@@ -41,23 +41,38 @@ def curate_documents(
     from .dedup import dedup_key_col
 
     text = F.col(text_col)
-    red, counts = scrub_cols(text)
+    # r6: repetition fracs are row-local (repetition_cols_from_tokens) —
+    # the gram-explode shuffle pair and the per-doc join the old
+    # repetition_frame composition needed are gone; the ONLY exchange in
+    # the whole curation pass is now the dedup-key window (guide §2.4).
+    # The token array is materialized in the first projection so the gram
+    # transform never re-splits the text per element (O(n²) hazard).
+    # widen an unsplittable single-file scan so the row-local stage (6
+    # regex passes + token sort folds) fans out; no-op at real scale and
+    # order-safe (row-local cols + long-min window only)
+    from ..partitioning import widen_if_narrow
+
+    toked = widen_if_narrow(df.select(F.col(id_col), text)).select(
+        F.col(id_col), text.alias("_text"), tokens_col(text).alias("_toks")
+    )
+    t = F.col("_text")
+    red, counts = scrub_cols(t)
     n_pii = sum((c.cast("long") for c in counts), F.lit(0).cast("long"))
-    key = dedup_key_col(text)
-    base = df.select(
+    top2, dup3 = repetition_cols_from_tokens(F.col("_toks"))
+    base = toked.select(
         F.col(id_col),
         red.alias("text_clean"),
-        quality_col(text).alias("quality"),
+        quality_col(t).alias("quality"),
         n_pii.alias("n_pii"),
-        key.alias("dedup_key"),
+        dedup_key_col(t).alias("dedup_key"),
+        top2.alias("top_bigram_frac"),
+        dup3.alias("dup_trigram_frac"),
     )
-    canon = base.withColumn(
+    out = base.withColumn(
         "canonical_id", F.min(id_col).over(Window.partitionBy("dedup_key"))
     )
-    rep = repetition_frame(df, text_col, id_col)
-    out = canon.join(rep, id_col, "left")
-    top2 = F.coalesce("top_bigram_frac", F.lit(0.0))
-    dup3 = F.coalesce("dup_trigram_frac", F.lit(0.0))
+    top2 = F.col("top_bigram_frac")
+    dup3 = F.col("dup_trigram_frac")
     is_canon = F.col(id_col) == F.col("canonical_id")
     kept = (
         (F.col("quality") >= F.lit(min_quality))

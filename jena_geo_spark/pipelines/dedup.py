@@ -84,8 +84,19 @@ def _tok_grams(
     join-key-identical).
     The token array is materialised first — referencing F.split(...)
     inside the transform lambda would re-split the text per element
-    access (O(n²))."""
-    base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+    access (O(n²)).
+
+    r6: the source is widened when it arrives as fewer partitions than
+    the cluster (single-row-group corpus file): without this the whole
+    split+gram projection — the CPU-heavy part of every shingle
+    consumer — serializes on one core before the first exchange.  All
+    downstream shingle aggregations are integer counts / list-min
+    reductions, so the changed row order cannot change any result."""
+    from ..partitioning import widen_if_narrow
+
+    base = widen_if_narrow(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+    )
     toks = F.col("_toks")
     idx = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)).otherwise(
         F.array().cast("array<int>")
@@ -352,6 +363,12 @@ def minhash_signatures(
 
     @pandas_udf(ArrayType(LongType()))
     def sig_udf(hashes: pd.Series) -> pd.Series:
+        # NOTE (r6): a fully-vectorized variant (one concatenated matrix
+        # + np.minimum.reduceat over doc offsets) was measured SLOWER
+        # than this per-doc loop at bench shape (0.66 s vs 0.46 s warm,
+        # sf0.1) — the per-doc matrices are cache-resident and the
+        # reduceat pays a strided column sweep over the 8 MB batch
+        # matrix; kept the loop.
         out = []
         for arr in hashes:
             th = (np.asarray(arr, dtype=np.int64).astype(np.uint64)) & _P31
@@ -397,6 +414,11 @@ def minhash_lsh_pairs(
     # shingle ONCE: the checkpointed frame feeds the signatures, the
     # size counts and both sides of the exact-verify intersection
     sh = shingle_df(df, n, text_col, id_col).localCheckpoint(eager=True)
+    # NOTE (r6): materializing `sigs` with an eager localCheckpoint was
+    # tried and REVERTED — it removes the double evaluation of the sig
+    # subtree under the banded self-join, but the two copies run as
+    # parallel subtrees of ONE job while the checkpoint serializes a
+    # full extra job before the join (measured 2.65 s → 3.7 s at sf0.1).
     sigs = minhash_signatures(
         df, num_hashes, n, text_col, id_col, hash_fn=hash_fn, shingles=sh
     )
@@ -478,8 +500,12 @@ def simhash_df(
     """(id, sh) — token hashing JVM-side, bit voting in numpy.
     ``hash_fn='arith'`` → 62-bit token hashes from the SQL-reproducible
     polynomial fold (the driver oracle replays bit voting in SQL)."""
+    from ..partitioning import widen_if_narrow
+
     toks = F.explode(F.split(F.col(text_col), " ")).alias("tok")
-    base = df.select(F.col(id_col), toks)
+    base = widen_if_narrow(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), toks
+    )
     if hash_fn == "arith":
         hashed = base.select(F.col(id_col), arith_hash62_col(F.col("tok")).alias("h"))
         udf = _simhash_udf(62)

@@ -221,67 +221,110 @@ def scrub_pii(
 
 
 # ------------------------------------------------- repetition (Gopher-ish) --
+
+
+def _gram_array(toks: Column, k: int) -> Column:
+    """Word k-gram array over a MATERIALIZED token-array column.  Guarded:
+    sequence(0, n) steps BACKWARDS for n < 0, so short docs must yield an
+    empty gram list, not [0, -1, ...]."""
+    return F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _run_stats(arr: Column) -> Column:
+    """struct(best, dup) over the SORTED gram array: ``best`` = the longest
+    equal-run length (= the most frequent gram's occurrence count) and
+    ``dup`` = total occurrences of grams occurring ≥ 2 times — one
+    row-local Catalyst fold, no explode, no shuffle.  The incremental dup
+    update adds 2 when a run reaches length 2 and 1 per further extension,
+    so a gram with count c ≥ 2 contributes exactly c."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def step(acc, x):
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        run2 = F.when(same, acc["run"] + F.lit(1).cast("long")).otherwise(
+            F.lit(1).cast("long")
+        )
+        dup2 = acc["dup"] + (
+            F.when(same & (acc["run"] == 1), F.lit(2))
+            .when(same, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run2.alias("run"),
+            F.greatest(acc["best"], run2).alias("best"),
+            dup2.alias("dup"),
+        )
+
+    return F.aggregate(
+        F.array_sort(arr),
+        init,
+        step,
+        lambda acc: F.struct(acc["best"].alias("best"), acc["dup"].alias("dup")),
+    )
+
+
+def repetition_cols_from_tokens(toks: Column) -> tuple[Column, Column]:
+    """Row-local (top_bigram_frac, dup_trigram_frac) from a MATERIALIZED
+    token-array column — ZERO-shuffle replacement (r6 optimization) for the
+    explode → groupBy(doc, gram) → groupBy(doc) aggregation: a per-doc gram
+    histogram is row-local by construction, so sorting the doc's own gram
+    array and folding run lengths computes the same integer counts without
+    moving a single gram through an exchange (guide §2.4 — remove shuffles
+    outright).  Same integer counts → same double divisions → same
+    ``round(x, 6)`` values, bit-for-bit (goldens + DuckDB gate unchanged).
+
+    Docs with no bigrams / no trigrams yield 0.0 (the coalesce the old
+    join-based composition applied).  ``toks`` MUST be a materialized
+    column, not an inline ``F.split`` — referencing a split inside the
+    transform lambda re-splits the text per element access, O(n²) per doc
+    (measured 3.3× on the sf0.1 corpus at only ~54 tokens/doc)."""
+    n = F.size(toks)
+    n2 = (n - 1).cast("double")
+    n3 = (n - 2).cast("double")
+    r2 = _run_stats(_gram_array(toks, 2))
+    r3 = _run_stats(_gram_array(toks, 3))
+    top = F.when(
+        n >= 2, F.round(r2["best"].cast("double") / n2, 6)
+    ).otherwise(F.lit(0.0))
+    dup = F.when(
+        n >= 3, F.round(r3["dup"].cast("double") / n3, 6)
+    ).otherwise(F.lit(0.0))
+    return top, dup
+
+
 def repetition_frame(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Per-doc repetition fracs WITHOUT the gram-less-doc spine: only docs
     with at least one bigram appear.  ``repetition_stats`` left-joins this
     against the doc spine; composers that already hold a per-doc frame
-    (``curate.curate_documents``) join it directly and coalesce, saving a
-    corpus scan.
+    (``curate.curate_documents``) compute the columns row-locally via
+    ``repetition_cols_from_tokens`` — no join at all.
 
-    The token array is MATERIALIZED in a projection before the gram
-    transform — referencing ``F.split(...)`` inside the lambda would
-    re-split the text per element access, O(n²) per doc (same hazard
-    ``dedup._tok_grams`` documents; measured 3.3× on the sf0.1 corpus at
-    only ~54 tokens/doc, and quadratically worse on long docs)."""
+    r6: rewritten row-local (see ``repetition_cols_from_tokens``) — the
+    old shape shuffled every gram occurrence twice (explode → two hash
+    aggregations); the per-doc histogram never needed to leave the row."""
     base = df.select(
         F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
     )
-    toks = F.col("_toks")
-
-    def grams(k: int) -> Column:
-        # (k, gram) structs at positions 0..size-k.  Guarded: sequence(0, n)
-        # steps BACKWARDS for n < 0, so short docs must yield an empty gram
-        # list, not [0, -1, ...].
-        return F.when(
-            F.size(toks) >= k,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - k),
-                lambda i: F.struct(
-                    F.lit(k).alias("k"),
-                    F.concat_ws(" ", F.slice(toks, i + 1, k)).alias("g"),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<struct<k:int,g:string>>"))
-
-    counted = (
-        base.select(F.col(id_col), F.explode(F.concat(grams(2), grams(3))).alias("kg"))
-        .groupBy(id_col, "kg")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    k = F.col("kg.k")
-
-    def tot(kk: int) -> Column:
-        return F.sum(F.when(k == kk, F.col("c"))).cast("double")
-
-    return counted.groupBy(id_col).agg(
-        F.round(F.max(F.when(k == 2, F.col("c"))).cast("double") / tot(2), 6).alias(
-            "top_bigram_frac"
-        ),
-        # a doc with bigrams but no trigrams (exactly 2 tokens) has a
-        # well-defined dup fraction of 0.0 — without the outer coalesce
-        # 0/NULL would surface as NULL and silently fail <= filters
-        F.coalesce(
-            F.round(
-                F.coalesce(
-                    F.sum(F.when((k == 3) & (F.col("c") >= 2), F.col("c"))), F.lit(0)
-                ).cast("double")
-                / tot(3),
-                6,
-            ),
-            F.lit(0.0),
-        ).alias("dup_trigram_frac"),
+    top, dup = repetition_cols_from_tokens(F.col("_toks"))
+    return base.filter(F.size("_toks") >= 2).select(
+        F.col(id_col),
+        top.alias("top_bigram_frac"),
+        dup.alias("dup_trigram_frac"),
     )
 
 
@@ -293,14 +336,20 @@ def repetition_stats(
     frequent 2-gram over all 2-gram occurrences; ``dup_trigram_frac`` —
     fraction of 3-gram occurrences whose 3-gram occurs more than once.
 
-    Shape at scale: ONE text scan — bigrams and trigrams explode together
-    under a k tag (``repetition_frame``) — then two map-side-combinable
-    hash aggregations keyed (doc, k, gram) and (doc), plus one
-    column-pruned doc_id spine scan for gram-less docs.  No Python."""
-    per_doc = repetition_frame(df, text_col, id_col)
-    spine = df.select(F.col(id_col))
-    return spine.join(per_doc, id_col, "left").select(
+    Shape at scale (r6): ONE text scan and ZERO shuffles — the per-doc
+    gram histogram is row-local by construction, so the row-local fold
+    (``repetition_cols_from_tokens``) computes both fracs inside the scan
+    projection; gram-less docs get the same 0.0 the old spine left-join
+    coalesced in.  No Python, no Generate, no shuffle beyond the
+    narrow-scan widen (partitioning.widen_if_narrow; no-op at scale)."""
+    from ..partitioning import widen_if_narrow
+
+    base = widen_if_narrow(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    top, dup = repetition_cols_from_tokens(F.col("_toks"))
+    return base.select(
         F.col(id_col),
-        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
-        F.coalesce("dup_trigram_frac", F.lit(0.0)).alias("dup_trigram_frac"),
+        top.alias("top_bigram_frac"),
+        dup.alias("dup_trigram_frac"),
     )

@@ -3050,7 +3050,10 @@ class _GroupCompiler:
         def env_col():
             from .functions.vector import st_bounds
 
-            return st_bounds(wkb_col())
+            # asNondeterministic: optimizer barrier only (the kernel is
+            # pure) — keeps the envelope filter above the parallel()
+            # repartition Exchange; see parallel() docstring
+            return st_bounds.asNondeterministic()(wkb_col())
 
         def parallel(f):
             """The general (non-point) paths insert a per-row Python
@@ -3059,15 +3062,21 @@ class _GroupCompiler:
             Arrow stage.  Repartition up to the session's parallelism
             ONLY when the frame is under-split — on a real cluster the
             scan already carries hundreds of partitions and this is a
-            no-op (no shuffle added)."""
+            no-op (no shuffle added).
+
+            r6: no localCheckpoint any more — the eager checkpoint ran a
+            full Spark job at query-COMPILE time (even for plans never
+            executed) and pinned executor blocks for the session (ADVICE
+            r5 #3).  The optimizer barrier that used to need it (Catalyst
+            pushes a deterministic filter straight back through a bare
+            repartition, re-serializing the Python stage) is now the
+            kernel UDF itself: every parallel()-guarded call site marks
+            its pandas kernel ``asNondeterministic()`` (guide §4.4 — the
+            same pin ``refine_candidates`` uses), which stops the
+            pushdown without materializing anything."""
             target = f.sparkSession.sparkContext.defaultParallelism
             if f.rdd.getNumPartitions() * 2 < target:
-                # localCheckpoint: Catalyst pushes a deterministic filter
-                # straight back through a bare repartition (observed:
-                # Exchange ABOVE the Arrow filter), re-serializing the
-                # Python stage — the checkpoint pins the repartitioned
-                # layout so the kernel actually fans out.
-                return f.repartition(target).localCheckpoint(eager=True)
+                return f.repartition(target)
             return f
 
         vals = pf.args
@@ -3193,7 +3202,11 @@ class _GroupCompiler:
             else:
                 frame = parallel(frame)
                 pt = REG.REGISTRY["st_makepoint"][0](qlon_c, qlat_c)
-                dist = REG.REGISTRY["st_distance"][0](wkb_col(), pt)
+                # barrier against filter pushdown through the repartition
+                # (pure kernel; see parallel() docstring)
+                dist = REG.REGISTRY["st_distance"][0].asNondeterministic()(
+                    wkb_col(), pt
+                )
             if limit is None:
                 return frame.filter(dist <= rad_c)
             if is_point and None not in (qlat, qlon, radius):
@@ -3240,7 +3253,9 @@ class _GroupCompiler:
             from .functions.vector import spatial_nearby_distance_m
 
             frame = parallel(frame)
-            dist_m = spatial_nearby_distance_m(
+            # barrier against filter pushdown through the repartition
+            # (pure kernel; see parallel() docstring)
+            dist_m = spatial_nearby_distance_m.asNondeterministic()(
                 F.col(st["binds"][gv]).cast("string"), qlon_c, qlat_c
             )
         out = frame.filter(dist_m <= rad_c * F.lit(m_per))

@@ -296,14 +296,18 @@ def test_scrub_pii_is_pure_catalyst(spark):
 
 
 def test_repetition_stats_single_scan(spark):
-    """Fused bigram+trigram pass: ONE Generate (tagged explode) and one
-    gram scan + one column-pruned spine scan; no Python anywhere."""
+    """r6 row-local repetition: ONE corpus scan, no gram explode, no
+    shuffle at all — the per-doc histogram folds inside the projection."""
     from jena_geo_spark.pipelines.text import repetition_stats
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = _plan(repetition_stats(docs))
-    assert plan.count("Generate") == 1
-    assert plan.count("Scan parquet") <= 2
+    assert plan.count("Generate") == 0
+    assert plan.count("Scan parquet") == 1
+    # at most the narrow-scan widen repartition (round-robin, no-op at
+    # real scale) — never a gram-keyed aggregation exchange
+    assert plan.count("Exchange") <= 1
+    assert "hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
 
 
@@ -320,15 +324,21 @@ def test_phash_groups_no_cartesian_no_python(spark):
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
 
 
-def test_curate_two_scans_no_python(spark):
-    """Composed curation: row-local derivations ride one projection,
-    canonical selection is a window (no self-join), repetition is the
-    only join — exactly two corpus scans, no Python stages."""
+def test_curate_one_scan_one_exchange_no_python(spark):
+    """Composed curation (r6): EVERY derivation incl. the repetition
+    fracs is row-local in one projection over ONE corpus scan; the
+    dedup-key window is the single Exchange in the whole pass — the old
+    gram-explode shuffle pair and the repetition join are gone."""
     from jena_geo_spark.pipelines.curate import curate_documents
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = _plan(curate_documents(docs))
-    assert plan.count("Scan parquet") == 2
+    assert plan.count("Scan parquet") == 1
+    # dedup-key window exchange + at most the narrow-scan widen
+    # (round-robin, no-op at real scale); the old shape had the gram
+    # explode's two hashpartitioning exchanges and a repetition join
+    assert plan.count("Exchange") <= 2
+    assert plan.count("hashpartitioning") == 1
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert "CartesianProduct" not in plan
 
