@@ -23,6 +23,13 @@ DEFAULTS: dict[str, int] = {
     # zones, admin boundaries); larger sides route to the frame-scale
     # mapInPandas cover join with NO driver-side collect.
     "SPATIAL_DIM_MAX": 10_000,
+    # operators/knn.knn_join_frames tail pivot (r6): when the unfinished
+    # rows after a round would generate at most this many candidate pairs
+    # against the FULL right side (|pending| × n_hint), the exact endgame
+    # cross join finishes them in one bounded job instead of more
+    # fixed-latency grid rounds.  Output is provably identical (same
+    # top-k, same tie-break); this only trades job count vs pair count.
+    "KNN_TAIL_CROSS_ROWS": 100_000_000,
     # partitioning.widen_if_narrow (r6): 1 = round-robin repartition scans
     # that arrive with fewer partitions than the cluster parallelism (the
     # unsplittable-single-file guard, guide §2.5); 0 = leave scan layout

@@ -399,6 +399,223 @@ def cover_polygon(
     return np.unique(merged)
 
 
+class _RingsBatch:
+    """Batched ``_RingClassifier`` over P rings with EQUAL (deduped)
+    vertex count — one vectorised classify call serves the whole BFS
+    frontier of a batch of polygons.  Arithmetic is elementwise identical
+    to the scalar classifier (same Liang–Barsky clip, same ray-cast, same
+    epsilon dilation), so per-cell relations are bit-equal (r6; the
+    per-polygon classify's ~15 small-numpy-call overhead at ~0.4 ms per
+    BFS level × 9 levels dominated frame-scale cover construction)."""
+
+    def __init__(self, rings: np.ndarray):
+        rings = np.asarray(rings, dtype=np.float64)  # (P, m, 2), deduped
+        self.rings = rings
+        self.px, self.py = rings[:, :, 0], rings[:, :, 1]  # (P, m)
+        self.pxmin = self.px.min(axis=1)
+        self.pxmax = self.px.max(axis=1)
+        self.pymin = self.py.min(axis=1)
+        self.pymax = self.py.max(axis=1)
+        ax, ay = self.px, self.py
+        bx, by = np.roll(self.px, -1, axis=1), np.roll(self.py, -1, axis=1)
+        dx, dy = bx - ax, by - ay
+        self.ax, self.ay = ax, ay
+        self.P = np.stack([-dx, dx, -dy, dy], axis=1)  # (P, 4, m)
+
+    def points_in(self, pid: np.ndarray, qx: np.ndarray, qy: np.ndarray) -> np.ndarray:
+        """Ray-cast PIP, per-point ring selection — term-for-term the
+        kernel.points_in_polygon arithmetic."""
+        inside = np.zeros(qx.shape, dtype=bool)
+        m = self.px.shape[1]
+        R = self.rings
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for i in range(m):
+                x1 = R[pid, i, 0]
+                y1 = R[pid, i, 1]
+                x2 = R[pid, (i + 1) % m, 0]
+                y2 = R[pid, (i + 1) % m, 1]
+                cond = (y1 > qy) != (y2 > qy)
+                xs = (x2 - x1) * (qy - y1) / (y2 - y1) + x1
+                inside ^= cond & (qx < xs)
+        return inside
+
+    def classify(self, pid, xmin, ymin, xmax, ymax) -> np.ndarray:
+        """uint8 rect relation per (pid, rect) entry — 0 disjoint /
+        1 partial / 2 rect fully inside, same contract and float ops as
+        ``_rects_vs_ring``."""
+        n = len(xmin)
+        if n == 0:
+            return np.empty(0, dtype=np.uint8)
+        eps = 1e-9 * np.maximum(xmax - xmin, ymax - ymin)
+        xmin, ymin = xmin - eps, ymin - eps
+        xmax, ymax = xmax + eps, ymax + eps
+        rel = np.ones(n, dtype=np.uint8)
+        disjoint_bbox = (
+            (xmin > self.pxmax[pid])
+            | (xmax < self.pxmin[pid])
+            | (ymin > self.pymax[pid])
+            | (ymax < self.pymin[pid])
+        )
+        rel[disjoint_bbox] = 0
+        live = ~disjoint_bbox
+        if not live.any():
+            return rel
+        lp = pid[live]
+        lx0, ly0 = xmin[live], ymin[live]
+        lx1, ly1 = xmax[live], ymax[live]
+        ax, ay = self.ax[lp], self.ay[lp]  # (L, m)
+        Q = np.stack(
+            [
+                ax - lx0[:, None],
+                lx1[:, None] - ax,
+                ay - ly0[:, None],
+                ly1[:, None] - ay,
+            ]
+        )  # (4, L, m)
+        Pm = self.P[lp]  # (L, 4, m)
+        t0 = np.zeros_like(Q[0])
+        t1 = np.ones_like(Q[0])
+        valid = np.ones(Q[0].shape, dtype=bool)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for k in range(4):
+                pk = Pm[:, k, :]
+                qk = Q[k]
+                t = qk / pk
+                valid &= ~((pk == 0) & (qk < 0))
+                t0 = np.where(pk < 0, np.maximum(t0, t), t0)
+                t1 = np.where(pk > 0, np.minimum(t1, t), t1)
+        edge_hit = (valid & (t0 <= t1)).any(axis=1)
+        cx = np.concatenate([lx0, lx1, lx1, lx0])
+        cy = np.concatenate([ly0, ly0, ly1, ly1])
+        cin = self.points_in(np.tile(lp, 4), cx, cy).reshape(4, -1)
+        all_in, any_in = cin.all(axis=0), cin.any(axis=0)
+        vin = (
+            (self.px[lp] >= lx0[:, None])
+            & (self.px[lp] <= lx1[:, None])
+            & (self.py[lp] >= ly0[:, None])
+            & (self.py[lp] <= ly1[:, None])
+        ).any(axis=1)
+        lrel = np.where(
+            edge_hit, 1, np.where(all_in, 2, np.where(any_in | vin, 1, 0))
+        ).astype(np.uint8)
+        rel[live] = lrel
+        return rel
+
+
+def _dedup_ring(poly: np.ndarray) -> np.ndarray:
+    poly = np.asarray(poly, dtype=np.float64)[:, :2]
+    if len(poly) >= 2 and (poly[0] == poly[-1]).all():
+        poly = poly[:-1]
+    return poly
+
+
+def cover_polygons_batched(
+    polys: list[np.ndarray], max_res: np.ndarray, max_cells: int = 256
+) -> list[np.ndarray]:
+    """``cover_polygon`` for a BATCH of rings — identical output per ring
+    (same BFS levels, same per-polygon cell budget and termination, same
+    float classification), but the per-level frontier of EVERY polygon is
+    classified in one vectorised call instead of one call per polygon per
+    level.  Rings are grouped by deduped vertex count (the classifier
+    batches equal-width edge matrices); each group runs the lockstep BFS.
+
+    ``max_res`` is per-polygon; ``min_res`` is fixed at the scalar
+    default 0, where the seed frontier is the single root cell."""
+    out: list[np.ndarray | None] = [None] * len(polys)
+    deduped = [_dedup_ring(p) for p in polys]
+    groups: dict[int, list[int]] = {}
+    for i, d in enumerate(deduped):
+        groups.setdefault(len(d), []).append(i)
+    max_res = np.asarray(max_res, dtype=np.int64)
+    for m, idxs in groups.items():
+        if m < 1:
+            for i in idxs:
+                out[i] = cover_polygon(polys[i], max_res=int(max_res[i]), max_cells=max_cells)
+            continue
+        rb = _RingsBatch(np.stack([deduped[i] for i in idxs]))
+        mres = max_res[idxs]
+        P = len(idxs)
+        pid = np.arange(P, dtype=np.int64)
+        ix = np.zeros(P, dtype=np.int64)
+        iy = np.zeros(P, dtype=np.int64)
+        res = 0
+        emit_pids: list[np.ndarray] = []
+        emit_cells: list[np.ndarray] = []
+        n_out = np.zeros(P, dtype=np.int64)
+        while len(pid):
+            nres = float(np.int64(1) << np.int64(res))
+            wx = _LON_SPAN / nres
+            wy = _LAT_SPAN / nres
+            xmin = _LON_MIN + ix * wx
+            ymin = _LAT_MIN + iy * wy
+            rel = rb.classify(pid, xmin, ymin, xmin + wx, ymin + wy)
+            fcount = np.bincount(pid, minlength=P)
+            over = (n_out + fcount) >= max_cells  # per-poly budget break
+            over_e = over[pid]
+            keep = over_e & (rel != 0)
+            done = (~over_e) & ((rel == 2) | ((rel != 0) & (res >= mres[pid])))
+            emit = keep | done
+            if emit.any():
+                emit_pids.append(pid[emit])
+                emit_cells.append(pack(res, ix[emit], iy[emit]))
+            n_out += np.bincount(pid[done], minlength=P)
+            sp = (~over_e) & (rel == 1) & (res < mres[pid])
+            if not sp.any():
+                break
+            sx, sy = ix[sp] << 1, iy[sp] << 1
+            pid = np.repeat(pid[sp], 4)
+            ix = np.stack([sx, sx + 1, sx, sx + 1], axis=1).ravel()
+            iy = np.stack([sy, sy, sy + 1, sy + 1], axis=1).ravel()
+            res += 1
+        all_p = (
+            np.concatenate(emit_pids) if emit_pids else np.empty(0, np.int64)
+        )
+        all_c = (
+            np.concatenate(emit_cells) if emit_cells else np.empty(0, np.int64)
+        )
+        order = np.argsort(all_p, kind="stable")
+        all_p, all_c = all_p[order], all_c[order]
+        bounds = np.searchsorted(all_p, np.arange(P + 1))
+        for j, i in enumerate(idxs):
+            out[i] = np.unique(all_c[bounds[j] : bounds[j + 1]])
+    return out  # type: ignore[return-value]
+
+
+def rects_vs_rings_batched(
+    rings: list[np.ndarray], cells_list: list[np.ndarray]
+) -> list[np.ndarray]:
+    """``rect_cells_relation`` for a batch of (ring, cells) pairs — one
+    vectorised classify per ring-width group instead of one call per
+    ring; per-pair results are bit-equal to the scalar path (r6)."""
+    out: list[np.ndarray | None] = [None] * len(rings)
+    deduped = [_dedup_ring(r) for r in rings]
+    groups: dict[int, list[int]] = {}
+    for i, d in enumerate(deduped):
+        groups.setdefault(len(d), []).append(i)
+    for m, idxs in groups.items():
+        if m < 1:
+            for i in idxs:
+                out[i] = rect_cells_relation(cells_list[i], rings[i])
+            continue
+        rb = _RingsBatch(np.stack([deduped[i] for i in idxs]))
+        counts = np.array([len(cells_list[i]) for i in idxs], dtype=np.int64)
+        if counts.sum() == 0:
+            for i in idxs:
+                out[i] = np.empty(0, dtype=np.uint8)
+            continue
+        allc = np.concatenate(
+            [np.asarray(cells_list[i], dtype=np.int64) for i in idxs]
+        )
+        pid = np.repeat(np.arange(len(idxs), dtype=np.int64), counts)
+        xmin, ymin, xmax, ymax = cell_bounds(allc)
+        rel = rb.classify(pid, xmin, ymin, xmax, ymax)
+        offs = np.zeros(len(idxs) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        for j, i in enumerate(idxs):
+            out[i] = rel[offs[j] : offs[j + 1]]
+    return out  # type: ignore[return-value]
+
+
 def cover_point_radius(
     lon: float, lat: float, radius_deg: float, max_res: int, max_cells: int = 64
 ) -> np.ndarray:

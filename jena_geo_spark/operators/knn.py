@@ -319,18 +319,31 @@ def knn_join_frames(
         )
         # pending side explodes its 3x3 neighborhood (9·|pending| rows);
         # out-of-range neighbors are intentionally NOT clamped — the packed
-        # key makes them match nothing (see _AXIS_BITS note)
-        l_expl = pending.withColumn(
-            "_k",
-            F.explode(
-                F.array(
-                    *[
-                        _pack(F.col("_res"), lx + F.lit(di), ly + F.lit(dj))
-                        for di in (-1, 0, 1)
-                        for dj in (-1, 0, 1)
-                    ]
-                )
-            ),
+        # key makes them match nothing (see _AXIS_BITS note).  The cell
+        # coords are MATERIALIZED once (_lx/_ly) before the explode (r6):
+        # inlining the floor/clamp chains into all 9 array elements made
+        # the expression tree ~9× larger, which showed up as driver-side
+        # analysis/codegen time on every round's job, not as task time.
+        l_expl = (
+            pending.withColumn("_lx", lx)
+            .withColumn("_ly", ly)
+            .withColumn(
+                "_k",
+                F.explode(
+                    F.array(
+                        *[
+                            _pack(
+                                F.col("_res"),
+                                F.col("_lx") + F.lit(di),
+                                F.col("_ly") + F.lit(dj),
+                            )
+                            for di in (-1, 0, 1)
+                            for dj in (-1, 0, 1)
+                        ]
+                    )
+                ),
+            )
+            .drop("_lx", "_ly")
         )
         # right side keyed at its CENTER cell, once per active level
         ng_r = F.pow(F.lit(2.0), F.col("_res"))
@@ -355,7 +368,14 @@ def knn_join_frames(
                 F.col(lat).alias("_rlat"),
                 F.explode(F.array(*[F.lit(r) for r in active])).alias("_res"),
             )
-            .select("_rid", "_rlon", "_rlat", _pack(F.col("_res"), rx, ry).alias("_k"))
+            .withColumn("_rx", rx)
+            .withColumn("_ry", ry)
+            .select(
+                "_rid",
+                "_rlon",
+                "_rlat",
+                _pack(F.col("_res"), F.col("_rx"), F.col("_ry")).alias("_k"),
+            )
         )
         # small-pending fast path: when the pending key set is broadcast-
         # sized (driver knows the exact pending count), prefilter the right
@@ -391,7 +411,14 @@ def knn_join_frames(
                     (F.col("_n") >= k) & (F.col("_dk") <= safe * safe), F.lit(False)
                 ),
             )
-            .select(*left.columns, "_res", "_rid", "_d2", "rank", "_done")
+            # _bound (r6): when the row already HAS k candidates, its
+            # current k-th distance upper-bounds the true k-th — the
+            # endgame cross join filters on it map-side, so the per-left
+            # window never sees the full |pending|×|right| pair set
+            .withColumn(
+                "_bound", F.when(F.col("_n") >= k, F.col("_dk"))
+            )
+            .select(*left.columns, "_res", "_rid", "_d2", "rank", "_done", "_bound")
         )
         # one eager localCheckpoint per round: truncates lineage AND lets
         # the done/pending splits + the count below reuse the same blocks
@@ -404,7 +431,7 @@ def knn_join_frames(
             .select(*out_cols)
         )
         nxt = scored.filter((~F.col("_done")) & (F.col("rank") == 1)).select(
-            *left.columns, (F.col("_res") - 2).alias("_res")
+            *left.columns, (F.col("_res") - 2).alias("_res"), "_bound"
         )
         # per-level pending counts: a tiny aggregate over materialized
         # blocks — the round's ONLY other action
@@ -416,6 +443,27 @@ def knn_join_frames(
             .collect()
         ):
             new_counts[int(r[0]) - 2] = int(r[1])
+        # r6 tail pivot: every grid round costs one full fixed-latency job
+        # (right scan + keying + join + window + checkpoint) no matter how
+        # few rows are still pending.  When the remaining work is small —
+        # |pending| × |right| candidate pairs under a knob — the exact
+        # endgame cross join (one streamed pass over the right side, same
+        # (dist², id) top-k and tie-break, provably identical output)
+        # finishes the tail in ONE bounded job instead of 1-3 more rounds.
+        # At real scale |right| keeps the product over the knob until the
+        # tail truly is tiny, so grid rounds still do the heavy lifting.
+        from ..config import knob
+
+        pend_total = sum(new_counts.values())
+        if (
+            pend_total
+            and n_hint is not None
+            and pend_total * n_hint <= knob("KNN_TAIL_CROSS_ROWS")
+        ):
+            end_parts.append(nxt.drop("_res"))
+            n_endgame += pend_total
+            counts = {}
+            continue
         n_end = sum(c for lvl, c in new_counts.items() if lvl < 2)
         if n_end:
             end_parts.append(nxt.filter(F.col("_res") < 2).drop("_res"))
@@ -451,6 +499,16 @@ def knn_join_frames(
         dx = F.col(lon) - F.col("_rlon")
         dy = F.col(lat) - F.col("_rlat")
         cand = cand.withColumn("_d2", dx * dx + dy * dy)
+        # map-side prune on the carried k-th-distance bound (exact: every
+        # true top-k row has _d2 ≤ the row's current k-th distance, ties
+        # included via <=; rows that never collected k candidates have a
+        # NULL bound and stay unpruned).  Without this the per-left
+        # window would exchange the FULL |pending|×|right| pair set into
+        # |pending| keys (measured 15 s for 147×200k at sf0.1; 0.9 s
+        # with the prune).
+        cand = cand.filter(
+            F.col("_bound").isNull() | (F.col("_d2") <= F.col("_bound"))
+        )
         w_spec = Window.partitionBy(left_id).orderBy(
             F.col("_d2").asc(), F.col("_rid").asc()
         )

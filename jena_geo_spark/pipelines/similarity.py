@@ -417,11 +417,18 @@ def ivf_assign(
 ) -> DataFrame:
     """Attach the nearest-centroid list id: one broadcast matmul per Arrow
     batch (the distributed half of IVF indexing — on a real cluster this
-    is the ingest-time write of the ``list_id`` partition column)."""
+    is the ingest-time write of the ``list_id`` partition column).
+
+    r6: the list id is appended IN the same mapInPandas pass-through
+    instead of being joined back by id — the old shape shuffled the full
+    embedding table through an id equi-join just to re-attach one small
+    column its own rows produced (guide §2.4: remove shuffles outright).
+    Output rows/columns are identical (df columns + list_id)."""
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(centroids)
+    cols = df.columns
     schema = StructType(
-        [StructField("_ivf_id", LongType()), StructField("list_id", LongType())]
+        [f for f in df.schema.fields] + [StructField("list_id", LongType())]
     )
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -431,15 +438,11 @@ def ivf_assign(
             norms = np.linalg.norm(m, axis=1)
             norms[norms == 0] = 1.0
             m = m / norms[:, None]
-            yield pd.DataFrame(
-                {
-                    "_ivf_id": pdf[id_col].astype(np.int64),
-                    "list_id": np.argmax(m @ cents.T, axis=1).astype(np.int64),
-                }
-            )
+            out = pdf[cols].copy()
+            out["list_id"] = np.argmax(m @ cents.T, axis=1).astype(np.int64)
+            yield out
 
-    lists = df.select(id_col, vec_col).mapInPandas(assign, schema)
-    return df.join(lists.withColumnRenamed("_ivf_id", id_col), id_col)
+    return df.mapInPandas(assign, schema)
 
 
 def ivf_topk(
@@ -688,7 +691,10 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= rerank * k)
         .select("query_id", "vec_id")
     )
-    rer = shortlist.join(
+    # the shortlist is provably tiny (≤ rerank·k rows per query) — an
+    # explicit broadcast keeps the float-vector table un-shuffled at any
+    # scale (guide §3.1: hint when a side is known small)
+    rer = F.broadcast(shortlist).join(
         df.select(F.col(id_col).alias("vec_id"), vec_col), "vec_id"
     ).select("query_id", F.col("vec_id").alias(id_col), vec_col)
     qmap = {int(q): qm[i] for i, q in enumerate(qids)}

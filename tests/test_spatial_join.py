@@ -226,6 +226,39 @@ def test_knn_join_frames_matches_bruteforce(spark):
         assert sorted(got[f"l{i:04d}"]) == exp
 
 
+def test_knn_join_frames_tail_pivot_exact(spark):
+    """r6 tail pivot: with n_hint set and a small |pending|×|right|
+    product, the unfinished tail routes to the bound-pruned endgame
+    cross join instead of more grid rounds — results must be identical
+    to brute force (same top-k, same (dist², id) tie-break), and the
+    pivot must actually fire on this clustered input."""
+    import numpy as np
+    import pandas as pd
+
+    from jena_geo_spark.operators.knn import knn_join_frames
+
+    rng = np.random.default_rng(41)
+    nl, nr, k = 300, 900, 4
+    llon = rng.uniform(-179, 179, nl); llat = rng.uniform(-84, 84, nl)
+    rlon = rng.uniform(-179, 179, nr); rlat = rng.uniform(-84, 84, nr)
+    llon[:80] = 8.3 + rng.normal(0, 0.4, 80); llat[:80] = 50 + rng.normal(0, 0.4, 80)
+    rlon[:250] = 8.3 + rng.normal(0, 0.4, 250); rlat[:250] = 50 + rng.normal(0, 0.4, 250)
+    ldf = spark.createDataFrame(
+        pd.DataFrame({"id": [f"l{i:04d}" for i in range(nl)], "lon": llon, "lat": llat}))
+    rdf = spark.createDataFrame(
+        pd.DataFrame({"id": [f"r{i:04d}" for i in range(nr)], "lon": rlon, "lat": rlat}))
+    got = {}
+    stats = {}
+    for r in knn_join_frames(spark, ldf, rdf, k, n_hint=nr, stats=stats).collect():
+        got.setdefault(r.id, []).append((r.rank, r.id_right))
+    assert stats.get("endgame_rows", 0) > 0  # the pivot fired
+    d2 = (llon[:, None] - rlon[None, :]) ** 2 + (llat[:, None] - rlat[None, :]) ** 2
+    for i in range(nl):
+        order = sorted(range(nr), key=lambda j: (d2[i, j], f"r{j:04d}"))[:k]
+        exp = [(rk + 1, f"r{j:04d}") for rk, j in enumerate(order)]
+        assert sorted(got[f"l{i:04d}"]) == exp
+
+
 def test_pip_join_frames_matches_broadcast_path(spark):
     """pip_join_points_polygons_frames (nothing driver-side) must agree
     pair-for-pair with the broadcast zone-cover path — same cover
