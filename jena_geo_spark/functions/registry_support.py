@@ -229,12 +229,12 @@ def st_distancesphere_geom(a: pd.Series, b: pd.Series) -> pd.Series:
 # --------------------------------------------------------- raster algebra --
 
 
-def _splice_encoded_batch(out_px, raw_in, template: bytes) -> pd.Series:
-    """Batch-encode float64 outputs: every output tile shares the
-    template's layout (same w/h/pixtype-11 band) but keeps its OWN
-    geotransform+srid bytes (cols 5..57) from the input row.  Bit-exact
-    with per-tile ``WR.encode(map_algebra*(...))`` by construction — the
-    template IS row 0's per-tile encoding."""
+def _splice_encoded_rows(out_px, raw_in, template: bytes) -> np.ndarray:
+    """Batch-encode float64 outputs as an (n, len) byte matrix: every
+    output tile shares the template's layout (same w/h/pixtype-11 band)
+    but keeps its OWN geotransform+srid bytes (cols 5..57) from the input
+    row.  Bit-exact with per-tile ``WR.encode(map_algebra*(...))`` by
+    construction — the template IS row 0's per-tile encoding."""
     t = np.frombuffer(template, np.uint8)
     n, n_px = out_px.shape
     res = np.tile(t, (n, 1))
@@ -242,14 +242,45 @@ def _splice_encoded_batch(out_px, raw_in, template: bytes) -> pd.Series:
     res[:, -n_px * 8:] = (
         out_px.astype("<f8").view(np.uint8).reshape(n, n_px * 8)
     )
-    return pd.Series([r.tobytes() for r in res], dtype=object)
+    return res
+
+
+def _splice_encoded_batch(out_px, raw_in, template: bytes) -> pd.Series:
+    return pd.Series(
+        [r.tobytes() for r in _splice_encoded_rows(out_px, raw_in, template)],
+        dtype=object,
+    )
+
+
+def _arrow_decode(arr):
+    """Arrow-side homogeneous-batch decode: (px, raw, first, little) or
+    None — zero per-row Python on the hit path (guide §4.2: a binary
+    Arrow column is one buffer + offsets, equal-length rows reshape as a
+    matrix view; r6 — the pandas path allocated a ``bytes`` object per
+    row just to re-concatenate them)."""
+    raw = WR.arrow_binary_matrix(arr)
+    if raw is None:
+        return None
+    return WR.batch_decode_matrix_raw(raw)
+
+
+def _arrow_fallback_series(arr) -> pd.Series:
+    return pd.Series(arr.to_pylist(), dtype=object)
+
+
+def _binary_out(rows: np.ndarray):
+    return WR.encode_binary_rows(rows)
 
 
 def rast2_udf(op: str):
-    def fn(a: pd.Series, b: pd.Series) -> pd.Series:
+    from pyspark.sql.functions import arrow_udf
+
+    def fn(a, b):
+        import pyarrow as pa
+
         if len(a):
-            ma = WR.batch_decode_matrix(a)
-            mb = WR.batch_decode_matrix(b) if ma is not None else None
+            ma = _arrow_decode(a)
+            mb = _arrow_decode(b) if ma is not None else None
             if (
                 ma is not None
                 and mb is not None
@@ -257,74 +288,86 @@ def rast2_udf(op: str):
                 and ma[3]
                 and mb[3]  # splice requires little-endian (see decoder doc)
             ):
-                # vectorized: ONE numpy op over the whole Arrow batch;
-                # encode splices payloads under row-0's template header
+                # vectorized: ONE numpy op over the whole Arrow batch; the
+                # encode splices payloads under row-0's template header and
+                # returns one Arrow buffer (no per-row tobytes loop — r6)
                 out = RA.LOCAL2[op](ma[0], mb[0])
                 template = WR.encode(RA.map_algebra2(ma[2], mb[2], op))
-                return _splice_encoded_batch(out, ma[1], template)
+                return _binary_out(_splice_encoded_rows(out, ma[1], template))
         out = []
-        for x, y in zip(a, b):
+        for x, y in zip(_arrow_fallback_series(a), _arrow_fallback_series(b)):
             if x is None or y is None:
                 out.append(None)
                 continue
             out.append(
                 WR.encode(RA.map_algebra2(WR.decode(bytes(x)), WR.decode(bytes(y)), op))
             )
-        return pd.Series(out, dtype=object)
+        return pa.array(out, type=pa.binary())
 
     fn.__name__ = f"rast_{op}"
-    return pandas_udf(fn, BinaryType())
+    return arrow_udf(fn, BinaryType())
 
 
 def rast1_udf(op: str):
-    def fn(a: pd.Series) -> pd.Series:
+    from pyspark.sql.functions import arrow_udf
+
+    def fn(a):
+        import pyarrow as pa
+
         if len(a):
-            ma = WR.batch_decode_matrix(a)
+            ma = _arrow_decode(a)
             if ma is not None and ma[3]:  # splice requires little-endian
                 out = RA.LOCAL1[op](ma[0])
                 template = WR.encode(RA.map_algebra1(ma[2], op))
-                return _splice_encoded_batch(out, ma[1], template)
+                return _binary_out(_splice_encoded_rows(out, ma[1], template))
         out = []
-        for x in a:
+        for x in _arrow_fallback_series(a):
             if x is None:
                 out.append(None)
                 continue
             out.append(WR.encode(RA.map_algebra1(WR.decode(bytes(x)), op)))
-        return pd.Series(out, dtype=object)
+        return pa.array(out, type=pa.binary())
 
     fn.__name__ = f"rast_{op}"
-    return pandas_udf(fn, BinaryType())
+    return arrow_udf(fn, BinaryType())
 
 
 def rastconst_udf(op: str):
+    from pyspark.sql.functions import arrow_udf
+
     # reference arity: exec(coverage, bandnum, const) — raster/algebra/
     # MultConst.java:27-46 (bandnum < 0 → every band)
-    def fn(a: pd.Series, band: pd.Series, k: pd.Series) -> pd.Series:
-        if len(a) and (band.to_numpy() < 0).all():
-            ma = WR.batch_decode_matrix(a)
+    def fn(a, band, k):
+        import pyarrow as pa
+
+        bv = band.to_numpy(zero_copy_only=False)
+        if len(a) and band.null_count == 0 and (bv < 0).all():
+            ma = _arrow_decode(a)
             if ma is not None and ma[3]:  # splice requires little-endian
-                kv = k.to_numpy(dtype=np.float64)[:, None]
+                kv = k.to_numpy(zero_copy_only=False).astype(np.float64)[:, None]
                 out = RA.LOCAL2[op](ma[0], kv)
                 template = WR.encode(
-                    RA.map_algebra_const(ma[2], op, float(k.iloc[0]), -1)
+                    RA.map_algebra_const(ma[2], op, float(kv[0, 0]), -1)
                 )
-                return _splice_encoded_batch(out, ma[1], template)
+                return _binary_out(_splice_encoded_rows(out, ma[1], template))
         out = []
-        for i, x in enumerate(a):
+        ks = _arrow_fallback_series(k)
+        bs = _arrow_fallback_series(band)
+        for i, x in enumerate(_arrow_fallback_series(a)):
             if x is None:
                 out.append(None)
                 continue
             out.append(
                 WR.encode(
                     RA.map_algebra_const(
-                        WR.decode(bytes(x)), op, float(k.iloc[i]), int(band.iloc[i])
+                        WR.decode(bytes(x)), op, float(ks.iloc[i]), int(bs.iloc[i])
                     )
                 )
             )
-        return pd.Series(out, dtype=object)
+        return pa.array(out, type=pa.binary())
 
     fn.__name__ = f"rast_{op}_const"
-    return pandas_udf(fn, BinaryType())
+    return arrow_udf(fn, BinaryType())
 
 
 def rastfn_udf(kernel, n_scalars: int, name: str):

@@ -390,14 +390,16 @@ def spatial_join_candidates(
     instead of two chained exchanges per task, which measurably collapses
     at high core counts.  Extra shuffle volume is only the false-candidate
     margin (boundary-cell rows, ~10% at default cover sizing)."""
+    # r6: cell_res dropped from the join-side rows (it was carried into
+    # the broadcast/salted build but never read after the join)
     rows, levels = [], set()
     for zc in zone_covers:
         res = grid.cell_res(zc.cells)
         for c, r, fl in zip(zc.cells.tolist(), res.tolist(), zc.full.tolist()):
-            rows.append((zc.zone_id, int(c), int(r), bool(fl)))
+            rows.append((zc.zone_id, int(c), bool(fl)))
             levels.add(int(r))
     zone_cells = spark.createDataFrame(
-        rows, "zone_id string, cell long, cell_res int, full boolean"
+        rows, "zone_id string, cell long, full boolean"
     )
     levels = sorted(levels)
 
@@ -413,12 +415,25 @@ def spatial_join_candidates(
     pts = pts.withColumn("cell", F.explode(anc))
 
     if strategy == "salted":
+        # r6: (cell, salt) packed into ONE long key — cover cells keep
+        # bits 48..55 free (morton payload ≤ 2·24 bits, res header at 56),
+        # so ≤ 256 salt buckets splice in without aliasing; one 8-byte key
+        # halves the hashed width of the 64×-replicated build side
+        if salt_buckets > 256:
+            raise ValueError("salted strategy supports at most 256 buckets")
         salt = F.pmod(F.xxhash64(F.col(lon), F.col(lat)), F.lit(salt_buckets))
-        pts = pts.withColumn("salt", salt.cast("int"))
-        zone_cells = zone_cells.withColumn(
-            "salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+        pts = pts.withColumn(
+            "cell", F.col("cell").bitwiseOR(F.shiftleft(salt, 48))
         )
-        join_keys = ["cell", "salt"]
+        zone_cells = (
+            zone_cells.withColumn(
+                "_salt",
+                F.explode(F.array(*[F.lit(i << 48) for i in range(salt_buckets)])),
+            )
+            .withColumn("cell", F.col("cell").bitwiseOR(F.col("_salt")))
+            .drop("_salt")
+        )
+        join_keys = ["cell"]
         zside = zone_cells
     else:
         join_keys = ["cell"]

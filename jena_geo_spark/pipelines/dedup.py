@@ -433,16 +433,25 @@ def minhash_lsh_pairs(
     banded = sigs.select(F.col(id_col), band_cols.alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # r6: same-bucket candidate pairs via ONE groupBy + in-bucket pair
+    # explode instead of a banded self-join — the self-join evaluated the
+    # whole signature subtree (collect_list shuffle + Python min-hash
+    # kernel + band explode) once per side (plan-audited), and its two
+    # join-side exchanges carried the banded rows twice.  Pair set is
+    # identical: ids are unique within a (band, bucket), sorted ascending,
+    # paired (i < j), then distinct across bands exactly as before.  The
+    # explode streams one tail-slice array per row (≤ bucket size), so a
+    # hot bucket costs the same quadratic pair count as the join did,
+    # never a quadratic in-memory array.
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+        .select(F.col("_ids"), F.posexplode("_ids").alias("_i", "id_a"))
+        .select(
+            "id_a",
+            F.explode(F.expr("slice(_ids, _i + 2, size(_ids))")).alias("id_b"),
         )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
     # exact verify: join the (already materialized) shingle sets back
@@ -560,20 +569,30 @@ def hamming_pairs(
     banded = h.select(id_col, hash_col, parts.alias("p")).select(
         id_col, hash_col, F.col("p.blk").alias("blk"), F.col("p.key").alias("key")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # r6: same-block candidate pairs via ONE groupBy + in-bucket pair
+    # explode instead of a self-join — the join evaluated the upstream
+    # hash subtree (e.g. the distinct-phash aggregation) once per side.
+    # (id, hash) structs sort by id first (ids unique per block), so the
+    # (i < j) tail-slice pairing emits exactly the old a.id < b.id pair
+    # set; the slice arrays stream one row at a time (see
+    # minhash_lsh_pairs).  Exact popcount verify unchanged.
     cand = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        banded.groupBy("blk", "key")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(hash_col).alias("h")))
+            ).alias("_es")
+        )
+        .filter(F.size("_es") >= 2)
+        .select(F.col("_es"), F.posexplode("_es").alias("_i", "_a"))
+        .select(
+            "_a", F.explode(F.expr("slice(_es, _i + 2, size(_es))")).alias("_b")
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{hash_col}").alias("sh_a"),
-            F.col(f"b.{hash_col}").alias("sh_b"),
+            F.col("_a.i").alias("id_a"),
+            F.col("_b.i").alias("id_b"),
+            F.col("_a.h").alias("sh_a"),
+            F.col("_b.h").alias("sh_b"),
         )
         .distinct()
     )

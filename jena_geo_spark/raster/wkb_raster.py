@@ -153,6 +153,71 @@ def encode_hex(r: Raster, little: bool = True) -> str:
     return encode(r, little).hex().upper()
 
 
+def arrow_binary_matrix(arr) -> "np.ndarray | None":
+    """Zero-copy (n, len) uint8 view of a non-null fixed-length Arrow
+    binary array — the r6 input fast path: a binary Arrow column is ONE
+    contiguous data buffer plus an offsets array, so equal-length rows
+    reshape directly with NO per-row ``bytes`` objects (guide §4.2).
+    Returns None when rows have nulls / differing lengths / a non-binary
+    type (callers fall back to the per-row path)."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count or len(arr) == 0 or not pa.types.is_binary(arr.type):
+        return None
+    bufs = arr.buffers()
+    offsets = np.frombuffer(
+        bufs[1], dtype=np.int32, count=len(arr) + 1, offset=arr.offset * 4
+    ).astype(np.int64)
+    lens = np.diff(offsets)
+    if (lens != lens[0]).any():
+        return None
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    return data[offsets[0] : offsets[-1]].reshape(len(arr), int(lens[0]))
+
+
+def batch_decode_matrix_raw(raw: np.ndarray) -> "tuple | None":
+    """``batch_decode_matrix`` from an already-stacked (n, len) uint8 byte
+    matrix (see ``arrow_binary_matrix``): same header checks, same
+    returned (px, raw, first, little) contract."""
+    if raw.shape[1] < 63:  # header + band flags + ≥1 pixel byte
+        return None
+    hdr = np.concatenate([raw[:, 0:5], raw[:, 57:62]], axis=1)
+    if not (hdr == hdr[0]).all():
+        return None
+    first = decode(raw[0].tobytes())
+    if len(first.bands) != 1 or first.bands[0].nodata is not None:
+        return None
+    dt, sz = PIXEL_DTYPES[first.bands[0].pixtype]
+    n_px = first.width * first.height
+    if n_px == 0 or raw.shape[1] != 62 + sz + n_px * sz:
+        return None
+    little = raw[0, 0] == 1
+    e = "<" if little else ">"
+    px = raw[:, 62 + sz : 62 + sz + n_px * sz]
+    return (
+        np.ascontiguousarray(px).view(e + dt).astype(np.float64),
+        raw,
+        first,
+        little,
+    )
+
+
+def encode_binary_rows(rows: np.ndarray):
+    """(n, len) uint8 matrix → Arrow binary array with ONE data buffer
+    and a computed offsets array — no per-row ``tobytes`` loop (the r6
+    output fast path; guide §4.2's re-slice-don't-copy property)."""
+    import pyarrow as pa
+
+    n, row_len = rows.shape
+    offsets = pa.py_buffer(
+        (np.arange(n + 1, dtype=np.int32) * row_len).tobytes()
+    )
+    data = pa.py_buffer(np.ascontiguousarray(rows).tobytes())
+    return pa.Array.from_buffers(pa.binary(), n, [None, offsets, data])
+
+
 def batch_decode_matrix(col) -> "tuple | None":
     """Homogeneous-batch fast-path decode for a pandas Series of WKB
     rasters: returns ``(px, raw, first, little)`` where ``px`` is the
