@@ -30,8 +30,6 @@ from pyspark.sql.types import (
 )
 
 from .functions.vector import (
-    gc_cell,
-    gc_cell_xy,
     st_area,
     st_centroid,
     st_length,
@@ -274,11 +272,25 @@ def o_geo_knn() -> str:
 
 
 def q_geo_tile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r6: pure Catalyst — the old gc_cell → gc_cell_xy pair round-tripped
+    # through TWO Python stages (morton encode then decode) to produce
+    # what is plain floor arithmetic.  The expression mirrors
+    # grid.encode_points term for term ((lon − −180)/360, THEN ×n, floor,
+    # clamp — same IEEE double order, and truncation == floor for the
+    # non-negative fx·n this data yields), so the integer tiles and the
+    # oracle hash are unchanged.
     pts = points_from_events(spark, sf_dir)
-    cells = pts.withColumn("cell", gc_cell(F.col("lon"), F.col("lat"), F.lit(6)))
-    xy = cells.withColumn("xy", gc_cell_xy(F.col("cell")))
+    n = 1 << 6
+    ix = F.floor(
+        (F.col("lon") - F.lit(-180.0)) / F.lit(360.0) * F.lit(float(n))
+    ).cast("long")
+    iy = F.floor(
+        (F.col("lat") - F.lit(-90.0)) / F.lit(180.0) * F.lit(float(n))
+    ).cast("long")
+    tile_ix = F.least(F.greatest(ix, F.lit(0)), F.lit(n - 1))
+    tile_iy = F.least(F.greatest(iy, F.lit(0)), F.lit(n - 1))
     return (
-        xy.groupBy(F.col("xy.ix").alias("tile_ix"), F.col("xy.iy").alias("tile_iy"))
+        pts.groupBy(tile_ix.alias("tile_ix"), tile_iy.alias("tile_iy"))
         .agg(F.count("*").alias("n_rows"))
     )
 
@@ -1882,8 +1894,6 @@ def q_stream_tile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch SQL oracle gates the streaming pipeline exactly."""
     from pyspark.sql.types import TimestampType
 
-    from .functions.vector import gc_cell, gc_cell_xy
-
     schema = StructType(
         [
             StructField("event_id", LongType()),
@@ -1907,14 +1917,21 @@ def q_stream_tile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         (((F.col("event_id") * 2654435761) % 360000000) / 1000000.0 - 180.0).alias("lon"),
         (((F.col("event_id") * 2246822519) % 180000000) / 1000000.0 - 90.0).alias("lat"),
     )
-    cells = pts.withColumn("cell", gc_cell(F.col("lon"), F.col("lat"), F.lit(6)))
-    xy = cells.withColumn("xy", gc_cell_xy(F.col("cell")))
+    # r6: same pure-Catalyst tile expression as q_geo_tile_hist (term-for-
+    # term grid.encode_points; no Python stage inside the stream)
+    n = 1 << 6
+    ix = F.floor(
+        (F.col("lon") - F.lit(-180.0)) / F.lit(360.0) * F.lit(float(n))
+    ).cast("long")
+    iy = F.floor(
+        (F.col("lat") - F.lit(-90.0)) / F.lit(180.0) * F.lit(float(n))
+    ).cast("long")
     counts = (
-        xy.withWatermark("ts", "1 hour")
+        pts.withWatermark("ts", "1 hour")
         .groupBy(
             F.window(F.col("ts"), "1 hour").alias("w"),
-            F.col("xy.ix").alias("tile_ix"),
-            F.col("xy.iy").alias("tile_iy"),
+            F.least(F.greatest(ix, F.lit(0)), F.lit(n - 1)).alias("tile_ix"),
+            F.least(F.greatest(iy, F.lit(0)), F.lit(n - 1)).alias("tile_iy"),
         )
         .agg(F.count("*").alias("n_rows"))
         .select(F.col("w.start").alias("window_start"), "tile_ix", "tile_iy", "n_rows")

@@ -3376,33 +3376,40 @@ class _GroupCompiler:
                 continue
             if not (poly_part["kinds"].get(poly_e.name) or "").startswith("wkt"):
                 continue
-            # localCheckpoint pins the monotonically_increasing_id rows
-            # (the id must not be recomputed under a different partition
-            # layout between the checkpoint and the join-back) and,
-            # unlike cache(), doesn't leave a session-lifetime storage pin
-            # per rewritten query.
             poly_f = poly_part["frame"]
             zid = "__zid"
             wkt_bind = poly_part["binds"][poly_e.name]
-            poly_rows = poly_f.withColumn(
-                zid, F.monotonically_increasing_id()
-            ).localCheckpoint(eager=True)
-            # size guard (counted on the checkpointed blocks — cheap): at
-            # or under _SPATIAL_DIM_MAX the polygon side is dimension-table
-            # shaped → collect + broadcast covers; above it, NOTHING is
-            # collected — covers build in mapInPandas and the join-back is
-            # a shuffle join (the r3 verdict's last scale-killer shape).
+            # size guard: at or under _SPATIAL_DIM_MAX the polygon side is
+            # dimension-table shaped → collect + broadcast covers; above
+            # it, NOTHING is collected — covers build in mapInPandas and
+            # the join-back is a shuffle join (the r3 verdict's last
+            # scale-killer shape).  r6: the probe is limit(max+1).count()
+            # — it stops scanning after max+1 rows instead of counting the
+            # whole table (at 100 TB the old full count was itself a scan)
+            # and needs no compile-time localCheckpoint job; on the dim
+            # path ONE bounded collect then feeds BOTH the driver-side
+            # covers and the broadcast join-back frame (ids assigned
+            # driver-side, so no monotonically_increasing_id pinning).
             dim_max = self._SPATIAL_DIM_MAX
             if dim_max is None:
                 from .config import knob
 
                 dim_max = knob("SPATIAL_DIM_MAX")
-            if poly_rows.count() <= dim_max:
+            if poly_f.limit(dim_max + 1).count() <= dim_max:
+                collected = poly_f.collect()
                 zones = [
-                    (str(r[zid]), r[wkt_bind])
-                    for r in poly_rows.select(zid, wkt_bind).collect()
+                    (str(i), row[wkt_bind]) for i, row in enumerate(collected)
                 ]
                 covers = build_zone_covers(zones)
+                from pyspark.sql.types import LongType, StructField, StructType
+
+                back_schema = StructType(
+                    list(poly_f.schema.fields) + [StructField(zid, LongType())]
+                )
+                poly_rows = self.spark.createDataFrame(
+                    [tuple(row) + (i,) for i, row in enumerate(collected)],
+                    back_schema,
+                )
                 joined = spatial_join_points_zones(
                     self.spark,
                     pt_part["frame"],
@@ -3416,6 +3423,13 @@ class _GroupCompiler:
                     F.broadcast(poly_rows), on=zid, how="inner"
                 ).drop(zid)
             else:
+                # localCheckpoint pins the monotonically_increasing_id
+                # rows (the id must not be recomputed under a different
+                # partition layout between cover build and join-back);
+                # unlike cache(), no session-lifetime storage pin.
+                poly_rows = poly_f.withColumn(
+                    zid, F.monotonically_increasing_id()
+                ).localCheckpoint(eager=True)
                 from .operators.spatial_join import pip_join_points_polygons_frames
 
                 joined = pip_join_points_polygons_frames(
