@@ -390,18 +390,29 @@ def spatial_join_candidates(
     instead of two chained exchanges per task, which measurably collapses
     at high core counts.  Extra shuffle volume is only the false-candidate
     margin (boundary-cell rows, ~10% at default cover sizing)."""
-    # r6: cell_res dropped from the join-side rows (it was carried into
-    # the broadcast/salted build but never read after the join)
-    rows, levels = [], set()
+    # r6: cell_res dropped from the join-side rows (never read after the
+    # join), and the cover rows ship to the JVM as ONE Arrow batch from a
+    # pandas frame — the py4j row-by-row upload of ~10k tuples was a
+    # visible slice of per-query SPARQL compile time
+    import pandas as _pd
+
+    zid_parts, cell_parts, full_parts, levels = [], [], [], set()
     for zc in zone_covers:
-        res = grid.cell_res(zc.cells)
-        for c, r, fl in zip(zc.cells.tolist(), res.tolist(), zc.full.tolist()):
-            rows.append((zc.zone_id, int(c), bool(fl)))
-            levels.add(int(r))
+        levels.update(grid.cell_res(zc.cells).tolist())
+        zid_parts += [zc.zone_id] * len(zc.cells)
+        cell_parts.append(zc.cells.astype(np.int64))
+        full_parts.append(zc.full.astype(bool))
     zone_cells = spark.createDataFrame(
-        rows, "zone_id string, cell long, full boolean"
+        _pd.DataFrame(
+            {
+                "zone_id": _pd.Series(zid_parts, dtype=object),
+                "cell": np.concatenate(cell_parts) if cell_parts else np.empty(0, np.int64),
+                "full": np.concatenate(full_parts) if full_parts else np.empty(0, bool),
+            }
+        ),
+        "zone_id string, cell long, full boolean",
     )
-    levels = sorted(levels)
+    levels = sorted(int(r) for r in levels)
 
     # NOTE (r6): widening an under-split point scan here was tried and
     # REVERTED — the broadcast-probe stage is cheap enough that the added

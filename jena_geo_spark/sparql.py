@@ -3395,8 +3395,11 @@ class _GroupCompiler:
                 from .config import knob
 
                 dim_max = knob("SPATIAL_DIM_MAX")
-            if poly_f.limit(dim_max + 1).count() <= dim_max:
-                collected = poly_f.collect()
+            # ONE bounded action decides AND fetches: limit(max+1)
+            # returning ≤ max rows proves the table is dimension-sized
+            # and the collected rows ARE the whole table
+            collected = poly_f.limit(dim_max + 1).collect()
+            if len(collected) <= dim_max:
                 zones = [
                     (str(i), row[wkt_bind]) for i, row in enumerate(collected)
                 ]
