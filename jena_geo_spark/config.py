@@ -29,7 +29,11 @@ DEFAULTS: dict[str, int] = {
     # cross join finishes them in one bounded job instead of more
     # fixed-latency grid rounds.  Output is provably identical (same
     # top-k, same tie-break); this only trades job count vs pair count.
-    "KNN_TAIL_CROSS_ROWS": 100_000_000,
+    # 1e9 pairs ≈ a few cheap-codegen task-seconds across one wave of
+    # executors (measured: the 428-row sf1 tail pivots and saves a full
+    # ~4 s grid round); at petabyte right-side sizes the product keeps
+    # the pivot off until the tail is truly tiny.
+    "KNN_TAIL_CROSS_ROWS": 1_000_000_000,
     # partitioning.widen_if_narrow (r6): 1 = round-robin repartition scans
     # that arrive with fewer partitions than the cluster parallelism (the
     # unsplittable-single-file guard, guide §2.5); 0 = leave scan layout
