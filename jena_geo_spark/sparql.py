@@ -479,7 +479,11 @@ class PathClosure:
     # recursive relation evaluation (_path_relation)
     edges: object
     o: object
-    mod: str  # '?' | '*' | '+'
+    # '?' | '*' | '+' — or 'seq' (r6): the body is a whole SEQUENCE
+    # containing zero-admitting steps, evaluated as one relation with
+    # the identity added iff the sequence admits zero end-to-end (see
+    # _expand_path: fresh-variable chaining is wrong for such bodies)
+    mod: str
 
 
 @dataclass
@@ -1092,11 +1096,25 @@ class _Parser:
         elif isinstance(p, PathInv):
             self._expand_path(o, p.path, s, g)
         elif isinstance(p, PathSeq):
-            cur = s
-            for i, part in enumerate(p.parts):
-                nxt = o if i == len(p.parts) - 1 else Var(self._freshvar())
-                self._expand_path(cur, part, nxt, g)
-                cur = nxt
+            if _contains_zero_mod(p):
+                # r6 fix (found by the path fuzzer, latent since the path
+                # compiler landed): chaining a zero-admitting step through
+                # a fresh variable is WRONG for terms outside the graph —
+                # the middle closure's var-var zero-length identity domain
+                # is the graph's terms (W3C §18.4), so a bound endpoint
+                # x ∉ terms(G) can never chain x→x (empty graph,
+                # <x> p?/p? ?o must yield x; the desugared form yielded
+                # nothing).  Evaluate the WHOLE sequence as one relation
+                # (_path_rel's (R∪I)∘Q algebra is exact) and add the
+                # identity once, endpoint-aware, iff the sequence admits
+                # zero end-to-end.
+                g.items.append(PathClosure(s, p, o, "seq"))
+            else:
+                cur = s
+                for i, part in enumerate(p.parts):
+                    nxt = o if i == len(p.parts) - 1 else Var(self._freshvar())
+                    self._expand_path(cur, part, nxt, g)
+                    cur = nxt
         elif isinstance(p, PathAlt):
             branches = []
             for part in p.parts:
@@ -1295,6 +1313,19 @@ def _internal_var(name: str) -> bool:
     reserved: a user variable literally named ``?__p1``/``?__bn1``
     would collide."""
     return bool(re.match(r"__p\d+$", name)) or name.startswith("__bn")
+
+
+def _contains_zero_mod(p) -> bool:
+    """True when the path AST contains a zero-admitting modifier (?/*)
+    anywhere — the shapes whose zero-length identity domain makes
+    fresh-variable sequence chaining unsound (see _expand_path)."""
+    if isinstance(p, PathMod):
+        return p.mod in ("?", "*") or _contains_zero_mod(p.path)
+    if isinstance(p, (PathSeq, PathAlt)):
+        return any(_contains_zero_mod(x) for x in p.parts)
+    if isinstance(p, PathInv):
+        return _contains_zero_mod(p.path)
+    return False
 
 
 def _invert_steps(steps: list) -> list:
@@ -2785,6 +2816,9 @@ class _GroupCompiler:
         # zero-length solution is that term whether or not it occurs in
         # the graph, W3C §18.4 ZeroLengthPath)
         mod = "*" if (ez and pc.mod == "+") else pc.mod
+        # 'seq' (r6): the body IS the relation (no outer closure); the
+        # identity joins in iff the sequence admits zero end-to-end
+        add_ident = mod in ("?", "*") or (mod == "seq" and ez)
 
         def bfs(seed: str, forward: bool) -> DataFrame:
             e = (
@@ -2826,10 +2860,10 @@ class _GroupCompiler:
                 )
         elif mod in ("+", "*"):
             pairs = self._transitive_closure(edges)
-        else:  # '?': just the edges
+        else:  # '?' / 'seq': just the relation
             pairs = edges
 
-        if mod in ("?", "*"):
+        if add_ident:
             if s_const is not None:
                 ident = spark.createDataFrame(
                     [(s_const, s_const)], schema="src string, dst string"
