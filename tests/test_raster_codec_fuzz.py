@@ -200,3 +200,62 @@ def test_stage_udf_unary_splice_matches_per_tile(spark):
         got = {r.id: bytes(r.o) for r in df.select("id", RS.rast1_udf(op)(F.col("r")).alias("o")).collect()}
         for i, t in rows:
             assert got[i] == WR.encode(RA.map_algebra1(WR.decode(bytes(t)), op)), (op, i)
+
+
+def test_arrow_stage_udf_fallbacks_exact(spark):
+    """r6: the map-algebra UDFs moved to arrow_udf with a zero-copy
+    buffer fast path — NULL rows, big-endian tiles, mixed shapes and
+    nodata bands must all take the per-tile fallback and stay byte-exact
+    with the scalar encoder (and NULLs must come back as NULL)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from jena_geo_spark.functions import registry_support as RS
+    from jena_geo_spark.raster import algebra as RA
+    from jena_geo_spark.raster import wkb_raster as WR
+
+    def mk(w, h, seed, little=True, nodata=None, pixtype=7):
+        v = (np.arange(w * h) * 3 + seed).reshape(h, w).astype(np.int32)
+        r = WR.Raster(
+            0, 1.0, -1.0, 0.0, 0.0, 0.0, 0.0, 4326, w, h,
+            [WR.Band(pixtype, nodata, v, nodata or 0)],
+        )
+        return WR.encode(r, little=little)
+
+    rows = [
+        (1, mk(4, 4, 1), mk(4, 4, 7)),  # homogeneous little-endian batch
+        (2, None, mk(4, 4, 9)),  # NULL a
+        (3, mk(4, 4, 2), None),  # NULL b
+        (4, mk(4, 4, 3, little=False), mk(4, 4, 5, little=False)),  # BE
+        (5, mk(2, 3, 4), mk(2, 3, 6)),  # shape differs from row 1
+        (6, mk(4, 4, 8, nodata=0.0), mk(4, 4, 2)),  # nodata band
+    ]
+    df = spark.createDataFrame(rows, "id long, ra binary, rb binary")
+    got = {
+        r.id: r.c
+        for r in df.select("id", RS.rast2_udf("add")("ra", "rb").alias("c")).collect()
+    }
+    for i, a, b in rows:
+        if a is None or b is None:
+            assert got[i] is None, i
+        else:
+            exp = WR.encode(RA.map_algebra2(WR.decode(a), WR.decode(b), "add"))
+            assert bytes(got[i]) == exp, i
+
+    # rastconst: a non-negative band index must route per-tile (the fast
+    # path only covers band < 0 == every band)
+    mulc = RS.rastconst_udf("multiply")
+    df2 = spark.createDataFrame(
+        [(1, mk(4, 4, 1), 0, 2.0), (2, mk(4, 4, 2), -1, 3.0)],
+        "id long, ra binary, band int, k double",
+    )
+    out2 = {
+        r.id: bytes(r.c)
+        for r in df2.select("id", mulc("ra", "band", "k").alias("c")).collect()
+    }
+    assert out2[1] == WR.encode(
+        RA.map_algebra_const(WR.decode(mk(4, 4, 1)), "multiply", 2.0, 0)
+    )
+    assert out2[2] == WR.encode(
+        RA.map_algebra_const(WR.decode(mk(4, 4, 2)), "multiply", 3.0, -1)
+    )
