@@ -46,4 +46,11 @@ def knob(name: str) -> int:
     """Resolve a tuning knob: ``SPARK_GRAFT_<name>`` env override if set,
     else the engine default.  Unknown names raise KeyError."""
     v = os.environ.get("SPARK_GRAFT_" + name)
-    return int(v) if v is not None else DEFAULTS[name]
+    if v is None:
+        return DEFAULTS[name]
+    try:
+        return int(v)
+    except ValueError:
+        raise ValueError(
+            f"SPARK_GRAFT_{name}={v!r} is not a valid integer knob value"
+        ) from None

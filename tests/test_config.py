@@ -16,6 +16,12 @@ def test_knob_defaults_and_env_override(monkeypatch):
         C.knob("NO_SUCH_KNOB")
 
 
+def test_knob_malformed_env_names_the_variable(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_SPATIAL_DIM_MAX", "1e5")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_SPATIAL_DIM_MAX.*1e5"):
+        C.knob("SPATIAL_DIM_MAX")
+
+
 def test_knn_endgame_pivot_both_branches(spark, monkeypatch):
     """A right side smaller than k sends EVERY left row to the coarse
     endgame.  Default knob → pending broadcast; knob 0 → the right side
